@@ -1,0 +1,66 @@
+"""Breakdown: zero-filled dual group-count (SURVEY §2 D1, the flagship).
+
+Reference semantics (breakdown.py:8-42 in /root/reference/timesearch_modules):
+for every grouping key that appears in *either* fact table, emit the count
+of rows in each table, with missing counters zero-filled
+(``setdefault(..., 0)``, breakdown.py:38-41).  The reference streams both
+tables through a Python dict; here it is two hash aggregates + one
+full-outer join + coalesce — Catalyst does partial (map-side) aggregation
+automatically, so the shuffle carries one row per distinct key per side,
+not one row per input row.
+
+Scale notes (100 TB): the pre-join aggregates shrink each side to
+|distinct keys| rows, so the outer join's shuffle is tiny relative to the
+scan.  Author keys are Zipf-skewed in the wild but the skew is consumed by
+the *aggregate* (map-side partials), not the join; AQE skew-join handles
+any residue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def breakdown(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_name: str = "submissions",
+    right_name: str = "comments",
+    key_name: str | None = None,
+) -> DataFrame:
+    """Per-key counts of two fact tables, full-outer zero-filled.
+
+    Returns columns: ``key_name, <left_name>, <right_name>, total_posts``
+    (total is D4, breakdown.py:63-66).
+    """
+    key_name = key_name or key
+    lc = left.groupBy(F.col(key).alias(key_name)).agg(F.count("*").alias(left_name))
+    rc = right.groupBy(F.col(key).alias(key_name)).agg(F.count("*").alias(right_name))
+    out = (
+        lc.join(rc, key_name, "full_outer")
+        .select(
+            F.col(key_name),
+            F.coalesce(F.col(left_name), F.lit(0)).alias(left_name),
+            F.coalesce(F.col(right_name), F.lit(0)).alias(right_name),
+        )
+        .withColumn("total_posts", (F.col(left_name) + F.col(right_name)).cast("long"))
+    )
+    return out
+
+
+def breakdown_sorted(
+    bd: DataFrame,
+    sort: str,
+    key_name: str,
+    left_name: str = "submissions",
+    right_name: str = "comments",
+) -> DataFrame:
+    """Reference's comparator sorts (breakdown.py:55-82): by name (lower),
+    or by -submissions / -comments / -total with lower(name) tiebreak."""
+    lower_key = F.lower(F.col(key_name).cast("string"))
+    if sort == "name":
+        return bd.orderBy(lower_key.asc())
+    col = {"submissions": left_name, "comments": right_name, "total_posts": "total_posts"}[sort]
+    return bd.orderBy(F.col(col).desc(), lower_key.asc())

@@ -1,0 +1,724 @@
+"""t2 query registry: every SURVEY.md §2 operator as a named (spark_fn,
+oracle_sql) pair over the driver's synthetic tables (FIXTURES.md §3).
+
+Each spark function takes (spark, sf_dir) → DataFrame.  Each oracle is
+ANSI SQL for DuckDB over the same parquet (views pre-registered by the
+driver).  Column names and types are aligned on both sides:
+
+- DuckDB ``SUM(bigint)`` returns HUGEINT → always CAST sums explicitly.
+- Spark truncates parquet ns-timestamps to µs → timestamps are compared
+  as epoch seconds or formatted strings, never raw.
+- Doubles are ROUND()ed on both sides to dodge FP-associativity noise.
+- Rankings/limits carry full deterministic tie-breakers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timesearch_spark import functions as tsf
+from timesearch_spark.operators.breakdown import breakdown, breakdown_sorted
+from timesearch_spark.operators.merge import anti_join_merge
+from timesearch_spark.tables import NANOS_PER_SEC, event_ts_sec, load
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    """Register a t2 query (and optionally its DuckDB oracle)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# =========================================================================
+# D1/D4/F4 — breakdown (flagship): zero-filled dual group-count
+# =========================================================================
+
+@q(
+    "breakdown_counts",
+    """
+    WITH o AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS submissions
+      FROM orders GROUP BY 1
+    ), l AS (
+      SELECT o.o_custkey AS custkey, COUNT(*) AS comments
+      FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    )
+    SELECT COALESCE(o.custkey, l.custkey) AS custkey,
+           COALESCE(o.submissions, 0) AS submissions,
+           COALESCE(l.comments, 0) AS comments,
+           CAST(COALESCE(o.submissions, 0) + COALESCE(l.comments, 0) AS BIGINT)
+             AS total_posts
+    FROM o FULL OUTER JOIN l ON o.custkey = l.custkey
+    """,
+)
+def breakdown_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: per customer ('author'), count of orders ('submissions') and of
+    lineitems ('comments'), zero-filled (breakdown.py:8-42)."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    li_cust = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem.l_orderkey == orders.o_orderkey,
+    )
+    return breakdown(
+        orders, li_cust, key="o_custkey",
+        left_name="submissions", right_name="comments", key_name="custkey",
+    )
+
+
+@q(
+    "sort_computed_key",
+    """
+    WITH o AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS submissions
+      FROM orders GROUP BY 1
+    ), l AS (
+      SELECT o.o_custkey AS custkey, COUNT(*) AS comments
+      FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    ), bd AS (
+      SELECT COALESCE(o.custkey, l.custkey) AS custkey,
+             COALESCE(o.submissions, 0) AS submissions,
+             COALESCE(l.comments, 0) AS comments,
+             CAST(COALESCE(o.submissions, 0) + COALESCE(l.comments, 0) AS BIGINT)
+               AS total_posts
+      FROM o FULL OUTER JOIN l ON o.custkey = l.custkey
+    )
+    SELECT * FROM bd
+    ORDER BY total_posts DESC, LOWER(CAST(custkey AS VARCHAR)) ASC
+    """,
+)
+def sort_computed_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: breakdown output sorted by -total with lower(name) tiebreak
+    (breakdown.py:55-82)."""
+    bd = breakdown_counts(spark, sf_dir)
+    return breakdown_sorted(bd, sort="total_posts", key_name="custkey")
+
+
+# =========================================================================
+# A1/B1 — scan + projection
+# =========================================================================
+
+@q("scan_project", "SELECT o_custkey FROM orders")
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/B1: SELECT author FROM submissions (breakdown.py:29-35)."""
+    return load(spark, sf_dir, "orders").select("o_custkey")
+
+
+@q("point_lookup", "SELECT * FROM orders WHERE o_orderkey = 7"
+                   )
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: point probe by key (tsdb.py:391).  Dates stringified for the
+    cross-engine compare."""
+    df = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 7)
+    return df.withColumn("o_orderdate", F.col("o_orderdate"))
+
+
+# =========================================================================
+# B2-B7 — filters / predicates / CASE projection
+# =========================================================================
+
+@q(
+    "filter_threshold",
+    """
+    SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 2) AS quantity
+    FROM lineitem WHERE l_quantity >= 30
+    """,
+)
+def filter_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: WHERE score >= threshold (index.py:107-108)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("quantity"))
+    )
+
+
+@q(
+    "filter_timerange",
+    """
+    SELECT event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec, event_type
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-05 00:00:00'
+    """,
+)
+def filter_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: half-open [lower, upper) time-range (pushshift.py:114-117).
+    events.ts is nanos-as-long (tables.load), so the bounds are plain
+    INT64 comparisons — pushed to parquet row-group pruning by Catalyst."""
+    lo = 1704240000 * NANOS_PER_SEC  # 2024-01-03 00:00:00 UTC
+    hi = 1704412800 * NANOS_PER_SEC  # 2024-01-05 00:00:00 UTC
+    ev = load(spark, sf_dir, "events")
+    return ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).select(
+        "event_id",
+        event_ts_sec("ts").alias("ts_sec"),
+        "event_type",
+    )
+
+
+@q(
+    "filter_sentinel",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE lang IS NULL OR lang IN ('zh', 'fr')
+       OR text LIKE '%merge batch%'
+    """,
+)
+def filter_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: null/sentinel/membership/substring predicates — the shape of the
+    deleted-author + vandalism guard (tsdb.py:527-545: ``author is None and
+    body in [...] or greasy in body``), re-keyed onto the synthetic
+    documents table so the predicate actually selects rows."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("lang").isNull()
+        | F.col("lang").isin("zh", "fr")
+        | F.col("text").contains("merge batch")
+    ).select("doc_id", "lang")
+
+
+@q(
+    "filter_prefix",
+    "SELECT event_id, event_type FROM events WHERE event_type LIKE 'c%'",
+)
+def filter_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: prefix-discrimination (startswith 't3_', ingest_jsonfile.py:12-23)."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").startswith("c"))
+        .select("event_id", "event_type")
+    )
+
+
+@q(
+    "project_case",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN NULL
+                WHEN o_orderpriority LIKE '1%' THEN 'urgent:' || o_orderpriority
+                ELSE LOWER(o_orderpriority) END AS routed
+    FROM orders
+    """,
+)
+def project_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7/H16: CASE-chain projection (url normalization, tsdb.py:399-409)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.lit(None).cast("string"))
+        .when(
+            F.col("o_orderpriority").startswith("1"),
+            F.concat(F.lit("urgent:"), F.col("o_orderpriority")),
+        )
+        .otherwise(F.lower(F.col("o_orderpriority")))
+        .alias("routed"),
+    )
+
+
+# =========================================================================
+# C1-C6 — joins
+# =========================================================================
+
+@q(
+    "merge_anti_join",
+    """
+    WITH existing AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+         incoming AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM existing
+    UNION ALL
+    SELECT i.o_orderkey, i.o_custkey, i.o_orderstatus FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.o_orderkey = i.o_orderkey)
+    """,
+)
+def merge_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/G2: insert-only merge — existing ∪ (incoming anti existing)
+    (merge_db.py:7-12)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    existing = o.filter(F.col("o_orderkey") % 3 != 0)
+    incoming = o.filter(F.col("o_orderkey") % 2 == 0)
+    return anti_join_merge(existing, incoming, key="o_orderkey")
+
+
+@q(
+    "anti_not_exists",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: anti join via NOT EXISTS (get_comments.py:47-61)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "upsert_merge",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), new AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice + 1.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           COALESCE(old.o_custkey, new.o_custkey) AS o_custkey,
+           CASE WHEN old.o_orderkey IS NOT NULL AND new.o_orderkey IS NOT NULL
+                THEN COALESCE(new.o_orderstatus, old.o_orderstatus)
+                ELSE COALESCE(old.o_orderstatus, new.o_orderstatus) END
+             AS o_orderstatus,
+           ROUND(CASE WHEN old.o_orderkey IS NOT NULL AND new.o_orderkey IS NOT NULL
+                THEN COALESCE(new.o_totalprice, old.o_totalprice)
+                ELSE COALESCE(old.o_totalprice, new.o_totalprice) END, 2)
+             AS o_totalprice
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    """,
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: upsert join — matched rows take coalesce(new, old) per mutable
+    column (tsdb.py:389-461).  Expressed directly (the generic writer is
+    operators.upsert; this is its SQL-checkable skeleton)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 3 != 0).alias("old")
+    new = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 4 == 0, F.lit(None)).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .alias("new")
+    )
+    joined = old.join(new, F.col("old.o_orderkey") == F.col("new.o_orderkey"), "full_outer")
+    matched = F.col("old.o_orderkey").isNotNull() & F.col("new.o_orderkey").isNotNull()
+
+    def merged(c, mutable=True):
+        if mutable:
+            return F.when(
+                matched, F.coalesce(F.col(f"new.{c}"), F.col(f"old.{c}"))
+            ).otherwise(F.coalesce(F.col(f"old.{c}"), F.col(f"new.{c}")))
+        return F.coalesce(F.col(f"old.{c}"), F.col(f"new.{c}"))
+
+    return joined.select(
+        merged("o_orderkey", mutable=False).alias("o_orderkey"),
+        merged("o_custkey", mutable=False).alias("o_custkey"),
+        merged("o_orderstatus").alias("o_orderstatus"),
+        F.round(merged("o_totalprice"), 2).alias("o_totalprice"),
+    )
+
+
+@q(
+    "window_latest_version",
+    """
+    WITH tagged AS (
+      SELECT o_orderkey, o_totalprice, 1 AS source_priority FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_totalprice + 5.0 AS o_totalprice, 2 AS source_priority
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, source_priority
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderkey ORDER BY source_priority DESC) AS rn
+      FROM tagged
+    ) WHERE rn = 1
+    """,
+)
+def window_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/E3: enrichment later-wins — live copy (priority 2) supersedes the
+    dummy (pushshift.py:224-243)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    dummy = o.withColumn("source_priority", F.lit(1))
+    live = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+        .withColumn("source_priority", F.lit(2))
+    )
+    tagged = dummy.unionByName(live)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("source_priority").desc())
+    return (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "source_priority")
+    )
+
+
+# Same operator, exposed under the FIXTURES alias.
+QUERIES["enrich_join"] = window_latest_version
+ORACLE["enrich_join"] = ORACLE["window_latest_version"]
+
+
+@q(
+    "equi_join_thread",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+           ROUND(l.l_extendedprice, 2) AS price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def equi_join_thread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: submission↔comments equi-join (offline_reading.py:319-326).
+    Orders side is the small one → broadcast at this SF; sort-merge with
+    co-located buckets at 100 TB."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@q(
+    "self_join_parent",
+    """
+    SELECT c.l_orderkey, c.l_linenumber,
+           p.l_linenumber AS parent_linenumber,
+           ROUND(p.l_extendedprice, 2) AS parent_price
+    FROM lineitem c
+    LEFT JOIN lineitem p
+      ON c.l_orderkey = p.l_orderkey AND p.l_linenumber = c.l_linenumber - 1
+    """,
+)
+def self_join_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: parent-child self-join — comment→parent adjacency resolution
+    (offline_reading.py:346-367); lineitem(n) → lineitem(n-1) in-order."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    c = li.alias("c")
+    p = li.alias("p")
+    return c.join(
+        p,
+        (F.col("c.l_orderkey") == F.col("p.l_orderkey"))
+        & (F.col("p.l_linenumber") == F.col("c.l_linenumber") - 1),
+        "left",
+    ).select(
+        F.col("c.l_orderkey").alias("l_orderkey"),
+        F.col("c.l_linenumber").alias("l_linenumber"),
+        F.col("p.l_linenumber").alias("parent_linenumber"),
+        F.round(F.col("p.l_extendedprice"), 2).alias("parent_price"),
+    )
+
+
+# =========================================================================
+# D2/D3/F2 — scalar aggregates
+# =========================================================================
+
+@q("count_rows", "SELECT COUNT(*) AS n FROM lineitem")
+def count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: SELECT count(*) (merge_db.py:18-22)."""
+    return load(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+@q(
+    "max_created",
+    "SELECT CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS max_ts FROM events",
+)
+def max_created(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/E1/F2: resume checkpoint — ORDER BY created DESC LIMIT 1
+    rewritten as MAX (get_submissions.py:53-59)."""
+    return (
+        load(spark, sf_dir, "events")
+        .agg(F.max(event_ts_sec("ts")).alias("max_ts"))
+    )
+
+
+# =========================================================================
+# E2 — window rank
+# =========================================================================
+
+@q(
+    "window_rank_children",
+    """
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price, rn
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: per-group child ordering by score desc (offline_reading.py:211),
+    with deterministic linenumber tiebreak."""
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        load(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"), "rn",
+        )
+    )
+
+
+# =========================================================================
+# F1/F3 — sorts
+# =========================================================================
+
+@q(
+    "sort_score_desc",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_totalprice >= 1000
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    """,
+)
+def sort_score_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: threshold + ORDER BY score DESC (index.py:68-92,107-108)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1000)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@q(
+    "sort_null_marshal",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END AS flair
+    FROM orders
+    ORDER BY (CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END IS NULL)
+             ASC, o_orderdate ASC, o_orderkey ASC
+    """,
+)
+def sort_null_marshal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: ORDER BY flair IS NULL ASC, created ASC (index.py:89-92) —
+    non-null group first, each time-ordered."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "flair",
+        F.when(F.col("o_orderstatus") == "F", F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return o.orderBy(
+        F.col("flair").isNull().cast("int").asc(),
+        F.col("o_orderdate").asc(),
+        F.col("o_orderkey").asc(),
+    ).select("o_orderkey", "flair")
+
+
+# =========================================================================
+# G1/G3 — dedup / union
+# =========================================================================
+
+@q(
+    "dedup_ids",
+    """
+    WITH unioned AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT DISTINCT o_orderkey FROM unioned
+    """,
+)
+def dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: cross-batch id dedup (pushshift.py:119-145)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 3 == 0)
+    return a.unionByName(b).dropDuplicates(["o_orderkey"])
+
+
+@q(
+    "union_tagged",
+    """
+    SELECT o_orderkey AS key, CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS ts,
+           'submission' AS kind
+    FROM orders
+    UNION ALL
+    SELECT l_orderkey AS key, CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) AS ts,
+           'comment' AS kind
+    FROM lineitem
+    """,
+)
+def union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: union of heterogeneous streams with a type tag
+    (livestream.py:185-194)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("ts"),
+        F.lit("submission").alias("kind"),
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_shipdate").cast("timestamp_ltz").cast("long").alias("ts"),
+        F.lit("comment").alias("kind"),
+    )
+    return o.unionByName(l)
+
+
+# =========================================================================
+# H — scalar functions
+# =========================================================================
+
+@q(
+    "scalar_base36",
+    """
+    SELECT o_orderkey,
+           LOWER(TO_BASE(o_orderkey, 36)) AS b36,
+           o_orderkey AS roundtrip
+    FROM orders
+    """,
+)
+def scalar_base36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: base36 encode/decode (common.py:43-65) via F.conv."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    enc = tsf.base36_encode("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        enc.alias("b36"),
+        tsf.base36_decode(enc).alias("roundtrip"),
+    )
+
+
+@q(
+    "scalar_prefix",
+    """
+    SELECT o_orderkey,
+           't3_' || LOWER(TO_BASE(o_orderkey, 36)) AS fullname,
+           SUBSTRING('t3_' || LOWER(TO_BASE(o_orderkey, 36)), 4) AS bare,
+           ('t3_' || LOWER(TO_BASE(o_orderkey, 36)) LIKE 't3_%') AS is_sub
+    FROM orders
+    """,
+)
+def scalar_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: fullname prefix add/strip (common.py:147-150)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    fullname = F.concat(F.lit("t3_"), tsf.base36_encode("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        fullname.alias("fullname"),
+        tsf.strip_prefix(fullname).alias("bare"),
+        tsf.is_submission_id(fullname).alias("is_sub"),
+    )
+
+
+@q(
+    "scalar_escape",
+    """
+    SELECT doc_id,
+           REPLACE(REPLACE(text, '<', '&lt;'), '>', '&rt;') AS escaped
+    FROM documents
+    """,
+)
+def scalar_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: HTML escape with the reference's '&rt;' typo
+    (offline_reading.py:285-290)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", tsf.html_escape_ref("text").alias("escaped"))
+
+
+@q(
+    "scalar_datefmt",
+    """
+    SELECT event_id,
+           STRFTIME(ts, '%Y %b %d') AS listing_ts,
+           STRFTIME(ts, '%b %d %Y %H:%M:%S') AS human_ts
+    FROM events
+    """,
+)
+def scalar_datefmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6/H7: strftime '%b %d %Y %H:%M:%S' and '%Y %b %d'
+    (common.py:94-97, index.py:17)."""
+    ev = load(spark, sf_dir, "events")
+    ts_sec = event_ts_sec("ts")
+    return ev.select(
+        "event_id",
+        tsf.listing_time(ts_sec).alias("listing_ts"),
+        tsf.human_time(ts_sec).alias("human_ts"),
+    )
+
+
+@q(
+    "scalar_textlen",
+    "SELECT doc_id, LENGTH(text) AS textlen FROM documents",
+)
+def scalar_textlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8: textlen = len(body) (tsdb.py:424,485)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("textlen")
+    )
+
+
+@q(
+    "scalar_newline",
+    """
+    SELECT p_partkey, REPLACE(p_name, CHR(10), ' ') AS flat_name
+    FROM part
+    """,
+)
+def scalar_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H10: newline→space in titles (index.py:159)."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey", tsf.flatten_newlines("p_name").alias("flat_name")
+    )
+
+
+@q(
+    "scalar_split",
+    """
+    SELECT p_partkey,
+           LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(p_name, '[+ ,]'),
+                       x -> x <> '') AS parts
+    FROM part
+    """,
+)
+def scalar_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12: multi-delimiter split on '+', ' ', ',' (common.py:135-140)."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey", tsf.split_any("p_name").alias("parts")
+    )
+
+
+@q(
+    "scalar_format",
+    """
+    SELECT o_orderkey,
+           PRINTF('%d: %s [%s]', o_orderkey, o_orderpriority, o_orderstatus)
+             AS line
+    FROM orders
+    """,
+)
+def scalar_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H14: string templating of listing lines (index.py:148-161)."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.format_string(
+            "%d: %s [%s]", F.col("o_orderkey"), F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+        ).alias("line"),
+    )

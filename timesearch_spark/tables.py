@@ -1,0 +1,59 @@
+"""Loaders for the driver's synthetic parquet tables (TESTDATA.md).
+
+``load`` reads one table; ``load_all`` returns a dict.  Reads are plain
+``spark.read.parquet`` so Catalyst gets full pushdown/pruning; nothing is
+cached here (callers decide) and nothing is collected.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark 4
+    # refuses by default; read nanos as a raw long (session-settable, safe
+    # for every other table).  Filters on the raw nano column still push
+    # down to the parquet scan as plain INT64 comparisons.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+NANOS_PER_SEC = 1_000_000_000
+
+
+def event_ts_sec(col="ts"):
+    """events.ts (nanos-as-long) → epoch seconds (long, floor).
+
+    Exact integer math — nano epochs (~1.7e18) exceed double's 2^53
+    mantissa, so float division would corrupt the low digits.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("decimal(38,0)") / NANOS_PER_SEC).cast("long")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql queries."""
+    for n in TABLE_NAMES:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
