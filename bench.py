@@ -1,0 +1,82 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Each query is materialized through the noop sink (full execution, no
+driver-side collect) so the number measures the distributed plan, not
+result transfer.  First a warmup query runs to absorb JVM/codegen start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from timesearch_spark.session import get_spark  # noqa: E402
+
+# Headline queries: one per engine subsystem (scan pushdown, hash agg +
+# outer join, big equi-join, window, merge, global sort, dedup, union,
+# plus the LLM-pipeline extensions when present).
+HEADLINE = [
+    "filter_timerange",
+    "breakdown_counts",
+    "equi_join_thread",
+    "window_rank_children",
+    "upsert_merge",
+    "sort_score_desc",
+    "dedup_ids",
+    "union_tagged",
+    # extensions (skipped silently if not yet registered)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_quality",
+    "token_count",
+    "events_tumbling_1h",
+    "sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("count_rows")  # warmup: JVM + codegen + parquet footer cache
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in qs:
+            times[name] = round(run(name), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

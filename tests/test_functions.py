@@ -1,0 +1,69 @@
+"""Scalar function library vs the reference's Python semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timesearch_spark import functions as tsf
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_base36_roundtrip(spark):
+    df = spark.createDataFrame([(i,) for i in [1, 35, 36, 12345, 2**40]], "n long")
+    out = df.select(
+        "n",
+        tsf.base36_encode("n").alias("enc"),
+        tsf.base36_decode(tsf.base36_encode("n")).alias("dec"),
+    ).collect()
+    for r in out:
+        # reference common.py:43-65: int(x, 36) / lowercase encode
+        assert r["dec"] == r["n"]
+        assert int(r["enc"], 36) == r["n"]
+
+
+def test_prefix_helpers(spark):
+    df = spark.createDataFrame([("abc123",), ("t3_zzz",)], "id string")
+    rows = df.select(
+        tsf.with_prefix("id", "t3_").alias("p"),
+        tsf.strip_prefix(tsf.with_prefix("id", "t3_")).alias("bare"),
+    ).collect()
+    assert rows[0]["p"] == "t3_abc123" and rows[0]["bare"] == "abc123"
+    assert rows[1]["p"] == "t3_zzz" and rows[1]["bare"] == "zzz"  # no double prefix
+
+
+def test_html_escape_ref_typo(spark):
+    # offline_reading.py:285-290 writes '&rt;' for '>' — reproduced [sic].
+    v = _one(spark, tsf.html_escape_ref(F.lit("<a>&")))
+    assert v == "&lt;a&rt;&"
+
+
+def test_html_unescape(spark):
+    v = _one(spark, tsf.html_unescape_basic(F.lit("&lt;b&gt; &amp;&quot;&#39;")))
+    assert v == "<b> &\"'"
+
+
+def test_time_formats(spark):
+    # 2024-01-02 03:04:05 UTC = 1704164645
+    v = _one(spark, tsf.human_time(F.lit(1704164645)))
+    assert v == "Jan 02 2024 03:04:05"  # strftime '%b %d %Y %H:%M:%S'
+    v = _one(spark, tsf.listing_time(F.lit(1704164645)))
+    assert v == "2024 Jan 02"  # strftime '%Y %b %d' (index.py:17)
+
+
+def test_split_any(spark):
+    # common.py:135-140: split on '+', ' ', ',' dropping empties.
+    v = _one(spark, tsf.split_any(F.lit("a+b c,d++e")))
+    assert v == ["a", "b", "c", "d", "e"]
+
+
+def test_sanitize_braces(spark):
+    v = _one(spark, tsf.sanitize_braces(F.lit("{x}")))
+    assert v == "{{x}}"
+
+
+def test_author_display(spark):
+    v = _one(spark, tsf.author_display(F.lit(None).cast("string")))
+    assert v == "[DELETED]"

@@ -1,0 +1,139 @@
+"""Golden + property tests for the operator library (SURVEY §5.2-5.3).
+
+Micro-fixtures are Reddit-shaped (idstr/author/body/...); invariants are
+the ones extracted from the reference's code paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from timesearch_spark.operators.breakdown import breakdown, breakdown_sorted
+from timesearch_spark.operators.merge import anti_join_merge
+from timesearch_spark.operators.upsert import upsert_snapshot
+
+
+def _subs(spark, rows):
+    return spark.createDataFrame(
+        rows, "idstr string, author string, selftext string, score long, created long"
+    )
+
+
+def _comments(spark, rows):
+    return spark.createDataFrame(
+        rows, "idstr string, author string, body string, score long, created long"
+    )
+
+
+# --- D1: breakdown (breakdown.py:8-42) -------------------------------------
+
+def test_breakdown_zero_fill(spark):
+    subs = _subs(spark, [("t3_a", "alice", None, 1, 10), ("t3_b", "bob", None, 1, 11)])
+    comments = _comments(spark, [("t1_c", "alice", "hi", 1, 12), ("t1_d", "carol", "yo", 1, 13)])
+    out = {r["author"]: r for r in breakdown(subs, comments, key="author", key_name="author").collect()}
+    assert out["alice"]["submissions"] == 1 and out["alice"]["comments"] == 1
+    assert out["bob"]["submissions"] == 1 and out["bob"]["comments"] == 0   # zero-fill
+    assert out["carol"]["submissions"] == 0 and out["carol"]["comments"] == 1
+    for r in out.values():
+        assert r["total_posts"] == r["submissions"] + r["comments"]
+
+
+def test_breakdown_totals_equal_table_counts(spark):
+    subs = _subs(spark, [(f"t3_{i}", f"u{i % 3}", None, 1, i) for i in range(10)])
+    comments = _comments(spark, [(f"t1_{i}", f"u{i % 5}", "x", 1, i) for i in range(20)])
+    bd = breakdown(subs, comments, key="author", key_name="author")
+    agg = bd.agg(F.sum("submissions"), F.sum("comments")).first()
+    assert agg[0] == 10 and agg[1] == 20
+
+
+def test_breakdown_sort_orders(spark):
+    subs = _subs(spark, [("t3_a", "Zed", None, 1, 1), ("t3_b", "Zed", None, 1, 2), ("t3_c", "amy", None, 1, 3)])
+    comments = _comments(spark, [("t1_a", "amy", "x", 1, 1)])
+    bd = breakdown(subs, comments, key="author", key_name="author")
+    by_name = [r["author"] for r in breakdown_sorted(bd, "name", "author").collect()]
+    assert by_name == ["amy", "Zed"]  # lower(name) sort (breakdown.py:55-56)
+    by_subs = [r["author"] for r in breakdown_sorted(bd, "submissions", "author").collect()]
+    assert by_subs == ["Zed", "amy"]
+
+
+# --- C1: anti-join merge (merge_db.py:7-12) ---------------------------------
+
+def test_merge_insert_only_invariant(spark):
+    existing = _subs(spark, [("t3_a", "alice", "v1", 1, 10), ("t3_b", "bob", "v1", 2, 11)])
+    incoming = _subs(spark, [("t3_b", "bob", "CHANGED", 9, 11), ("t3_c", "carol", "new", 3, 12)])
+    merged = anti_join_merge(existing, incoming, key="idstr")
+    rows = {r["idstr"]: r for r in merged.collect()}
+    assert set(rows) == {"t3_a", "t3_b", "t3_c"}
+    # Existing rows are never updated (timesearch.py:350-354).
+    assert rows["t3_b"]["selftext"] == "v1" and rows["t3_b"]["score"] == 2
+    assert merged.count() == existing.count() + 1
+
+
+# --- C3/I3/I4: upsert with edit capture ------------------------------------
+
+def test_upsert_insert_and_update(spark):
+    snap = _comments(spark, [("t1_a", "alice", "old body", 5, 10)])
+    batch = _comments(spark, [("t1_a", "alice", "new body", 7, 10), ("t1_b", "bob", "fresh", 1, 20)])
+    res = upsert_snapshot(snap, batch, key="idstr", text_col="body", observed_at=99)
+    rows = {r["idstr"]: r for r in res.snapshot.collect()}
+    assert set(rows) == {"t1_a", "t1_b"}
+    assert rows["t1_a"]["body"] == "new body" and rows["t1_a"]["score"] == 7
+    edits = res.edits.collect()
+    assert len(edits) == 1
+    assert edits[0]["previous_body"] == "old body" and edits[0]["replaced_at"] == 99
+
+
+def test_upsert_idempotent(spark):
+    snap = _comments(spark, [("t1_a", "alice", "body", 5, 10)])
+    batch = _comments(spark, [("t1_a", "alice", "body", 5, 10), ("t1_b", "bob", "x", 1, 20)])
+    once = upsert_snapshot(snap, batch, key="idstr", text_col="body", observed_at=1)
+    twice = upsert_snapshot(once.snapshot, batch, key="idstr", text_col="body", observed_at=2)
+    a = sorted(map(tuple, once.snapshot.collect()))
+    b = sorted(map(tuple, twice.snapshot.collect()))
+    assert a == b
+    assert twice.edits.count() == 0  # unchanged text → no edit rows
+
+
+def test_upsert_null_keeps_old(spark):
+    # UPDATE ... SET col = coalesce(new, old): null new values never clobber.
+    snap = _comments(spark, [("t1_a", "alice", "body", 5, 10)])
+    batch = _comments(spark, [("t1_a", "alice", None, None, 10)])
+    res = upsert_snapshot(snap, batch, key="idstr", text_col="body", observed_at=1)
+    r = res.snapshot.first()
+    assert r["body"] == "body" and r["score"] == 5
+    assert res.edits.count() == 0
+
+
+def test_upsert_deletion_mask(spark):
+    # tsdb.py:527-545: author gone + '[removed]' → keep old text, no edit.
+    snap = _comments(spark, [("t1_a", "alice", "precious text", 5, 10)])
+    batch = _comments(spark, [("t1_a", None, "[removed]", 5, 10)])
+    res = upsert_snapshot(snap, batch, key="idstr", text_col="body", observed_at=1)
+    assert res.snapshot.first()["body"] == "precious text"
+    assert res.edits.count() == 0
+
+
+def test_upsert_vandalism_mask(spark):
+    snap = _comments(spark, [("t1_a", "alice", "precious text", 5, 10)])
+    batch = _comments(spark, [("t1_a", "alice", "spam pastebin.com/64GuVi2F spam", 5, 10)])
+    res = upsert_snapshot(snap, batch, key="idstr", text_col="body", observed_at=1)
+    assert res.snapshot.first()["body"] == "precious text"
+    assert res.edits.count() == 0
+
+
+def test_upsert_later_wins_within_batch(spark):
+    # C4/E3: dummy then live copy in one batch — the later (higher order) wins.
+    snap = _comments(spark, [])
+    batch = spark.createDataFrame(
+        [
+            Row(idstr="t1_a", author="alice", body="dummy", score=1, created=10, source_priority=1),
+            Row(idstr="t1_a", author="alice", body="live", score=2, created=10, source_priority=2),
+        ]
+    )
+    res = upsert_snapshot(
+        snap.limit(0), batch, key="idstr", text_col="body",
+        observed_at=1, batch_order_col="source_priority",
+    )
+    r = res.snapshot.first()
+    assert r["body"] == "live" and r["score"] == 2
