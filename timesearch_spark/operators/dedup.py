@@ -1,0 +1,257 @@
+"""Deduplication family (engine extension: LLM-training-pipeline surface).
+
+The reference's only dedup is an in-memory id set across adjacent pages
+(pushshift.py:119-145, mapped to ``dropDuplicates`` — G1).  A training-data
+pipeline needs content dedup; this module implements the standard ladder:
+
+- exact          — hash-groupBy on normalized text (one shuffle on a short
+                   digest, never the full text).
+- minhash + LSH  — shingle → minhash signature → banding → bucket join →
+                   exact-Jaccard verify.  Signatures are built with nested
+                   built-in higher-order functions (transform/array_min/
+                   xxhash64): no explode, no UDF, no shuffle until the
+                   band join — per-row cost only.
+- simhash        — 64-bit sign-of-sums fingerprint; near-dups within
+                   Hamming distance via pigeonhole band blocking.
+- n-gram Jaccard — exact pairwise similarity inside coarse blocks.
+
+Scale notes (100 TB): every stage shuffles at most (band/bucket key,
+doc id) pairs — candidate generation never materializes the cross
+product.  Verification re-joins text for candidates only.  Band keys are
+xxhash64 of the minhash slice, so bucket skew tracks true duplicate mass
+(AQE skew-join splits pathological buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- tokenize / shingle -----------------------------------------------------
+
+def tokens(col) -> Column:
+    """Lowercased whitespace tokens, empties dropped."""
+    return F.filter(F.split(F.lower(F.trim(_c(col))), r"\s+"), lambda x: x != "")
+
+
+def shingles(col, k: int = 3) -> Column:
+    """k-word shingles as strings; documents shorter than k words yield
+    their whole token join as the single shingle."""
+    t = tokens(col)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(t, i, k), " "),
+    )
+    return F.when(n >= k, grams).otherwise(F.array(F.array_join(t, " ")))
+
+
+def jaccard(a, b) -> Column:
+    """|A∩B| / |A∪B| on array columns (set semantics)."""
+    da, db = F.array_distinct(_c(a)), F.array_distinct(_c(b))
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    union = (F.size(da) + F.size(db)).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(None))
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Duplicate groups by content hash: (content_hash, keeper_id, dup_count).
+    The shuffle key is the 32-char md5, not the document text."""
+    t = F.lower(F.trim(_c(text_col))) if normalize else _c(text_col)
+    return (
+        df.select(F.md5(t).alias("content_hash"), _c(id_col).alias(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct normalized text (min id wins)."""
+    w_keep = exact_dedup_groups(df, text_col, id_col).select("keeper_id")
+    return df.join(
+        w_keep, df[id_col] == w_keep.keeper_id, "left_semi"
+    )
+
+
+# --- minhash + LSH ------------------------------------------------------------
+
+def minhash_signature(col, num_hashes: int = 64, shingle_k: int = 3) -> Column:
+    """num_hashes minhash values: h_i = min over shingles of
+    xxhash64(shingle, i).  Pure expression — evaluated row-local."""
+    sh = shingles(col, shingle_k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def lsh_bands(sig_col, bands: int, rows: int) -> Column:
+    """Array of (band index, band hash) structs — the LSH bucket keys."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.array_join(F.transform(
+                F.slice(_c(sig_col), b * rows + 1, rows), lambda v: v.cast("string")
+            ), ","), b).alias("bucket"),
+        ),
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, jaccard) with exact-verified
+    jaccard ≥ threshold, candidates from minhash-LSH banding.
+
+    bands=16 × rows=4 at threshold 0.7 gives ~99.5% recall; precision is
+    exact because every candidate is verified against the true shingle
+    sets.  Only (band bucket → ids) ever shuffles."""
+    rows = num_hashes // bands
+    base = df.select(
+        _c(id_col).alias(id_col),
+        shingles(text_col, shingle_k).alias("__sh"),
+        minhash_signature(text_col, num_hashes, shingle_k).alias("__sig"),
+    )
+    exploded = base.select(
+        id_col, F.explode(lsh_bands("__sig", bands, rows)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = exploded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
+    b = exploded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+    sh = base.select(F.col(id_col), F.col("__sh"))
+    pairs = (
+        cand.join(sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("sha")), on="a")
+        .join(sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("shb")), on="b")
+    )
+    return (
+        pairs.select("a", "b", jaccard("sha", "shb").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- simhash -------------------------------------------------------------------
+
+def simhash64(col) -> Column:
+    """64-bit SimHash: bit b is the sign of Σ_tokens (±1 by bit b of
+    xxhash64(token)).  Weighted by token multiplicity (no dedup), matching
+    the classic Charikar construction.
+
+    The bit loop runs in Python (shift amounts must be int literals for
+    the JVM shift builtins); token hashes are materialized once per row so
+    the 64 per-bit folds reuse them."""
+    hashes = F.transform(tokens(col), lambda tok: F.xxhash64(tok))
+
+    def bit_fold(b: int):
+        # closure, not a default arg: pyspark counts lambda params to
+        # decide the number of lambda variables.
+        return lambda s, h: (
+            s + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1).cast("long")) * 2 - 1
+        )
+
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), bit_fold(b))
+        sig = sig + F.when(
+            bit_sum >= 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def hamming64(a, b) -> Column:
+    return F.bit_count(_c(a).bitwiseXOR(_c(b)))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming of their simhashes.
+
+    Pigeonhole blocking: split 64 bits into max_hamming+1 chunks — any
+    pair within distance d agrees exactly on ≥1 chunk, so candidates are
+    same-chunk-value pairs (a shuffle on 16-bit chunk keys), then verified
+    with bit_count.  No cross product."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    h = df.select(_c(id_col).alias(id_col), simhash64(text_col).alias("sh"))
+    exploded = h.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned(F.col("sh"), c * width)
+                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                    .alias("val"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("cv"),
+    ).select(id_col, "sh", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+
+    a = exploded.select("chunk", "val", F.col(id_col).alias("a"), F.col("sh").alias("sha"))
+    b = exploded.select("chunk", "val", F.col(id_col).alias("b"), F.col("sh").alias("shb"))
+    return (
+        a.join(b, on=["chunk", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming64("sha", "shb").alias("hamming"))
+        .dropDuplicates(["a", "b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- n-gram Jaccard within blocks ----------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.1,
+    n: int = 1,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard for every pair inside a block (e.g. same
+    source/lang).  Blocks bound the pair count; the LSH variants replace
+    blocking when no natural key exists."""
+    g = tokens(text_col) if n == 1 else shingles(text_col, n)
+    base = df.select(
+        _c(block_col).alias("block"), _c(id_col).alias(id_col), g.alias("__g")
+    )
+    a = base.select("block", F.col(id_col).alias("a"), F.col("__g").alias("ga"))
+    b = base.select("block", F.col(id_col).alias("b"), F.col("__g").alias("gb"))
+    return (
+        a.join(b, on="block")
+        .filter(F.col("a") < F.col("b"))
+        .select("block", "a", "b", jaccard("ga", "gb").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

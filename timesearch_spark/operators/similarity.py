@@ -1,0 +1,176 @@
+"""Similarity search over an embedding column (engine extension: the
+LLM-training-pipeline surface; no reference equivalent — the reference's
+closest notion is the dedup set of pushshift.py:119-145).
+
+Two paths:
+
+- ``cosine_topk``      — brute-force exact top-k against one query vector.
+  The query row is a 1-row broadcast; the scan is embarrassingly parallel
+  and the only "shuffle" is Spark's TakeOrderedAndProject (per-partition
+  top-k, then a k-row reduce on the driver).  This is the correct plan
+  even at 100 TB: k rows per partition flow to the reduce, nothing else.
+
+- ``cosine_topk_lsh``  — random-hyperplane LSH (SimHash for angles,
+  Charikar 2002).  Vectors are bucketed by an L×B bit signature; only
+  buckets matching the query (in any of the L tables) are scanned, then
+  candidates are verified with the exact cosine.  At scale the bucketed
+  table is written pre-partitioned by (table, signature) so a query
+  touches L partitions — an IVF-style inverted file with hyperplane cells
+  instead of k-means centroids.
+
+Hyperplanes are derived deterministically from a seed via splitmix64 (no
+RNG state, reproducible across engines/runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timesearch_spark.functions.vectors import as_double, cosine
+
+
+def _splitmix64(seed: int, n: int) -> list[float]:
+    """Deterministic pseudo-normals in [-1, 1) from a 64-bit mix — enough
+    for hyperplane directions (only the sign structure matters)."""
+    out = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        out.append((z / 2**63) - 1.0)
+    return out
+
+
+def hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> list[list[list[float]]]:
+    """tables × bits hyperplane directions, each a dim-vector."""
+    return [
+        [_splitmix64(seed + t * 1000 + b, dim) for b in range(bits)]
+        for t in range(tables)
+    ]
+
+
+def signature_col(vec_col, planes: list[list[float]]):
+    """Bit signature of one table: sign(v·h) per hyperplane, packed long."""
+    sig = F.lit(0).cast("long")
+    v = as_double(vec_col)
+    for i, h in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in h]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine against a 1-row ``query`` DataFrame
+    (column ``q``).  Ties broken by id for determinism."""
+    joined = emb.join(F.broadcast(query))
+    scored = joined.select(
+        F.col(id_col),
+        cosine(vec_col, "q").alias("cos"),
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: candidates = vectors sharing the query's signature in any
+    of ``tables`` hyperplane tables; exact-cosine verify + top-k on the
+    (much smaller) candidate set.  Recall is tunable via bits/tables."""
+    planes = hyperplanes(dim, bits, tables, seed)
+
+    sig_cols = [signature_col(vec_col, planes[t]).alias(f"sig{t}") for t in range(tables)]
+    qsig_cols = [signature_col("q", planes[t]).alias(f"qsig{t}") for t in range(tables)]
+
+    cand = emb.select(F.col(id_col), F.col(vec_col), *sig_cols).join(
+        F.broadcast(query.select(F.col("q"), *qsig_cols))
+    )
+    match = F.lit(False)
+    for t in range(tables):
+        match = match | (F.col(f"sig{t}") == F.col(f"qsig{t}"))
+    cand = cand.filter(match)
+
+    scored = cand.select(F.col(id_col), cosine(vec_col, "q").alias("cos"))
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs near-duplicates: (a, b, cos) with cos ≥ threshold,
+    a < b.  Quadratic — the correctness baseline; use the LSH variant at
+    scale."""
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    return (
+        pairs.select("a", "b", cosine("va", "vb").alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 12,
+    tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs at scale: self-join per (table, signature) bucket —
+    only same-bucket pairs are generated (the shuffle is on the signature,
+    not the cross product) — then exact-cosine verification.
+
+    High-cosine pairs collide in ≥1 table with probability
+    1-(1-(1-θ/π)^bits)^tables; candidates are verified so precision is
+    exact, recall is the tunable."""
+    planes = hyperplanes(dim, bits, tables, seed)
+    sigs = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), signature_col(vec_col, planes[t]).alias("sig"))
+                for t in range(tables)
+            ])
+        ).alias("ts"),
+    ).select(id_col, vec_col, F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+
+    a = sigs.select(F.col("t"), F.col("sig"), F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = sigs.select(F.col("t"), F.col("sig"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    cand = (
+        a.join(b, on=["t", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.select("a", "b", cosine("va", "vb").alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

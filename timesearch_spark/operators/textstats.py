@@ -1,0 +1,134 @@
+"""Text analysis (engine extension: LLM-training-pipeline surface).
+
+Language ID (stopword-hit heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting.  Everything is built-in expressions — JVM-side,
+codegen'd, zero Python in the hot path — so at 100 TB these are pure
+map-stage columns with no shuffle at all.
+
+The reference computes only ``textlen`` (tsdb.py:424,485); the rest is
+the training-pipeline extension mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from timesearch_spark.operators.dedup import tokens
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- token counting -----------------------------------------------------------
+
+def token_count_ws(col) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col)).cast("long")
+
+
+#: BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+#: (the GPT-2 pattern family, simplified to RE2-compatible classes).
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(col) -> Column:
+    """Count of BPE-ish pre-tokens (letters runs, digit runs, symbols)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_REGEX), 0)).cast("long")
+
+
+# --- quality scoring ------------------------------------------------------------
+
+#: Tiny high-frequency stopword sets per language (language-ID heuristic
+#: seeds; enough to discriminate, small enough to stay a literal array).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "por", "con"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def stopword_hits(col, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t))).cast("long")
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = _c(col)
+    total = F.length(c)
+    clean = F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+    return F.when(total > 0, (total - clean).cast("double") / total.cast("double"))
+
+
+def quality_score(col, lang: str = "en") -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    stopword presence + mean-word-length band.  Deterministic, documented
+    weights — a filterable signal, not a model."""
+    c = _c(col)
+    n_tok = token_count_ws(c)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(0.3)
+    punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.4)
+    sw_ratio = F.when(n_tok > 0, stopword_hits(c, lang).cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
+    sw_ok = F.when(sw_ratio >= 0.02, 1.0).otherwise(0.5)
+    mean_wl = F.when(n_tok > 0, F.length(F.regexp_replace(c, r"\s+", "")).cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
+    wl_ok = F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), 1.0).otherwise(0.5)
+    return (0.3 * len_ok + 0.2 * punct_ok + 0.3 * sw_ok + 0.2 * wl_ok).cast("double")
+
+
+# --- language ID -----------------------------------------------------------------
+
+def lang_scores(col) -> Column:
+    """Map of lang → stopword hit count."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in STOPWORDS]),
+        F.array(*[stopword_hits(col, lang) for lang in STOPWORDS]),
+    )
+
+
+def lang_id(col) -> Column:
+    """Argmax language by stopword hits; ties broken by language code
+    order; all-zero scores → 'und' (undetermined)."""
+    t = tokens(col)
+    best = None
+    best_score = None
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        score = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+# --- fingerprinting ---------------------------------------------------------------
+
+def fingerprint_md5(col) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text —
+    the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def fingerprint_rolling(col, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprint: min over the document of
+    xxhash64 of each ``window``-token gram — a locality-sensitive scalar
+    (equal for documents sharing their minimal gram)."""
+    t = tokens(col)
+    n = F.size(t)
+    grams = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(1), n - (window - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice(t, i, window), " ")),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.array_join(t, " "))))
+    return F.array_min(grams)

@@ -1,0 +1,81 @@
+"""Event-time windowed aggregation + sessionization over the events table.
+
+The reference has no event-time windows at all (SURVEY §2-I: its only
+event-time construct is a hand-rolled monotone lower bound).  These are
+the north-star batch forms; the streaming variants (withWatermark +
+window / session_window) live in timesearch_spark.streaming.
+
+events.ts arrives as nanos-as-long (tables.load); helpers convert once.
+At 100 TB the tumbling agg is a single map-side-combined hash aggregate
+on (window, key) — the same shape as breakdown — and sessionization is
+one shuffle on user_id followed by a per-user ordered scan (window
+functions), which AQE keeps balanced unless one user dominates; salt the
+user key if that ever happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timesearch_spark.tables import event_ts_sec
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    """Add ``ts_sec`` (epoch seconds, long) and ``event_time`` (timestamp)."""
+    return events.withColumn("ts_sec", event_ts_sec("ts")).withColumn(
+        "event_time", F.timestamp_seconds(F.col("ts_sec"))
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    duration: str = "1 hour",
+    key: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts + value sum per key.
+
+    Output: (window_start ts, key, n, value_sum)."""
+    ev = with_event_time(events)
+    return (
+        ev.groupBy(F.window("event_time", duration).alias("w"), F.col(key))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key),
+            F.col("n"),
+            F.col("value_sum"),
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the time
+    since the previous event exceeds ``gap_sec``.
+
+    Classic lag + running-sum construction: one shuffle on the user, two
+    ordered window passes.  Output: (user_id, session_id, session_start,
+    session_end, n_events)."""
+    ev = with_event_time(events)
+    w = Window.partitionBy(user_col).orderBy("ts_sec", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_sec") - F.lag("ts_sec").over(w) > gap_sec, 1
+        ).otherwise(F.when(F.lag("ts_sec").over(w).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(F.col(user_col), F.col("session_seq").alias("session_id"))
+        .agg(
+            F.min("ts_sec").alias("session_start"),
+            F.max("ts_sec").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -722,3 +722,325 @@ def scalar_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus"),
         ).alias("line"),
     )
+
+
+# =========================================================================
+# Extensions: dedup / similarity / text analysis / event-time windows
+# (LLM-training-pipeline surface; SURVEY §7 M5)
+# =========================================================================
+
+from timesearch_spark.operators import dedup as dd  # noqa: E402
+from timesearch_spark.operators import similarity as sim  # noqa: E402
+from timesearch_spark.operators import textstats as tx  # noqa: E402
+from timesearch_spark.operators import windows as win  # noqa: E402
+
+
+def _docs_with_exact_copies(spark, sf_dir):
+    """documents ∪ verbatim copies of every 10th doc (ids +1,000,000) —
+    deterministic exact-duplicate groups for the dedup oracles."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return d.unionByName(copies)
+
+
+_DOCS_COPIES_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@q(
+    "dedup_exact",
+    f"""
+    WITH u AS ({_DOCS_COPIES_SQL})
+    SELECT MD5(LOWER(TRIM(text))) AS content_hash,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS dup_count
+    FROM u GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by normalized-content hash; the shuffle key is
+    the 32-char digest, never the document text."""
+    return dd.exact_dedup_groups(_docs_with_exact_copies(spark, sf_dir))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
+               AS toks
+      FROM documents
+    )
+    SELECT a.source AS block, a.doc_id AS a, b.doc_id AS b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+             6) AS jaccard
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+             6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard for every pair within a source block,
+    threshold 0.5 (dedup ladder rung 3: blocked exact similarity)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        d, block_col="source", threshold=0.0, n=1
+    ).withColumn("jaccard", F.round("jaccard", 6))
+    return pairs.filter(F.col("jaccard") >= 0.5)
+
+
+@q("dedup_minhash_lsh")  # no closed-form SQL: LSH banding — rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dups over documents ∪ mutated copies (every 10th
+    doc with 3 tokens appended → known jaccard≈0.9 pairs).  Candidates
+    from 16×4 banding, verified with exact shingle Jaccard ≥ 0.7.
+    Pytest asserts every planted pair is recovered (test_dedup.py)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzq wwx vvy")).alias("text"),
+    )
+    u = d.unionByName(mutated)
+    return dd.minhash_near_dups(u, threshold=0.7).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+
+
+@q("dedup_simhash")  # xxhash64 not available to the oracle — rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (Hamming ≤ 3) over documents ∪ mutated copies;
+    pigeonhole band blocking, no cross product."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzq")).alias("text"),
+    )
+    return dd.simhash_near_dups(d.unionByName(mutated), max_hamming=3)
+
+
+@q(
+    "similarity_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos
+    FROM embeddings, q
+    ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 against the vec_id=0 embedding.
+    Broadcast 1-row query; TakeOrderedAndProject does the global top-k
+    with only k rows per partition crossing to the driver."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    out = sim.cosine_topk(emb, qv, k=10)
+    return out.withColumn("cos", F.round("cos", 6))
+
+
+@q(
+    "similarity_neardup_brute",
+    """
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+)
+def similarity_neardup_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dups (≥0.4) — the correctness baseline
+    for the LSH scale path."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = sim.embedding_near_dups(emb, threshold=-2.0).withColumn(
+        "cos", F.round("cos", 6)
+    )
+    return pairs.filter(F.col("cos") >= 0.4)
+
+
+@q("similarity_topk_lsh")  # LSH probe structure — rows-only check
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via random-hyperplane LSH (8 bits × 8 tables), exact
+    verify on candidates.  Pytest asserts recall vs the brute-force path."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    out = sim.cosine_topk_lsh(emb, qv, k=10)
+    return out.withColumn("cos", F.round("cos", 6))
+
+
+@q(
+    "token_count",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '')) AS n_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS n_bpe
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts (training-data budgeting)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count_ws("text").alias("n_ws"),
+        tx.token_count_bpe("text").alias("n_bpe"),
+    )
+
+
+@q(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS n_tok,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_clean,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x)))
+               AS sw_hits
+      FROM documents
+    )
+    SELECT doc_id, n_tok, sw_hits,
+           ROUND(CAST(n_chars - n_clean AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           ROUND(CAST(sw_hits AS DOUBLE) / n_tok, 6) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal columns: token count, stopword hits/ratio, punct
+    ratio.  Pure map-stage expressions — no shuffle at any scale."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = tx.token_count_ws("text")
+    sw = tx.stopword_hits("text", "en")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        sw.alias("sw_hits"),
+        F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(sw.cast("double") / n_tok.cast("double"), 6).alias("stopword_ratio"),
+    )
+
+
+_LANG_HITS_SQL = {
+    lang: (
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        f"x -> list_contains({words!r}, x)))"
+    )
+    for lang, words in [
+        ("de", ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"]),
+        ("en", ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"]),
+        ("es", ["el", "la", "de", "que", "y", "en", "un", "los", "por", "con"]),
+        ("fr", ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"]),
+        ("zh", ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"]),
+    ]
+}
+
+@q(
+    "lang_id",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_LANG_HITS_SQL['de']} AS h_de,
+             {_LANG_HITS_SQL['en']} AS h_en,
+             {_LANG_HITS_SQL['es']} AS h_es,
+             {_LANG_HITS_SQL['fr']} AS h_fr,
+             {_LANG_HITS_SQL['zh']} AS h_zh
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_guess
+    FROM t
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram-heuristic family): argmax over
+    per-language hit counts, first-in-code-order tie-break, 'und' when no
+    hits."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.lang_id("text").alias("lang_guess"))
+
+
+@q(
+    "fingerprint",
+    """
+    SELECT doc_id,
+           MD5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint_md5("text").alias("fp"))
+
+
+@q(
+    "events_tumbling_1h",
+    """
+    SELECT CAST(FLOOR(EPOCH(date_trunc('hour', ts))) AS BIGINT) AS window_start_sec,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,6))) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window counts + exact decimal sums per
+    event_type (the streaming north-star's batch form)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    out = win.tumbling_counts(ev, "1 hour", "event_type")
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_sec"),
+        "event_type",
+        "n",
+        F.col("value_sum").cast("decimal(38,6)").alias("value_sum"),
+    )
+
+
+@q(
+    "sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts_sec,
+             CASE WHEN ts_sec - LAG(ts_sec) OVER w > 1800 OR
+                       LAG(ts_sec) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+    ), numbered AS (
+      SELECT user_id, ts_sec,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based (30 min) sessionization per user: lag + running sum, one
+    shuffle on user_id."""
+    return win.sessionize(load(spark, sf_dir, "events"), gap_sec=1800)
