@@ -1,0 +1,85 @@
+"""Recall/property tests for the dedup ladder (engine extension).
+
+Planted duplicates: verbatim or lightly-mutated copies with a known id
+offset.  Each rung must recover every planted pair; precision is exact by
+construction (candidates are verified with the true metric).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from timesearch_spark.operators import dedup as dd
+
+OFFSET = 1_000_000
+
+
+def _docs(spark):
+    base = [
+        (i, f"alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            f"kilo lima mike november oscar papa unique{i} word{i * 7 % 13}")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    d = _docs(spark)
+    copies = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"), "text"
+    )
+    groups = dd.exact_dedup_groups(d.unionByName(copies))
+    rows = groups.collect()
+    assert sum(r["dup_count"] for r in rows) == 50
+    dups = [r for r in rows if r["dup_count"] == 2]
+    assert len(dups) == 10
+    # keeper is always the min id — the original, never the copy
+    assert all(r["keeper_id"] < OFFSET for r in rows)
+
+
+def test_minhash_recovers_planted_pairs(spark):
+    d = _docs(spark)
+    mutated = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    pairs = dd.minhash_near_dups(d.unionByName(mutated), threshold=0.5)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    planted = {(i, i + OFFSET) for i in range(0, 40, 4)}
+    assert planted <= got
+    # every reported pair really is >= threshold (verified metric)
+    assert all(r["jaccard"] >= 0.5 for r in pairs.collect())
+
+
+def test_simhash_recovers_mutated_copies(spark):
+    d = _docs(spark)
+    mutated = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    pairs = dd.simhash_near_dups(d.unionByName(mutated), max_hamming=8)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    planted = {(i, i + OFFSET) for i in range(0, 40, 4)}
+    assert planted <= got
+    assert all(r["hamming"] <= 8 for r in pairs.collect())
+
+
+def test_simhash_table_matches_column_api(spark):
+    d = _docs(spark).limit(5)
+    via_table = {r["doc_id"]: r["sh"] for r in dd.simhash_table(d).collect()}
+    via_col = {
+        r["doc_id"]: r["sh"]
+        for r in d.select("doc_id", dd.simhash64("text").alias("sh")).collect()
+    }
+    assert via_table == via_col
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    d = spark.createDataFrame(
+        [(1, "b", "one two three"), (2, "b", "one two three"), (3, "b", "four five six")],
+        "doc_id long, src string, text string",
+    )
+    pairs = dd.ngram_jaccard_pairs(d, block_col="src", threshold=0.99)
+    rows = pairs.collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["jaccard"] == 1.0

@@ -89,26 +89,42 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # --- minhash + LSH ------------------------------------------------------------
 
 def minhash_signature(col, num_hashes: int = 64, shingle_k: int = 3) -> Column:
-    """num_hashes minhash values: h_i = min over shingles of
-    xxhash64(shingle, i).  Pure expression — evaluated row-local."""
-    sh = shingles(col, shingle_k)
+    """num_hashes minhash values as an array column: h_i = min over
+    shingles of xxhash64(base_hash, i).  Each shingle's string is hashed
+    ONCE; the per-i variation re-hashes the resulting long (two fixed-width
+    words), which is ~the cost of a multiply-add, not of re-reading the
+    string num_hashes times."""
+    base = F.transform(F.array_distinct(shingles(col, shingle_k)), lambda s: F.xxhash64(s))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+        lambda i: F.array_min(F.transform(base, lambda h: F.xxhash64(h, i))),
     )
 
 
-def lsh_bands(sig_col, bands: int, rows: int) -> Column:
-    """Array of (band index, band hash) structs — the LSH bucket keys."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(F.array_join(F.transform(
-                F.slice(_c(sig_col), b * rows + 1, rows), lambda v: v.cast("string")
-            ), ","), b).alias("bucket"),
-        ),
-    )
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, mh0..mh{n-1}): explode distinct shingles, hash each once, then
+    one codegen'd hash-aggregate with num_hashes MIN columns.
+
+    This is the scale path: higher-order-function folds are interpreted
+    per element, while the explode+agg runs inside whole-stage codegen
+    with map-side partial aggregation — every doc's shingles sit in one
+    input row, so partial agg collapses them to a single row per doc
+    before any shuffle."""
+    exploded = df.select(
+        _c(id_col).alias(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("__s"),
+    ).select(id_col, F.xxhash64("__s").alias("__h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def minhash_near_dups(
@@ -125,19 +141,24 @@ def minhash_near_dups(
 
     bands=16 × rows=4 at threshold 0.7 gives ~99.5% recall; precision is
     exact because every candidate is verified against the true shingle
-    sets.  Only (band bucket → ids) ever shuffles."""
+    sets.  Only (band, bucket, id) triples and the candidate pairs ever
+    shuffle — signatures and shingle sets stay inside their stages."""
     rows = num_hashes // bands
-    base = df.select(
-        _c(id_col).alias(id_col),
-        shingles(text_col, shingle_k).alias("__sh"),
-        minhash_signature(text_col, num_hashes, shingle_k).alias("__sig"),
-    )
-    exploded = base.select(
-        id_col, F.explode(lsh_bands("__sig", bands, rows)).alias("bb")
+    sigs = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)], F.lit(b))
+            .alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    buckets = sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = exploded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
-    b = exploded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
+    a = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
+    b = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
     cand = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
@@ -145,7 +166,12 @@ def minhash_near_dups(
         .dropDuplicates(["a", "b"])
     )
 
-    sh = base.select(F.col(id_col), F.col("__sh"))
+    # Exact verify on candidates only: re-derive shingle sets for the two
+    # docs of each pair (candidates ≪ corpus, so this re-scan is cheap and
+    # avoids shuffling every doc's full shingle array).
+    sh = df.select(
+        _c(id_col).alias(id_col), shingles(text_col, shingle_k).alias("__sh")
+    )
     pairs = (
         cand.join(sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("sha")), on="a")
         .join(sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("shb")), on="b")
@@ -184,6 +210,31 @@ def simhash64(col) -> Column:
     return sig
 
 
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) via explode + codegen'd 64-SUM aggregate — the scale
+    path for ``simhash64`` (same value semantics, same reasoning as
+    ``minhash_signature_table``: HOF folds are interpreted per element,
+    the agg is whole-stage-codegen'd with map-side combine)."""
+    tok = df.select(
+        _c(id_col).alias(id_col), F.explode(tokens(text_col)).alias("__t")
+    ).select(id_col, F.xxhash64("__t").alias("__h"))
+    aggs = [
+        F.sum(
+            F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1).cast("long")) * 2 - 1
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(
+            F.col(f"s{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col(id_col), sig.alias("sh"))
+
+
 def hamming64(a, b) -> Column:
     return F.bit_count(_c(a).bitwiseXOR(_c(b)))
 
@@ -202,7 +253,7 @@ def simhash_near_dups(
     with bit_count.  No cross product."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    h = df.select(_c(id_col).alias(id_col), simhash64(text_col).alias("sh"))
+    h = simhash_table(df, text_col, id_col)
     exploded = h.select(
         id_col,
         "sh",
