@@ -828,6 +828,95 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_dups(d.unionByName(mutated), max_hamming=3)
 
 
+# =========================================================================
+# C6/J2 — comment-forest assembly (offline_reading parity)
+# =========================================================================
+
+from timesearch_spark.operators import trees as tr  # noqa: E402
+
+#: lineitem → comment adjacency: linenumber 1 is top-level, node k hangs
+#: under k//2; linenumber 3 is dropped so its children become orphans.
+#: Together with the naturally-sparse linenumbers this exercises the
+#: phantom-parent path (offline_reading.py:360-366) heavily.
+_TREE_CTE = """
+WITH RECURSIVE c AS (
+  SELECT l_orderkey AS o, l_linenumber AS k,
+         't1_' || l_orderkey || '_' || l_linenumber AS idstr,
+         CASE WHEN l_linenumber = 1 THEN 't3_' || l_orderkey
+              ELSE 't1_' || l_orderkey || '_' || (l_linenumber // 2) END AS parent
+  FROM lineitem WHERE l_linenumber <> 3
+),
+nodes AS (
+  SELECT o, idstr, 0 AS depth, FALSE AS phantom FROM c WHERE parent LIKE 't3_%'
+  UNION ALL
+  SELECT DISTINCT o, parent AS idstr, 0 AS depth, TRUE AS phantom FROM c
+  WHERE parent NOT LIKE 't3_%' AND parent NOT IN (SELECT idstr FROM c)
+  UNION ALL
+  SELECT c.o, c.idstr, n.depth + 1, FALSE FROM c JOIN nodes n ON c.parent = n.idstr
+)
+"""
+
+
+def _tree_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") != 3)
+    o = F.col("l_orderkey").cast("string")
+    k = F.col("l_linenumber")
+    return li.select(
+        F.concat(F.lit("t1_"), o, F.lit("_"), k.cast("string")).alias("idstr"),
+        F.when(k == 1, F.concat(F.lit("t3_"), o))
+        .otherwise(
+            F.concat(F.lit("t1_"), o, F.lit("_"), F.floor(k / 2).cast("string"))
+        )
+        .alias("parent"),
+        o.alias("submission"),
+        k.cast("long").alias("created"),
+        F.col("l_extendedprice").cast("long").alias("score"),
+    )
+
+
+@q(
+    "tree_depth",
+    _TREE_CTE + "SELECT CAST(o AS VARCHAR) AS submission, idstr, depth FROM nodes",
+)
+def tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: per-node depth from the applyInPandas forest walk, checked
+    against a recursive-CTE oracle (phantom parents sit at depth 0)."""
+    forest = tr.comment_forest(_tree_comments(spark, sf_dir))
+    return forest.select("submission", "idstr", "depth")
+
+
+@q(
+    "tree_stats",
+    _TREE_CTE + """
+    SELECT CAST(o AS VARCHAR) AS submission,
+           COUNT(*) AS n_nodes,
+           MAX(depth) AS max_depth,
+           CAST(SUM(CASE WHEN phantom THEN 1 ELSE 0 END) AS BIGINT) AS n_phantom
+    FROM nodes GROUP BY 1
+    """,
+)
+def tree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 rollup: thread size / max depth / phantom count per submission."""
+    forest = tr.comment_forest(_tree_comments(spark, sf_dir))
+    return tr.thread_stats(forest)
+
+
+@q("tree_render")  # preorder position + HTML template — rows-only check
+def tree_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2: full walk with preorder positions and the per-comment HTML
+    div (score-desc render order, offline_reading.py:211,178-199)."""
+    comments = _tree_comments(spark, sf_dir).withColumn(
+        "body", F.concat(F.lit("body of "), F.col("idstr"))
+    )
+    forest = tr.comment_forest(comments)
+    enriched = forest.join(
+        comments.select("idstr", "body"), on="idstr", how="left"
+    )
+    return tr.render_comment_html(enriched).select(
+        "submission", "idstr", "depth", "position", "phantom", "html"
+    )
+
+
 @q(
     "similarity_topk",
     """
