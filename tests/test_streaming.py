@@ -1,0 +1,136 @@
+"""Streaming MERGE store + livestream tests (SURVEY §2 I1-I4, §5.4)."""
+
+from __future__ import annotations
+
+import json
+
+from timesearch_spark.schemas import COMMENTS
+from timesearch_spark.streaming.livestream import livestream, read_ndjson_stream
+from timesearch_spark.streaming.store import ParquetMergeStore
+
+COMMENT_COLS = (
+    "idint long, idstr string, created long, author string, parent string, "
+    "submission string, body string, score long, subreddit string, "
+    "distinguish string, textlen long"
+)
+
+
+def _store(spark, tmp_path, name="c"):
+    return ParquetMergeStore(
+        spark, str(tmp_path / name), schema=COMMENTS, key="idstr", text_col="body"
+    )
+
+
+def _comment(idstr, body, score=1, created=100, author="alice"):
+    return (
+        1, idstr, created, author, "t3_s", "t3_s", body, score, "test", None,
+        len(body),
+    )
+
+
+def test_store_merge_and_versioning(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    assert store.version() == 0 and store.snapshot().count() == 0
+
+    b1 = spark.createDataFrame([_comment("t1_a", "v1")], COMMENT_COLS)
+    store.merge(b1, observed_at=10)
+    assert store.version() == 1
+    assert store.snapshot().first()["body"] == "v1"
+    assert store.edits().count() == 0
+
+    # edit capture: changed body archives the OLD text (tsdb.py:361-387)
+    b2 = spark.createDataFrame([_comment("t1_a", "v2")], COMMENT_COLS)
+    store.merge(b2, observed_at=20)
+    assert store.version() == 2
+    assert store.snapshot().first()["body"] == "v2"
+    edits = store.edits().collect()
+    assert len(edits) == 1
+    assert edits[0]["previous_body"] == "v1" and edits[0]["replaced_at"] == 20
+
+
+def test_store_merge_idempotent_replay(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    b = spark.createDataFrame([_comment("t1_a", "same")], COMMENT_COLS)
+    store.merge(b, observed_at=1)
+    store.merge(b, observed_at=2)  # micro-batch replay
+    assert store.snapshot().count() == 1
+    assert store.edits().count() == 0  # unchanged text -> no CDC rows
+
+
+def test_store_resume_lower_bound_overlap(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    assert store.resume_lower_bound() == 0
+    b = spark.createDataFrame(
+        [_comment("t1_a", "x", created=500), _comment("t1_b", "y", created=900)],
+        COMMENT_COLS,
+    )
+    store.merge(b)
+    # max(created) - 1: the reference's same-second overlap (get_comments.py:57-65)
+    assert store.resume_lower_bound() == 899
+
+
+def test_livestream_end_to_end(spark, tmp_path):
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "batch1.jsonl").write_text(
+        "\n".join(
+            json.dumps(o)
+            for o in [
+                {
+                    "id": "s1", "name": "t3_s1", "created_utc": 100,
+                    "author": "alice", "subreddit": "t", "title": "post",
+                    "selftext": "v1", "score": 1, "is_self": True, "over_18": False,
+                },
+                {
+                    "id": "c1", "name": "t1_c1", "created_utc": 101,
+                    "author": "bob", "subreddit": "t", "body": "first",
+                    "score": 2, "parent_id": "t3_s1", "link_id": "t3_s1",
+                },
+            ]
+        )
+    )
+
+    from timesearch_spark.schemas import SUBMISSIONS
+
+    subs_store = ParquetMergeStore(
+        spark, str(tmp_path / "subs"), schema=SUBMISSIONS, key="idstr",
+        text_col="selftext",
+    )
+    com_store = _store(spark, tmp_path, "coms")
+
+    q = livestream(
+        read_ndjson_stream(spark, str(drop)),
+        subs_store, com_store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        once=True,  # the reference's --once flag
+    )
+    q.awaitTermination(120)
+
+    assert subs_store.snapshot().first()["idstr"] == "t3_s1"
+    assert com_store.snapshot().first()["body"] == "first"
+
+    # second poll cycle: an edit arrives; restart from checkpoint
+    (drop / "batch2.jsonl").write_text(
+        json.dumps(
+            {
+                "id": "c1", "name": "t1_c1", "created_utc": 101,
+                "author": "bob", "subreddit": "t", "body": "edited",
+                "score": 3, "parent_id": "t3_s1", "link_id": "t3_s1",
+                "edited": "150",
+            }
+        )
+    )
+    q2 = livestream(
+        read_ndjson_stream(spark, str(drop)),
+        subs_store, com_store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        once=True,
+    )
+    q2.awaitTermination(120)
+
+    snap = com_store.snapshot().collect()
+    assert len(snap) == 1 and snap[0]["body"] == "edited" and snap[0]["score"] == 3
+    edits = com_store.edits().collect()
+    assert len(edits) == 1
+    assert edits[0]["previous_body"] == "first"
+    assert edits[0]["replaced_at"] == 150  # obj.edited wins (tsdb.py:374-377)

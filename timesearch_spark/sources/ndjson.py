@@ -1,0 +1,156 @@
+"""NDJSON archive ingest (SURVEY §2 A3/A3a, §1.3).
+
+Reference semantics (ingest_jsonfile.py:12-40 in
+/root/reference/timesearch_modules/ingest_jsonfile.py): one JSON object
+per line, classified structurally —
+
+- submission: ``name`` starts with 't3_' OR ``over_18`` present;
+- comment:    ``name`` starts with 't1_' OR ``parent_id``/``link_id``
+  present;
+
+then canonicalized into the two archive tables with the ingest rules of
+tsdb.py:389-509:
+
+- ``idint``  = base36-decoded bare id (tsdb.py:412,477; common.py:43-65);
+- ``idstr``  = 't3_'/'t1_' fullname (normalized, common.py:147-150);
+- ``author`` = '[DELETED]' sentinel when null (tsdb.py:394-397,468-471);
+- ``url``    normalization CASE (tsdb.py:399-409): self post → NULL,
+  crosspost → parent permalink, '/r/...' → absolute;
+- ``textlen`` = length of selftext/body (tsdb.py:424,485);
+- body/selftext HTML-unescaped (pushshift.py:72-73).
+
+Spark shape: ``spark.read.schema(RAW_NDJSON).json(path)`` — schema-on-read
+with explicit StructType (no sampling pass), then two filtered
+projections.  All expressions are built-in (codegen); classification is a
+map-only stage, so ingest parallelism == file split count at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timesearch_spark import functions as tsf
+from timesearch_spark.schemas import DELETED_SENTINEL, RAW_NDJSON
+
+
+def read_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Read NDJSON with the explicit raw schema (absent fields → null)."""
+    return spark.read.schema(RAW_NDJSON).json(path)
+
+
+def is_submission_raw(df_or_cols=None) -> Column:
+    """A3a discriminator (ingest_jsonfile.py:12-17)."""
+    return F.col("name").startswith("t3_") | F.col("over_18").isNotNull()
+
+
+def is_comment_raw(df_or_cols=None) -> Column:
+    """A3a discriminator (ingest_jsonfile.py:19-23)."""
+    return (
+        F.col("name").startswith("t1_")
+        | F.col("parent_id").isNotNull()
+        | F.col("link_id").isNotNull()
+    )
+
+
+def classify(raw: DataFrame) -> DataFrame:
+    """Add a ``kind`` column: submission / comment / null (unclassifiable).
+
+    Submission wins ties, matching the reference's check order
+    (ingest_jsonfile.py:25-40: objects are tested as submission first).
+    """
+    return raw.withColumn(
+        "kind",
+        F.when(is_submission_raw(), F.lit("submission"))
+        .when(is_comment_raw(), F.lit("comment"))
+        .otherwise(F.lit(None).cast("string")),
+    )
+
+
+def _bare_id() -> Column:
+    """id if present, else name with its prefix stripped."""
+    return F.coalesce(
+        F.col("id"),
+        F.when(
+            F.col("name").startswith("t1_") | F.col("name").startswith("t3_"),
+            tsf.strip_prefix(F.col("name")),
+        ).otherwise(F.col("name")),
+    )
+
+
+def _edited_ts() -> Column:
+    """``edited`` arrives as false | unix ts (tsdb.py:374-377): false → null,
+    number → long (int truncation, H18)."""
+    e = F.col("edited")
+    return (
+        F.when(F.lower(e).isin("false", ""), F.lit(None))
+        .otherwise(e.cast("double"))
+        .cast("long")
+    )
+
+
+def _normalized_url() -> Column:
+    """URL normalization CASE chain (tsdb.py:399-409)."""
+    return (
+        F.when(F.col("is_self") == True, F.lit(None).cast("string"))  # noqa: E712
+        .when(
+            F.col("crosspost_parent").isNotNull()
+            & (F.size(F.coalesce(F.col("crosspost_parent_list"), F.array())) > 0),
+            F.concat(
+                F.lit("https://reddit.com"),
+                F.col("crosspost_parent_list")[0]["permalink"],
+            ),
+        )
+        .when(
+            F.col("url").startswith("/r/"),
+            F.concat(F.lit("https://reddit.com"), F.col("url")),
+        )
+        .otherwise(F.col("url"))
+    )
+
+
+def submissions_from_raw(raw: DataFrame) -> DataFrame:
+    """Canonical ``submissions`` rows from classified raw objects."""
+    bare = _bare_id()
+    selftext = tsf.html_unescape_basic(F.col("selftext"))
+    return classify(raw).filter(F.col("kind") == "submission").select(
+        tsf.base36_decode(bare).alias("idint"),
+        F.concat(F.lit("t3_"), bare).alias("idstr"),
+        F.col("created_utc").alias("created"),
+        F.coalesce(F.col("is_self"), F.lit(False)).alias("self"),
+        F.coalesce(F.col("over_18"), F.lit(False)).alias("nsfw"),
+        F.coalesce(F.col("author"), F.lit(DELETED_SENTINEL)).alias("author"),
+        F.col("title"),
+        _normalized_url().alias("url"),
+        selftext.alias("selftext"),
+        F.col("score"),
+        F.col("subreddit"),
+        F.col("distinguished").alias("distinguish"),
+        F.length(selftext).cast("long").alias("textlen"),
+        F.col("num_comments"),
+        F.col("link_flair_text").alias("flair_text"),
+        F.col("link_flair_css_class").alias("flair_css_class"),
+        F.lit(None).cast("long").alias("augmented_at"),
+        F.lit(None).cast("long").alias("augmented_count"),
+        _edited_ts().alias("edited"),
+    )
+
+
+def comments_from_raw(raw: DataFrame) -> DataFrame:
+    """Canonical ``comments`` rows from classified raw objects."""
+    bare = _bare_id()
+    body = tsf.html_unescape_basic(F.col("body"))
+    return classify(raw).filter(F.col("kind") == "comment").select(
+        tsf.base36_decode(bare).alias("idint"),
+        F.concat(F.lit("t1_"), bare).alias("idstr"),
+        F.col("created_utc").alias("created"),
+        F.coalesce(F.col("author"), F.lit(DELETED_SENTINEL)).alias("author"),
+        F.col("parent_id").alias("parent"),
+        F.col("link_id").alias("submission"),
+        body.alias("body"),
+        F.col("score"),
+        F.col("subreddit"),
+        F.col("distinguished").alias("distinguish"),
+        F.length(body).cast("long").alias("textlen"),
+        _edited_ts().alias("edited"),
+    )
