@@ -1,0 +1,135 @@
+"""End-to-end facade tests: the reference's subcommand surface on Spark."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from timesearch_spark import api
+
+
+def _fetcher(items):
+    def fetch(after, before, limit):
+        page = [d for d in items if d["created_utc"] >= after]
+        if before is not None:
+            page = [d for d in page if d["created_utc"] < before]
+        return page[:limit]
+
+    return fetch
+
+
+def _sub(i, **kw):
+    d = {
+        "id": f"s{i}", "name": f"t3_s{i}", "created_utc": 100 + i,
+        "author": f"user{i % 3}", "subreddit": "t", "title": f"post {i}",
+        "selftext": f"text {i}", "score": i, "is_self": False,
+        "over_18": False, "url": f"https://x/{i}", "num_comments": 0,
+    }
+    d.update(kw)
+    return d
+
+
+def _com(i, **kw):
+    d = {
+        "id": f"c{i}", "name": f"t1_c{i}", "created_utc": 200 + i,
+        "author": f"user{i % 3}", "subreddit": "t", "body": f"reply {i}",
+        "score": i, "parent_id": "t3_s0", "link_id": "t3_s0",
+    }
+    d.update(kw)
+    return d
+
+
+def test_get_submissions_backfill_and_resume(spark, tmp_path):
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    n = api.get_submissions(ar, _fetcher([_sub(i) for i in range(5)]), lower=0,
+                            page_size=3)
+    assert n == 5
+    assert ar.submissions.snapshot().count() == 5
+    # 'update' resumes from max(created)-1 and re-merges idempotently
+    n2 = api.get_submissions(ar, _fetcher([_sub(i) for i in range(7)]),
+                             lower="update", page_size=10)
+    assert ar.submissions.snapshot().count() == 7
+    assert n2 >= 2  # the two new items (plus overlap re-reads)
+
+
+def test_get_submissions_enrichment_later_wins(spark, tmp_path):
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+
+    def lookup(ids):
+        return {i: dict(_sub(int(i[1:]), score=999), id=i) for i in ids if i == "s1"}
+
+    api.get_submissions(ar, _fetcher([_sub(0), _sub(1)]), lower=0, lookup=lookup)
+    rows = {r["idstr"]: r["score"] for r in ar.submissions.snapshot().collect()}
+    assert rows["t3_s1"] == 999  # live copy (priority 2) wins
+    assert rows["t3_s0"] == 0
+
+
+def test_ingest_jsonfile_and_breakdown(spark, tmp_path):
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    p = tmp_path / "dump.jsonl"
+    p.write_text(
+        "\n".join(json.dumps(o) for o in
+                  [_sub(0), _sub(1), _com(0), _com(1), _com(2)])
+    )
+    counts = api.ingest_jsonfile(ar, str(p))
+    assert counts == {"new_submissions": 2, "new_comments": 3}
+
+    bd = api.breakdown(ar)
+    agg = {r["author"]: (r["submissions"], r["comments"]) for r in bd.collect()}
+    assert agg["user0"] == (1, 1) and agg["user1"] == (1, 1) and agg["user2"] == (0, 1)
+
+    path = api.breakdown(ar, sort="total_posts", out_dir=str(tmp_path / "out"))
+    text = open(path).read()
+    assert text.startswith("{\n") and '"user0": {"submissions": 1' in text
+
+
+def test_index_export_formats(spark, tmp_path):
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    p = tmp_path / "dump.jsonl"
+    p.write_text("\n".join(json.dumps(_sub(i, score=10 * i)) for i in range(3)))
+    api.ingest_jsonfile(ar, str(p))
+
+    txt = api.index(ar, str(tmp_path / "idx"), orderby="score", score_threshold=10)
+    lines = open(txt).read().strip().split("\n")
+    assert len(lines) == 2  # threshold filtered s0 out
+    assert "(+20)" in lines[0] and "(+10)" in lines[1]  # score desc
+    assert "[post 2](https://redd.it/s2)" in lines[0]
+
+    html = api.index(ar, str(tmp_path / "idx"), orderby="date", html=True)
+    content = open(html).read()
+    assert content.startswith("<html>") and content.rstrip().endswith("</html>")
+    assert 'href="https://reddit.com/u/user1"' in content
+
+
+def test_offline_reading_writes_thread_files(spark, tmp_path):
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    p = tmp_path / "dump.jsonl"
+    objs = [_sub(0)] + [_com(i) for i in range(3)]
+    p.write_text("\n".join(json.dumps(o) for o in objs))
+    api.ingest_jsonfile(ar, str(p))
+
+    n = api.offline_reading(ar, str(tmp_path / "threads"))
+    assert n == 1
+    files = os.listdir(tmp_path / "threads")
+    assert files == ["t3_s0.html"]
+    doc = open(tmp_path / "threads" / files[0]).read()
+    assert doc.count('<div class="comment"') == 3
+
+
+def test_merge_db_insert_only(spark, tmp_path):
+    a = api.Archive(spark, str(tmp_path / "a"))
+    b = api.Archive(spark, str(tmp_path / "b"))
+    pa = tmp_path / "a.jsonl"
+    pa.write_text("\n".join(json.dumps(_sub(i)) for i in (0, 1)))
+    pb = tmp_path / "b.jsonl"
+    pb.write_text(
+        "\n".join(json.dumps(_sub(i, title="OTHER")) for i in (1, 2))
+    )
+    api.ingest_jsonfile(a, str(pa))
+    api.ingest_jsonfile(b, str(pb))
+
+    gained = api.merge_db(a, b)
+    assert gained["submissions"] == 1  # only s2 copied
+    rows = {r["idstr"]: r["title"] for r in a.submissions.snapshot().collect()}
+    assert rows["t3_s1"] == "post 1"  # existing row untouched (merge_db.py:7-12)
+    assert rows["t3_s2"] == "OTHER"

@@ -1,0 +1,89 @@
+"""Multimodal plumbing tests: schemas, batch shapes, fan-out, determinism."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pyspark.sql.functions as F
+
+from timesearch_spark.operators import multimodal as mm
+
+
+def _media(spark):
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i}", "web") for i in range(9)],
+        "doc_id long, text string, source string",
+    )
+    return mm.media_from_documents(docs)
+
+
+def test_media_schema_and_kinds(spark):
+    m = _media(spark)
+    kinds = {r["media_id"]: r["kind"] for r in m.collect()}
+    assert kinds[0] == "video" and kinds[1] == "image" and kinds[2] == "audio"
+    row = m.first()
+    assert isinstance(row["payload"], bytearray) or isinstance(row["payload"], bytes)
+    assert row["meta"]["source"] == "web"
+
+
+def test_media_stats_digest_matches_python(spark):
+    m = _media(spark)
+    stats = {r["media_id"]: r for r in mm.media_stats(m).collect()}
+    expect = hashlib.sha256(b"payload text 3").hexdigest()
+    assert stats[3]["digest"] == expect
+    assert stats[3]["n_bytes"] == len(b"payload text 3")
+
+
+def test_filter_media_metadata_gate(spark):
+    m = _media(spark)
+    imgs = mm.filter_media(m, kinds=("image",))
+    assert imgs.count() == 3
+    assert set(r["kind"] for r in imgs.collect()) == {"image"}
+
+
+def test_image_features_shape_and_determinism(spark):
+    m = mm.filter_media(_media(spark), kinds=("image",))
+    feats = mm.image_features(m, dim=64).collect()
+    assert len(feats) == 3
+    for r in feats:
+        assert r["feat_dim"] == 64 and len(r["feature"]) == 64
+    # deterministic: same payload -> same feature vector
+    again = {r["media_id"]: r["feature"] for r in mm.image_features(m, dim=64).collect()}
+    first = {r["media_id"]: r["feature"] for r in feats}
+    assert again == first
+
+
+def test_resize_stub_shape(spark):
+    m = mm.filter_media(_media(spark), kinds=("image",))
+    out = mm.resize_images(m, 32, 24).collect()
+    for r in out:
+        assert r["width"] == 32 and r["height"] == 24
+        w, h = struct.unpack("<II", bytes(r["payload"])[:8])
+        assert (w, h) == (32, 24)
+
+
+def test_video_frame_fanout(spark):
+    m = mm.filter_media(_media(spark), kinds=("video",))
+    frames = mm.sample_video_frames(m, every_ms=1000, max_frames=8)
+    rows = frames.collect()
+    # every video row fans out to >= 1 frame rows with monotone ts
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {0, 3, 6}
+    for mid, rs in by_id.items():
+        rs.sort(key=lambda r: r["frame_index"])
+        n = min(8, max(1, (mid % 10000) // 1000 + 1))
+        assert len(rs) == n
+        assert [r["ts_ms"] for r in rs] == [i * 1000 for i in range(n)]
+
+
+def test_binary_column_pruned_for_metadata_query(spark):
+    # metadata-only projection must not read the payload in its scan plan
+    docs = spark.createDataFrame(
+        [(1, "x", "s")], "doc_id long, text string, source string"
+    )
+    m = mm.media_from_documents(docs).select("media_id", "kind", "width")
+    plan = m._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in plan

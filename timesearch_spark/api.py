@@ -1,0 +1,236 @@
+"""User-facing facade: the reference's CLI surface as engine calls.
+
+Every subcommand of timesearch.py:22-60 (/root/reference/timesearch.py)
+maps to one function here, so a user of the reference can switch by
+replacing ``timesearch.py <cmd>`` with ``api.<cmd>(...)``:
+
+| reference subcommand | here | engine path |
+|---|---|---|
+| get_submissions   | ``get_submissions``  | paginated source → MERGE store |
+| get_comments      | ``get_comments``     | paginated source → MERGE store |
+| ingest_jsonfile   | ``ingest_jsonfile``  | NDJSON reader → MERGE store |
+| livestream        | ``livestream``       | streaming.livestream |
+| breakdown         | ``breakdown``        | operators.breakdown → JSON |
+| index             | ``index``            | operators.exports.write_index |
+| offline_reading   | ``offline_reading``  | trees + exports.write_thread_html |
+| merge_db          | ``merge_db``         | operators.merge.anti_join_merge |
+| get_wiki / get_styles | ``get_wiki``/``get_styles`` | document dumps (driver-side; out of the analytic engine, kept for surface completeness) |
+
+An "archive" is a directory holding two MERGE stores (submissions,
+comments) — the Spark analog of the reference's per-entity SQLite file
+(tsdb.py:19-32), with ``subreddit``/``author`` as the partition key at
+scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from timesearch_spark import schemas
+from timesearch_spark.operators import exports
+from timesearch_spark.operators.breakdown import breakdown as _breakdown
+from timesearch_spark.operators.merge import anti_join_merge
+from timesearch_spark.operators.trees import comment_forest, render_comment_html
+from timesearch_spark.sources import ndjson as _ndjson
+from timesearch_spark.sources.paginated import (
+    RateLimiter,
+    enrichment_interleave,
+    paginate,
+)
+from timesearch_spark.streaming import livestream as _ls
+from timesearch_spark.streaming.store import ParquetMergeStore
+
+
+class Archive:
+    """Per-entity archive: two MERGE stores under one directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.submissions = ParquetMergeStore(
+            spark, os.path.join(path, "submissions"),
+            schema=schemas.SUBMISSIONS, key="idstr", text_col="selftext",
+        )
+        self.comments = ParquetMergeStore(
+            spark, os.path.join(path, "comments"),
+            schema=schemas.COMMENTS, key="idstr", text_col="body",
+        )
+
+    @property
+    def basename(self) -> str:
+        return os.path.basename(os.path.normpath(self.path))
+
+
+# --- historical ingest (timesearch.py get_submissions/get_comments) ----------
+
+def _ingest_paginated(archive, fetch_page, canonicalize, store, lower,
+                      page_size, limiter, lookup):
+    if lower == "update":  # get_submissions.py:52-59
+        lower = store.resume_lower_bound()
+    pages = paginate(fetch_page, lower=lower or 0, page_size=page_size,
+                     limiter=limiter)
+    raw_schema = schemas.RAW_NDJSON
+    extra_cols: tuple = ()
+    if lookup is not None:
+        pages = enrichment_interleave(pages, lookup)
+        # carry the later-wins priority through canonicalization (C4/E3);
+        # build a NEW StructType (StructType.add mutates in place)
+        from pyspark.sql import types as T
+
+        raw_schema = T.StructType(
+            list(schemas.RAW_NDJSON.fields)
+            + [T.StructField("source_priority", T.IntegerType())]
+        )
+        extra_cols = ("source_priority",)
+    n = 0
+    for page in pages:
+        raw = archive.spark.createDataFrame(page, raw_schema)
+        batch = canonicalize(raw, extra_cols=extra_cols)
+        order_col = "source_priority" if lookup is not None else None
+        store.merge(batch, batch_order_col=order_col)
+        n += len(page)
+    return n
+
+
+def get_submissions(archive: Archive, fetch_page, lower="update",
+                    page_size: int = 1000, limiter: RateLimiter | None = None,
+                    lookup=None) -> int:
+    """Historical submission backfill (§3.1): keyset pages → enrichment →
+    MERGE.  ``fetch_page(after, before, limit)`` abstracts the remote API."""
+    return _ingest_paginated(
+        archive, fetch_page, _ndjson.submissions_from_raw,
+        archive.submissions, lower, page_size, limiter, lookup,
+    )
+
+
+def get_comments(archive: Archive, fetch_page, lower="update",
+                 page_size: int = 1000, limiter: RateLimiter | None = None,
+                 lookup=None) -> int:
+    return _ingest_paginated(
+        archive, fetch_page, _ndjson.comments_from_raw,
+        archive.comments, lower, page_size, limiter, lookup,
+    )
+
+
+# --- archive-file ingest (timesearch.py ingest_jsonfile) ---------------------
+
+def ingest_jsonfile(archive: Archive, path: str) -> dict:
+    """NDJSON archive ingest (ingest_jsonfile.py:25-70): classify lines,
+    upsert both kinds, return counters."""
+    raw = _ndjson.read_raw(archive.spark, path)
+    subs = _ndjson.submissions_from_raw(raw)
+    coms = _ndjson.comments_from_raw(raw)
+    archive.submissions.merge(subs)
+    archive.comments.merge(coms)
+    return {
+        "new_submissions": archive.submissions.snapshot().count(),
+        "new_comments": archive.comments.snapshot().count(),
+    }
+
+
+# --- livestream (timesearch.py livestream) -----------------------------------
+
+def livestream(archive: Archive, drop_dir: str, once: bool = False,
+               poll_seconds: int = 30):
+    """Continuous ingest; returns the StreamingQuery (I1)."""
+    return _ls.livestream(
+        _ls.read_ndjson_stream(archive.spark, drop_dir),
+        archive.submissions, archive.comments,
+        checkpoint_dir=os.path.join(archive.path, "_checkpoint"),
+        poll_seconds=poll_seconds, once=once,
+    )
+
+
+# --- analytics (timesearch.py breakdown / index / offline_reading) -----------
+
+def breakdown(archive: Archive, sort: str | None = None,
+              out_dir: str | None = None) -> DataFrame | str:
+    """D1 flagship: per-author dual counts; writes JSON when out_dir given."""
+    bd = _breakdown(
+        archive.submissions.snapshot(), archive.comments.snapshot(),
+        key="author", key_name="author",
+    )
+    if out_dir is None:
+        return bd
+    return exports.write_breakdown(bd, out_dir, archive.basename, sort=sort)
+
+
+def index(archive: Archive, out_dir: str, orderby: str = "date",
+          score_threshold: int = 0, html: bool = False,
+          offline: bool = False) -> str:
+    """Sorted listing export (index.py:100-167)."""
+    return exports.write_index(
+        archive.submissions.snapshot(), out_dir, archive.basename,
+        orderby=orderby, score_threshold=score_threshold, html=html,
+        offline=offline,
+    )
+
+
+def offline_reading(archive: Archive, out_dir: str) -> int:
+    """Thread HTML export (§3.3): forest walk → render → one file per
+    submission; returns the file count."""
+    comments = archive.comments.snapshot()
+    forest = comment_forest(comments)
+    enriched = forest.join(
+        comments.select("idstr", "body"), on="idstr", how="left"
+    )
+    rendered = render_comment_html(enriched)
+    return exports.write_thread_html(rendered, out_dir)
+
+
+# --- merge_db (timesearch.py merge_db) ---------------------------------------
+
+def merge_db(to_archive: Archive, from_archive: Archive) -> dict:
+    """Insert-only merge (merge_db.py:7-34): copy rows absent from the
+    target; existing rows are never updated (timesearch.py:350-354)."""
+    out = {}
+    for name in ("submissions", "comments"):
+        to_store = getattr(to_archive, name)
+        from_store = getattr(from_archive, name)
+        before = to_store.snapshot().count()
+        merged = anti_join_merge(
+            to_store.snapshot(), from_store.snapshot(), key="idint"
+        )
+        new_version = to_store.version() + 1
+        merged.write.mode("overwrite").parquet(to_store._snapshot_dir(new_version))
+        to_store._commit(new_version)
+        out[name] = to_store.snapshot().count() - before
+    return out
+
+
+# --- document dumps (timesearch.py get_wiki / get_styles) --------------------
+
+def get_wiki(archive: Archive, pages: dict[str, str], out_dir: str) -> int:
+    """Wiki dump (get_wiki.py:8-26): markdown + rendered HTML per page.
+    Driver-side file export — not an analytic path."""
+    os.makedirs(out_dir, exist_ok=True)
+    from timesearch_spark.functions import html_escape_ref  # noqa: F401
+
+    n = 0
+    for name, md_text in pages.items():
+        base = os.path.join(out_dir, name.replace("/", os.sep))
+        os.makedirs(os.path.dirname(base) or out_dir, exist_ok=True)
+        with open(base + ".md", "w", encoding="utf-8") as f:
+            f.write(md_text)
+        with open(base + ".html", "w", encoding="utf-8") as f:
+            f.write(f"<html><body><p>{md_text}</p></body></html>")
+        n += 1
+    return n
+
+
+def get_styles(archive: Archive, stylesheet: str | None, images: dict[str, bytes],
+               out_dir: str) -> int:
+    """Stylesheet/image dump (get_styles.py:9-32)."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    if stylesheet is not None:
+        with open(os.path.join(out_dir, "stylesheet.css"), "w", encoding="utf-8") as f:
+            f.write(stylesheet)
+        n += 1
+    for name, payload in images.items():
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(payload)
+        n += 1
+    return n

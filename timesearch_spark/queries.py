@@ -967,6 +967,56 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos", F.round("cos", 6))
 
 
+# =========================================================================
+# Multimodal columns (binary payload + typed metadata; decode stubbed)
+# =========================================================================
+
+from timesearch_spark.operators import multimodal as mm  # noqa: E402
+
+
+@q(
+    "media_stats",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'video'
+                WHEN doc_id % 3 = 1 THEN 'image'
+                ELSE 'audio' END AS kind,
+           CASE WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+                ELSE 'application/octet-stream' END AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS digest,
+           CAST(doc_id % 64 + 8 AS INT) AS width,
+           CAST(doc_id % 48 + 8 AS INT) AS height,
+           CAST(doc_id % 10000 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata/digest projection over binary payloads — JVM-only map
+    stage (octet_length + sha2), binary column never reaches Python."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.media_stats(mm.media_from_documents(docs))
+
+
+@q("media_features")  # stubbed decode — rows-only check
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + 8x8 luminance-grid features over image payloads via
+    mapInPandas (Arrow binary batches); decoder is a deterministic stub
+    (no image libs in this container), plumbing is real."""
+    docs = load(spark, sf_dir, "documents")
+    media = mm.filter_media(mm.media_from_documents(docs), kinds=("image",))
+    return mm.image_features(media)
+
+
+@q("media_frames")  # stubbed decode — rows-only check
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: 1 row → N frame rows inside mapInPandas (the
+    UDTF fan-out shape a frame-level training pipeline needs)."""
+    docs = load(spark, sf_dir, "documents")
+    media = mm.filter_media(mm.media_from_documents(docs), kinds=("video",))
+    return mm.sample_video_frames(media, every_ms=1000, max_frames=8)
+
+
 @q(
     "token_count",
     """

@@ -109,8 +109,11 @@ def _normalized_url() -> Column:
     )
 
 
-def submissions_from_raw(raw: DataFrame) -> DataFrame:
-    """Canonical ``submissions`` rows from classified raw objects."""
+def submissions_from_raw(raw: DataFrame, extra_cols=()) -> DataFrame:
+    """Canonical ``submissions`` rows from classified raw objects.
+
+    ``extra_cols`` pass transient ingest columns through (e.g. the
+    enrichment ``source_priority`` of A5/C4)."""
     bare = _bare_id()
     selftext = tsf.html_unescape_basic(F.col("selftext"))
     return classify(raw).filter(F.col("kind") == "submission").select(
@@ -133,10 +136,11 @@ def submissions_from_raw(raw: DataFrame) -> DataFrame:
         F.lit(None).cast("long").alias("augmented_at"),
         F.lit(None).cast("long").alias("augmented_count"),
         _edited_ts().alias("edited"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
-def comments_from_raw(raw: DataFrame) -> DataFrame:
+def comments_from_raw(raw: DataFrame, extra_cols=()) -> DataFrame:
     """Canonical ``comments`` rows from classified raw objects."""
     bare = _bare_id()
     body = tsf.html_unescape_basic(F.col("body"))
@@ -153,4 +157,5 @@ def comments_from_raw(raw: DataFrame) -> DataFrame:
         F.col("distinguished").alias("distinguish"),
         F.length(body).cast("long").alias("textlen"),
         _edited_ts().alias("edited"),
+        *[F.col(c) for c in extra_cols],
     )
