@@ -35,11 +35,16 @@ HEADLINE = [
     # extensions (skipped silently if not yet registered)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "similarity_topk",
+    "similarity_neardup_blas",
     "text_quality",
     "token_count",
     "events_tumbling_1h",
     "sessionize",
+    "tree_depth",
+    "media_stats",
 ]
 
 

@@ -1,0 +1,67 @@
+"""Similarity-search tests: exact vs BLAS parity, LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from timesearch_spark.operators import similarity as sim
+
+
+def _emb(spark, n=60, dim=16):
+    # deterministic unit-ish vectors with planted near-dup pairs
+    rows = []
+    for i in range(1, n + 1):  # start at 1: i=0 would be the zero vector
+        v = [math.sin(0.1 * i * (j + 1)) for j in range(dim)]
+        rows.append((i, v))
+        if i % 10 == 0:  # planted near-duplicate: tiny perturbation
+            rows.append((i + 1000, [x + 1e-4 for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_blas_matches_exact_pairs(spark):
+    emb = _emb(spark)
+    exact = {
+        (r["a"], r["b"]): r["cos"]
+        for r in sim.embedding_near_dups(emb, threshold=0.9).collect()
+    }
+    blas = {
+        (r["a"], r["b"]): r["cos"]
+        for r in sim.embedding_near_dups_blas(emb, threshold=0.9).collect()
+    }
+    assert set(exact) == set(blas)
+    for k in exact:
+        assert abs(exact[k] - blas[k]) < 1e-9
+
+
+def test_blas_finds_planted_pairs(spark):
+    emb = _emb(spark)
+    got = {(r["a"], r["b"]) for r in
+           sim.embedding_near_dups_blas(emb, threshold=0.999).collect()}
+    planted = {(i, i + 1000) for i in range(10, 61, 10)}
+    assert planted <= got
+
+
+def test_blas_guard_rejects_oversized(spark):
+    emb = _emb(spark)
+    try:
+        sim.embedding_near_dups_blas(emb, max_broadcast_rows=10)
+        raise AssertionError("guard did not trip")
+    except ValueError as e:
+        assert "embedding_near_dups_lsh" in str(e)
+
+
+def test_topk_lsh_recall_vs_brute(spark):
+    emb = _emb(spark, n=120, dim=64)
+    qv = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q"))
+    brute = [r["vec_id"] for r in sim.cosine_topk(emb, qv, k=10).collect()]
+    # recall/cost knob: fewer bits per table + more tables = higher recall
+    # (collision prob 1-(1-(1-θ/π)^bits)^tables)
+    ann = [
+        r["vec_id"]
+        for r in sim.cosine_topk_lsh(emb, qv, k=10, dim=64, bits=4, tables=16).collect()
+    ]
+    assert len(set(brute) & set(ann)) >= 6
+    # and the true nearest item (the query itself) is always found
+    assert brute[0] in ann

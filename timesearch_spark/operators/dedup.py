@@ -293,16 +293,45 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact token-n-gram Jaccard for every pair inside a block (e.g. same
     source/lang).  Blocks bound the pair count; the LSH variants replace
-    blocking when no natural key exists."""
+    blocking when no natural key exists.
+
+    Inverted-index formulation: explode distinct grams, self-join on
+    (block, gram) so only co-occurring pairs materialize, count shared
+    grams per pair, then jaccard = inter / (|A| + |B| − inter).  Every
+    stage is codegen'd (no per-element array intersections), the shuffle
+    keys are (block, gram hash) and (a, b) — never the gram arrays.  Hash
+    the grams to fixed-width longs so wide shingles don't inflate the
+    shuffle."""
     g = tokens(text_col) if n == 1 else shingles(text_col, n)
     base = df.select(
-        _c(block_col).alias("block"), _c(id_col).alias(id_col), g.alias("__g")
+        _c(block_col).alias("block"),
+        _c(id_col).alias(id_col),
+        F.array_distinct(g).alias("__g"),
     )
-    a = base.select("block", F.col(id_col).alias("a"), F.col("__g").alias("ga"))
-    b = base.select("block", F.col(id_col).alias("b"), F.col("__g").alias("gb"))
-    return (
-        a.join(b, on="block")
+    sizes = base.select("block", F.col(id_col), F.size("__g").alias("n"))
+    inv = base.select(
+        "block", F.col(id_col), F.explode("__g").alias("__gram")
+    ).select("block", id_col, F.xxhash64("__gram").alias("gh"))
+
+    a = inv.select("block", "gh", F.col(id_col).alias("a"))
+    b = inv.select("block", "gh", F.col(id_col).alias("b"))
+    inter = (
+        a.join(b, on=["block", "gh"])
         .filter(F.col("a") < F.col("b"))
-        .select("block", "a", "b", jaccard("ga", "gb").alias("jaccard"))
+        .groupBy("block", "a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("block"), F.col(id_col).alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("block"), F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, on=["block", "a"])
+        .join(nb, on=["block", "b"])
+        .select(
+            "block", "a", "b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -957,6 +957,16 @@ def similarity_neardup_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cos") >= 0.4)
 
 
+@q("similarity_neardup_blas")  # float64-matmul scores — rows-only check
+def similarity_neardup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs near-dups via broadcast-matrix BLAS matmul in mapInPandas
+    — the brute-force path at production throughput (pytest asserts pair
+    parity with similarity_neardup_brute)."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = sim.embedding_near_dups_blas(emb, threshold=0.4)
+    return pairs.withColumn("cos", F.round("cos", 6))
+
+
 @q("similarity_topk_lsh")  # LSH probe structure — rows-only check
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via random-hyperplane LSH (8 bits × 8 tables), exact
