@@ -1,0 +1,86 @@
+"""Physical-plan property tests: the 100 TB checklist, asserted.
+
+Each test pins a plan property that matters at scale: filter pushdown to
+the parquet scan, column pruning, broadcast of small join sides,
+map-side partial aggregation, and codegen coverage.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+from timesearch_spark import plans
+from timesearch_spark.tables import load
+
+from tests.conftest import SF_SMALL
+
+
+def _q(spark, name):
+    return entrymod.queries()[name](spark, SF_SMALL)
+
+
+def test_filter_timerange_pushes_down(spark):
+    df = _q(spark, "filter_timerange")
+    pushed = plans.pushed_filters(df)
+    # the nanos-as-long bounds must reach the scan as INT64 comparisons
+    assert pushed and any("ts" in p for p in pushed)
+
+
+def test_threshold_filter_pushes_down(spark):
+    df = _q(spark, "filter_threshold")
+    assert any("l_quantity" in p for p in plans.pushed_filters(df))
+
+
+def test_scan_project_prunes_columns(spark):
+    df = _q(spark, "scan_project")
+    schemas = plans.read_schemas(df)
+    assert schemas and all("o_custkey" in s for s in schemas)
+    # a 1-column projection must not read the other 8 columns
+    assert all("o_totalprice" not in s for s in schemas)
+
+
+def test_point_lookup_pushes_key(spark):
+    df = _q(spark, "point_lookup")
+    assert any("o_orderkey" in p for p in plans.pushed_filters(df))
+
+
+def test_equi_join_broadcasts_small_side(spark):
+    df = _q(spark, "equi_join_thread")
+    assert plans.uses_broadcast_join(df)
+
+
+def test_breakdown_has_partial_aggregation(spark):
+    df = _q(spark, "breakdown_counts")
+    assert plans.has_partial_aggregate(df)
+
+
+def test_minhash_signature_aggregates_map_side(spark):
+    # the signature agg must partial-aggregate before its shuffle: every
+    # doc's shingles collapse to one row per doc on the map side
+    from timesearch_spark.operators.dedup import minhash_signature_table
+
+    docs = load(spark, SF_SMALL, "documents")
+    df = minhash_signature_table(docs)
+    assert plans.has_partial_aggregate(df)
+
+
+def test_text_quality_is_shuffle_free(spark):
+    df = _q(spark, "text_quality")
+    plan = plans.formatted_plan(df)
+    assert "Exchange" not in plan  # pure map stage at any scale
+
+
+def test_codegen_covers_scalar_queries(spark):
+    for name in ("project_case", "scalar_format", "token_count"):
+        df = _q(spark, name)
+        assert plans.wholestage_codegen_spans(df) >= 1, name
+
+
+def test_media_metadata_scan_prunes_payload(spark):
+    from timesearch_spark.operators.multimodal import media_from_documents
+
+    docs = load(spark, SF_SMALL, "documents")
+    meta_only = media_from_documents(docs).select("media_id", "kind")
+    schemas = plans.read_schemas(meta_only)
+    assert schemas and all("text" not in s for s in schemas)

@@ -374,6 +374,73 @@ ORACLE["enrich_join"] = ORACLE["window_latest_version"]
 
 
 @q(
+    "upsert_edits",
+    """
+    WITH snap AS (
+      SELECT 't1_' || LOWER(TO_BASE(o_orderkey, 36)) AS idstr,
+             'user' || (o_custkey % 7) AS author,
+             o_orderpriority AS body, o_totalprice AS score,
+             CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS created
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), batch AS (
+      SELECT 't1_' || LOWER(TO_BASE(o_orderkey, 36)) AS idstr,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE 'user' || (o_custkey % 7) END AS author,
+             CASE WHEN o_orderkey % 5 = 0 THEN '[removed]'
+                  WHEN o_orderkey % 2 = 0 THEN 'EDITED:' || o_orderpriority
+                  ELSE o_orderpriority END AS body,
+             o_totalprice AS score,
+             CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS created
+      FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 5 = 0
+    )
+    SELECT s.idstr, s.body AS previous_body, CAST(777 AS BIGINT) AS replaced_at
+    FROM snap s JOIN batch b ON s.idstr = b.idstr
+    WHERE b.body IS NOT NULL
+      AND (s.body IS NULL OR s.body <> b.body)
+      -- deletion mask (tsdb.py:527-545): author gone + removal placeholder
+      AND NOT (
+        (b.author IS NULL OR b.author = '[DELETED]')
+        AND b.body IN ('[removed]', '[deleted]')
+      )
+      AND NOT b.body LIKE '%pastebin.com/64GuVi2F%'
+    """,
+)
+def upsert_edits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3/I4: the CDC half of the upsert — edit rows hold the OLD text
+    with replaced_at, and deletion-masked rows produce no edit
+    (tsdb.py:303-324,361-387,527-545).  Built on the real upsert operator;
+    the oracle re-states the changed-and-not-masked predicate in SQL."""
+    from timesearch_spark.operators.upsert import upsert_snapshot
+
+    o = load(spark, sf_dir, "orders")
+    b36 = F.concat(F.lit("t1_"), tsf.base36_encode("o_orderkey"))
+    base = o.select(
+        "o_orderkey",
+        b36.alias("idstr"),
+        F.concat(F.lit("user"), (F.col("o_custkey") % 7).cast("string")).alias("author"),
+        F.col("o_orderpriority").alias("body"),
+        F.col("o_totalprice").alias("score"),
+        F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("created"),
+    )
+    snap = base.filter(F.col("o_orderkey") % 3 != 0).drop("o_orderkey")
+    batch = base.filter((F.col("o_orderkey") % 2 == 0) | (F.col("o_orderkey") % 5 == 0)).select(
+        "idstr",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(F.col("author")).alias("author"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("[removed]"))
+        .when(F.col("o_orderkey") % 2 == 0, F.concat(F.lit("EDITED:"), F.col("body")))
+        .otherwise(F.col("body"))
+        .alias("body"),
+        "score",
+        "created",
+    )
+    res = upsert_snapshot(
+        snap, batch, key="idstr", text_col="body", author_col="author",
+        edited_ts_col=None, observed_at=777,
+    )
+    return res.edits
+
+
+@q(
     "equi_join_thread",
     """
     SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
