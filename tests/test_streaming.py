@@ -134,3 +134,23 @@ def test_livestream_end_to_end(spark, tmp_path):
     assert len(edits) == 1
     assert edits[0]["previous_body"] == "first"
     assert edits[0]["replaced_at"] == 150  # obj.edited wins (tsdb.py:374-377)
+
+
+def test_schema_version_gate_and_upgrade(spark, tmp_path):
+    # an archive written at schema v1 must refuse to open, then upgrade
+    from timesearch_spark.streaming import store as st
+
+    store = _store(spark, tmp_path, "old")
+    b = spark.createDataFrame([_comment("t1_a", "x")], COMMENT_COLS)
+    store.merge(b, observed_at=1)
+    store._commit(store.version(), schema_version=1)  # simulate old archive
+
+    try:
+        store.check_schema_version()
+        raise AssertionError("gate did not trip")
+    except st.ArchiveOutOfDate as e:
+        assert "upgrade_store" in str(e)
+
+    assert st.upgrade_store(store) == st.SCHEMA_VERSION
+    store.check_schema_version()  # now opens clean
+    assert store.snapshot().count() == 1

@@ -1234,6 +1234,43 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "events_sliding_1h_15m",
+    """
+    WITH e AS (
+      SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec, event_type FROM events
+    ), w AS (
+      SELECT event_type,
+             UNNEST(generate_series(
+               (ts_sec // 900) * 900 - 2700,
+               (ts_sec // 900) * 900,
+               900)) AS window_start_sec
+      FROM e
+    )
+    SELECT window_start_sec, event_type, COUNT(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour / 15-minute event-time window counts — each event
+    lands in 4 overlapping windows (the oracle enumerates them with
+    generate_series).  Streaming form: streaming.windows.sliding_counts_stream."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "event_time", F.timestamp_seconds(event_ts_sec("ts"))
+    )
+    return (
+        ev.groupBy(
+            F.window("event_time", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start_sec"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@q(
     "sessionize",
     """
     WITH e AS (

@@ -32,6 +32,15 @@ from pyspark.sql import functions as F
 
 from timesearch_spark.operators.upsert import UpsertResult, upsert_snapshot
 
+#: Archive format version (parity with DATABASE_VERSION = 2 stored in
+#: PRAGMA user_version, tsdb.py:34-37; checked at open tsdb.py:217-228).
+SCHEMA_VERSION = 2
+
+
+class ArchiveOutOfDate(Exception):
+    """Raised when a store was written by an older schema version
+    (exceptions.py:22-26 analog); run ``upgrade_store`` to migrate."""
+
 
 class ParquetMergeStore:
     def __init__(
@@ -56,20 +65,42 @@ class ParquetMergeStore:
     def _pointer_file(self) -> str:
         return os.path.join(self.path, "LATEST")
 
-    def version(self) -> int:
+    def _pointer(self) -> dict:
         try:
             with open(self._pointer_file()) as f:
-                return json.load(f)["version"]
+                return json.load(f)
         except FileNotFoundError:
-            return 0
+            return {"version": 0, "schema_version": SCHEMA_VERSION}
+
+    def version(self) -> int:
+        return self._pointer()["version"]
+
+    def schema_version(self) -> int:
+        return self._pointer().get("schema_version", 1)
+
+    def check_schema_version(self) -> None:
+        """Open-time gate (tsdb.py:217-228): refuse an older archive."""
+        found = self.schema_version()
+        if found < SCHEMA_VERSION:
+            raise ArchiveOutOfDate(
+                f"archive at {self.path} is schema v{found}; "
+                f"engine expects v{SCHEMA_VERSION} — run upgrade_store()"
+            )
 
     def _snapshot_dir(self, version: int) -> str:
         return os.path.join(self.path, "snapshot", f"v={version}")
 
-    def _commit(self, version: int) -> None:
+    def _commit(self, version: int, schema_version: int = SCHEMA_VERSION) -> None:
         tmp = self._pointer_file() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "committed_at": time.time()}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "schema_version": schema_version,
+                    "committed_at": time.time(),
+                },
+                f,
+            )
         os.replace(tmp, self._pointer_file())  # atomic pointer swap
 
     # -- reads ----------------------------------------------------------------
@@ -128,3 +159,37 @@ class ParquetMergeStore:
     def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
         """``writeStream.foreachBatch`` adapter (I1→A11)."""
         self.merge(batch)
+
+
+#: Stepwise migrations (database_upgrader.py:24-49 analog): version → fn.
+#: Each fn takes (store, snapshot DataFrame) and returns the migrated
+#: DataFrame; the runner commits one version bump per step.
+MIGRATIONS: dict[int, callable] = {
+    # 1 → 2: the reference's v2 added submissions.augmented_at /
+    # augmented_count (tsdb.py:68-69); parquet snapshots add them as nulls.
+    2: lambda store, df: _add_missing_columns(df, store.schema),
+}
+
+
+def _add_missing_columns(df: DataFrame, schema) -> DataFrame:
+    for field in schema.fields:
+        if field.name not in df.columns:
+            df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+    return df.select(*[f.name for f in schema.fields])
+
+
+def upgrade_store(store: ParquetMergeStore) -> int:
+    """Run every pending migration step in order (the database_upgrader
+    loop); returns the final schema version."""
+    current = store.schema_version()
+    while current < SCHEMA_VERSION:
+        step = current + 1
+        migrate = MIGRATIONS.get(step)
+        snap = store.snapshot()
+        if migrate is not None:
+            snap = migrate(store, snap)
+        new_version = store.version() + 1
+        snap.write.mode("overwrite").parquet(store._snapshot_dir(new_version))
+        store._commit(new_version, schema_version=step)
+        current = step
+    return current
