@@ -54,7 +54,9 @@ def hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> list[list[l
 
 
 def signature_col(vec_col, planes: list[list[float]]):
-    """Bit signature of one table: sign(v·h) per hyperplane, packed long."""
+    """Bit signature of one table: sign(v·h) per hyperplane, packed long.
+    Pure-expression form — fine for a handful of planes; use
+    ``with_signatures`` (one BLAS matmul) when tables×bits is large."""
     sig = F.lit(0).cast("long")
     v = as_double(vec_col)
     for i, h in enumerate(planes):
@@ -65,6 +67,41 @@ def signature_col(vec_col, planes: list[list[float]]):
         )
         sig = sig + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
     return sig
+
+
+def with_signatures(df: DataFrame, planes, id_col: str, vec_col: str) -> DataFrame:
+    """Append sig0..sig{T-1} packed-long columns via ONE numpy matmul per
+    Arrow batch: V @ H.T → signs → bit-pack.  tables×bits hyperplane dots
+    per row collapse to a BLAS call instead of tables×bits interpreted
+    expression folds."""
+    import numpy as np
+
+    tables = len(planes)
+    bits = len(planes[0])
+    H = np.array([h for table in planes for h in table], dtype=np.float64)
+    weights = np.array([1 << b for b in range(bits)], dtype=np.int64)
+    out_schema = (
+        f"{id_col} long, {vec_col} array<double>, "
+        + ", ".join(f"sig{t} long" for t in range(tables))
+    )
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            signs = (V @ H.T) >= 0  # (n, tables*bits)
+            cols = {id_col: pdf[id_col], vec_col: pdf[vec_col]}
+            for t in range(tables):
+                block = signs[:, t * bits : (t + 1) * bits]
+                cols[f"sig{t}"] = (block * weights).sum(axis=1)
+            yield pd.DataFrame(cols)
+
+    return df.select(
+        F.col(id_col), as_double(vec_col).alias(vec_col)
+    ).mapInPandas(compute, out_schema)
 
 
 def cosine_topk(
@@ -91,24 +128,39 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits: int = 8,
-    tables: int = 8,
+    bits: int = 6,
+    tables: int = 16,
     seed: int = 42,
 ) -> DataFrame:
     """ANN top-k: candidates = vectors sharing the query's signature in any
     of ``tables`` hyperplane tables; exact-cosine verify + top-k on the
-    (much smaller) candidate set.  Recall is tunable via bits/tables."""
-    planes = hyperplanes(dim, bits, tables, seed)
+    (much smaller) candidate set.
 
-    sig_cols = [signature_col(vec_col, planes[t]).alias(f"sig{t}") for t in range(tables)]
+    Recall/cost knobs:
+    - per-table collision prob for exact bucket match is (1-θ/π)^bits;
+      overall 1-(1-p_table)^tables — fewer bits / more tables = higher
+      recall and bigger candidate sets;
+    - ``probe_hamming`` = multiprobe radius (Lv et al. 2007's idea in
+      filter form): accepting buckets within Hamming 1 of the query's
+      adds bits·c^(bits-1)·(1-c) to p_table, pushing 6x16 past 0.99
+      recall at θ≈60° while verification keeps precision exact.  At
+      scale, radius r means probing Σ C(bits,i) physical buckets per
+      table instead of 1."""
+    planes = hyperplanes(dim, bits, tables, seed)
+    probe_hamming = 1
+
+    sigs = with_signatures(emb, planes, id_col, vec_col)
     qsig_cols = [signature_col("q", planes[t]).alias(f"qsig{t}") for t in range(tables)]
 
-    cand = emb.select(F.col(id_col), F.col(vec_col), *sig_cols).join(
+    cand = sigs.join(
         F.broadcast(query.select(F.col("q"), *qsig_cols))
     )
     match = F.lit(False)
     for t in range(tables):
-        match = match | (F.col(f"sig{t}") == F.col(f"qsig{t}"))
+        match = match | (
+            F.bit_count(F.col(f"sig{t}").bitwiseXOR(F.col(f"qsig{t}")))
+            <= probe_hamming
+        )
     cand = cand.filter(match)
 
     scored = cand.select(F.col(id_col), cosine(vec_col, "q").alias("cos"))
@@ -217,12 +269,12 @@ def embedding_near_dups_lsh(
     1-(1-(1-θ/π)^bits)^tables; candidates are verified so precision is
     exact, recall is the tunable."""
     planes = hyperplanes(dim, bits, tables, seed)
-    sigs = emb.select(
+    sigs = with_signatures(emb, planes, id_col, vec_col).select(
         F.col(id_col),
         F.col(vec_col),
         F.explode(
             F.array(*[
-                F.struct(F.lit(t).alias("t"), signature_col(vec_col, planes[t]).alias("sig"))
+                F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("sig"))
                 for t in range(tables)
             ])
         ).alias("ts"),
