@@ -52,6 +52,31 @@ def test_blas_guard_rejects_oversized(spark):
         assert "embedding_near_dups_lsh" in str(e)
 
 
+def test_topk_ivf_recall_vs_brute(spark):
+    emb = _emb(spark, n=120, dim=64)
+    qv = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q"))
+    brute = [r["vec_id"] for r in sim.cosine_topk(emb, qv, k=10).collect()]
+    ann = [
+        r["vec_id"]
+        for r in sim.cosine_topk_ivf(emb, qv, k=10, n_cells=8, n_probe=3).collect()
+    ]
+    # probing 3/8 cells must still surface the bulk of the true top-k
+    assert len(set(brute) & set(ann)) >= 6
+    assert brute[0] in ann
+
+
+def test_ivf_assignment_partitions_all_rows(spark):
+    emb = _emb(spark, n=40, dim=16)
+    cents = sim.centroid_seeds(emb, 4)
+    cells = sim.assign_cells(emb, cents)
+    assert cells.count() == emb.count()          # assignment is total
+    cell_ids = {r["cell"] for r in cells.select("cell").distinct().collect()}
+    assert cell_ids <= {cid for cid, _ in cents}  # every cell is a seed id
+    # each seed lands in its own cell (cos(seed, seed) = 1 is the max)
+    own = cells.filter(F.col("vec_id").isin([c for c, _ in cents]))
+    assert all(r["vec_id"] == r["cell"] for r in own.collect())
+
+
 def test_topk_lsh_recall_vs_brute(spark):
     emb = _emb(spark, n=120, dim=64)
     qv = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q"))

@@ -1044,6 +1044,56 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos", F.round("cos", 6))
 
 
+@q(
+    "similarity_topk_ivf",
+    """
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    assign AS (
+        SELECT e.vec_id, cent.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                         cent.cv), 6) DESC,
+                            cent.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+    qcells AS (
+        SELECT cid AS cell FROM (
+            SELECT cent.cid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND(list_cosine_similarity(q.qv, cent.cv), 6) DESC,
+                                cent.cid ASC
+                   ) AS rn
+            FROM cent CROSS JOIN q
+        ) WHERE rn <= 4
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos
+    FROM embeddings e
+    JOIN cells ON e.vec_id = cells.vec_id
+    JOIN qcells ON cells.cell = qcells.cell
+    CROSS JOIN q
+    ORDER BY cos DESC, e.vec_id ASC LIMIT 10
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via an IVF coarse quantizer (16 cells, 4 probed).  Cell
+    assignment is a shuffle-free per-row argmax against the broadcast
+    codebook; probing = partition pruning at scale.  Fully oracle-checked
+    because seeds, tie-breaks, and rounded-cosine argmax are deterministic
+    across engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    out = sim.cosine_topk_ivf(emb, qv, k=10, n_cells=16, n_probe=4)
+    return out.withColumn("cos", F.round("cos", 6))
+
+
 # =========================================================================
 # Multimodal columns (binary payload + typed metadata; decode stubbed)
 # =========================================================================
