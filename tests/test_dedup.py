@@ -83,3 +83,26 @@ def test_ngram_jaccard_identical_docs(spark):
     rows = pairs.collect()
     assert [(r["a"], r["b"]) for r in rows] == [(1, 2)]
     assert rows[0]["jaccard"] == 1.0
+
+
+def test_ngram_jaccard_prefix_matches_count(spark):
+    # overlapping templated docs: both exact methods must agree exactly
+    docs = [
+        (i, "s" + str(i % 2), " ".join(f"w{j}" for j in range(i % 7, i % 7 + 8)))
+        for i in range(30)
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, src string, text string")
+    count_pairs = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in dd.ngram_jaccard_pairs(
+            d, block_col="src", threshold=0.3, method="count"
+        ).collect()
+    }
+    prefix_pairs = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in dd.ngram_jaccard_pairs(
+            d, block_col="src", threshold=0.3, method="prefix"
+        ).collect()
+    }
+    assert count_pairs == prefix_pairs
+    assert count_pairs  # non-degenerate: the fixture does produce pairs

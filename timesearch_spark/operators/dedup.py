@@ -127,6 +127,58 @@ def minhash_signature_table(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) LSH banding table in long-relation form: explode
+    (id, perm, hash) rows, MIN-aggregate per (id, perm), hash each band's
+    ``rows`` mins (perm-ordered) into its bucket key.  Same collision
+    semantics as hashing the wide signature row; the narrow keys keep
+    every expression tiny (fast Catalyst analysis — the wide 64-column
+    form re-spent seconds per run in the optimizer) and every stage a
+    codegen'd partial-agg.  The repartition spreads a few large input
+    files across the cluster before the num_hashes× explode."""
+    rows = num_hashes // bands
+    n = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(n)
+        .select(
+            _c(id_col).alias(id_col),
+            F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("__s"),
+        )
+        .select(id_col, F.xxhash64("__s").alias("__h"))
+    )
+    perms = sh.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.xxhash64(F.col("__h"), i),
+            )
+        ).alias("i", "ph"),
+    )
+    mins = perms.groupBy(id_col, "i").agg(F.min("ph").alias("mh"))
+    banded = mins.withColumn("band", (F.col("i") / rows).cast("int"))
+    return (
+        banded.groupBy(id_col, "band")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("arr"))
+        .select(
+            id_col,
+            "band",
+            F.aggregate(
+                F.transform("arr", lambda x: x["mh"]),
+                F.col("band").cast("long"),
+                lambda acc, x: F.xxhash64(acc, x),
+            ).alias("bucket"),
+        )
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -143,19 +195,9 @@ def minhash_near_dups(
     exact because every candidate is verified against the true shingle
     sets.  Only (band, bucket, id) triples and the candidate pairs ever
     shuffle — signatures and shingle sets stay inside their stages."""
-    rows = num_hashes // bands
-    sigs = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)], F.lit(b))
-            .alias("bucket"),
-        )
-        for b in range(bands)
-    ])
-    buckets = sigs.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = minhash_band_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_k
+    )
 
     a = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
     b = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
@@ -168,8 +210,10 @@ def minhash_near_dups(
 
     # Exact verify on candidates only: re-derive shingle sets for the two
     # docs of each pair (candidates ≪ corpus, so this re-scan is cheap and
-    # avoids shuffling every doc's full shingle array).
-    sh = df.select(
+    # avoids shuffling every doc's full shingle array).  Repartition first
+    # so the per-doc shingle HOF runs with full parallelism even when the
+    # input is a handful of files.
+    sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         _c(id_col).alias(id_col), shingles(text_col, shingle_k).alias("__sh")
     )
     pairs = (
@@ -178,6 +222,69 @@ def minhash_near_dups(
     )
     return (
         pairs.select("a", "b", jaccard("sha", "shb").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_jaccard_prefix_filtered(
+    df: DataFrame,
+    block_col: str,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n: int,
+) -> DataFrame:
+    """Exact blocked Jaccard ≥ threshold via prefix filtering (see
+    ``ngram_jaccard_pairs``).  Shuffle ledger: df-count (gram), rank
+    (id), candidate join (block, gram), pair dedup (a, b), two verify
+    joins (a), (b) — every key is fixed-width, never a gram array."""
+    from pyspark.sql import Window
+
+    g = tokens(text_col) if n == 1 else shingles(text_col, n)
+    base = df.select(
+        _c(block_col).alias("block"),
+        _c(id_col).alias(id_col),
+        F.array_distinct(g).alias("__g"),
+    ).withColumn("sz", F.size("__g"))
+
+    post = base.select(
+        "block", id_col, "sz", F.explode("__g").alias("__gram")
+    ).select("block", id_col, "sz", F.xxhash64("__gram").alias("gh"))
+    dfreq = post.groupBy("gh").agg(F.count("*").alias("gdf"))
+
+    # rank each doc's grams by (global df asc, gh) and keep the prefix
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ranked = post.join(dfreq, on="gh").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("gdf", "gh")
+        ),
+    )
+    pref = ranked.filter(F.col("rn") <= prefix_len)
+
+    a = pref.select("block", "gh", F.col(id_col).alias("a"), F.col("sz").alias("na"))
+    b = pref.select("block", "gh", F.col(id_col).alias("b"), F.col("sz").alias("nb"))
+    cand = (
+        a.join(b, on=["block", "gh"])
+        .filter(
+            (F.col("a") < F.col("b"))
+            # size filter: J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
+            & (
+                F.least("na", "nb").cast("double")
+                >= F.lit(threshold) * F.greatest("na", "nb").cast("double")
+            )
+        )
+        .select("block", "a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+    sh = base.select(F.col(id_col), F.col("__g"))
+    pairs = (
+        cand.join(sh.select(F.col(id_col).alias("a"), F.col("__g").alias("ga")), on="a")
+        .join(sh.select(F.col(id_col).alias("b"), F.col("__g").alias("gb")), on="b")
+    )
+    return (
+        pairs.select("block", "a", "b", jaccard("ga", "gb").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -213,26 +320,48 @@ def simhash64(col) -> Column:
 def simhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, simhash) via explode + codegen'd 64-SUM aggregate — the scale
-    path for ``simhash64`` (same value semantics, same reasoning as
-    ``minhash_signature_table``: HOF folds are interpreted per element,
-    the agg is whole-stage-codegen'd with map-side combine)."""
-    tok = df.select(
-        _c(id_col).alias(id_col), F.explode(tokens(text_col)).alias("__t")
-    ).select(id_col, F.xxhash64("__t").alias("__h"))
-    aggs = [
+    """(id, simhash) — the scale path for ``simhash64`` (same values).
+
+    Long-relation formulation: explode (id, bit, ±1) rows and aggregate
+    twice on narrow keys instead of one 64-column aggregate.  Every
+    expression here is tiny, so Catalyst analysis is O(1) instead of
+    O(64·depth) (the wide form spent seconds per run re-analyzing its
+    64 aggregates + 64-deep signature fold), and every stage is a narrow
+    codegen'd hash-agg with map-side combine.  Bit packing avoids
+    column-valued shift amounts (JVM shifts take literals) by summing
+    exact powers of two per 32-bit half (2^pos is exact in double for
+    pos ≤ 52) and joining halves with one literal shift; the halves
+    occupy disjoint bits so the final SUM is a carry-free OR even under
+    ANSI overflow checks.  The doc repartition spreads a few large input
+    files across the cluster before the 64× bit explode."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        df.repartition(n)
+        .select(_c(id_col).alias(id_col), F.explode(tokens(text_col)).alias("__t"))
+        .select(id_col, F.xxhash64("__t").alias("__h"))
+    )
+    bits = tok.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.bit_get(F.col("__h"), b) * 2 - 1,
+            )
+        ).alias("b", "v"),
+    )
+    per_bit = bits.groupBy(id_col, "b").agg(F.sum("v").alias("s"))
+    half = (F.col("b") >= 32).cast("int")
+    pos = F.col("b") - half * 32
+    halves = per_bit.select(
+        id_col,
+        half.alias("half"),
+        F.when(F.col("s") >= 0, F.pow(F.lit(2.0), pos)).otherwise(F.lit(0.0)).alias("p"),
+    ).groupBy(id_col, "half").agg(F.sum("p").cast("long").alias("hv"))
+    return halves.groupBy(id_col).agg(
         F.sum(
-            F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1).cast("long")) * 2 - 1
-        ).alias(f"s{b}")
-        for b in range(64)
-    ]
-    sums = tok.groupBy(id_col).agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        sig = sig + F.when(
-            F.col(f"s{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-    return sums.select(F.col(id_col), sig.alias("sh"))
+            F.when(F.col("half") == 1, F.shiftleft(F.col("hv"), 32)).otherwise(F.col("hv"))
+        ).alias("sh")
+    )
 
 
 def hamming64(a, b) -> Column:
@@ -290,6 +419,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.1,
     n: int = 1,
+    method: str = "count",
 ) -> DataFrame:
     """Exact token-n-gram Jaccard for every pair inside a block (e.g. same
     source/lang).  Blocks bound the pair count; the LSH variants replace
@@ -301,9 +431,31 @@ def ngram_jaccard_pairs(
     stage is codegen'd (no per-element array intersections), the shuffle
     keys are (block, gram hash) and (a, b) — never the gram arrays.  Hash
     the grams to fixed-width longs so wide shingles don't inflate the
-    shuffle."""
+    shuffle.
+
+    Two exact methods, same results:
+
+    - ``method="count"`` (default): every stage codegen'd; intersection
+      sizes come out of one hash aggregate over the co-occurrence rows,
+      grouped on the narrowest possible key (block, a, b) with doc sizes
+      joined back afterwards (the sizes table is tiny next to the
+      co-occurrence stream).  Best when pairs above threshold are a
+      sizable share of co-occurring pairs (templated/near-dup-heavy
+      corpora — the driver's synthetic documents are this shape).
+    - ``method="prefix"``: PPJoin-style prefix filtering — candidates
+      must share a gram inside both docs' rarest-gram prefixes.  Best in
+      the common real-world regime where stop-grams make co-occurrence
+      quadratic but true near-dups are rare; at 100 TB this is the
+      difference between a shuffle quadratic in stop-word df and one
+      proportional to output size."""
+    if method == "prefix":
+        return _ngram_jaccard_prefix_filtered(
+            df, block_col, text_col, id_col, threshold, n
+        )
     g = tokens(text_col) if n == 1 else shingles(text_col, n)
-    base = df.select(
+    # spread a few large input files across the cluster before the
+    # explode/self-join stages (cost: one shuffle of the raw docs)
+    base = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         _c(block_col).alias("block"),
         _c(id_col).alias(id_col),
         F.array_distinct(g).alias("__g"),

@@ -858,10 +858,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard for every pair within a source block,
-    threshold 0.5 (dedup ladder rung 3: blocked exact similarity)."""
+    threshold 0.5 (dedup ladder rung 3: blocked exact similarity).
+    Threshold pushed into the operator so the size filter prunes inside
+    the candidate join (exact; rounding cannot cross the 0.5 boundary
+    because token-set unions are small, so |J − 0.5| is either 0 or
+    ≥ 1/(2·|A∪B|) ≫ 5e-7)."""
     d = load(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(
-        d, block_col="source", threshold=0.0, n=1
+        d, block_col="source", threshold=0.5, n=1
     ).withColumn("jaccard", F.round("jaccard", 6))
     return pairs.filter(F.col("jaccard") >= 0.5)
 
