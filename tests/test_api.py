@@ -72,7 +72,18 @@ def test_ingest_jsonfile_and_breakdown(spark, tmp_path):
                   [_sub(0), _sub(1), _com(0), _com(1), _com(2)])
     )
     counts = api.ingest_jsonfile(ar, str(p))
-    assert counts == {"new_submissions": 2, "new_comments": 3}
+    assert counts == {
+        "new_submissions": 2, "new_comments": 3,
+        "total_submissions": 2, "total_comments": 3,
+    }
+
+    # Re-ingesting the same archive reports a ZERO delta (TSDB.insert's
+    # new_values semantics, tsdb.py:335-339) but unchanged totals.
+    counts2 = api.ingest_jsonfile(ar, str(p))
+    assert counts2 == {
+        "new_submissions": 0, "new_comments": 0,
+        "total_submissions": 2, "total_comments": 3,
+    }
 
     bd = api.breakdown(ar)
     agg = {r["author"]: (r["submissions"], r["comments"]) for r in bd.collect()}

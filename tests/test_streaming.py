@@ -136,6 +136,55 @@ def test_livestream_end_to_end(spark, tmp_path):
     assert edits[0]["replaced_at"] == 150  # obj.edited wins (tsdb.py:374-377)
 
 
+def test_store_merge_touches_only_batch_buckets(spark, tmp_path):
+    """A micro-batch rewrites ONLY the bucket partitions its keys hash
+    into; every other bucket keeps serving its old directory (the
+    dynamic-partition-overwrite property, with reader isolation)."""
+    import os
+
+    store = _store(spark, tmp_path)
+    seed = spark.createDataFrame(
+        [_comment(f"t1_x{i}", f"body {i}") for i in range(64)], COMMENT_COLS
+    )
+    store.merge(seed, observed_at=1)
+    manifest_v1 = dict(store.bucket_manifest())
+    assert len(manifest_v1) > 1  # seed spread over several buckets
+
+    one = spark.createDataFrame([_comment("t1_x0", "edited")], COMMENT_COLS)
+    res = store.merge(one, observed_at=2)
+
+    # v=2 holds exactly the buckets the 1-row batch hashed into
+    v2 = os.path.join(str(tmp_path / "c"), "snapshot", "v=2")
+    written = [d for d in os.listdir(v2) if d.startswith("__bucket=")]
+    assert len(written) == 1
+    moved = {b for b, v in store.bucket_manifest().items() if v == 2}
+    assert len(moved) == 1
+    # untouched buckets still point at v=1
+    assert all(
+        v == 1 for b, v in store.bucket_manifest().items() if b not in moved
+    )
+    # nothing lost, the edit landed, counters are TSDB.insert-style
+    assert store.snapshot().count() == 64
+    row = store.snapshot().filter("idstr = 't1_x0'").first()
+    assert row["body"] == "edited"
+    assert res.stats["inserted"] == 0 and res.stats["updated"] == 1
+
+    # vacuum drops no live dirs (v=1 still referenced) and is safe to run
+    assert store.vacuum() == []
+
+
+def test_store_merge_insert_counters(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    b1 = spark.createDataFrame(
+        [_comment("t1_a", "x"), _comment("t1_b", "y")], COMMENT_COLS
+    )
+    assert store.merge(b1).stats == {"inserted": 2, "updated": 0, "batch_keys": 2}
+    b2 = spark.createDataFrame(
+        [_comment("t1_b", "y2"), _comment("t1_c", "z")], COMMENT_COLS
+    )
+    assert store.merge(b2).stats == {"inserted": 1, "updated": 1, "batch_keys": 2}
+
+
 def test_schema_version_gate_and_upgrade(spark, tmp_path):
     # an archive written at schema v1 must refuse to open, then upgrade
     from timesearch_spark.streaming import store as st

@@ -118,15 +118,23 @@ def get_comments(archive: Archive, fetch_page, lower="update",
 
 def ingest_jsonfile(archive: Archive, path: str) -> dict:
     """NDJSON archive ingest (ingest_jsonfile.py:25-70): classify lines,
-    upsert both kinds, return counters."""
+    upsert both kinds, return counters.
+
+    ``new_*`` are inserted-THIS-RUN counts — TSDB.insert's ``new_values``
+    semantics (tsdb.py:335-339), so re-ingesting an overlapping archive
+    reports only the delta.  ``total_*`` are the post-ingest table counts
+    the reference prints at the end (ingest_jsonfile.py:59-64).
+    """
     raw = _ndjson.read_raw(archive.spark, path)
     subs = _ndjson.submissions_from_raw(raw)
     coms = _ndjson.comments_from_raw(raw)
-    archive.submissions.merge(subs)
-    archive.comments.merge(coms)
+    sres = archive.submissions.merge(subs)
+    cres = archive.comments.merge(coms)
     return {
-        "new_submissions": archive.submissions.snapshot().count(),
-        "new_comments": archive.comments.snapshot().count(),
+        "new_submissions": sres.stats["inserted"],
+        "new_comments": cres.stats["inserted"],
+        "total_submissions": archive.submissions.snapshot().count(),
+        "total_comments": archive.comments.snapshot().count(),
     }
 
 
@@ -193,9 +201,7 @@ def merge_db(to_archive: Archive, from_archive: Archive) -> dict:
         merged = anti_join_merge(
             to_store.snapshot(), from_store.snapshot(), key="idint"
         )
-        new_version = to_store.version() + 1
-        merged.write.mode("overwrite").parquet(to_store._snapshot_dir(new_version))
-        to_store._commit(new_version)
+        to_store.overwrite_snapshot(merged)
         out[name] = to_store.snapshot().count() - before
     return out
 

@@ -252,8 +252,14 @@ def _ngram_jaccard_prefix_filtered(
     ).select("block", id_col, "sz", F.xxhash64("__gram").alias("gh"))
     dfreq = post.groupBy("gh").agg(F.count("*").alias("gdf"))
 
-    # rank each doc's grams by (global df asc, gh) and keep the prefix
-    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    # rank each doc's grams by (global df asc, gh) and keep the prefix.
+    # ceil runs on (t*sz - eps): double multiplication can land a hair
+    # ABOVE the exact rational (e.g. 0.7*sz), inflating the ceil and
+    # silently dropping pairs whose Jaccard is exactly at the threshold —
+    # the epsilon keeps the filter a superset of the exact one.
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
+    )
     ranked = post.join(dfreq, on="gh").withColumn(
         "rn",
         F.row_number().over(
@@ -268,10 +274,13 @@ def _ngram_jaccard_prefix_filtered(
         a.join(b, on=["block", "gh"])
         .filter(
             (F.col("a") < F.col("b"))
-            # size filter: J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
+            # size filter: J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|); the
+            # epsilon guards the same FP-rounding edge as prefix_len so
+            # boundary-Jaccard pairs are never dropped pre-verify.
             & (
                 F.least("na", "nb").cast("double")
                 >= F.lit(threshold) * F.greatest("na", "nb").cast("double")
+                - F.lit(1e-9)
             )
         )
         .select("block", "a", "b")

@@ -35,9 +35,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Vandalism markers (tsdb.py:536-540): bodies containing these are treated
-# like deletions — keep the old text.
-GREASY = ["pastebin.com/64GuVi2F"]
+# Vandalism markers (tsdb.py:541-543): a body containing ANY of these is
+# treated like a deletion — keep the old text.  The reference checks
+# `any(grease in body for grease in greasy)` over exactly this list.
+GREASY = ["has been overwritten", "pastebin.com/64GuVi2F"]
 
 SUBMISSION_MUTABLE = [
     "nsfw", "score", "selftext", "distinguish", "num_comments",
@@ -56,17 +57,28 @@ class UpsertResult:
 def _latest_per_key(batch: DataFrame, key: str, order_col: str | None) -> DataFrame:
     """Collapse a batch to one row per key, later-wins (E3).
 
-    ``order_col`` is a monotone source-priority / arrival column; when
-    None we fall back to ``created`` then the key itself so the pick is
-    deterministic.
+    ``order_col`` is a monotone source-priority / arrival column.  When
+    None, ``created`` breaks ties first, then an arrival-order column
+    captured HERE (``monotonically_increasing_id`` before any shuffle:
+    within a file-split partition it follows file order, and partition ids
+    follow split order) — so when one NDJSON batch holds two versions of
+    the same idstr with equal ``created`` (original + edited copy), the
+    later line deterministically wins, matching the reference's sequential
+    row-by-row application (tsdb.py:389-509).
     """
-    if order_col is None:
-        order_col = "created" if "created" in batch.columns else key
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), F.col(key))
+    order_exprs = []
+    if order_col is not None:
+        order_exprs.append(F.col(order_col).desc())
+    else:
+        if "created" in batch.columns:
+            order_exprs.append(F.col("created").desc())
+        batch = batch.withColumn("__arrival", F.monotonically_increasing_id())
+        order_exprs.append(F.col("__arrival").desc())
+    w = Window.partitionBy(key).orderBy(*order_exprs)
     return (
         batch.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__arrival")
     )
 
 

@@ -759,15 +759,22 @@ def scalar_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_split",
     """
     SELECT p_partkey,
-           LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(p_name, '[+ ,]'),
-                       x -> x <> '') AS parts
+           ARRAY_TO_STRING(
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(p_name, '[+ ,]'),
+                         x -> x <> ''), chr(1)) AS parts
     FROM part
     """,
 )
 def scalar_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H12: multi-delimiter split on '+', ' ', ',' (common.py:135-140)."""
+    """H12: multi-delimiter split on '+', ' ', ',' (common.py:135-140).
+
+    The operator produces array<string>; the registered query serializes
+    it with a \\x01 joiner because the driver's canonicalizer can't hash
+    list cells (CORRECTNESS_r01 err) — semantics unchanged.
+    """
     return load(spark, sf_dir, "part").select(
-        "p_partkey", tsf.split_any("p_name").alias("parts")
+        "p_partkey",
+        F.array_join(tsf.split_any("p_name"), "\x01").alias("parts"),
     )
 
 
@@ -1129,14 +1136,25 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_stats(mm.media_from_documents(docs))
 
 
-@q("media_features")  # stubbed decode — rows-only check
+@q("media_features")  # stubbed decode (sha256-seeded fake pixels) — not
+# SQL-expressible, so rows-only by design; the array<float> feature is
+# serialized to a string because the driver's canonicalizer can't hash
+# list cells (CORRECTNESS_r01 err).
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + 8x8 luminance-grid features over image payloads via
     mapInPandas (Arrow binary batches); decoder is a deterministic stub
     (no image libs in this container), plumbing is real."""
     docs = load(spark, sf_dir, "documents")
     media = mm.filter_media(mm.media_from_documents(docs), kinds=("image",))
-    return mm.image_features(media)
+    feats = mm.image_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_number(x, 4)), ","
+        ).alias("feature_csv"),
+        "feat_dim",
+    )
 
 
 @q("media_frames")  # stubbed decode — rows-only check

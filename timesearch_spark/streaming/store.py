@@ -1,33 +1,48 @@
-"""Versioned parquet MERGE store — the upsert/CDC sink (SURVEY §2 A11,
-C3, I3, I4).
+"""Versioned, bucket-partitioned parquet MERGE store — the upsert/CDC
+sink (SURVEY §2 A11, C3, I3, I4).
 
 Reference semantics: TSDB.insert (tsdb.py:326-359) — per-batch upsert
 with edit capture, one commit per chunk.  Spark has no transactional
 single-table update without a lakehouse format, so the store emulates
-MERGE the standard way:
+MERGE with per-bucket versioning:
 
-- the snapshot lives under ``<path>/snapshot/v=N`` (monotone versions);
-  a merge writes v=N+1 and then moves the ``LATEST`` pointer — readers
-  of v=N are never disturbed (writer-reader isolation by immutability);
+- rows are hash-bucketed on the merge key into ``n_buckets`` partitions;
+  the live snapshot is a *manifest* mapping bucket → the version whose
+  directory holds that bucket's current data
+  (``<path>/snapshot/v=N/__bucket=B``);
+- a merge touches only the buckets present in the batch: it reads just
+  those buckets' current directories (partition pruning by path), runs
+  the upsert join against that pruned subset, and writes ONLY the
+  touched buckets under a fresh ``v=N+1`` — untouched buckets keep
+  serving their old directories with zero I/O.  Merge cost is
+  O(touched buckets), not O(snapshot) — the property dynamic partition
+  overwrite gives on a lakehouse table, plus reader isolation: the
+  ``LATEST`` pointer swaps atomically, so a reader of the old manifest
+  never sees a half-written version;
 - edit rows append under ``<path>/edits`` (append-only CDC log, exactly
   the ``*_edits`` tables of tsdb.py:88-100);
 - the merge itself is operators.upsert.upsert_snapshot — idempotent
   coalesce rules, so a replayed micro-batch converges to the same state
-  (exactly-once-per-key downstream of at-least-once delivery).
+  (exactly-once-per-key downstream of at-least-once delivery);
+- per-merge counters (UpsertResult.stats) mirror TSDB.insert's
+  ``new_values`` dict (tsdb.py:335-339): inserted = newly created keys,
+  updated = batch keys that already existed.
 
 With Delta/Iceberg available this class collapses to ``MERGE INTO``;
 the interface (merge/snapshot/resume_lower_bound) is format-agnostic by
-design.  At 100 TB the snapshot is partitioned by entity and the rewrite
-touches only affected partitions (partition-overwrite mode).
+design.  At 100 TB, raise ``n_buckets`` so each bucket directory stays
+in the GB range; a micro-batch then rewrites only the handful of
+buckets its keys hash into.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timesearch_spark.operators.upsert import UpsertResult, upsert_snapshot
@@ -35,6 +50,11 @@ from timesearch_spark.operators.upsert import UpsertResult, upsert_snapshot
 #: Archive format version (parity with DATABASE_VERSION = 2 stored in
 #: PRAGMA user_version, tsdb.py:34-37; checked at open tsdb.py:217-228).
 SCHEMA_VERSION = 2
+
+#: Default hash-bucket count for the snapshot layout.  32 keeps local
+#: tests fast; a 100 TB deployment raises it (e.g. 4096) so each bucket
+#: directory stays in the low-GB range.
+N_BUCKETS_DEFAULT = 32
 
 
 class ArchiveOutOfDate(Exception):
@@ -51,6 +71,7 @@ class ParquetMergeStore:
         key: str = "idstr",
         text_col: str = "body",
         store_edits: bool = True,
+        n_buckets: int = N_BUCKETS_DEFAULT,
     ):
         self.spark = spark
         self.path = path
@@ -58,7 +79,18 @@ class ParquetMergeStore:
         self.key = key
         self.text_col = text_col
         self.store_edits = store_edits
+        # A store that already exists keeps its original bucket count —
+        # manifest entries are only valid under the hash modulus they
+        # were written with.
+        self.n_buckets = int(self._pointer().get("n_buckets", n_buckets))
         os.makedirs(path, exist_ok=True)
+
+    # -- bucket math ----------------------------------------------------------
+
+    def _bucket_expr(self) -> Column:
+        """Hash bucket of the merge key: pmod(xxhash64(key), n_buckets).
+        pmod (not %) so negative hashes land in [0, n_buckets)."""
+        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int")
 
     # -- version pointer ----------------------------------------------------
 
@@ -70,13 +102,21 @@ class ParquetMergeStore:
             with open(self._pointer_file()) as f:
                 return json.load(f)
         except FileNotFoundError:
-            return {"version": 0, "schema_version": SCHEMA_VERSION}
+            return {
+                "version": 0,
+                "schema_version": SCHEMA_VERSION,
+                "buckets": {},
+            }
 
     def version(self) -> int:
         return self._pointer()["version"]
 
     def schema_version(self) -> int:
         return self._pointer().get("schema_version", 1)
+
+    def bucket_manifest(self) -> dict[str, int]:
+        """bucket id (as str) → snapshot version currently holding it."""
+        return self._pointer().get("buckets", {})
 
     def check_schema_version(self) -> None:
         """Open-time gate (tsdb.py:217-228): refuse an older archive."""
@@ -87,16 +127,28 @@ class ParquetMergeStore:
                 f"engine expects v{SCHEMA_VERSION} — run upgrade_store()"
             )
 
-    def _snapshot_dir(self, version: int) -> str:
+    def _version_dir(self, version: int) -> str:
         return os.path.join(self.path, "snapshot", f"v={version}")
 
-    def _commit(self, version: int, schema_version: int = SCHEMA_VERSION) -> None:
+    def _bucket_dir(self, version: int, bucket: int) -> str:
+        return os.path.join(self._version_dir(version), f"__bucket={bucket}")
+
+    def _commit(
+        self,
+        version: int,
+        schema_version: int = SCHEMA_VERSION,
+        buckets: dict[str, int] | None = None,
+    ) -> None:
+        if buckets is None:
+            buckets = self.bucket_manifest()
         tmp = self._pointer_file() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
                 {
                     "version": version,
                     "schema_version": schema_version,
+                    "n_buckets": self.n_buckets,
+                    "buckets": buckets,
                     "committed_at": time.time(),
                 },
                 f,
@@ -105,11 +157,26 @@ class ParquetMergeStore:
 
     # -- reads ----------------------------------------------------------------
 
-    def snapshot(self) -> DataFrame:
-        v = self.version()
-        if v == 0:
-            return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.parquet(self._snapshot_dir(v))
+    def _live_paths(self, buckets: list[int] | None = None) -> list[str]:
+        """Directories holding the current data for the given buckets
+        (all buckets when None), resolved through the manifest."""
+        manifest = self.bucket_manifest()
+        if buckets is None:
+            items = manifest.items()
+        else:
+            items = [(str(b), manifest[str(b)]) for b in buckets if str(b) in manifest]
+        return [self._bucket_dir(ver, int(b)) for b, ver in items]
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], self.schema)
+
+    def snapshot(self, buckets: list[int] | None = None) -> DataFrame:
+        """Current table state; pass ``buckets`` to read a pruned subset
+        (the merge path does — that's the partition-pruning win)."""
+        paths = self._live_paths(buckets)
+        if not paths:
+            return self._empty()
+        return self.spark.read.parquet(*paths)
 
     def edits(self) -> DataFrame:
         d = os.path.join(self.path, "edits")
@@ -123,11 +190,10 @@ class ParquetMergeStore:
     def resume_lower_bound(self) -> int:
         """I2: incremental resume point = max stored ``created`` − 1 (the
         1-second overlap of get_submissions.py:52-66); 0 on empty."""
-        v = self.version()
-        if v == 0:
-            return 0
         row = self.snapshot().agg(F.max("created").alias("m")).first()
-        return (row["m"] - 1) if row["m"] is not None else 0
+        if row is None or row["m"] is None:
+            return 0
+        return row["m"] - 1
 
     # -- merge ----------------------------------------------------------------
 
@@ -136,12 +202,31 @@ class ParquetMergeStore:
         batch: DataFrame,
         observed_at: int | None = None,
         batch_order_col: str | None = None,
+        compute_stats: bool = True,
     ) -> UpsertResult:
-        """MERGE one batch: new snapshot version + appended edit rows."""
+        """MERGE one batch: upsert into the touched buckets only.
+
+        Reads just the bucket directories the batch's keys hash into,
+        writes just those buckets at version N+1, and repoints them in
+        the manifest — untouched buckets are never read or rewritten.
+        ``stats`` carries TSDB.insert-style counters (tsdb.py:335-339).
+        """
         if observed_at is None:
             observed_at = int(time.time())
+
+        touched = sorted(
+            r["__b"]
+            for r in batch.select(self._bucket_expr().alias("__b")).distinct().collect()
+        )
+        if not touched:  # empty batch: nothing to do
+            return UpsertResult(
+                snapshot=self.snapshot(), edits=self.edits().limit(0),
+                stats={"inserted": 0, "updated": 0, "batch_keys": 0},
+            )
+
+        old = self.snapshot(buckets=touched)
         res = upsert_snapshot(
-            self.snapshot(),
+            old,
             batch,
             key=self.key,
             text_col=self.text_col,
@@ -149,12 +234,72 @@ class ParquetMergeStore:
             store_edits=self.store_edits,
             batch_order_col=batch_order_col,
         )
+
         new_version = self.version() + 1
-        res.snapshot.write.mode("overwrite").parquet(self._snapshot_dir(new_version))
+        vdir = self._version_dir(new_version)
+        (
+            res.snapshot.withColumn("__bucket", self._bucket_expr())
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(vdir)
+        )
         if self.store_edits:
             res.edits.write.mode("append").parquet(os.path.join(self.path, "edits"))
-        self._commit(new_version)
+
+        if compute_stats:
+            # Parquet metadata counts over the touched buckets only.
+            before = old.count()
+            after = self.spark.read.parquet(vdir).count()
+            batch_keys = batch.select(self.key).distinct().count()
+            res.stats.update(
+                inserted=after - before,
+                updated=batch_keys - (after - before),
+                batch_keys=batch_keys,
+            )
+
+        manifest = dict(self.bucket_manifest())
+        for b in touched:
+            manifest[str(b)] = new_version
+        self._commit(new_version, buckets=manifest)
         return res
+
+    def overwrite_snapshot(
+        self, df: DataFrame, schema_version: int = SCHEMA_VERSION
+    ) -> int:
+        """Full-table rewrite (migrations, merge_db): every bucket lands
+        at the new version.  Returns the new version."""
+        new_version = self.version() + 1
+        vdir = self._version_dir(new_version)
+        (
+            df.withColumn("__bucket", self._bucket_expr())
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(vdir)
+        )
+        written = {
+            d.split("=", 1)[1]: new_version
+            for d in os.listdir(vdir)
+            if d.startswith("__bucket=")
+        }
+        self._commit(new_version, schema_version=schema_version, buckets=written)
+        return new_version
+
+    def vacuum(self) -> list[str]:
+        """Delete snapshot version directories no longer referenced by the
+        manifest.  Call only when no reader holds an older pointer."""
+        live = {ver for ver in self.bucket_manifest().values()}
+        root = os.path.join(self.path, "snapshot")
+        removed = []
+        if not os.path.isdir(root):
+            return removed
+        for d in os.listdir(root):
+            if not d.startswith("v="):
+                continue
+            ver = int(d.split("=", 1)[1])
+            if ver not in live:
+                shutil.rmtree(os.path.join(root, d))
+                removed.append(d)
+        return removed
 
     def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
         """``writeStream.foreachBatch`` adapter (I1→A11)."""
@@ -188,8 +333,6 @@ def upgrade_store(store: ParquetMergeStore) -> int:
         snap = store.snapshot()
         if migrate is not None:
             snap = migrate(store, snap)
-        new_version = store.version() + 1
-        snap.write.mode("overwrite").parquet(store._snapshot_dir(new_version))
-        store._commit(new_version, schema_version=step)
+        store.overwrite_snapshot(snap, schema_version=step)
         current = step
     return current

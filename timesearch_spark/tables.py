@@ -38,15 +38,21 @@ NANOS_PER_SEC = 1_000_000_000
 
 
 def event_ts_sec(col="ts"):
-    """events.ts (nanos-as-long) → epoch seconds (long, floor).
+    """events.ts (nanos-as-long) → epoch seconds (long, true floor).
 
     Exact integer math — nano epochs (~1.7e18) exceed double's 2^53
-    mantissa, so float division would corrupt the low digits.
+    mantissa, so float division would corrupt the low digits.  Decimal
+    division alone isn't enough either: its scale-6 result rounds HALF_UP
+    before the long cast, so a nano within 5e-7 s below a second boundary
+    would round UP, diverging from the oracle's FLOOR(EPOCH(ts)).  We
+    subtract the pmod remainder first so the division is exact.
     """
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
-    return (c.cast("decimal(38,0)") / NANOS_PER_SEC).cast("long")
+    cd = c.cast("decimal(38,0)")
+    whole = cd - F.pmod(cd, F.lit(NANOS_PER_SEC).cast("decimal(38,0)"))
+    return (whole / NANOS_PER_SEC).cast("long")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
