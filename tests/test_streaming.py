@@ -203,3 +203,67 @@ def test_schema_version_gate_and_upgrade(spark, tmp_path):
     assert st.upgrade_store(store) == st.SCHEMA_VERSION
     store.check_schema_version()  # now opens clean
     assert store.snapshot().count() == 1
+
+
+def test_legacy_flat_layout_migration(spark, tmp_path):
+    """A GENUINE pre-bucket store: flat parquet under snapshot/v=1 and a
+    LATEST pointer with no 'buckets' key.  It must (a) trip the open
+    gate, (b) still be readable, (c) refuse merge and vacuum, and
+    (d) migrate losslessly to the bucketed layout."""
+    import os
+
+    from timesearch_spark.streaming import store as st
+
+    path = tmp_path / "legacy"
+    flat = spark.createDataFrame(
+        [_comment("t1_a", "old a"), _comment("t1_b", "old b")], COMMENT_COLS
+    )
+    flat.write.parquet(str(path / "snapshot" / "v=1"))  # no __bucket= dirs
+    (path / "LATEST").write_text(json.dumps({"version": 1, "schema_version": 2}))
+
+    store = ParquetMergeStore(
+        spark, str(path), schema=COMMENTS, key="idstr", text_col="body"
+    )
+    try:
+        store.check_schema_version()
+        raise AssertionError("gate did not trip on a v2 flat archive")
+    except st.ArchiveOutOfDate:
+        pass
+    # readable through the flat fallback — NOT silently empty
+    assert store.snapshot().count() == 2
+    # destructive ops refuse until migrated
+    b = spark.createDataFrame([_comment("t1_c", "new")], COMMENT_COLS)
+    for op in (lambda: store.merge(b), store.vacuum):
+        try:
+            op()
+            raise AssertionError("legacy store accepted a destructive op")
+        except st.ArchiveOutOfDate:
+            pass
+
+    assert st.upgrade_store(store) == st.SCHEMA_VERSION
+    store.check_schema_version()
+    assert store.bucket_manifest()  # bucketed now
+    assert store.snapshot().count() == 2
+    assert {r["body"] for r in store.snapshot().collect()} == {"old a", "old b"}
+    # the old flat dir is unreferenced and vacuum may now reclaim it
+    assert store.vacuum() == ["v=1"]
+    assert store.snapshot().count() == 2
+    store.merge(b, observed_at=5)
+    assert store.snapshot().count() == 3
+
+
+def test_foreach_batch_skips_stat_counts(spark, tmp_path, monkeypatch):
+    """The streaming hot path must not run the per-merge count jobs."""
+    store = _store(spark, tmp_path, "hot")
+    seen = {}
+    real_merge = store.merge
+
+    def spy(batch, **kw):
+        seen.update(kw)
+        return real_merge(batch, **kw)
+
+    monkeypatch.setattr(store, "merge", spy)
+    b = spark.createDataFrame([_comment("t1_a", "x")], COMMENT_COLS)
+    store.foreach_batch(b, batch_id=0)
+    assert seen.get("compute_stats") is False
+    assert store.snapshot().count() == 1

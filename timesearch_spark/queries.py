@@ -1369,3 +1369,17 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based (30 min) sessionization per user: lag + running sum, one
     shuffle on user_id."""
     return win.sessionize(load(spark, sf_dir, "events"), gap_sec=1800)
+
+
+# =========================================================================
+# Registry ordering: the driver emits CORRECTNESS rows for the FIRST 50
+# registered queries only.  Re-order so every oracle-checked query comes
+# before the rows-only (no-oracle) set — otherwise late-registered oracled
+# queries (fingerprint, the event-window family) silently fall off the
+# driver's 50-row window, as happened in rounds 1-2.
+# =========================================================================
+
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k in ORACLE},
+    **{k: v for k, v in QUERIES.items() if k not in ORACLE},
+}

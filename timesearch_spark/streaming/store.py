@@ -47,9 +47,13 @@ from pyspark.sql import functions as F
 
 from timesearch_spark.operators.upsert import UpsertResult, upsert_snapshot
 
-#: Archive format version (parity with DATABASE_VERSION = 2 stored in
+#: Archive format version (parity with DATABASE_VERSION stored in
 #: PRAGMA user_version, tsdb.py:34-37; checked at open tsdb.py:217-228).
-SCHEMA_VERSION = 2
+#: v1: initial columns; v2: + submissions.augmented_at/augmented_count
+#: (tsdb.py:68-69); v3: on-disk layout change — flat ``snapshot/v=N``
+#: replaced by the per-bucket manifest.  v3 exists so that a pre-bucket
+#: store trips the open gate instead of silently reading empty.
+SCHEMA_VERSION = 3
 
 #: Default hash-bucket count for the snapshot layout.  32 keeps local
 #: tests fast; a 100 TB deployment raises it (e.g. 4096) so each bucket
@@ -118,6 +122,15 @@ class ParquetMergeStore:
         """bucket id (as str) → snapshot version currently holding it."""
         return self._pointer().get("buckets", {})
 
+    def _is_legacy_flat(self) -> bool:
+        """A pointer written before the bucket-manifest layout (schema
+        v2-): has data (version > 0) but no ``buckets`` key.  Such a
+        store is readable (``_live_paths`` falls back to the flat
+        ``v=N`` dir) but refuses merge/vacuum until ``upgrade_store``
+        rewrites it bucketed."""
+        ptr = self._pointer()
+        return ptr.get("version", 0) > 0 and "buckets" not in ptr
+
     def check_schema_version(self) -> None:
         """Open-time gate (tsdb.py:217-228): refuse an older archive."""
         found = self.schema_version()
@@ -160,6 +173,12 @@ class ParquetMergeStore:
     def _live_paths(self, buckets: list[int] | None = None) -> list[str]:
         """Directories holding the current data for the given buckets
         (all buckets when None), resolved through the manifest."""
+        if self._is_legacy_flat():
+            # Pre-bucket layout: the whole snapshot lives flat under
+            # v=N.  No pruning possible — return it whole so reads (and
+            # upgrade_store) see the data instead of an empty manifest.
+            flat = self._version_dir(self.version())
+            return [flat] if os.path.isdir(flat) else []
         manifest = self.bucket_manifest()
         if buckets is None:
             items = manifest.items()
@@ -213,6 +232,11 @@ class ParquetMergeStore:
         """
         if observed_at is None:
             observed_at = int(time.time())
+        if self._is_legacy_flat():
+            raise ArchiveOutOfDate(
+                f"archive at {self.path} uses the pre-bucket flat layout; "
+                "run upgrade_store() before merging"
+            )
 
         touched = sorted(
             r["__b"]
@@ -246,6 +270,25 @@ class ParquetMergeStore:
         if self.store_edits:
             res.edits.write.mode("append").parquet(os.path.join(self.path, "edits"))
 
+        # Repoint the buckets that were ACTUALLY written, not the set
+        # pre-collected from a separate evaluation of ``batch`` — a
+        # nondeterministic source (task retry, sampling) could produce
+        # different rows on the write pass.  A bucket written outside
+        # ``touched`` never had its old rows merged in, so repointing it
+        # would lose data: fail loudly instead.
+        written = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(vdir)
+            if d.startswith("__bucket=")
+        )
+        extra = set(written) - set(touched)
+        if extra:
+            raise RuntimeError(
+                f"batch produced rows in buckets {sorted(extra)} not seen "
+                "when planning the merge — the source is nondeterministic "
+                "across evaluations; persist/checkpoint the batch upstream"
+            )
+
         if compute_stats:
             # Parquet metadata counts over the touched buckets only.
             before = old.count()
@@ -258,7 +301,7 @@ class ParquetMergeStore:
             )
 
         manifest = dict(self.bucket_manifest())
-        for b in touched:
+        for b in written:
             manifest[str(b)] = new_version
         self._commit(new_version, buckets=manifest)
         return res
@@ -287,6 +330,11 @@ class ParquetMergeStore:
     def vacuum(self) -> list[str]:
         """Delete snapshot version directories no longer referenced by the
         manifest.  Call only when no reader holds an older pointer."""
+        if self._is_legacy_flat():
+            raise ArchiveOutOfDate(
+                f"archive at {self.path} has no bucket manifest — vacuuming "
+                "would delete the live flat snapshot; run upgrade_store() first"
+            )
         live = {ver for ver in self.bucket_manifest().values()}
         root = os.path.join(self.path, "snapshot")
         removed = []
@@ -302,8 +350,11 @@ class ParquetMergeStore:
         return removed
 
     def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
-        """``writeStream.foreachBatch`` adapter (I1→A11)."""
-        self.merge(batch)
+        """``writeStream.foreachBatch`` adapter (I1→A11).  Skips the
+        per-merge count jobs — at a 30 s trigger cadence the counters are
+        wasted work in the hot path; call ``merge`` directly when stats
+        are wanted."""
+        self.merge(batch, compute_stats=False)
 
 
 #: Stepwise migrations (database_upgrader.py:24-49 analog): version → fn.
@@ -313,6 +364,10 @@ MIGRATIONS: dict[int, callable] = {
     # 1 → 2: the reference's v2 added submissions.augmented_at /
     # augmented_count (tsdb.py:68-69); parquet snapshots add them as nulls.
     2: lambda store, df: _add_missing_columns(df, store.schema),
+    # 2 → 3: flat snapshot/v=N → per-bucket manifest.  No row transform:
+    # the overwrite_snapshot rewrite itself re-buckets, and _live_paths'
+    # legacy fallback lets snapshot() read the flat layout going in.
+    3: lambda store, df: df,
 }
 
 
