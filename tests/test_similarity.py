@@ -43,13 +43,34 @@ def test_blas_finds_planted_pairs(spark):
     assert planted <= got
 
 
-def test_blas_guard_rejects_oversized(spark):
-    emb = _emb(spark)
+def test_blas_guard_spills_to_lsh(spark):
+    """Past max_broadcast_rows the BLAS path must (a) never collect the
+    full frame on the driver and (b) return LSH results instead of
+    raising.  The bounded probe is limit(max+1) — assert it by spying on
+    DataFrame.collect sizes."""
+    emb = _emb(spark, dim=64)  # 66 rows > max_broadcast_rows=10
+    cls = type(emb)  # the concrete (classic) DataFrame class
+    n_total = emb.count()
+    collected_sizes = []
+    real_collect = cls.collect
+
+    def spy(self):
+        out = real_collect(self)
+        collected_sizes.append(len(out))
+        return out
+
+    cls.collect = spy
     try:
-        sim.embedding_near_dups_blas(emb, max_broadcast_rows=10)
-        raise AssertionError("guard did not trip")
-    except ValueError as e:
-        assert "embedding_near_dups_lsh" in str(e)
+        df = sim.embedding_near_dups_blas(emb, threshold=0.999, max_broadcast_rows=10)
+        got = {(r["a"], r["b"]) for r in real_collect(df)}
+    finally:
+        cls.collect = real_collect
+
+    # the probe stayed bounded: no driver-side collect saw the full frame
+    assert collected_sizes and max(collected_sizes) <= 11 < n_total
+    # and we got the LSH result, not an exception: planted pairs surface
+    planted = {(i, i + 1000) for i in range(10, 61, 10)}
+    assert planted <= got
 
 
 def test_topk_ivf_recall_vs_brute(spark):

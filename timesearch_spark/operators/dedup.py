@@ -428,7 +428,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.1,
     n: int = 1,
-    method: str = "count",
+    method: str = "prefix",
 ) -> DataFrame:
     """Exact token-n-gram Jaccard for every pair inside a block (e.g. same
     source/lang).  Blocks bound the pair count; the LSH variants replace
@@ -444,19 +444,17 @@ def ngram_jaccard_pairs(
 
     Two exact methods, same results:
 
-    - ``method="count"`` (default): every stage codegen'd; intersection
-      sizes come out of one hash aggregate over the co-occurrence rows,
-      grouped on the narrowest possible key (block, a, b) with doc sizes
-      joined back afterwards (the sizes table is tiny next to the
-      co-occurrence stream).  Best when pairs above threshold are a
-      sizable share of co-occurring pairs (templated/near-dup-heavy
-      corpora — the driver's synthetic documents are this shape).
-    - ``method="prefix"``: PPJoin-style prefix filtering — candidates
-      must share a gram inside both docs' rarest-gram prefixes.  Best in
-      the common real-world regime where stop-grams make co-occurrence
-      quadratic but true near-dups are rare; at 100 TB this is the
-      difference between a shuffle quadratic in stop-word df and one
-      proportional to output size."""
+    - ``method="prefix"`` (default): PPJoin-style prefix filtering —
+      candidates must share a gram inside both docs' rarest-gram
+      prefixes (epsilon-guarded so threshold-boundary pairs survive the
+      float ceil).  This is the 100 TB default: on natural text,
+      stop-grams make raw co-occurrence quadratic in document frequency,
+      while the prefix join stays proportional to output size.
+    - ``method="count"``: one hash aggregate over ALL co-occurrence
+      rows, grouped on (block, a, b), doc sizes joined back afterwards.
+      Slightly cheaper only when pairs above threshold are a sizable
+      share of co-occurring pairs (templated/near-dup-heavy corpora);
+      quadratic in stop-gram df otherwise — opt in knowingly."""
     if method == "prefix":
         return _ngram_jaccard_prefix_filtered(
             df, block_col, text_col, id_col, threshold, n

@@ -298,19 +298,31 @@ def embedding_near_dups_blas(
     an interpreted fold.  O(n²) work but embarrassingly parallel and
     ~100× the per-pair throughput of expression evaluation.
 
-    The broadcast side must fit in executor memory (guarded); beyond
-    ``max_broadcast_rows`` use ``embedding_near_dups_lsh`` — the sparse
-    scale path.  Results match the exact baseline up to float64 matmul
-    associativity (~1e-15).
+    The broadcast side must fit in executor memory.  The guard collects
+    at most ``max_broadcast_rows + 1`` rows (one evaluation, bounded —
+    the driver can never OOM on the check itself); past the limit it
+    DELEGATES to ``embedding_near_dups_lsh`` — the sparse scale path —
+    instead of raising, so a pipeline written against this function
+    degrades to approximate-recall/exact-precision rather than dying.
+    Under the limit, results match the exact baseline up to float64
+    matmul associativity (~1e-15).
     """
     import numpy as np
 
     spark = emb.sparkSession
-    rows = emb.select(_col_pair(id_col), _col_pair(vec_col)).collect()
+    narrow = emb.select(_col_pair(id_col), _col_pair(vec_col))
+    # limit(max+1): a bounded collect that doubles as the size probe —
+    # never materializes more than max_broadcast_rows+1 rows on the
+    # driver, unlike a collect-then-len check (which OOMs before the
+    # guard can fire) or a separate count() job.
+    rows = narrow.limit(max_broadcast_rows + 1).collect()
     if len(rows) > max_broadcast_rows:
-        raise ValueError(
-            f"{len(rows)} rows exceed max_broadcast_rows={max_broadcast_rows}; "
-            "use embedding_near_dups_lsh for corpora this large"
+        return embedding_near_dups_lsh(
+            emb,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=len(rows[0][1]),
         )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)

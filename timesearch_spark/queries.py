@@ -866,9 +866,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard for every pair within a source block,
     threshold 0.5 (dedup ladder rung 3: blocked exact similarity).
-    Threshold pushed into the operator so the size filter prunes inside
-    the candidate join (exact; rounding cannot cross the 0.5 boundary
-    because token-set unions are small, so |J − 0.5| is either 0 or
+    Runs the PPJoin prefix-filtered method — the 100 TB-safe default —
+    against the same brute-force DuckDB oracle.  Threshold pushed into
+    the operator so the prefix + size filters prune inside the candidate
+    join (exact; rounding cannot cross the 0.5 boundary because
+    token-set unions are small, so |J − 0.5| is either 0 or
     ≥ 1/(2·|A∪B|) ≫ 5e-7)."""
     d = load(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(
