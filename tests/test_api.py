@@ -127,6 +127,64 @@ def test_offline_reading_writes_thread_files(spark, tmp_path):
     assert doc.count('<div class="comment"') == 3
 
 
+def test_get_comments_augmented_aware_resume(spark, tmp_path):
+    """The reference's specific-then-general scenario (get_comments.py:40-58):
+
+    1. a specific-submission scan pulls a NEW thread's comments (ts ~500)
+       and stamps submissions.augmented_at;
+    2. a later general 'update' scan must NOT resume from 500 — the
+       newest comment outside augmented threads is much older (ts 210),
+       and general history between 210 and 500 would otherwise be lost.
+    """
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    # seed: two submissions and two old general comments (ts 210, 211)
+    p = tmp_path / "seed.jsonl"
+    p.write_text(
+        "\n".join(
+            json.dumps(o)
+            for o in [_sub(0), _sub(9), _com(10), _com(11)]
+        )
+    )
+    api.ingest_jsonfile(ar, str(p))
+    assert ar.comments.resume_lower_bound() == 210
+
+    # 1. specific scan of thread t3_s9: new comments at ts 500/501
+    thread = [
+        _com(90, created_utc=500, parent_id="t3_s9", link_id="t3_s9"),
+        _com(91, created_utc=501, parent_id="t3_s9", link_id="t3_s9"),
+    ]
+    api.get_comments(ar, _fetcher(thread), specific_submission="t3_s9",
+                     observed_at=1000)
+    row = ar.submissions.snapshot().filter("idstr = 't3_s9'").first()
+    assert row["augmented_at"] == 1000
+    assert row["title"] == "post 9"  # other columns untouched by the stamp
+    assert ar.comments.snapshot().count() == 4
+
+    # 2. naive bound would now be 500; augmented-aware bound stays at 210
+    assert ar.comments.resume_lower_bound() == 500
+    assert ar.comments.resume_lower_bound(
+        augmented_submissions=ar.submissions.snapshot()
+    ) == 210
+
+    # a general update scan therefore re-reads from 210 and catches a
+    # comment at ts 300 that a naive resume would have skipped
+    gap = [_com(12, created_utc=300)]
+    api.get_comments(ar, _fetcher(gap + thread), lower="update")
+    bodies = {r["idstr"] for r in ar.comments.snapshot().collect()}
+    assert "t1_c12" in bodies and len(bodies) == 5
+
+    # 3. once ALL comments belong to augmented threads, fall back to the
+    # plain latest (get_comments.py:55-58)
+    ar2 = api.Archive(spark, str(tmp_path / "ar2"))
+    p2 = tmp_path / "seed2.jsonl"
+    p2.write_text(json.dumps(_sub(9)))
+    api.ingest_jsonfile(ar2, str(p2))
+    api.get_comments(ar2, _fetcher(thread), specific_submission="t3_s9")
+    assert ar2.comments.resume_lower_bound(
+        augmented_submissions=ar2.submissions.snapshot()
+    ) == 500
+
+
 def test_merge_db_insert_only(spark, tmp_path):
     a = api.Archive(spark, str(tmp_path / "a"))
     b = api.Archive(spark, str(tmp_path / "b"))

@@ -66,9 +66,9 @@ class Archive:
 # --- historical ingest (timesearch.py get_submissions/get_comments) ----------
 
 def _ingest_paginated(archive, fetch_page, canonicalize, store, lower,
-                      page_size, limiter, lookup):
+                      page_size, limiter, lookup, augmented_from=None):
     if lower == "update":  # get_submissions.py:52-59
-        lower = store.resume_lower_bound()
+        lower = store.resume_lower_bound(augmented_submissions=augmented_from)
     pages = paginate(fetch_page, lower=lower or 0, page_size=page_size,
                      limiter=limiter)
     raw_schema = schemas.RAW_NDJSON
@@ -107,10 +107,58 @@ def get_submissions(archive: Archive, fetch_page, lower="update",
 
 def get_comments(archive: Archive, fetch_page, lower="update",
                  page_size: int = 1000, limiter: RateLimiter | None = None,
-                 lookup=None) -> int:
-    return _ingest_paginated(
+                 lookup=None, specific_submission: str | None = None,
+                 observed_at: int | None = None) -> int:
+    """Comment backfill (get_comments.py:7-102).
+
+    ``lower="update"`` resumes augmented-at-aware: the bound comes from
+    the newest comment NOT belonging to an augmented submission
+    (get_comments.py:40-58) — a prior specific-submission scan must not
+    trick the resume point into skipping older general history.
+
+    ``specific_submission``: scan one thread regardless of age, then
+    stamp ``submissions.augmented_at`` (get_comments.py:92-100) so later
+    general scans know this thread's comments don't bound the resume.
+    """
+    n = _ingest_paginated(
         archive, fetch_page, _ndjson.comments_from_raw,
-        archive.comments, lower, page_size, limiter, lookup,
+        archive.comments,
+        0 if specific_submission is not None else lower,
+        page_size, limiter, lookup,
+        augmented_from=archive.submissions.snapshot(),
+    )
+    if specific_submission is not None:
+        mark_augmented(archive, specific_submission, observed_at=observed_at)
+    return n
+
+
+def mark_augmented(archive: Archive, submission_idstr: str,
+                   observed_at: int | None = None) -> None:
+    """Stamp ``augmented_at = now`` on one submission (the UPDATE at
+    get_comments.py:92-100): a one-row merge with ``augmented_at`` as the
+    only mutable column, so every other column keeps its stored value."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    if observed_at is None:
+        observed_at = int(_t.time())
+    row = archive.spark.createDataFrame(
+        [(submission_idstr,)], "idstr string"
+    ).select(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            if f.name not in ("idstr", "augmented_at")
+            else (
+                F.col("idstr") if f.name == "idstr"
+                else F.lit(observed_at).cast("long").alias("augmented_at")
+            )
+            for f in schemas.SUBMISSIONS.fields
+        ]
+    )
+    archive.submissions.merge(
+        row, observed_at=observed_at, compute_stats=False,
+        mutable=["augmented_at"],
     )
 
 

@@ -206,10 +206,37 @@ class ParquetMergeStore:
                 [], f"{self.key} string, previous_{self.text_col} string, replaced_at long"
             )
 
-    def resume_lower_bound(self) -> int:
+    def resume_lower_bound(
+        self, augmented_submissions: DataFrame | None = None
+    ) -> int:
         """I2: incremental resume point = max stored ``created`` − 1 (the
-        1-second overlap of get_submissions.py:52-66); 0 on empty."""
-        row = self.snapshot().agg(F.max("created").alias("m")).first()
+        1-second overlap of get_submissions.py:52-66); 0 on empty.
+
+        ``augmented_submissions`` is the augmented-at-aware variant
+        (get_comments.py:40-58): a specific-submission scan pulls a whole
+        thread regardless of age, so blindly resuming from max(created)
+        would skip everything older than that thread.  Given the
+        submissions rows with ``augmented_at IS NOT NULL``, the bound is
+        taken over comments NOT belonging to them (C2 anti-join on the
+        ``submission`` fk); only if every comment is augmented-covered
+        does the plain latest apply.  The anti-join build side is the
+        augmented set — small (one row per deliberately-scanned thread),
+        so AQE turns it into a broadcast join."""
+        snap = self.snapshot()
+        if augmented_submissions is not None and "submission" in snap.columns:
+            aug = augmented_submissions.filter(
+                F.col("augmented_at").isNotNull()
+            ).select(F.col("idstr").alias("submission"))
+            row = (
+                snap.join(aug, on="submission", how="left_anti")
+                .agg(F.max("created").alias("m"))
+                .first()
+            )
+            if row is not None and row["m"] is not None:
+                return row["m"] - 1
+            # every stored comment came from augmented threads → fall
+            # through to the general latest (get_comments.py:55-58)
+        row = snap.agg(F.max("created").alias("m")).first()
         if row is None or row["m"] is None:
             return 0
         return row["m"] - 1
@@ -222,6 +249,7 @@ class ParquetMergeStore:
         observed_at: int | None = None,
         batch_order_col: str | None = None,
         compute_stats: bool = True,
+        mutable: list[str] | None = None,
     ) -> UpsertResult:
         """MERGE one batch: upsert into the touched buckets only.
 
@@ -253,6 +281,7 @@ class ParquetMergeStore:
             old,
             batch,
             key=self.key,
+            mutable=mutable,
             text_col=self.text_col,
             observed_at=observed_at,
             store_edits=self.store_edits,
