@@ -46,12 +46,17 @@ except ImportError:
 
 
 def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic stand-in for a JPEG/PNG decode: seeded by the payload
-    digest so tests are reproducible and equal payloads decode equally.
-    Shape/dtype match a real ``np.asarray(Image.open(...))``: (h, w, 3) u8."""
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    """Deterministic stand-in for a JPEG/PNG decode: gray image tiling the
+    payload's sha256 digest — pixel (y, x) holds digest byte
+    ``(y*width + x) % 32`` on all three channels.  Equal payloads decode
+    equally, different payloads differ, and (unlike an RNG fill) the value
+    is closed-form, so downstream features are expressible in the DuckDB
+    oracle.  Shape/dtype match a real ``np.asarray(Image.open(...))``:
+    (h, w, 3) u8."""
+    tile = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
+    idx = (np.arange(height)[:, None] * width + np.arange(width)[None, :]) % 32
+    gray = tile[idx]
+    return np.repeat(gray[:, :, None], 3, axis=2)
 
 
 def decode_image_batch(payloads: pd.Series, widths: pd.Series, heights: pd.Series):
@@ -102,7 +107,11 @@ def filter_media(media: DataFrame, kinds=("image",), min_bytes: int = 1,
 
 # --- decode / feature stages (mapInPandas over Arrow batches) -----------------
 
-FEATURES_SCHEMA = "media_id long, kind string, feature array<float>, feat_dim int"
+#: feature is double, not float: grid means of integer pixel values are
+#: exact in float64 (sums stay < 2^53), which makes the %.4f-formatted
+#: oracle comparison exact; float32 storage would quantize ~1e-5 and
+#: randomly flip the 4th decimal.
+FEATURES_SCHEMA = "media_id long, kind string, feature array<double>, feat_dim int"
 
 
 def image_features(media: DataFrame, dim: int = 64) -> DataFrame:
@@ -122,7 +131,7 @@ def image_features(media: DataFrame, dim: int = 64) -> DataFrame:
                 if px is None:
                     feats.append(None)
                     continue
-                lum = px.astype(np.float32).mean(axis=2)
+                lum = px.astype(np.float64).mean(axis=2)
                 h, w = lum.shape
                 # average-pool onto a side×side grid
                 ys = np.linspace(0, h, side + 1).astype(int)

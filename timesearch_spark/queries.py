@@ -981,12 +981,81 @@ def tree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.thread_stats(forest)
 
 
-@q("tree_render")  # preorder position + HTML template — rows-only check
+@q(
+    "tree_render",
+    # Preorder positions in SQL: sibling rank by (score desc, idstr) is
+    # static (the tree shape doesn't depend on the walk), so each node's
+    # preorder path is the concatenation of fixed-width sibling ranks
+    # down from the root; ORDER BY path is exactly the DFS visit order
+    # (a parent's path is a strict prefix of its children's).  Phantom
+    # parents score 0 and render a literal 'null' body — Spark's
+    # format_string prints Java's "null" for a NULL argument.
+    """
+    WITH RECURSIVE c AS (
+      -- comments are PK-unique on idstr in the reference (tsdb.py DDL);
+      -- the synthetic lineitem has dup (orderkey, linenumber) rows, so
+      -- dedup with MAX(score) to a deterministic one-row-per-comment set
+      SELECT l_orderkey AS o,
+             't1_' || l_orderkey || '_' || l_linenumber AS idstr,
+             CASE WHEN l_linenumber = 1 THEN 't3_' || l_orderkey
+                  ELSE 't1_' || l_orderkey || '_' || (l_linenumber // 2) END
+               AS parent,
+             MAX(CAST(l_extendedprice AS BIGINT)) AS score
+      FROM lineitem WHERE l_linenumber <> 3
+      GROUP BY l_orderkey, l_linenumber
+    ),
+    realnodes AS (
+      SELECT o, idstr,
+             CASE WHEN parent LIKE 't3_%' THEN 't3_' || o ELSE parent END
+               AS parent,
+             score, FALSE AS phantom
+      FROM c
+    ),
+    ph AS (
+      SELECT DISTINCT o, parent AS idstr, 't3_' || o AS parent,
+             CAST(0 AS BIGINT) AS score, TRUE AS phantom
+      FROM c
+      WHERE parent NOT LIKE 't3_%' AND parent NOT IN (SELECT idstr FROM c)
+    ),
+    ranked AS (
+      SELECT o, idstr, parent, phantom,
+             ROW_NUMBER() OVER (PARTITION BY o, parent
+                                ORDER BY score DESC, idstr ASC) AS rnk
+      FROM (SELECT * FROM realnodes UNION ALL SELECT * FROM ph)
+    ),
+    walk AS (
+      SELECT o, idstr, phantom, 0 AS depth, printf('%06d', rnk) AS path
+      FROM ranked WHERE parent LIKE 't3_%'
+      UNION ALL
+      SELECT r.o, r.idstr, r.phantom, w.depth + 1,
+             w.path || printf('%06d', r.rnk)
+      FROM ranked r JOIN walk w ON r.o = w.o AND r.parent = w.idstr
+    )
+    SELECT CAST(o AS VARCHAR) AS submission, idstr,
+           CAST(depth AS INT) AS depth,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o ORDER BY path) - 1 AS INT)
+             AS position,
+           phantom,
+           printf('<div class="comment" id="%s" style="margin-left:%dem">%s</div>',
+                  idstr, depth,
+                  CASE WHEN phantom THEN 'null'
+                       ELSE 'body of ' || idstr END) AS html
+    FROM walk
+    """,
+)
 def tree_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+J2: full walk with preorder positions and the per-comment HTML
     div (score-desc render order, offline_reading.py:211,178-199)."""
-    comments = _tree_comments(spark, sf_dir).withColumn(
-        "body", F.concat(F.lit("body of "), F.col("idstr"))
+    # Comments are PK-unique on idstr in the reference (tsdb.py DDL);
+    # the synthetic lineitem has duplicate (orderkey, linenumber) rows
+    # with differing scores, so collapse them deterministically
+    # (max score) before the walk — otherwise render order is defined
+    # per-row while the walk's score lookup is per-id.
+    comments = (
+        _tree_comments(spark, sf_dir)
+        .groupBy("idstr", "parent", "submission", "created")
+        .agg(F.max("score").alias("score"))
+        .withColumn("body", F.concat(F.lit("body of "), F.col("idstr")))
     )
     forest = tr.comment_forest(comments)
     enriched = forest.join(
@@ -1138,34 +1207,100 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_stats(mm.media_from_documents(docs))
 
 
-@q("media_features")  # stubbed decode (sha256-seeded fake pixels) — not
-# SQL-expressible, so rows-only by design; the array<float> feature is
-# serialized to a string because the driver's canonicalizer can't hash
-# list cells (CORRECTNESS_r01 err).
+@q(
+    "media_features",
+    # The stub decode is closed-form (pixel (y,x) = digest byte
+    # (y*w+x)%32, gray), so the 8x8 average-pool is SQL-expressible:
+    # rebuild the pixel grid from the hex digest and aggregate the same
+    # cells.  Cell bounds replicate np.linspace(0,h,9).astype(int) =
+    # floor(i*h/8) (exact: h/8 is dyadic for h<=128).
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 'image' AS kind, sha256(text) AS dig,
+             CAST(doc_id % 64 + 8 AS INT) AS w, CAST(doc_id % 48 + 8 AS INT) AS h
+      FROM documents
+      WHERE doc_id % 3 = 1 AND octet_length(encode(text)) BETWEEN 1 AND 67108864
+    ),
+    px AS (
+      SELECT media_id, w, h, y.y AS y, x.x AS x,
+             CAST('0x' || substr(dig, 2 * ((y.y * w + x.x) % 32) + 1, 2) AS INT) AS v
+      FROM m
+      JOIN range(0, 128) y(y) ON y.y < h
+      JOIN range(0, 128) x(x) ON x.x < w
+    ),
+    cells AS (
+      SELECT px.media_id, i.i, j.j, AVG(v) AS cellmean
+      FROM px
+      JOIN range(0, 8) i(i)
+        ON y >= (i.i * h) // 8 AND y < ((i.i + 1) * h) // 8
+      JOIN range(0, 8) j(j)
+        ON x >= (j.j * w) // 8 AND x < ((j.j + 1) * w) // 8
+      GROUP BY 1, 2, 3
+    )
+    SELECT m.media_id, m.kind,
+           (SELECT string_agg(printf('%.4f', round(cellmean, 4)), ',' ORDER BY i, j)
+            FROM cells WHERE cells.media_id = m.media_id) AS feature_csv,
+           64 AS feat_dim
+    FROM m
+    """,
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + 8x8 luminance-grid features over image payloads via
     mapInPandas (Arrow binary batches); decoder is a deterministic stub
-    (no image libs in this container), plumbing is real."""
+    (no image libs in this container), plumbing is real.  The feature
+    array is serialized %.4f-CSV for the canonicalizer (float64 grid
+    means of integer pixels are exact, so both engines format the same
+    double; format_string, not format_number — grouping separators
+    would corrupt the CSV for values >= 1000)."""
     docs = load(spark, sf_dir, "documents")
     media = mm.filter_media(mm.media_from_documents(docs), kinds=("image",))
     feats = mm.image_features(media)
     return feats.select(
         "media_id",
         "kind",
+        # round(x,4) BEFORE %.4f on both sides: grid means can be exact
+        # dyadic .xxxx5 values (e.g. sum/32 = 136.03125) where Java's
+        # HALF_UP and C's half-even disagree; round() is half-away-from-
+        # zero in both engines, and its output is never a boundary case.
         F.array_join(
-            F.transform("feature", lambda x: F.format_number(x, 4)), ","
+            F.transform("feature", lambda x: F.format_string("%.4f", F.round(x, 4))),
+            ",",
         ).alias("feature_csv"),
         "feat_dim",
     )
 
 
-@q("media_frames")  # stubbed decode — rows-only check
+@q(
+    "media_frames",
+    # The stub frame payload is digest || LE-uint32(index), so the whole
+    # fan-out is closed-form: n = min(8, dur//1000 + 1) frames per video,
+    # ts = i*1000, frame hex = sha256 hex || %02x000000 (i < 8 keeps the
+    # little-endian suffix one nonzero byte).
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, sha256(text) AS dig,
+             CAST(doc_id % 10000 AS BIGINT) AS dur
+      FROM documents
+      WHERE doc_id % 3 = 0 AND octet_length(encode(text)) BETWEEN 1 AND 67108864
+    )
+    SELECT media_id, CAST(t.i AS INT) AS frame_index,
+           CAST(t.i * 1000 AS BIGINT) AS ts_ms,
+           dig || printf('%02x000000', t.i) AS frame_hex
+    FROM m JOIN range(0, 8) t(i)
+      ON t.i < LEAST(8, GREATEST(1, dur // 1000 + 1))
+    """,
+)
 def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: 1 row → N frame rows inside mapInPandas (the
-    UDTF fan-out shape a frame-level training pipeline needs)."""
+    UDTF fan-out shape a frame-level training pipeline needs).  The frame
+    binary is hex-serialized for the value-hash compare."""
     docs = load(spark, sf_dir, "documents")
     media = mm.filter_media(mm.media_from_documents(docs), kinds=("video",))
-    return mm.sample_video_frames(media, every_ms=1000, max_frames=8)
+    frames = mm.sample_video_frames(media, every_ms=1000, max_frames=8)
+    return frames.select(
+        "media_id", "frame_index", "ts_ms",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
 
 
 @q(
