@@ -63,15 +63,21 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    load_before = os.getloadavg()
     run("count_rows")  # warmup: JVM + codegen + parquet footer cache
 
-    # best-of-2 per query: the second run reuses the codegen cache, so the
+    # best-of-3 per query: later runs reuse the codegen cache, so the
     # number reflects the steady-state distributed plan (what scales to the
-    # cluster) instead of one-off driver-side JIT/GC jitter.
+    # cluster) instead of one-off driver-side JIT/GC jitter.  All raw runs
+    # plus the host load averages are recorded so a reader can tell a code
+    # regression from a loaded sandbox (r1→r2 showed a uniform ~1.8×
+    # environmental swing that best-of-2 didn't absorb).
     times: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name in qs:
-            times[name] = round(min(run(name), run(name)), 3)
+            raw[name] = [round(run(name), 3) for _ in range(3)]
+            times[name] = min(raw[name])
 
     print(
         json.dumps(
@@ -81,6 +87,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "runs": raw,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -267,3 +267,42 @@ def test_foreach_batch_skips_stat_counts(spark, tmp_path, monkeypatch):
     store.foreach_batch(b, batch_id=0)
     assert seen.get("compute_stats") is False
     assert store.snapshot().count() == 1
+
+
+def test_union_of_n_sources_single_query(spark, tmp_path):
+    """G4 (livestream.py:45-59 cycle_generators): N per-entity sources
+    drained by ONE streaming query through one foreachBatch MERGE."""
+    from timesearch_spark.streaming.livestream import union_sources
+
+    entities = {"aaa": "t3_e1", "bbb": "t3_e2", "ccc": "t3_e3"}
+    streams = []
+    for sub, idstr in entities.items():
+        drop = tmp_path / f"drop_{sub}"
+        drop.mkdir()
+        (drop / "b1.jsonl").write_text(
+            json.dumps(
+                {
+                    "id": idstr[3:], "name": idstr, "created_utc": 100,
+                    "author": "alice", "subreddit": sub, "title": f"post {sub}",
+                    "selftext": "v1", "score": 1, "is_self": True,
+                    "over_18": False,
+                }
+            )
+        )
+        streams.append(read_ndjson_stream(spark, str(drop)))
+
+    from timesearch_spark.schemas import SUBMISSIONS
+
+    store = ParquetMergeStore(
+        spark, str(tmp_path / "subs"), schema=SUBMISSIONS, key="idstr",
+        text_col="selftext",
+    )
+    q = livestream(
+        union_sources(streams), store, None,
+        checkpoint_dir=str(tmp_path / "ckpt"), once=True,
+    )
+    q.awaitTermination(120)
+
+    snap = store.snapshot().collect()
+    assert {r["idstr"] for r in snap} == set(entities.values())
+    assert {r["subreddit"] for r in snap} == set(entities.keys())

@@ -235,39 +235,57 @@ def _ngram_jaccard_prefix_filtered(
     n: int,
 ) -> DataFrame:
     """Exact blocked Jaccard ≥ threshold via prefix filtering (see
-    ``ngram_jaccard_pairs``).  Shuffle ledger: df-count (gram), rank
-    (id), candidate join (block, gram), pair dedup (a, b), two verify
-    joins (a), (b) — every key is fixed-width, never a gram array."""
-    from pyspark.sql import Window
+    ``ngram_jaccard_pairs``).  Shuffle ledger: df-count (block, gram),
+    rank (id), candidate join (block, gram), pair dedup (a, b),
+    counting verify (a) then (b, gram) — every key is fixed-width; gram
+    ARRAYS are never shuffled (verification counts postings rows, so a
+    KB-sized document's token set never rides along per candidate
+    pair)."""
+    post, _ = _jaccard_postings(df, block_col, text_col, id_col, n)
+    pref = _jaccard_prefix_postings(post, id_col, threshold)
+    return _jaccard_from_prefix(post, pref, id_col, threshold)
 
+
+def _jaccard_postings(df, block_col, text_col, id_col, n):
+    """(block, id, sz, gh) inverted-index postings with distinct grams
+    hashed to longs; also returns the per-doc distinct-gram base."""
     g = tokens(text_col) if n == 1 else shingles(text_col, n)
     base = df.select(
         _c(block_col).alias("block"),
         _c(id_col).alias(id_col),
         F.array_distinct(g).alias("__g"),
     ).withColumn("sz", F.size("__g"))
-
     post = base.select(
         "block", id_col, "sz", F.explode("__g").alias("__gram")
     ).select("block", id_col, "sz", F.xxhash64("__gram").alias("gh"))
-    dfreq = post.groupBy("gh").agg(F.count("*").alias("gdf"))
+    return post, base
 
-    # rank each doc's grams by (global df asc, gh) and keep the prefix.
-    # ceil runs on (t*sz - eps): double multiplication can land a hair
-    # ABOVE the exact rational (e.g. 0.7*sz), inflating the ceil and
-    # silently dropping pairs whose Jaccard is exactly at the threshold —
-    # the epsilon keeps the filter a superset of the exact one.
+
+def _jaccard_prefix_postings(post, id_col, threshold):
+    """Keep each doc's (1−t)·sz+1 rarest grams (rarity = df within the
+    block — any total order shared by both docs of a within-block pair
+    is valid, and block-local df is the one that predicts join fan-out).
+
+    ceil runs on (t*sz − eps): double multiplication can land a hair
+    ABOVE the exact rational (e.g. 0.7*sz), inflating the ceil and
+    silently dropping pairs whose Jaccard is exactly at the threshold —
+    the epsilon keeps the filter a superset of the exact one."""
+    from pyspark.sql import Window
+
+    dfreq = post.groupBy("block", "gh").agg(F.count("*").alias("gdf"))
     prefix_len = (
         F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
     )
-    ranked = post.join(dfreq, on="gh").withColumn(
+    ranked = post.join(dfreq, on=["block", "gh"]).withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy(id_col).orderBy("gdf", "gh")
         ),
     )
-    pref = ranked.filter(F.col("rn") <= prefix_len)
+    return ranked.filter(F.col("rn") <= prefix_len)
 
+
+def _jaccard_from_prefix(post, pref, id_col, threshold):
     a = pref.select("block", "gh", F.col(id_col).alias("a"), F.col("sz").alias("na"))
     b = pref.select("block", "gh", F.col(id_col).alias("b"), F.col("sz").alias("nb"))
     cand = (
@@ -283,17 +301,30 @@ def _ngram_jaccard_prefix_filtered(
                 - F.lit(1e-9)
             )
         )
-        .select("block", "a", "b")
+        .select("block", "a", "b", "na", "nb")
         .dropDuplicates(["a", "b"])
     )
 
-    sh = base.select(F.col(id_col), F.col("__g"))
-    pairs = (
-        cand.join(sh.select(F.col(id_col).alias("a"), F.col("__g").alias("ga")), on="a")
-        .join(sh.select(F.col(id_col).alias("b"), F.col("__g").alias("gb")), on="b")
+    # Counting verify: expand each candidate pair by a's postings, hash-join
+    # against b's postings on (b, gh) — surviving rows ARE the intersection,
+    # so |A∩B| is a count, computed entirely in whole-stage codegen.  Every
+    # candidate shares ≥1 prefix gram, so inter ≥ 1 and no pair is lost.
+    pa = post.select(F.col(id_col).alias("a"), "gh")
+    pb = post.select(F.col(id_col).alias("b"), "gh")
+    inter = (
+        cand.join(pa, on="a")
+        .join(pb, on=["b", "gh"])
+        .groupBy("block", "a", "b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
     )
     return (
-        pairs.select("block", "a", "b", jaccard("ga", "gb").alias("jaccard"))
+        inter.select(
+            "block", "a", "b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -428,7 +459,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.1,
     n: int = 1,
-    method: str = "prefix",
+    method: str = "auto",
 ) -> DataFrame:
     """Exact token-n-gram Jaccard for every pair inside a block (e.g. same
     source/lang).  Blocks bound the pair count; the LSH variants replace
@@ -442,46 +473,63 @@ def ngram_jaccard_pairs(
     the grams to fixed-width longs so wide shingles don't inflate the
     shuffle.
 
-    Two exact methods, same results:
+    Three methods, identical (exact) results:
 
-    - ``method="prefix"`` (default): PPJoin-style prefix filtering —
-      candidates must share a gram inside both docs' rarest-gram
-      prefixes (epsilon-guarded so threshold-boundary pairs survive the
-      float ceil).  This is the 100 TB default: on natural text,
-      stop-grams make raw co-occurrence quadratic in document frequency,
-      while the prefix join stays proportional to output size.
+    - ``method="auto"`` (default): cost-based pick between the two
+      physical plans below — the same call an engine makes choosing
+      broadcast vs shuffle join.  Two scalar aggregates over the
+      postings estimate the raw candidate-join volume of each plan
+      (Σ df² per (block, gram), full postings vs prefix postings); the
+      stats pass is linear in the postings either way, so it can never
+      reintroduce the quadratic blowup it exists to dodge.
+    - ``method="prefix"``: PPJoin-style prefix filtering — candidates
+      must share a gram inside both docs' rarest-gram prefixes
+      (epsilon-guarded so threshold-boundary pairs survive the float
+      ceil), verified by postings counting (arrays never shuffle).  The
+      100 TB-safe plan for natural text, where Zipfian stop-grams make
+      raw co-occurrence quadratic in document frequency while the
+      prefix join stays proportional to output size.  Degenerate case:
+      a tiny vocabulary (every gram a stop-gram) leaves nothing to
+      prune — prefixes still hold ~(1−t) of the postings and the
+      candidate set approaches all co-occurring pairs, so the prefix
+      machinery is pure overhead.
     - ``method="count"``: one hash aggregate over ALL co-occurrence
       rows, grouped on (block, a, b), doc sizes joined back afterwards.
-      Slightly cheaper only when pairs above threshold are a sizable
-      share of co-occurring pairs (templated/near-dup-heavy corpora);
-      quadratic in stop-gram df otherwise — opt in knowingly."""
+      Cheapest exactly in that degenerate case (near-dup-heavy or
+      template corpora where most co-occurring pairs are output
+      anyway); quadratic in stop-gram df otherwise."""
+    if method not in ("auto", "prefix", "count"):
+        raise ValueError(f"unknown method: {method!r}")
     if method == "prefix":
         return _ngram_jaccard_prefix_filtered(
             df, block_col, text_col, id_col, threshold, n
         )
-    g = tokens(text_col) if n == 1 else shingles(text_col, n)
     # spread a few large input files across the cluster before the
     # explode/self-join stages (cost: one shuffle of the raw docs)
-    base = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
-        _c(block_col).alias("block"),
-        _c(id_col).alias(id_col),
-        F.array_distinct(g).alias("__g"),
-    )
-    sizes = base.select("block", F.col(id_col), F.size("__g").alias("n"))
-    inv = base.select(
-        "block", F.col(id_col), F.explode("__g").alias("__gram")
-    ).select("block", id_col, F.xxhash64("__gram").alias("gh"))
-
-    a = inv.select("block", "gh", F.col(id_col).alias("a"))
-    b = inv.select("block", "gh", F.col(id_col).alias("b"))
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    post, base = _jaccard_postings(df, block_col, text_col, id_col, n)
+    if method == "auto":
+        pref = _jaccard_prefix_postings(post, id_col, threshold)
+        sq = lambda rel: rel.groupBy("block", "gh").agg(  # noqa: E731
+            F.count("*").alias("c")
+        ).agg(F.sum(F.col("c") * F.col("c"))).first()[0]
+        q, p = sq(post), sq(pref)
+        # 4×: the prefix plan pays the df-rank window plus the per-pair
+        # dedup and counting-verify joins, so its candidate rows cost a
+        # small constant more than the count plan's co-occurrence rows.
+        if q is not None and p is not None and 4 * p < q:
+            return _jaccard_from_prefix(post, pref, id_col, threshold)
+    a = post.select("block", "gh", F.col(id_col).alias("a"))
+    b = post.select("block", "gh", F.col(id_col).alias("b"))
     inter = (
         a.join(b, on=["block", "gh"])
         .filter(F.col("a") < F.col("b"))
         .groupBy("block", "a", "b")
         .agg(F.count("*").alias("inter"))
     )
-    na = sizes.select(F.col("block"), F.col(id_col).alias("a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("block"), F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    sizes = base.select("block", F.col(id_col), F.col("sz"))
+    na = sizes.select(F.col("block"), F.col(id_col).alias("a"), F.col("sz").alias("na"))
+    nb = sizes.select(F.col("block"), F.col(id_col).alias("b"), F.col("sz").alias("nb"))
     return (
         inter.join(na, on=["block", "a"])
         .join(nb, on=["block", "b"])

@@ -6,7 +6,13 @@ Reference semantics (offline_reading.py:298-367 in
 - comments of one submission are fetched, sorted by ``created``
   (offline_reading.py:338), and linked parent→child;
 - a comment whose parent id is missing gets a **phantom parent** node with
-  ``data=None`` (offline_reading.py:360-366), which hangs under the root;
+  ``data=None`` (offline_reading.py:360-366).  NOTE a deliberate
+  deviation: the reference never re-attaches that phantom subtree, so the
+  root-anchored walk (offline_reading.py:224-246) silently DROPS orphan
+  comments from the rendered output; here phantom parents hang under the
+  submission root, so every stored comment is reachable and counted.
+  Depth/render output for orphan subtrees therefore differs from the
+  reference by design (they appear instead of vanishing);
 - top-level comments (parent starts with 't3_') attach to the submission
   root (offline_reading.py:357-359);
 - render order walks children by score desc (offline_reading.py:211),

@@ -63,8 +63,14 @@ def _latest_per_key(batch: DataFrame, key: str, order_col: str | None) -> DataFr
     within a file-split partition it follows file order, and partition ids
     follow split order) — so when one NDJSON batch holds two versions of
     the same idstr with equal ``created`` (original + edited copy), the
-    later line deterministically wins, matching the reference's sequential
-    row-by-row application (tsdb.py:389-509).
+    later line wins, matching the reference's sequential row-by-row
+    application (tsdb.py:389-509).
+
+    That guarantee is best-effort: it holds for deterministic narrow
+    lineage upstream (file sources), but ``monotonically_increasing_id``
+    is not stable under task retry/speculation on a nondeterministic
+    source.  Callers needing strict ordering there should pass an
+    explicit ``order_col`` captured at read time.
     """
     order_exprs = []
     if order_col is not None:

@@ -42,6 +42,25 @@ def read_ndjson_stream(spark: SparkSession, drop_dir: str,
     return reader.json(drop_dir)
 
 
+def union_sources(streams: list[DataFrame]) -> DataFrame:
+    """G4: round-robin interleave of N per-entity generators
+    (livestream.py:45-59 ``cycle_generators``) → union of N streaming
+    sources in ONE query.
+
+    The reference interleaves generators in the driver so N entities
+    share one process; Spark subsumes the interleave — each source
+    contributes its new files to every micro-batch and the single
+    ``foreachBatch`` MERGE applies them together.  ``unionByName`` with
+    ``allowMissingColumns`` tolerates per-source schema drift (a
+    submissions-only entity next to a comments-only one)."""
+    if not streams:
+        raise ValueError("at least one stream required")
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
+    return out
+
+
 def livestream(
     raw_stream: DataFrame,
     submissions_store: ParquetMergeStore | None,
