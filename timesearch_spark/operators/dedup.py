@@ -477,10 +477,12 @@ def ngram_jaccard_pairs(
 
     - ``method="auto"`` (default): cost-based pick between the two
       physical plans below — the same call an engine makes choosing
-      broadcast vs shuffle join.  Two scalar aggregates over the
-      postings estimate the raw candidate-join volume of each plan
-      (Σ df² per (block, gram), full postings vs prefix postings); the
-      stats pass is linear in the postings either way, so it can never
+      broadcast vs shuffle join.  A scalar aggregate over the postings
+      (Σ df² per (block, gram)) measures the count plan's co-occurrence
+      volume; below 50M rows that plan is a non-event on any cluster and
+      runs immediately.  Only above it is the same statistic computed
+      over the prefix postings and the cheaper plan chosen.  The stats
+      pass is linear in the postings either way, so it can never
       reintroduce the quadratic blowup it exists to dodge.
     - ``method="prefix"``: PPJoin-style prefix filtering — candidates
       must share a gram inside both docs' rarest-gram prefixes
@@ -509,16 +511,23 @@ def ngram_jaccard_pairs(
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     post, base = _jaccard_postings(df, block_col, text_col, id_col, n)
     if method == "auto":
-        pref = _jaccard_prefix_postings(post, id_col, threshold)
         sq = lambda rel: rel.groupBy("block", "gh").agg(  # noqa: E731
             F.count("*").alias("c")
         ).agg(F.sum(F.col("c") * F.col("c"))).first()[0]
-        q, p = sq(post), sq(pref)
-        # 4×: the prefix plan pays the df-rank window plus the per-pair
-        # dedup and counting-verify joins, so its candidate rows cost a
-        # small constant more than the count plan's co-occurrence rows.
-        if q is not None and p is not None and 4 * p < q:
-            return _jaccard_from_prefix(post, pref, id_col, threshold)
+        q = sq(post)
+        # Small-q fast path: below ~50M co-occurrence rows the count
+        # plan's quadratic term is a non-event on any cluster, so skip
+        # the prefix-side stats entirely (they cost a df-count plus a
+        # per-doc rank window — the most expensive part of the probe).
+        if q is not None and q >= 50_000_000:
+            pref = _jaccard_prefix_postings(post, id_col, threshold)
+            p = sq(pref)
+            # 4×: the prefix plan pays the df-rank window plus the
+            # per-pair dedup and counting-verify joins, so its candidate
+            # rows cost a small constant more than the count plan's
+            # co-occurrence rows.
+            if p is not None and 4 * p < q:
+                return _jaccard_from_prefix(post, pref, id_col, threshold)
     a = post.select("block", "gh", F.col(id_col).alias("a"))
     b = post.select("block", "gh", F.col(id_col).alias("b"))
     inter = (

@@ -678,12 +678,15 @@ def scalar_base36(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            't3_' || LOWER(TO_BASE(o_orderkey, 36)) AS fullname,
            SUBSTRING('t3_' || LOWER(TO_BASE(o_orderkey, 36)), 4) AS bare,
-           ('t3_' || LOWER(TO_BASE(o_orderkey, 36)) LIKE 't3_%') AS is_sub
+           ('t3_' || LOWER(TO_BASE(o_orderkey, 36)) LIKE 't3_%') AS is_sub,
+           'https://redd.it/' || SUBSTRING('t3_' || LOWER(TO_BASE(o_orderkey, 36)), 4)
+             AS permalink
     FROM orders
     """,
 )
 def scalar_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H2: fullname prefix add/strip (common.py:147-150)."""
+    """H2 + H17: fullname prefix add/strip (common.py:147-150) and the
+    redd.it permalink built from the stripped id (index.py:134-138)."""
     o = load(spark, sf_dir, "orders").select("o_orderkey")
     fullname = F.concat(F.lit("t3_"), tsf.base36_encode("o_orderkey"))
     return o.select(
@@ -691,6 +694,9 @@ def scalar_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         fullname.alias("fullname"),
         tsf.strip_prefix(fullname).alias("bare"),
         tsf.is_submission_id(fullname).alias("is_sub"),
+        F.concat(
+            F.lit("https://redd.it/"), tsf.strip_prefix(fullname)
+        ).alias("permalink"),
     )
 
 
@@ -698,15 +704,28 @@ def scalar_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_escape",
     """
     SELECT doc_id,
-           REPLACE(REPLACE(text, '<', '&lt;'), '>', '&rt;') AS escaped
+           REPLACE(REPLACE(text, '<', '&lt;'), '>', '&rt;') AS escaped,
+           REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+               REPLACE(REPLACE(text, '<', '&lt;'), '>', '&rt;'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&amp;', '&') AS unescaped
     FROM documents
     """,
 )
 def scalar_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H4: HTML escape with the reference's '&rt;' typo
-    (offline_reading.py:285-290)."""
+    """H4 + H3: HTML escape with the reference's '&rt;' typo
+    (offline_reading.py:285-290), then the entity unescape
+    (pushshift.py:72-73) applied on top.  '&lt;' round-trips to '<';
+    the '&rt;' typo survives unescaping by design (it isn't an
+    entity), so ``unescaped`` differs from ``text`` exactly where the
+    reference's own render-then-unescape would."""
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", tsf.html_escape_ref("text").alias("escaped"))
+    esc = tsf.html_escape_ref("text")
+    return d.select(
+        "doc_id",
+        esc.alias("escaped"),
+        tsf.html_unescape_basic(esc).alias("unescaped"),
+    )
 
 
 @q(
@@ -714,19 +733,24 @@ def scalar_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            STRFTIME(ts, '%Y %b %d') AS listing_ts,
-           STRFTIME(ts, '%b %d %Y %H:%M:%S') AS human_ts
+           STRFTIME(ts, '%b %d %Y %H:%M:%S') AS human_ts,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec
     FROM events
     """,
 )
 def scalar_datefmt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H6/H7: strftime '%b %d %Y %H:%M:%S' and '%Y %b %d'
-    (common.py:94-97, index.py:17)."""
+    """H6/H7 + H18: strftime '%b %d %Y %H:%M:%S' and '%Y %b %d'
+    (common.py:94-97, index.py:17), plus the int-seconds truncation of
+    sub-second timestamps (int(created_utc), pushshift.py:81) — here
+    true-floor nano→second division (tables.py event_ts_sec), checked
+    against the oracle's FLOOR(EPOCH(ts))."""
     ev = load(spark, sf_dir, "events")
     ts_sec = event_ts_sec("ts")
     return ev.select(
         "event_id",
         tsf.listing_time(ts_sec).alias("listing_ts"),
         tsf.human_time(ts_sec).alias("human_ts"),
+        ts_sec.alias("ts_sec"),
     )
 
 
@@ -744,14 +768,22 @@ def scalar_textlen(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "scalar_newline",
     """
-    SELECT p_partkey, REPLACE(p_name, CHR(10), ' ') AS flat_name
+    SELECT p_partkey, REPLACE(p_name, CHR(10), ' ') AS flat_name,
+           REPLACE(REPLACE('{' || p_name || '}', '{', '{{'), '}', '}}')
+             AS braced
     FROM part
     """,
 )
 def scalar_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H10: newline→space in titles (index.py:159)."""
-    return load(spark, sf_dir, "part").select(
-        "p_partkey", tsf.flatten_newlines("p_name").alias("flat_name")
+    """H10 + H15: newline→space in titles (index.py:159) and brace
+    sanitizing for str.format templates (offline_reading.py:293-296),
+    exercised on a brace-wrapped name so the doubling is visible."""
+    p = load(spark, sf_dir, "part")
+    wrapped = F.concat(F.lit("{"), F.col("p_name"), F.lit("}"))
+    return p.select(
+        "p_partkey",
+        tsf.flatten_newlines("p_name").alias("flat_name"),
+        tsf.sanitize_braces(wrapped).alias("braced"),
     )
 
 
