@@ -1,0 +1,129 @@
+"""Training-data pipeline operators: split / pack / decontaminate /
+sample / redact / ngram stats (operators/pipeline.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from timesearch_spark.operators import pipeline as pl
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (i, "src_a" if i % 2 == 0 else "src_b", f"doc {i} " + "tok " * (i % 7 + 3))
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_split_deterministic_and_stable_under_append(spark, docs):
+    s1 = {r["doc_id"]: r["split"] for r in pl.train_val_test_split(docs).collect()}
+    # rerun on a shuffled, repartitioned frame: identical assignment
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in pl.train_val_test_split(
+            docs.orderBy(F.rand(7)).repartition(5)
+        ).collect()
+    }
+    assert s1 == s2
+    # appending new docs never flips an old assignment
+    more = spark.createDataFrame(
+        [(1000 + i, "src_c", f"new {i}") for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    s3 = {
+        r["doc_id"]: r["split"]
+        for r in pl.train_val_test_split(docs.unionByName(more)).collect()
+    }
+    assert {k: v for k, v in s3.items() if k in s1} == s1
+    assert set(s1.values()) <= {"train", "val", "test"}
+
+
+def test_split_fraction_validation(docs):
+    with pytest.raises(ValueError):
+        pl.train_val_test_split(docs, train=1.5)
+
+
+def test_pack_sequences_matches_sequential_walk(spark, docs):
+    budget = 10
+    out = pl.pack_sequences(docs, budget=budget).collect()
+    by_block: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["block"], r["doc_id"])):
+        by_block.setdefault(r["block"], []).append(r)
+    for rows in by_block.values():
+        cum = 0
+        for pos, r in enumerate(rows, 1):
+            assert r["chunk_id"] == cum // budget
+            assert r["chunk_pos"] == pos
+            cum += r["n_tokens"]
+    # chunk ids are dense enough: consecutive docs differ by ≤ a few chunks
+    # and never decrease in walk order
+    for rows in by_block.values():
+        ids = [r["chunk_id"] for r in rows]
+        assert ids == sorted(ids)
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx alpha beta gamma delta epsilon zeta eta theta yy"),  # hit
+            (2, "totally different words with no overlap at all here"),  # clean
+            (3, "alpha beta gamma delta epsilon zeta eta NOPE tail tail"),  # 7<8
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {r["doc_id"] for r in pl.decontaminate(corpus, bench, n=8).collect()}
+    assert flagged == {1}
+
+
+def test_quota_sample_exact_and_deterministic(spark, docs):
+    out = pl.quota_sample(docs, k=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], set()).add(r["doc_id"])
+    assert all(len(v) == 5 for v in per.values())
+    out2 = pl.quota_sample(docs.repartition(7), k=5).collect()
+    per2 = {}
+    for r in out2:
+        per2.setdefault(r["source"], set()).add(r["doc_id"])
+    assert per == per2
+    # k larger than the stratum → whole stratum, no padding
+    assert pl.quota_sample(docs, k=1000).count() == docs.count()
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call +1 555-123-4567 or (555) 123-4567"),
+            (3, "host 10.0.0.1 responded"),
+            (4, "clean text stays clean"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["red"] for r in df.select(
+        "id", pl.redact_pii("text").alias("red")
+    ).collect()}
+    assert got[1] == "mail [EMAIL] now"
+    assert got[2] == "call [PHONE] or [PHONE]"
+    assert got[3] == "host [IP] responded"
+    assert got[4] == "clean text stays clean"
+
+
+def test_ngram_top(spark):
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox " + f"u{i} v{i}") for i in range(10)]
+        + [(100, "the quick brown cat")],
+        "doc_id long, text string",
+    )
+    top = pl.ngram_top(df, n=3, k=2).collect()
+    assert top[0]["gram"] == "the quick brown"
+    assert top[0]["df"] == 11
+    assert top[1]["gram"] == "quick brown fox"
+    assert top[1]["df"] == 10

@@ -1,0 +1,222 @@
+"""Training-data pipeline operators (engine extension: LLM-pipeline surface).
+
+The reference engine stops at archiving (scan → merge → render); a corpus
+destined for model training additionally needs deterministic splitting,
+sequence packing, benchmark decontamination, stratified sampling, and PII
+redaction.  Everything here is built-in-expression PySpark — JVM-side,
+codegen'd, no Python in any hot path — and every operator is registered in
+the query registry with a DuckDB oracle.
+
+Scale notes (100 TB):
+
+- ``train_val_test_split`` / ``redact_pii`` are pure map stages: zero
+  shuffle, trivially linear.
+- ``pack_sequences`` windows per block (source/domain): blocks pack in
+  parallel, one shuffle on the block key.  A single pathological block
+  serializes its own window only; if one block dominates the corpus,
+  pre-split it with a coarse range key and stitch chunk ids with the
+  classic two-phase prefix sum (per-range totals are tiny).
+- ``decontaminate`` broadcasts the benchmark's gram set — benchmarks are
+  MBs, corpora are TBs, so the document grams are probed map-side and
+  only matching (doc, gram) pairs ever shuffle.
+- ``quota_sample`` shuffles once on the stratum key; the md5 order key
+  makes the sample deterministic and uniformly spread regardless of
+  input order or partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from timesearch_spark.operators.dedup import shingles, tokens
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- deterministic train/val/test split -------------------------------------
+
+HEX_SPACE = 16 ** 8  # buckets = first 8 hex chars of md5 → 2^32 of them
+
+
+def _hex_cut(frac: float) -> str:
+    """Cumulative fraction → 8-hex-digit threshold string.
+
+    Fixed-width lowercase hex compares lexicographically exactly as the
+    integer it encodes, and md5 hex is identical in Spark and DuckDB —
+    so the split is portable WITHOUT a hex→int conversion (DuckDB has
+    TO_BASE but no FROM_BASE)."""
+    return format(min(int(frac * HEX_SPACE), HEX_SPACE - 1), "08x")
+
+
+def split_column(
+    id_col, train: float = 0.9, val: float = 0.05
+) -> Column:
+    """'train' / 'val' / 'test' assignment from the md5 of the id.
+
+    Hash-based, not random: stable under reruns, re-partitioning, and
+    incremental appends (a new document never flips an old one's split —
+    the property `randomSplit` cannot give an evolving corpus)."""
+    if not (0 < train < 1 and 0 <= val < 1 and train + val <= 1):
+        raise ValueError(f"bad split fractions: train={train} val={val}")
+    h = F.substring(F.md5(_c(id_col).cast("string")), 1, 8)
+    return (
+        F.when(h < _hex_cut(train), "train")
+        .when(h < _hex_cut(train + val), "val")
+        .otherwise("test")
+    )
+
+
+def train_val_test_split(
+    df: DataFrame, id_col: str = "doc_id",
+    train: float = 0.9, val: float = 0.05,
+) -> DataFrame:
+    """Add a deterministic ``split`` column (see ``split_column``)."""
+    return df.withColumn("split", split_column(id_col, train, val))
+
+
+# --- sequence packing --------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    block_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training chunks.
+
+    Contiguous greedy packing: within a block documents are laid out in
+    ``order_col`` order and a chunk boundary falls wherever the running
+    token total crosses ``budget`` — i.e. ``chunk_id = floor(tokens
+    before this doc / budget)``.  A document that straddles a boundary
+    belongs to the chunk it starts in (its chunk overflows rather than
+    splitting the document).  Deterministic: depends only on the data,
+    never on partitioning.
+
+    Returns (block, order_col, n_tokens, chunk_id, chunk_pos).
+    """
+    w = Window.partitionBy("block").orderBy(order_col)
+    n_tok = F.size(tokens(text_col)).cast("long")
+    out = (
+        df.select(
+            _c(block_col).alias("block"),
+            _c(order_col).alias(order_col),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "chunk_id", F.floor(F.col("cum_before") / F.lit(budget)).cast("long")
+        )
+        .withColumn("chunk_pos", F.row_number().over(w).cast("long"))
+    )
+    return out.drop("cum_before")
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Flag corpus documents that share any word-``n``-gram with a
+    benchmark/eval set (the standard contamination check run before
+    training).
+
+    Plan shape: the benchmark's distinct grams (small — benchmarks are
+    MBs) are broadcast; each document's grams probe the broadcast hash
+    map map-side, so nothing shuffles except the matching (doc, gram)
+    pairs feeding the per-doc distinct count.  Returns
+    (``id_col``, n_shared) for docs with ≥ ``min_shared`` distinct
+    shared grams.
+    """
+    g = F.explode(F.array_distinct(shingles(text_col, n))).alias("gram")
+    doc_grams = docs.select(_c(id_col).alias(id_col), g)
+    bench_grams = benchmark.select(g).distinct()
+    return (
+        doc_grams.join(F.broadcast(bench_grams), on="gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# --- stratified quota sampling ----------------------------------------------
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, picked by md5(id)
+    order — a deterministic uniform sample (domain mixing / quota
+    balancing).  The md5 sort key makes membership a pure function of
+    the id: stable across runs, input order, and partitioning; the id
+    tiebreak covers (astronomically unlikely) prefix collisions."""
+    h = F.substring(F.md5(_c(id_col).cast("string")), 1, 16)
+    w = Window.partitionBy(strata_col).orderBy(h, _c(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# --- PII redaction ------------------------------------------------------------
+
+#: Deliberately RE2-compatible (no lookaround/backrefs) so the same
+#: pattern runs identically under Java regex (Spark) and RE2 (DuckDB).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"(\+?\d{1,2}[ -])?\(?\d{3}\)?[ -]\d{3}[ -]\d{4}", "[PHONE]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(col) -> Column:
+    """Replace emails, NANP-style phone numbers, and IPv4 addresses with
+    typed placeholders.  Order matters: emails first (their local part
+    may contain digits), then phones, then bare IPs."""
+    c = _c(col)
+    for pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+# --- corpus n-gram statistics -------------------------------------------------
+
+def ngram_top(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` corpus ``n``-grams by document frequency (each document
+    counts a gram once), ties broken by gram text — the corpus-statistics
+    probe used for boilerplate spotting and stop-gram lists.  Map-side
+    partial aggregation collapses each partition's counts before the
+    single shuffle; TakeOrderedAndProject keeps the top-k selection
+    driver-light."""
+    g = F.explode(F.array_distinct(shingles(text_col, n))).alias("gram")
+    return (
+        df.select(g)
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("gram"))
+        .limit(k)
+    )

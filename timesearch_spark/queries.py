@@ -1541,11 +1541,175 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Training-pipeline operators: split / pack / decontaminate / sample /
+# redact / corpus stats (operators/pipeline.py).  Registered AFTER the
+# original 50 so the driver's 50-row CORRECTNESS window stays pinned to
+# the r2 set; tools/check_oracle.py still verifies these oracles on every
+# run (see README "correctness beyond the driver window").
+# =========================================================================
+
+from timesearch_spark.operators import pipeline as pl  # noqa: E402
+
+_TOK_SQL = r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB mirror of dedup.shingles(text, n): word n-grams, whole-text
+    fallback below n tokens, distinct per doc."""
+    return f"""
+    tok AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+      FROM tok, UNNEST(range(1, len(t) - {n} + 2)) AS u(i)
+      WHERE len(t) >= {n}
+      UNION ALL
+      SELECT doc_id, array_to_string(t, ' ') AS gram FROM tok WHERE len(t) < {n}
+    ),
+    dg AS (SELECT DISTINCT doc_id, gram FROM g)
+    """
+
+
+@q(
+    "pipeline_split",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (90/5/5): the md5
+    hex prefix of the id against fixed-width hex thresholds, stable
+    under reruns and incremental appends (pipeline.split_column)."""
+    d = load(spark, sf_dir, "documents")
+    return pl.train_val_test_split(d).select("doc_id", "split")
+
+
+@q(
+    "pipeline_pack",
+    rf"""
+    WITH tok AS (
+      SELECT source, doc_id, CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT source AS block, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+               AS BIGINT) AS chunk_pos
+      FROM tok
+    )
+    SELECT block, doc_id, n_tokens,
+           CAST(cum_before // 512 AS BIGINT) AS chunk_id, chunk_pos
+    FROM c
+    """,
+)
+def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 512-token training chunks: per-source
+    contiguous greedy layout via a running token sum — chunks pack in
+    parallel across sources, deterministic in the data
+    (pipeline.pack_sequences)."""
+    d = load(spark, sf_dir, "documents")
+    return pl.pack_sequences(d, budget=512)
+
+
+@q(
+    "decontaminate",
+    f"""
+    WITH {_grams_sql(8)},
+    bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0)
+    SELECT d.doc_id, CAST(COUNT(DISTINCT d.gram) AS BIGINT) AS n_shared
+    FROM dg d JOIN bg ON d.gram = bg.gram
+    GROUP BY 1
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any 8-word gram
+    with the benchmark set (stand-in: every 50th doc).  Benchmark grams
+    broadcast; document grams probe map-side (pipeline.decontaminate)."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return pl.decontaminate(d, bench, n=8)
+
+
+@q(
+    "quota_sample",
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 40
+    """,
+)
+def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sampling: exactly min(40, |stratum|) docs per
+    source, membership a pure function of the id via md5 ordering
+    (pipeline.quota_sample)."""
+    d = load(spark, sf_dir, "documents")
+    return pl.quota_sample(d, k=40).select("source", "doc_id")
+
+
+@q(
+    "redact_pii",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or +1 555-123-4567 from 192.168.0.1',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '(\+?\d{1,2}[ -])?\(?\d{3}\)?[ -]\d{3}[ -]\d{4}', '[PHONE]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+             AS redacted
+    FROM documents
+    """,
+)
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / phones / IPv4 → typed placeholders) over
+    text with a deterministic planted contact line, so the patterns
+    provably fire on every row (pipeline.redact_pii).  RE2-compatible
+    patterns run identically under Java regex and DuckDB's RE2."""
+    d = load(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1 555-123-4567 from 192.168.0.1"),
+    )
+    return d.select("doc_id", pl.redact_pii(planted).alias("redacted"))
+
+
+@q(
+    "ngram_top",
+    f"""
+    WITH {_grams_sql(3)}
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+    FROM dg GROUP BY 1
+    ORDER BY df DESC, gram ASC
+    LIMIT 20
+    """,
+)
+def ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics: top-20 3-grams by document frequency with a
+    total tie-break order (pipeline.ngram_top)."""
+    return pl.ngram_top(load(spark, sf_dir, "documents"), n=3, k=20)
+
+
+# =========================================================================
 # Registry ordering: the driver emits CORRECTNESS rows for the FIRST 50
-# registered queries only.  Re-order so every oracle-checked query comes
-# before the rows-only (no-oracle) set — otherwise late-registered oracled
-# queries (fingerprint, the event-window family) silently fall off the
-# driver's 50-row window, as happened in rounds 1-2.
+# registered queries only.  Re-order so the r2-era oracle-checked set
+# keeps its 50 driver rows: those queries first, then later-added oracled
+# queries (training-pipeline family — self-checked via
+# tools/check_oracle.py), then the rows-only (no-oracle) set.
 # =========================================================================
 
 QUERIES = {
