@@ -67,3 +67,22 @@ def test_sanitize_braces(spark):
 def test_author_display(spark):
     v = _one(spark, tsf.author_display(F.lit(None).cast("string")))
     assert v == "[DELETED]"
+
+
+def test_markdown_lite_subset():
+    from timesearch_spark.functions.markdown_lite import render
+
+    assert render(None) is None
+    assert render("hello world") == "<p>hello world</p>"
+    assert render("# Title") == "<h1>Title</h1>"
+    assert render("para one\n\npara two") == "<p>para one</p>\n<p>para two</p>"
+    assert render("**b** and *i* and `c`") == (
+        "<p><strong>b</strong> and <em>i</em> and <code>c</code></p>"
+    )
+    assert render("[x](http://y)") == '<p><a href="http://y">x</a></p>'
+    assert render("> quoted") == "<blockquote>\n<p>quoted</p>\n</blockquote>"
+    assert render("- a\n- b") == "<ul>\n<li>a</li>\n<li>b</li>\n</ul>"
+    # entity-aware ampersand escaping (markdown's smart-amp rule): the
+    # reference pre-escapes brackets, so '&lt;'/'&rt;' [sic] must survive
+    assert render("a &lt;b&rt; c & d") == "<p>a &lt;b&rt; c &amp; d</p>"
+    assert render("1 < 2 > 0") == "<p>1 &lt; 2 &gt; 0</p>"

@@ -82,10 +82,13 @@ try:  # pragma: no cover
 except ImportError:  # pragma: no cover
     HAS_MARKDOWN = False
 
+    from timesearch_spark.functions.markdown_lite import render as _md_lite
+
     @F.pandas_udf(T.StringType())
     def markdown_render(s):
-        # Deterministic fallback: wrap paragraphs, as a stand-in renderer.
-        return s.map(lambda x: f"<p>{x}</p>" if x is not None else None)
+        # Deterministic subset renderer (paragraphs, headings, quotes,
+        # lists, strong/em/code/links) — see functions/markdown_lite.py.
+        return s.map(_md_lite)
 
 
 # --- H6/H7: timestamp formats (common.py:94-97, index.py:17) ---------------

@@ -175,9 +175,14 @@ def html_escape(col):
 
 def render_comment_html(df: DataFrame, body_col: str = "body") -> DataFrame:
     """Per-comment HTML div, nested by depth (offline_reading.py:178-199
-    template family).  Markdown rendering is gated behind an import-try —
-    the reference uses the ``markdown`` package (offline_reading.py:285-291),
-    absent here, so the fallback is the escaped raw body."""
+    template family).  Reference composition (render_markdown,
+    offline_reading.py:285-291): escape brackets FIRST — including the
+    '&rt;' [sic] typo — then run the body through markdown.  The
+    ``markdown`` package is gated behind an import-try; when absent, the
+    deterministic subset renderer (functions/markdown_lite.py) covers the
+    constructs forum bodies actually use (paragraphs, headings, quotes,
+    lists, strong/em/code/links) with markdown-compatible output."""
+    escaped = html_escape(F.col(body_col))
     try:  # pragma: no cover - markdown not installed in this container
         import markdown  # noqa: F401
 
@@ -185,9 +190,11 @@ def render_comment_html(df: DataFrame, body_col: str = "body") -> DataFrame:
         def md(body):
             return markdown.markdown(body) if body is not None else None
 
-        rendered = md(F.col(body_col))
+        rendered = md(escaped)
     except ImportError:
-        rendered = html_escape(F.col(body_col))
+        from timesearch_spark.functions import markdown_render
+
+        rendered = markdown_render(escaped)
 
     return df.withColumn(
         "html",

@@ -1021,7 +1021,10 @@ def tree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # down from the root; ORDER BY path is exactly the DFS visit order
     # (a parent's path is a strict prefix of its children's).  Phantom
     # parents score 0 and render a literal 'null' body — Spark's
-    # format_string prints Java's "null" for a NULL argument.
+    # format_string prints Java's "null" for a NULL argument.  Real
+    # bodies pass through the markdown renderer (reference composition:
+    # bracket-escape then markdown, offline_reading.py:285-291), which
+    # wraps the single-paragraph synthetic bodies in <p>…</p>.
     """
     WITH RECURSIVE c AS (
       -- comments are PK-unique on idstr in the reference (tsdb.py DDL);
@@ -1071,7 +1074,7 @@ def tree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            printf('<div class="comment" id="%s" style="margin-left:%dem">%s</div>',
                   idstr, depth,
                   CASE WHEN phantom THEN 'null'
-                       ELSE 'body of ' || idstr END) AS html
+                       ELSE '<p>body of ' || idstr || '</p>' END) AS html
     FROM walk
     """,
 )
