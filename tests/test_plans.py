@@ -84,3 +84,44 @@ def test_media_metadata_scan_prunes_payload(spark):
     meta_only = media_from_documents(docs).select("media_id", "kind")
     schemas = plans.read_schemas(meta_only)
     assert schemas and all("text" not in s for s in schemas)
+
+
+# --- training-pipeline operators (operators/pipeline.py) ---------------------
+
+def test_split_and_redact_are_map_only(spark):
+    # split assignment and PII redaction must stay pure map stages: no
+    # Exchange anywhere in the plan, whatever the corpus size
+    for name in ("pipeline_split", "redact_pii"):
+        df = _q(spark, name)
+        assert "Exchange" not in plans.formatted_plan(df), name
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # the benchmark gram set must broadcast so document grams probe
+    # map-side — a shuffle join here would move the whole corpus's grams
+    df = _q(spark, "decontaminate")
+    assert plans.uses_broadcast_join(df)
+
+
+def test_quota_sample_single_shuffle_with_mapside_topk(spark):
+    # one hash-partitioning on the stratum key feeds the rank window; a
+    # second exchange would mean the sample re-shuffles the corpus.  The
+    # partial WindowGroupLimit is the scale property: each map task keeps
+    # only k rows per stratum BEFORE the shuffle, so the exchange moves
+    # O(strata × k), not the corpus.
+    df = _q(spark, "quota_sample")
+    assert plans.num_shuffles(df) == 1
+    plan = plans.formatted_plan(df)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    # packing shuffles once on the block key; the running sum and chunk
+    # assignment ride the same partitioning
+    df = _q(spark, "pipeline_pack")
+    assert plans.num_shuffles(df) == 1
+
+
+def test_ngram_top_partial_aggregates(spark):
+    df = _q(spark, "ngram_top")
+    assert plans.has_partial_aggregate(df)

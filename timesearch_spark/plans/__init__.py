@@ -62,6 +62,15 @@ def has_partial_aggregate(df: DataFrame) -> bool:
     return plan.count("HashAggregate") >= 2 or "partial" in plan
 
 
+def num_shuffles(df: DataFrame) -> int:
+    """Count of Exchange operators (each is one detail header
+    ``(N) Exchange`` in the formatted plan — the tree line would double
+    count)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.M))
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of distinct WholeStageCodegen subtrees (wider = better).
     Formatted explain marks membership as ``[codegen id : N]``."""
