@@ -39,9 +39,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "similarity_topk",
     "similarity_neardup_blas",
-    "text_quality",
-    "token_count",
-    "events_tumbling_1h",
+    "text_profile",
+    "events_windows",
     "sessionize",
     "tree_depth",
     "media_stats",
@@ -64,7 +63,7 @@ def main() -> None:
         return time.time() - t0
 
     load_before = os.getloadavg()
-    run("count_rows")  # warmup: JVM + codegen + parquet footer cache
+    run("count_max")  # warmup: JVM + codegen + parquet footer cache
 
     # best-of-3 per query: later runs reuse the codegen cache, so the
     # number reflects the steady-state distributed plan (what scales to the

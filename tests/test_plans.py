@@ -65,14 +65,14 @@ def test_minhash_signature_aggregates_map_side(spark):
     assert plans.has_partial_aggregate(df)
 
 
-def test_text_quality_is_shuffle_free(spark):
-    df = _q(spark, "text_quality")
+def test_text_profile_is_shuffle_free(spark):
+    df = _q(spark, "text_profile")
     plan = plans.formatted_plan(df)
     assert "Exchange" not in plan  # pure map stage at any scale
 
 
 def test_codegen_covers_scalar_queries(spark):
-    for name in ("project_case", "scalar_format", "token_count"):
+    for name in ("project_case", "scalar_format", "text_profile"):
         df = _q(spark, name)
         assert plans.wholestage_codegen_spans(df) >= 1, name
 
