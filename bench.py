@@ -34,8 +34,9 @@ HEADLINE = [
     "union_tagged",
     # extensions (skipped silently if not yet registered)
     "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_minhash_xx64",
+    "dedup_simhash_xx64",
+    "dedup_minhash_lsh",  # md5 oracle-parity family: xx64 twin is the default
     "dedup_ngram_jaccard",
     "similarity_topk",
     "similarity_neardup_blas",

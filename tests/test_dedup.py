@@ -106,3 +106,35 @@ def test_ngram_jaccard_prefix_matches_count(spark):
     }
     assert count_pairs == prefix_pairs
     assert count_pairs  # non-degenerate: the fixture does produce pairs
+
+
+def test_minhash_md5_family_recovers_planted_pairs(spark):
+    # the oracle-replayable hash family must keep LSH recall on planted
+    # near-dups (string-min permutations, md5 band buckets)
+    d = _docs(spark)
+    mutated = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    pairs = dd.minhash_near_dups(
+        d.unionByName(mutated), threshold=0.5, hash_family="md5"
+    )
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    planted = {(i, i + OFFSET) for i in range(0, 40, 4)}
+    assert planted <= got
+
+
+def test_simhash_md5_family_recovers_mutated_copies(spark):
+    d = _docs(spark)
+    mutated = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    pairs = dd.simhash_near_dups(
+        d.unionByName(mutated), max_hamming=8, hash_family="md5"
+    )
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    planted = {(i, i + OFFSET) for i in range(0, 40, 4)}
+    assert planted <= got
+    # recall is exact by pigeonhole: every reported pair <= max_hamming
+    assert all(r["hamming"] <= 8 for r in pairs.collect())

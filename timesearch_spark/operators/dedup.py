@@ -134,6 +134,7 @@ def minhash_band_buckets(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, band, bucket) LSH banding table in long-relation form: explode
     (id, perm, hash) rows, MIN-aggregate per (id, perm), hash each band's
@@ -142,41 +143,65 @@ def minhash_band_buckets(
     every expression tiny (fast Catalyst analysis — the wide 64-column
     form re-spent seconds per run in the optimizer) and every stage a
     codegen'd partial-agg.  The repartition spreads a few large input
-    files across the cluster before the num_hashes× explode."""
+    files across the cluster before the num_hashes× explode.
+
+    ``hash_family`` picks the permutation hashes.  ``"xxhash64"``
+    (default) is the production path: one string hash per shingle, then
+    num_hashes cheap long re-hashes.  ``"md5"`` derives permutation i as
+    the md5 hex string of ``"{i}:{shingle}"`` and takes string MINs —
+    minhash only needs a consistent total order, and md5-hex compares
+    identically under Spark's and ANSI SQL's binary collation, so this
+    family is reproducible by any engine with md5() (the DuckDB oracle
+    checks the full banding+verify pipeline through it).  Both families
+    share every plan stage; md5 just pays string-width shuffles."""
     rows = num_hashes // bands
     n = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        df.repartition(n)
-        .select(
-            _c(id_col).alias(id_col),
-            F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("__s"),
+    seq = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    base = df.repartition(n).select(
+        _c(id_col).alias(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("__s"),
+    )
+    if hash_family == "md5":
+        perms = base.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    seq,
+                    lambda i: F.md5(
+                        F.concat(i.cast("string"), F.lit(":"), F.col("__s"))
+                    ),
+                )
+            ).alias("i", "ph"),
         )
-        .select(id_col, F.xxhash64("__s").alias("__h"))
-    )
-    perms = sh.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.xxhash64(F.col("__h"), i),
-            )
-        ).alias("i", "ph"),
-    )
+    elif hash_family == "xxhash64":
+        perms = base.select(id_col, F.xxhash64("__s").alias("__h")).select(
+            id_col,
+            F.posexplode(
+                F.transform(seq, lambda i: F.xxhash64(F.col("__h"), i))
+            ).alias("i", "ph"),
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     mins = perms.groupBy(id_col, "i").agg(F.min("ph").alias("mh"))
     banded = mins.withColumn("band", (F.col("i") / rows).cast("int"))
-    return (
-        banded.groupBy(id_col, "band")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("arr"))
-        .select(
-            id_col,
-            "band",
-            F.aggregate(
-                F.transform("arr", lambda x: x["mh"]),
-                F.col("band").cast("long"),
-                lambda acc, x: F.xxhash64(acc, x),
-            ).alias("bucket"),
-        )
+    grouped = banded.groupBy(id_col, "band").agg(
+        F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("arr")
     )
+    if hash_family == "md5":
+        bucket = F.md5(
+            F.concat(
+                F.col("band").cast("string"),
+                F.lit("|"),
+                F.array_join(F.transform("arr", lambda x: x["mh"]), "|"),
+            )
+        )
+    else:
+        bucket = F.aggregate(
+            F.transform("arr", lambda x: x["mh"]),
+            F.col("band").cast("long"),
+            lambda acc, x: F.xxhash64(acc, x),
+        )
+    return grouped.select(id_col, "band", bucket.alias("bucket"))
 
 
 def minhash_near_dups(
@@ -187,6 +212,7 @@ def minhash_near_dups(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard) with exact-verified
     jaccard ≥ threshold, candidates from minhash-LSH banding.
@@ -194,9 +220,10 @@ def minhash_near_dups(
     bands=16 × rows=4 at threshold 0.7 gives ~99.5% recall; precision is
     exact because every candidate is verified against the true shingle
     sets.  Only (band, bucket, id) triples and the candidate pairs ever
-    shuffle — signatures and shingle sets stay inside their stages."""
+    shuffle — signatures and shingle sets stay inside their stages.
+    ``hash_family`` as in :func:`minhash_band_buckets`."""
     buckets = minhash_band_buckets(
-        df, text_col, id_col, num_hashes, bands, shingle_k
+        df, text_col, id_col, num_hashes, bands, shingle_k, hash_family
     )
 
     a = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
@@ -358,7 +385,10 @@ def simhash64(col) -> Column:
 
 
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash) — the scale path for ``simhash64`` (same values).
 
@@ -373,22 +403,45 @@ def simhash_table(
     pos ≤ 52) and joining halves with one literal shift; the halves
     occupy disjoint bits so the final SUM is a carry-free OR even under
     ANSI overflow checks.  The doc repartition spreads a few large input
-    files across the cluster before the 64× bit explode."""
+    files across the cluster before the 64× bit explode.
+
+    ``hash_family="xxhash64"`` (default, production) draws token bit b
+    from bit b of one xxhash64 per token.  ``"md5"`` draws it from the
+    sign of an independent md5 per (bit, token) — first hex char ≤ '7'
+    means the high nibble bit is 0 — which any engine with md5() can
+    reproduce (the DuckDB oracle rebuilds the per-bit sign table and
+    cross-checks pair Hamming distances; recall is exact because
+    pigeonhole blocking can't miss a ≤ max_hamming pair, so the oracle
+    needs no blocking of its own).  64 md5 calls per token vs one
+    xxhash64 — parity family only, not the scale default."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    tok = (
-        df.repartition(n)
-        .select(_c(id_col).alias(id_col), F.explode(tokens(text_col)).alias("__t"))
-        .select(id_col, F.xxhash64("__t").alias("__h"))
+    tok = df.repartition(n).select(
+        _c(id_col).alias(id_col), F.explode(tokens(text_col)).alias("__t")
     )
-    bits = tok.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.bit_get(F.col("__h"), b) * 2 - 1,
-            )
-        ).alias("b", "v"),
-    )
+    if hash_family == "md5":
+        per_tok_bits = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda b: F.when(
+                F.substring(
+                    F.md5(F.concat(b.cast("string"), F.lit(":"), F.col("__t"))),
+                    1, 1,
+                ) <= "7",
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        bits = tok.select(id_col, F.posexplode(per_tok_bits).alias("b", "v"))
+    elif hash_family == "xxhash64":
+        bits = tok.select(id_col, F.xxhash64("__t").alias("__h")).select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda b: F.bit_get(F.col("__h"), b) * 2 - 1,
+                )
+            ).alias("b", "v"),
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     per_bit = bits.groupBy(id_col, "b").agg(F.sum("v").alias("s"))
     half = (F.col("b") >= 32).cast("int")
     pos = F.col("b") - half * 32
@@ -413,16 +466,18 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Pairs within Hamming distance ≤ max_hamming of their simhashes.
 
     Pigeonhole blocking: split 64 bits into max_hamming+1 chunks — any
     pair within distance d agrees exactly on ≥1 chunk, so candidates are
     same-chunk-value pairs (a shuffle on 16-bit chunk keys), then verified
-    with bit_count.  No cross product."""
+    with bit_count.  No cross product.  ``hash_family`` as in
+    :func:`simhash_table`."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    h = simhash_table(df, text_col, id_col)
+    h = simhash_table(df, text_col, id_col, hash_family)
     exploded = h.select(
         id_col,
         "sh",
