@@ -138,3 +138,36 @@ def test_simhash_md5_family_recovers_mutated_copies(spark):
     assert planted <= got
     # recall is exact by pigeonhole: every reported pair <= max_hamming
     assert all(r["hamming"] <= 8 for r in pairs.collect())
+
+
+def test_connected_components_transitive_chain(spark):
+    # a~b and b~c must cluster {a,b,c} together even though a!~c —
+    # the case pairwise dedup cannot decide
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a long, b long"
+    )
+    comp = {r["doc_id"]: r["component"]
+            for r in dd.connected_components(nodes, edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
+    assert comp[4] == 4 and comp[7] == 7  # singletons keep their own id
+
+
+def test_dedup_cluster_keeper_is_min_id(spark):
+    d = _docs(spark).withColumn("source", F.lit("s"))
+    copies = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"), "text", "source"
+    )
+    out = dd.dedup_cluster_assignments(
+        d.unionByName(copies), block_col="source", threshold=0.9
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for i in range(0, 40, 4):  # each copy clusters under the original
+        assert rows[i + OFFSET]["cluster_id"] == i
+        assert not rows[i + OFFSET]["is_keeper"]
+        assert rows[i]["is_keeper"]
+    # keepers == distinct clusters
+    assert sum(r["is_keeper"] for r in rows.values()) == len(
+        {r["cluster_id"] for r in rows.values()}
+    )

@@ -607,3 +607,97 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# --- near-dup clustering (connected components) --------------------------------
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component): connected components over an undirected pair list
+    by iterative hash-min label propagation — component = min id reachable.
+
+    Each round every node takes the min of its own label and its
+    neighbors' labels (one shuffle join + one partial-agg'd min per
+    round); rounds needed = graph diameter.  Near-dup graphs are
+    clique-like (every member pairs with most others), so diameter is
+    2-3 and the loop converges in a handful of rounds; ``max_iter``
+    guards pathological chains.  Labels are ``localCheckpoint``ed per
+    round to truncate the growing join lineage (on a cluster, checkpoint
+    to durable storage instead).  Convergence is detected with a
+    LIMIT 1 existence probe on changed labels, not a full count.
+
+    Scale: state is one (id, label) row per node and the edge list —
+    both narrow; nothing quadratic materializes.  For graphs with large
+    diameter (not the dedup case) the large-star/small-star variant
+    converges in O(log n) rounds at the cost of rewriting edges; hash-min
+    is the right trade for clustered duplicate graphs.
+    """
+    lbl = (
+        nodes.select(_c(id_col).alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    sym = (
+        edges.select(_c(a_col).alias("src"), _c(b_col).alias("dst"))
+        .unionByName(edges.select(_c(b_col).alias("src"), _c(a_col).alias("dst")))
+        .distinct()
+    )
+    for _ in range(max_iter):
+        nb = (
+            sym.join(lbl.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbmin"))
+            .withColumnRenamed("src", "id")
+        )
+        new = (
+            lbl.join(nb, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbmin", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("label", "new_label")
+            .join(lbl, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        lbl = new
+        if changed == 0:
+            break
+    return lbl.select(F.col("id").alias(id_col), F.col("label").alias("component"))
+
+
+def dedup_cluster_assignments(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 1,
+) -> DataFrame:
+    """(id, cluster_id, is_keeper): end-to-end near-dup clustering — the
+    top rung of the dedup ladder.  Pairs from blocked exact n-gram
+    Jaccard, components via hash-min propagation, keeper = the min id of
+    each cluster (deterministic).  Filtering to ``is_keeper`` yields the
+    deduplicated corpus with exactly one representative per near-dup
+    cluster, transitively closed (a~b, b~c keeps one of {a,b,c} even when
+    a!~c directly — pair-wise dedup alone cannot decide that case)."""
+    pairs = ngram_jaccard_pairs(
+        df, block_col=block_col, text_col=text_col, id_col=id_col,
+        threshold=threshold, n=n,
+    ).select("a", "b")
+    comp = connected_components(df.select(_c(id_col)), pairs, id_col=id_col)
+    return comp.select(
+        id_col,
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col(id_col)).alias("is_keeper"),
+    )

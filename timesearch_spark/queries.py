@@ -111,12 +111,6 @@ def sort_computed_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A1/B1 — scan + projection
 # =========================================================================
 
-@q("scan_project", "SELECT o_custkey FROM orders")
-def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/B1: SELECT author FROM submissions (breakdown.py:29-35)."""
-    return load(spark, sf_dir, "orders").select("o_custkey")
-
-
 @q("point_lookup", "SELECT * FROM orders WHERE o_orderkey = 7"
                    )
 def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,7 +200,7 @@ def filter_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "project_case",
     """
-    SELECT o_orderkey,
+    SELECT o_orderkey, o_custkey,
            CASE WHEN o_orderstatus = 'F' THEN NULL
                 WHEN o_orderpriority LIKE '1%' THEN 'urgent:' || o_orderpriority
                 ELSE LOWER(o_orderpriority) END AS routed
@@ -214,10 +208,13 @@ def filter_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def project_case(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B7/H16: CASE-chain projection (url normalization, tsdb.py:399-409)."""
+    """A1/B1 + B7/H16: bare column projection off the scan (SELECT author
+    FROM submissions, breakdown.py:29-35) and the CASE-chain projection
+    (url normalization, tsdb.py:399-409) in the same single-scan pass."""
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
+        "o_custkey",
         F.when(F.col("o_orderstatus") == "F", F.lit(None).cast("string"))
         .when(
             F.col("o_orderpriority").startswith("1"),
@@ -1018,6 +1015,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = _docs_with_mutations(spark, sf_dir, " zzq")
     return dd.simhash_near_dups(u, max_hamming=3, hash_family="md5").select(
         "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@q(
+    "dedup_cluster",
+    """
+    WITH RECURSIVE t AS (
+      SELECT source, doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
+               AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+               6) >= 0.5
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION SELECT b AS src, a AS dst FROM pairs
+    ),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+    )
+    SELECT doc_id, MIN(r) AS cluster_id, (MIN(r) = doc_id) AS is_keeper
+    FROM reach GROUP BY doc_id
+    """,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering (dedup ladder top rung): source-blocked exact
+    Jaccard pairs at 0.5 → connected components via iterative hash-min
+    label propagation → deterministic keeper (min id per cluster).
+    Transitive closure matters: a~b, b~c keeps ONE of {a,b,c} even when
+    a and c don't pair directly.  The oracle closes the same edge set
+    with a recursive CTE and takes MIN over reachable ids — exercising
+    the one operator class Spark must iterate for (no recursive SQL)."""
+    return dd.dedup_cluster_assignments(
+        load(spark, sf_dir, "documents"), block_col="source", threshold=0.5, n=1
     )
 
 
