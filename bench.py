@@ -25,7 +25,7 @@ from timesearch_spark.session import get_spark  # noqa: E402
 # plus the LLM-pipeline extensions when present).
 HEADLINE = [
     "filter_timerange",
-    "breakdown_counts",
+    "sort_computed_key",
     "equi_join_thread",
     "window_rank_children",
     "upsert_merge",

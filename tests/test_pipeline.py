@@ -127,3 +127,33 @@ def test_ngram_top(spark):
     assert top[0]["df"] == 11
     assert top[1]["gram"] == "quick brown fox"
     assert top[1]["df"] == 10
+
+
+def test_deterministic_shuffle_is_a_permutation(spark):
+    from timesearch_spark.operators.pipeline import deterministic_shuffle
+
+    d = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(d, seed="s1", num_shards=8).collect()
+    assert len(out) == 300
+    assert len({r["doc_id"] for r in out}) == 300
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8)) and len(by_shard) == 8
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense rank
+    # deterministic across reruns
+    again = deterministic_shuffle(d, seed="s1", num_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different seed is a different permutation
+    other = deterministic_shuffle(d, seed="s2", num_shards=8).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_deterministic_shuffle_two_nibble_shards(spark):
+    from timesearch_spark.operators.pipeline import deterministic_shuffle
+
+    d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(d, seed="s", num_shards=64).collect()
+    shards = {r["shard"] for r in out}
+    assert shards == set(range(64))  # two-nibble path reaches every shard

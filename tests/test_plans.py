@@ -33,10 +33,11 @@ def test_threshold_filter_pushes_down(spark):
 
 
 def test_scan_project_prunes_columns(spark):
-    df = _q(spark, "scan_project")
+    # A1/B1 projection pruning, now carried by project_case (4 columns)
+    df = _q(spark, "project_case")
     schemas = plans.read_schemas(df)
     assert schemas and all("o_custkey" in s for s in schemas)
-    # a 1-column projection must not read the other 8 columns
+    # the projection must not read the unused columns
     assert all("o_totalprice" not in s for s in schemas)
 
 
@@ -51,7 +52,7 @@ def test_equi_join_broadcasts_small_side(spark):
 
 
 def test_breakdown_has_partial_aggregation(spark):
-    df = _q(spark, "breakdown_counts")
+    df = _q(spark, "sort_computed_key")  # breakdown + F4 sort
     assert plans.has_partial_aggregate(df)
 
 

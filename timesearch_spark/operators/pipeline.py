@@ -220,3 +220,49 @@ def ngram_top(
         .orderBy(F.desc("df"), F.asc("gram"))
         .limit(k)
     )
+
+
+# --- deterministic global shuffle / sharding ----------------------------------
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "0",
+    num_shards: int = 16,
+) -> DataFrame:
+    """(id, shard, pos): seeded deterministic permutation + sharding — the
+    "global shuffle" a training loader needs for i.i.d.-looking batches.
+
+    The order key is md5('{seed}:{id}'): uniform, reproducible across
+    engines and reruns, and changing the seed is a fresh permutation
+    without touching the data.  ``shard`` is the key's first hex nibble
+    taken modulo ``num_shards`` (uniform because md5 is), ``pos`` ranks
+    within the shard by (key, id) — a per-shard window, so shards
+    sort in parallel and NO global single-partition ordering exists
+    anywhere in the plan.  A training loader that walks shards
+    round-robin by pos reads the full deterministic permutation.
+
+    Scale: one shuffle on the shard key + a per-shard sort; shard count
+    bounds sort width, so at 100 TB raise ``num_shards`` to
+    corpus_bytes / desired_shard_bytes.  Skew-free by construction
+    (hash-uniform shard key).  ``num_shards`` must be ≤ 16 or a power
+    split of the hex space; values above 16 use two nibbles (256-way).
+    """
+    if not 1 <= num_shards <= 256:
+        raise ValueError(f"num_shards must be in [1, 256]: {num_shards}")
+    width = 1 if num_shards <= 16 else 2
+    key = F.md5(F.concat(F.lit(f"{seed}:"), _c(id_col).cast("string")))
+    keyed = df.select(_c(id_col).alias(id_col), key.alias("key"))
+    # nibble(s) → int without a hex→int builtin (portable to the oracle):
+    # position of each hex char in the alphabet, big-endian
+    nib = "(locate(substring(key, {i}, 1), '0123456789abcdef') - 1)"
+    expr = nib.format(i=1)
+    if width == 2:
+        expr = f"{expr} * 16 + {nib.format(i=2)}"
+    shard = F.pmod(F.expr(expr), F.lit(num_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy("key", id_col)
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

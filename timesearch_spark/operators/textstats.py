@@ -154,6 +154,13 @@ def text_profile_table(df, text_col: str = "text", id_col: str = "doc_id"):
 
     Zero-token documents keep the HOF semantics: hits coalesce to 0 so
     ``lang_guess`` is 'und' and ``stopword_ratio`` is NULL (0/0).
+
+    Repetition signals (the Gopher-rule family for repetitive /
+    boilerplate text): ``dup_line_frac`` = 1 − distinct/total over
+    non-blank lines (cheap HOF — line counts are tiny), and
+    ``top_bigram_frac`` = occurrences of the most frequent word bigram
+    over total bigrams (NULL below 2 tokens), via a second narrow
+    explode→count→max/sum aggregation joined back on the id.
     """
     from timesearch_spark.tables import spread
 
@@ -166,13 +173,46 @@ def text_profile_table(df, text_col: str = "text", id_col: str = "doc_id"):
     ]
     tstats = tok.groupBy(id_col).agg(*aggs)
 
+    t = tokens(text_col)
+    n_t = F.size(t)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_t - 1),
+        lambda i: F.array_join(F.slice(t, i, 2), " "),
+    )
+    bg = (
+        d.filter(n_t >= 2)
+        .select(_c(id_col).alias(id_col), F.explode(bigrams).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.max("__c").cast("double") / F.sum("__c").cast("double"), 6
+            ).alias("top_bigram_frac")
+        )
+    )
+
+    lines = F.filter(
+        F.split(_c(text_col), "\n"), lambda x: F.trim(x) != ""
+    )
+    dup_line = F.when(
+        F.size(lines) > 0,
+        F.round(
+            1.0
+            - F.size(F.array_distinct(lines)).cast("double")
+            / F.size(lines).cast("double"),
+            6,
+        ),
+    )
+
     scal = d.select(
         _c(id_col).alias(id_col),
         token_count_bpe(text_col).alias("n_bpe"),
         F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
         fingerprint_md5(text_col).alias("fp"),
+        dup_line.alias("dup_line_frac"),
     )
-    prof = scal.join(tstats, id_col, "left")
+    prof = scal.join(tstats, id_col, "left").join(bg, id_col, "left")
     hits = {lang: F.coalesce(F.col(f"__h_{lang}"), F.lit(0)) for lang in langs}
     n_ws = F.coalesce(F.col("n_ws"), F.lit(0))
     best = F.greatest(*hits.values())
@@ -190,4 +230,6 @@ def text_profile_table(df, text_col: str = "text", id_col: str = "doc_id"):
         ).alias("stopword_ratio"),
         lang_expr.alias("lang_guess"),
         "fp",
+        "dup_line_frac",
+        "top_bigram_frac",
     )

@@ -44,28 +44,13 @@ def q(name: str, sql: str | None = None):
 # D1/D4/F4 — breakdown (flagship): zero-filled dual group-count
 # =========================================================================
 
-@q(
-    "breakdown_counts",
-    """
-    WITH o AS (
-      SELECT o_custkey AS custkey, COUNT(*) AS submissions
-      FROM orders GROUP BY 1
-    ), l AS (
-      SELECT o.o_custkey AS custkey, COUNT(*) AS comments
-      FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
-      GROUP BY 1
-    )
-    SELECT COALESCE(o.custkey, l.custkey) AS custkey,
-           COALESCE(o.submissions, 0) AS submissions,
-           COALESCE(l.comments, 0) AS comments,
-           CAST(COALESCE(o.submissions, 0) + COALESCE(l.comments, 0) AS BIGINT)
-             AS total_posts
-    FROM o FULL OUTER JOIN l ON o.custkey = l.custkey
-    """,
-)
 def breakdown_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1: per customer ('author'), count of orders ('submissions') and of
-    lineitems ('comments'), zero-filled (breakdown.py:8-42)."""
+    lineitems ('comments'), zero-filled (breakdown.py:8-42).
+
+    Driver-checked through ``sort_computed_key``, which returns exactly
+    these rows plus the F4 ordering (the driver's value hash is
+    order-insensitive, so one registry slot covers both)."""
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
     li_cust = lineitem.join(
@@ -101,8 +86,8 @@ def breakdown_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sort_computed_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4: breakdown output sorted by -total with lower(name) tiebreak
-    (breakdown.py:55-82)."""
+    """D1/D4 + F4: the zero-filled dual group-count breakdown (flagship)
+    sorted by -total with lower(name) tiebreak (breakdown.py:55-82)."""
     bd = breakdown_counts(spark, sf_dir)
     return breakdown_sorted(bd, sort="total_posts", key_name="custkey")
 
@@ -1503,14 +1488,27 @@ _LANG_HITS_SQL = {
                AS n_bpe,
              length(text) AS n_chars,
              length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_clean,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls,
              {_LANG_HITS_SQL['de']} AS h_de,
              {_LANG_HITS_SQL['en']} AS h_en,
              {_LANG_HITS_SQL['es']} AS h_es,
              {_LANG_HITS_SQL['fr']} AS h_fr,
              {_LANG_HITS_SQL['zh']} AS h_zh
       FROM documents
+    ),
+    tok2 AS (SELECT doc_id, {_TOK_SQL} AS tt FROM documents),
+    bg AS (
+      SELECT doc_id, array_to_string(tt[i:i+1], ' ') AS gram
+      FROM tok2, UNNEST(range(1, len(tt))) AS u(i)
+      WHERE len(tt) >= 2
+    ),
+    bgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bga AS (
+      SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
+               AS top_bigram_frac
+      FROM bgc GROUP BY 1
     )
-    SELECT doc_id, n_ws, n_bpe, h_en AS sw_hits,
+    SELECT t.doc_id, n_ws, n_bpe, h_en AS sw_hits,
            ROUND(CAST(n_chars - n_clean AS DOUBLE) / n_chars, 6) AS punct_ratio,
            ROUND(CAST(h_en AS DOUBLE) / n_ws, 6) AS stopword_ratio,
            CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
@@ -1519,17 +1517,22 @@ _LANG_HITS_SQL = {
                 WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
                 WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
                 ELSE 'zh' END AS lang_guess,
-           MD5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-    FROM t
+           MD5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           CASE WHEN len(ls) > 0
+                THEN ROUND(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
+                END AS dup_line_frac,
+           bga.top_bigram_frac
+    FROM t LEFT JOIN bga ON t.doc_id = bga.doc_id
     """,
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-analysis profile, one map-only pass over documents:
-    whitespace + BPE-ish-regex token counts (training-data budgeting),
-    quality signals (stopword hits/ratio, punct ratio), stopword-hit
-    language ID (argmax over per-language hit counts,
-    first-in-code-order tie-break, 'und' when no hits), and the md5
-    content fingerprint of whitespace-normalized lowercase text.
+    """Text-analysis profile over documents: whitespace + BPE-ish-regex
+    token counts (training-data budgeting), quality signals (stopword
+    hits/ratio, punct ratio), stopword-hit language ID (argmax over
+    per-language hit counts, first-in-code-order tie-break, 'und' when
+    no hits), the md5 content fingerprint of whitespace-normalized
+    lowercase text, and the Gopher-rule repetition signals (duplicate
+    non-blank-line fraction, top word-bigram fraction).
     Runs textstats.text_profile_table — the narrow-relation form (one
     explode + one codegen'd hash-agg for every token signal, scalar
     signals joined back) — which beats the per-column HOF expressions
@@ -1770,6 +1773,36 @@ def ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics: top-20 3-grams by document frequency with a
     total tie-break order (pipeline.ngram_top)."""
     return pl.ngram_top(load(spark, sf_dir, "documents"), n=3, k=20)
+
+
+@q(
+    "pipeline_shuffle",
+    """
+    WITH k AS (
+      SELECT doc_id, md5('r3:' || CAST(doc_id AS VARCHAR)) AS key
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, key,
+             CAST((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) % 16
+                  AS INT) AS shard
+      FROM k
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def pipeline_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle + sharding
+    (pipeline.deterministic_shuffle): md5-keyed permutation, hex-nibble
+    shard, per-shard rank — no global single-partition sort anywhere in
+    the plan; a loader walking shards round-robin by pos reads the full
+    permutation."""
+    return pl.deterministic_shuffle(
+        load(spark, sf_dir, "documents"), seed="r3", num_shards=16
+    )
 
 
 # =========================================================================
