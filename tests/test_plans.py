@@ -144,3 +144,16 @@ def test_pack_sequences_single_shuffle(spark):
 def test_ngram_top_partial_aggregates(spark):
     df = _q(spark, "ngram_top")
     assert plans.has_partial_aggregate(df)
+
+
+def test_deterministic_shuffle_has_no_global_sort(spark):
+    # the permutation must come from per-shard windows (hash exchange),
+    # never a rangepartitioning exchange (global single-ordering sort)
+    from timesearch_spark.operators.pipeline import deterministic_shuffle
+
+    d = load(spark, SF_SMALL, "documents")
+    df = deterministic_shuffle(d, seed="s", num_shards=16)
+    plan = plans.formatted_plan(df)
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
