@@ -111,3 +111,26 @@ def test_topk_lsh_recall_vs_brute(spark):
     assert len(set(brute) & set(ann)) >= 6
     # and the true nearest item (the query itself) is always found
     assert brute[0] in ann
+
+
+def test_embedding_dedup_clusters_groups_planted_dups(spark):
+    import math
+
+    # three exact-duplicate groups + isolated vectors; clustering must
+    # put each dup group under its min id, transitively
+    base = []
+    for i in range(30):
+        v = [math.sin(i * 7.3 + d) for d in range(16)]
+        base.append((i, v))
+    dups = [(100 + i, base[i][1]) for i in range(0, 6, 2)]  # copies of 0,2,4
+    df = spark.createDataFrame(base + dups, "vec_id long, embedding array<double>")
+
+    from timesearch_spark.operators.similarity import embedding_dedup_clusters
+
+    out = {r["vec_id"]: r for r in embedding_dedup_clusters(
+        df, threshold=0.999, method="exact"
+    ).collect()}
+    for i in (0, 2, 4):
+        assert out[100 + i]["cluster_id"] == out[i]["cluster_id"] == i
+        assert not out[100 + i]["is_keeper"] and out[i]["is_keeper"]
+    assert len(out) == 33

@@ -99,7 +99,9 @@ def with_signatures(df: DataFrame, planes, id_col: str, vec_col: str) -> DataFra
                 cols[f"sig{t}"] = (block * weights).sum(axis=1)
             yield pd.DataFrame(cols)
 
-    return df.select(
+    from timesearch_spark.tables import spread
+
+    return spread(df).select(
         F.col(id_col), as_double(vec_col).alias(vec_col)
     ).mapInPandas(compute, out_schema)
 
@@ -273,8 +275,11 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Exact all-pairs near-duplicates: (a, b, cos) with cos ≥ threshold,
     a < b.  Quadratic — the correctness baseline; use the LSH variant at
-    scale."""
-    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    scale.  The stream side is spread so the nested-loop probes run with
+    full parallelism even off a single-row-group scan."""
+    from timesearch_spark.tables import spread
+
+    a = spread(emb).select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("a") < F.col("b"))
     return (
@@ -352,7 +357,9 @@ def embedding_near_dups_blas(
                 out_c.extend(sims[i][js])
             yield pd.DataFrame({"a": out_a, "b": out_b, "cos": out_c})
 
-    return emb.select(_col_pair(id_col), _col_pair(vec_col)).mapInPandas(
+    from timesearch_spark.tables import spread
+
+    return spread(emb).select(_col_pair(id_col), _col_pair(vec_col)).mapInPandas(
         score, "a long, b long, cos double"
     )
 
@@ -401,4 +408,37 @@ def embedding_near_dups_lsh(
     return (
         cand.select("a", "b", cosine("va", "vb").alias("cos"))
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_dedup_clusters(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    **kwargs,
+) -> DataFrame:
+    """(id, cluster_id, is_keeper): embedding-space near-dup clustering —
+    cosine near-dup pairs (LSH-bucketed by default; "blas" / "exact" for
+    the broadcast and expression baselines) closed into connected
+    components (dedup.connected_components hash-min propagation), keeper
+    = min id per cluster.  The embedding twin of the text-side
+    dedup_cluster_assignments: filtering to is_keeper leaves one
+    representative per semantic near-dup cluster, transitively closed."""
+    from timesearch_spark.operators.dedup import connected_components
+
+    fn = {
+        "lsh": embedding_near_dups_lsh,
+        "blas": embedding_near_dups_blas,
+        "exact": embedding_near_dups,
+    }[method]
+    pairs = fn(emb, threshold=threshold, id_col=id_col, vec_col=vec_col, **kwargs)
+    comp = connected_components(
+        emb.select(_col_pair(id_col)), pairs.select("a", "b"), id_col=id_col
+    )
+    return comp.select(
+        id_col,
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col(id_col)).alias("is_keeper"),
     )
