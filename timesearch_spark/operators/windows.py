@@ -18,14 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from timesearch_spark.tables import event_ts_sec
+from timesearch_spark.tables import event_ts_sec, ts_dtype
 
 
 def with_event_time(events: DataFrame) -> DataFrame:
-    """Add ``ts_sec`` (epoch seconds, long) and ``event_time`` (timestamp)."""
-    return events.withColumn("ts_sec", event_ts_sec("ts")).withColumn(
-        "event_time", F.timestamp_seconds(F.col("ts_sec"))
-    )
+    """Add ``ts_sec`` (epoch seconds, long) and ``event_time`` (timestamp).
+
+    Branches on the ts column's actual encoding (nanos-as-long vs
+    timestamp[us]); see tables.event_ts_sec."""
+    return events.withColumn(
+        "ts_sec", event_ts_sec("ts", ts_dtype(events))
+    ).withColumn("event_time", F.timestamp_seconds(F.col("ts_sec")))
 
 
 def tumbling_counts(

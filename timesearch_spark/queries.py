@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 from timesearch_spark import functions as tsf
 from timesearch_spark.operators.breakdown import breakdown, breakdown_sorted
 from timesearch_spark.operators.merge import anti_join_merge
-from timesearch_spark.tables import NANOS_PER_SEC, event_ts_sec, load, spread
+from timesearch_spark.tables import (
+    NANOS_PER_SEC,
+    event_ts_bound,
+    event_ts_sec,
+    load,
+    spread,
+    ts_dtype,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -136,14 +143,17 @@ def filter_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def filter_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3: half-open [lower, upper) time-range (pushshift.py:114-117).
-    events.ts is nanos-as-long (tables.load), so the bounds are plain
-    INT64 comparisons — pushed to parquet row-group pruning by Catalyst."""
-    lo = 1704240000 * NANOS_PER_SEC  # 2024-01-03 00:00:00 UTC
-    hi = 1704412800 * NANOS_PER_SEC  # 2024-01-05 00:00:00 UTC
+    The bound literals are built for the table's actual ts encoding
+    (tables.event_ts_bound) so the predicate is foldable and reaches the
+    parquet scan — INT64 nano comparisons or timestamp comparisons, both
+    row-group-prunable by Catalyst."""
     ev = load(spark, sf_dir, "events")
+    dt = ts_dtype(ev)
+    lo = event_ts_bound(1704240000, dt)  # 2024-01-03 00:00:00 UTC
+    hi = event_ts_bound(1704412800, dt)  # 2024-01-05 00:00:00 UTC
     return ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).select(
         "event_id",
-        event_ts_sec("ts").alias("ts_sec"),
+        event_ts_sec("ts", dt).alias("ts_sec"),
         "event_type",
     )
 
@@ -492,9 +502,8 @@ def count_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-joined; each side is a map-side-combined global agg, so the
     plan is two scans + two 1-row exchanges at any scale."""
     n = load(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
-    mx = load(spark, sf_dir, "events").agg(
-        F.max(event_ts_sec("ts")).alias("max_ts")
-    )
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max(event_ts_sec("ts", ts_dtype(ev))).alias("max_ts"))
     return n.crossJoin(mx)
 
 
@@ -718,7 +727,7 @@ def scalar_datefmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     true-floor nano→second division (tables.py event_ts_sec), checked
     against the oracle's FLOOR(EPOCH(ts))."""
     ev = load(spark, sf_dir, "events")
-    ts_sec = event_ts_sec("ts")
+    ts_sec = event_ts_sec("ts", ts_dtype(ev))
     return ev.select(
         "event_id",
         tsf.listing_time(ts_sec).alias("listing_ts"),
@@ -1587,7 +1596,9 @@ def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_sum").cast("decimal(38,6)").alias("value_sum"),
     )
     slid = (
-        ev.withColumn("event_time", F.timestamp_seconds(event_ts_sec("ts")))
+        ev.withColumn(
+            "event_time", F.timestamp_seconds(event_ts_sec("ts", ts_dtype(ev)))
+        )
         .groupBy(
             F.window("event_time", "1 hour", "15 minutes").alias("w"), "event_type"
         )

@@ -26,11 +26,15 @@ TABLE_NAMES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark 4
-    # refuses by default; read nanos as a raw long (session-settable, safe
-    # for every other table).  Filters on the raw nano column still push
-    # down to the parquet scan as plain INT64 comparisons.
+    # events.parquet has shipped as both TIMESTAMP(NANOS) and
+    # timestamp[us] (TIMESTAMP_NTZ) across driver generations.  Keep
+    # nanosAsLong on so the NANOS variant still reads (raw long, filters
+    # push down as INT64 comparisons); the NTZ variant reads natively and
+    # event_ts_sec branches on the actual dtype.  Session timezone is
+    # pinned to UTC because unix_timestamp interprets NTZ wall-clock in
+    # session tz, and the oracle (DuckDB EPOCH) treats it as UTC.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -56,22 +60,54 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
 NANOS_PER_SEC = 1_000_000_000
 
 
-def event_ts_sec(col="ts"):
-    """events.ts (nanos-as-long) → epoch seconds (long, true floor).
+def ts_dtype(df: DataFrame, col: str = "ts") -> str:
+    """The Spark dtype string of an event-time column ('bigint' when the
+    parquet was TIMESTAMP(NANOS) read under nanosAsLong, 'timestamp_ntz'
+    or 'timestamp' when it was timestamp[us])."""
+    return dict(df.dtypes).get(col, "bigint")
 
-    Exact integer math — nano epochs (~1.7e18) exceed double's 2^53
-    mantissa, so float division would corrupt the low digits.  Decimal
-    division alone isn't enough either: its scale-6 result rounds HALF_UP
-    before the long cast, so a nano within 5e-7 s below a second boundary
-    would round UP, diverging from the oracle's FLOOR(EPOCH(ts)).  We
-    subtract the pmod remainder first so the division is exact.
+
+def event_ts_sec(col="ts", dtype: str = "bigint"):
+    """events.ts → epoch seconds (long, true floor), for either physical
+    encoding of the driver's events table.
+
+    timestamp/timestamp_ntz: ``unix_timestamp`` — JVM-side floorDiv of the
+    internal micros, exact floor for fractional seconds (verified against
+    the oracle's FLOOR(EPOCH(ts)); NTZ wall-clock is interpreted in the
+    session tz, which ``load`` pins to UTC).  A plain cast-to-long is NOT
+    equivalent: CAST(TIMESTAMP_NTZ AS BIGINT) is an analysis error.
+
+    bigint (nanos-as-long): exact integer math — nano epochs (~1.7e18)
+    exceed double's 2^53 mantissa, so float division would corrupt the low
+    digits.  Decimal division alone isn't enough either: its scale-6
+    result rounds HALF_UP before the long cast, so a nano within 5e-7 s
+    below a second boundary would round UP, diverging from
+    FLOOR(EPOCH(ts)).  We subtract the pmod remainder first so the
+    division is exact.
     """
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
+    if dtype.startswith("timestamp"):
+        return F.unix_timestamp(c)
     cd = c.cast("decimal(38,0)")
     whole = cd - F.pmod(cd, F.lit(NANOS_PER_SEC).cast("decimal(38,0)"))
     return (whole / NANOS_PER_SEC).cast("long")
+
+
+def event_ts_bound(epoch_sec: int, dtype: str = "bigint"):
+    """An epoch-seconds boundary as a literal directly comparable to the
+    events.ts column — foldable, so it reaches the parquet scan as a
+    pushed filter in both encodings (INT64 nano comparison / timestamp
+    comparison)."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    if dtype.startswith("timestamp"):
+        wall = _dt.datetime.fromtimestamp(epoch_sec, _dt.timezone.utc)
+        return F.lit(wall.strftime("%Y-%m-%d %H:%M:%S")).cast(dtype)
+    return F.lit(epoch_sec * NANOS_PER_SEC)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
