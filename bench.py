@@ -64,20 +64,34 @@ def main() -> None:
         return time.time() - t0
 
     load_before = os.getloadavg()
-    run("count_max")  # warmup: JVM + codegen + parquet footer cache
+    # Warmup (JVM + codegen + parquet footer cache): never a single point
+    # of failure — r3's bench died in warmup on one broken query and
+    # recorded zero numbers for the whole round.
+    for warm in ("count_max", "dedup_ids", "point_lookup"):
+        try:
+            run(warm)
+            break
+        except Exception:
+            continue
 
     # best-of-3 per query: later runs reuse the codegen cache, so the
     # number reflects the steady-state distributed plan (what scales to the
     # cluster) instead of one-off driver-side JIT/GC jitter.  All raw runs
     # plus the host load averages are recorded so a reader can tell a code
     # regression from a loaded sandbox (r1→r2 showed a uniform ~1.8×
-    # environmental swing that best-of-2 didn't absorb).
+    # environmental swing that best-of-2 didn't absorb).  A query that
+    # raises records "err" instead of killing the run.
     times: dict[str, float] = {}
-    raw: dict[str, list[float]] = {}
+    raw: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name in qs:
-            raw[name] = [round(run(name), 3) for _ in range(3)]
-            times[name] = min(raw[name])
+            try:
+                raw[name] = [round(run(name), 3) for _ in range(3)]
+                times[name] = min(raw[name])
+            except Exception as exc:  # record, keep benching the rest
+                raw[name] = "err"
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     print(
         json.dumps(
@@ -88,6 +102,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "runs": raw,
+                "errors": errors,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }

@@ -44,27 +44,27 @@ def test_blas_finds_planted_pairs(spark):
 
 
 def test_blas_guard_spills_to_lsh(spark):
-    """Past max_broadcast_rows the BLAS path must (a) never collect the
-    full frame on the driver and (b) return LSH results instead of
-    raising.  The bounded probe is limit(max+1) — assert it by spying on
-    DataFrame.collect sizes."""
+    """Past max_broadcast_rows the BLAS path must (a) never materialize
+    the full frame on the driver and (b) return LSH results instead of
+    raising.  The bounded probe is limit(max+1).toPandas() — assert it by
+    spying on DataFrame.toPandas sizes."""
     emb = _emb(spark, dim=64)  # 66 rows > max_broadcast_rows=10
     cls = type(emb)  # the concrete (classic) DataFrame class
     n_total = emb.count()
     collected_sizes = []
-    real_collect = cls.collect
+    real_topandas = cls.toPandas
 
     def spy(self):
-        out = real_collect(self)
+        out = real_topandas(self)
         collected_sizes.append(len(out))
         return out
 
-    cls.collect = spy
+    cls.toPandas = spy
     try:
         df = sim.embedding_near_dups_blas(emb, threshold=0.999, max_broadcast_rows=10)
-        got = {(r["a"], r["b"]) for r in real_collect(df)}
+        got = {(r["a"], r["b"]) for r in df.collect()}
     finally:
-        cls.collect = real_collect
+        cls.toPandas = real_topandas
 
     # the probe stayed bounded: no driver-side collect saw the full frame
     assert collected_sizes and max(collected_sizes) <= 11 < n_total

@@ -567,10 +567,24 @@ def ngram_jaccard_pairs(
     df = spread(df)
     post, base = _jaccard_postings(df, block_col, text_col, id_col, n)
     if method == "auto":
-        sq = lambda rel: rel.groupBy("block", "gh").agg(  # noqa: E731
-            F.count("*").alias("c")
-        ).agg(F.sum(F.col("c") * F.col("c"))).first()[0]
-        q = sq(post)
+        # Probe gate: the Σdf² statistic costs two shuffled aggregates;
+        # on provably-small input (parquet-footer row-count ceiling, no
+        # job — tables.row_count_bound) even a fully-degenerate corpus
+        # where every document shares its stop-grams keeps the count
+        # plan's co-occurrence volume around ndocs² ≲ 4×10⁸ rows, i.e.
+        # seconds of cluster work, so the probe can only cost more than
+        # it saves.  Above the ceiling (or when no bound is readable)
+        # the probe runs as before — it stays linear in the postings.
+        from timesearch_spark.tables import row_count_bound
+
+        ndocs = row_count_bound(df)
+        if ndocs is not None and ndocs <= 20_000:
+            q = None  # take the count plan below
+        else:
+            sq = lambda rel: rel.groupBy("block", "gh").agg(  # noqa: E731
+                F.count("*").alias("c")
+            ).agg(F.sum(F.col("c") * F.col("c"))).first()[0]
+            q = sq(post)
         # Small-q fast path: below ~50M co-occurrence rows the count
         # plan's quadratic term is a non-event on any cluster, so skip
         # the prefix-side stats entirely (they cost a df-count plus a

@@ -316,21 +316,24 @@ def embedding_near_dups_blas(
 
     spark = emb.sparkSession
     narrow = emb.select(_col_pair(id_col), _col_pair(vec_col))
-    # limit(max+1): a bounded collect that doubles as the size probe —
-    # never materializes more than max_broadcast_rows+1 rows on the
-    # driver, unlike a collect-then-len check (which OOMs before the
-    # guard can fire) or a separate count() job.
-    rows = narrow.limit(max_broadcast_rows + 1).collect()
-    if len(rows) > max_broadcast_rows:
+    # limit(max+1).toPandas(): a bounded Arrow transfer that doubles as
+    # the size probe AND the broadcast payload — never materializes more
+    # than max_broadcast_rows+1 rows on the driver (unlike a
+    # collect-then-len check, which OOMs before the guard can fire),
+    # costs no separate count() job, and moves the vectors as Arrow
+    # columnar batches instead of py4j row deserialization (r3's probe
+    # paid ~2s at sf0.1 on the row path).
+    pdf = narrow.limit(max_broadcast_rows + 1).toPandas()
+    if len(pdf) > max_broadcast_rows:
         return embedding_near_dups_lsh(
             emb,
             threshold=threshold,
             id_col=id_col,
             vec_col=vec_col,
-            dim=len(rows[0][1]),
+            dim=len(pdf[vec_col].iloc[0]),
         )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array(list(pdf[vec_col]), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     matn = mat / norms[:, None]

@@ -159,37 +159,59 @@ def text_profile_table(df, text_col: str = "text", id_col: str = "doc_id"):
     boilerplate text): ``dup_line_frac`` = 1 − distinct/total over
     non-blank lines (cheap HOF — line counts are tiny), and
     ``top_bigram_frac`` = occurrences of the most frequent word bigram
-    over total bigrams (NULL below 2 tokens), via a second narrow
-    explode→count→max/sum aggregation joined back on the id.
+    over total bigrams (NULL below 2 tokens), folded into the same
+    explode/aggregate pass as the token stats via a kind tag.
     """
     from timesearch_spark.tables import spread
 
     d = spread(df)
-    tok = d.select(_c(id_col).alias(id_col), F.explode(tokens(text_col)).alias("__t"))
     langs = sorted(STOPWORDS)
-    aggs = [F.count("*").alias("n_ws")] + [
-        F.sum(F.col("__t").isin(*STOPWORDS[lang]).cast("long")).alias(f"__h_{lang}")
-        for lang in langs
-    ]
-    tstats = tok.groupBy(id_col).agg(*aggs)
 
+    # ONE explode feeds both the token stats and the bigram stats:
+    # each document emits its tokens tagged 't' and its bigrams tagged
+    # 'g' (bigrams built linearly — zip the token array against itself
+    # shifted by one; the r3 form, transform(sequence(1, n-1),
+    # i -> slice(t, i, 2)), re-evaluated the tokenizing split() inside
+    # the lambda for EVERY i since interpreted HOFs don't CSE the
+    # captured subtree, i.e. O(n²) splits per document).  Two hash
+    # aggregates then produce everything: (id, kind, gram) counts —
+    # map-side partially combined before the only wide shuffle — and a
+    # per-id rollup with conditional aggs.  One join back to the scalar
+    # map stage instead of r3's two.
     t = tokens(text_col)
     n_t = F.size(t)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n_t - 1),
-        lambda i: F.array_join(F.slice(t, i, 2), " "),
+    bigrams = F.zip_with(
+        F.slice(t, 1, n_t - 1),
+        F.slice(t, 2, n_t - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
-    bg = (
-        d.filter(n_t >= 2)
-        .select(_c(id_col).alias(id_col), F.explode(bigrams).alias("__g"))
-        .groupBy(id_col, "__g")
-        .agg(F.count("*").alias("__c"))
-        .groupBy(id_col)
-        .agg(
-            F.round(
-                F.max("__c").cast("double") / F.sum("__c").cast("double"), 6
-            ).alias("top_bigram_frac")
-        )
+    tagged = d.select(
+        _c(id_col).alias(id_col),
+        F.explode(
+            F.concat(
+                F.transform(t, lambda x: F.struct(F.lit("t").alias("k"), x.alias("g"))),
+                F.transform(
+                    bigrams, lambda x: F.struct(F.lit("g").alias("k"), x.alias("g"))
+                ),
+            )
+        ).alias("e"),
+    ).select(id_col, F.col("e.k").alias("__k"), F.col("e.g").alias("__g"))
+    is_tok = F.col("__k") == "t"
+    counts = tagged.groupBy(id_col, "__k", "__g").agg(F.count("*").alias("__c"))
+    tstats = counts.groupBy(id_col).agg(
+        F.sum(F.when(is_tok, F.col("__c"))).alias("n_ws"),
+        *[
+            F.sum(
+                F.when(is_tok & F.col("__g").isin(*STOPWORDS[lang]), F.col("__c"))
+                .otherwise(F.lit(0))
+            ).alias(f"__h_{lang}")
+            for lang in langs
+        ],
+        F.round(
+            F.max(F.when(~is_tok, F.col("__c"))).cast("double")
+            / F.sum(F.when(~is_tok, F.col("__c"))).cast("double"),
+            6,
+        ).alias("top_bigram_frac"),
     )
 
     lines = F.filter(
@@ -212,7 +234,7 @@ def text_profile_table(df, text_col: str = "text", id_col: str = "doc_id"):
         fingerprint_md5(text_col).alias("fp"),
         dup_line.alias("dup_line_frac"),
     )
-    prof = scal.join(tstats, id_col, "left").join(bg, id_col, "left")
+    prof = scal.join(tstats, id_col, "left")
     hits = {lang: F.coalesce(F.col(f"__h_{lang}"), F.lit(0)) for lang in langs}
     n_ws = F.coalesce(F.col("n_ws"), F.lit(0))
     best = F.greatest(*hits.values())

@@ -38,6 +38,53 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: Memoized (row_groups, bytes, rows) per parquet file path (footer-only
+#: reads).
+_FILE_META: dict[str, tuple[int, int, int]] = {}
+
+
+def _file_meta(uri: str) -> tuple[int, int, int]:
+    if uri not in _FILE_META:
+        from urllib.parse import unquote, urlparse
+
+        import pyarrow.parquet as pq
+
+        path = unquote(urlparse(uri).path) if "://" in uri else uri
+        meta = pq.ParquetFile(path).metadata
+        _FILE_META[uri] = (meta.num_row_groups, os.path.getsize(path), meta.num_rows)
+    return _FILE_META[uri]
+
+
+def row_count_bound(df: DataFrame) -> int | None:
+    """Upper bound on ``df``'s row count from parquet footer metadata —
+    no Spark job.  Filters/limits above the scan only shrink the result,
+    so the footer total is a valid ceiling; None when the plan has no
+    readable parquet files (in-memory DFs, remote FS without local
+    access).  Used for cost-based plan gates where a cheap over-estimate
+    is enough (e.g. skipping a probe aggregate on provably-small input)."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        return sum(_file_meta(f)[2] for f in files)
+    except Exception:
+        return None
+
+
+def _scan_parallelism(files: list[str], default_parallelism: int) -> int:
+    """Estimate of the parquet scan's effective task parallelism: per file,
+    min(row groups, byte splits) under Spark's split formula
+    (maxSplitBytes = min(maxPartitionBytes, max(openCost, total/parallelism)))."""
+    open_cost = 4 * 1024 * 1024
+    max_part = 128 * 1024 * 1024
+    metas = [_file_meta(f) for f in files]
+    total = sum(sz for _, sz in metas)
+    max_split = min(max_part, max(open_cost, total // max(default_parallelism, 1)))
+    return sum(
+        min(rg, -(-sz // max_split)) if sz else 1 for rg, sz in metas
+    )
+
+
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Ensure at least ``min_parts`` (default: cores) partitions before
     expensive per-row compute.
@@ -50,8 +97,54 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     NO-OP (no Exchange in the plan); it only round-robins when the scan
     genuinely under-splits, which is exactly when the shuffle is cheaper
     than the serial compute it unblocks.
+
+    The under-split check is metadata-only — never
+    ``df.rdd.getNumPartitions()``, whose RDD conversion costs a full
+    physical-planning pass per call (r3's measured per-query overhead):
+
+    1. If the analyzed logical plan (eagerly computed at DataFrame
+       creation — reading its string is free) already contains a
+       shuffle-introducing operator (repartition to >= min_parts,
+       aggregate, window, distinct, sort), the output is
+       shuffle-partitions wide and spread is a no-op.
+    2. Otherwise the plan is scan-bound: estimate the scan's effective
+       parallelism from ``inputFiles`` plus memoized parquet-footer
+       row-group counts.  With >= min_parts input files the answer is
+       known from the listing alone, so the 100 TB path never opens a
+       footer.
     """
+    import re
+
     want = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        logical = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        logical = ""
+    if re.search(r"^(?:[:+\- ]*)(?:Aggregate|Window|Deduplicate|Sort) ", logical, re.M):
+        return df
+    reparts = [
+        int(x) for x in re.findall(r"Repartition(?:ByExpression)?\b[^\n]*?(\d+)", logical)
+    ]
+    if reparts and max(reparts) >= want:
+        return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) >= want:
+        return df
+    if files:
+        try:
+            effective = _scan_parallelism(files, want)
+        except Exception:
+            # unreadable footers (remote FS without local access): the
+            # input is < min_parts files, so it's small — round-robin.
+            return df.repartition(want)
+        if effective >= want:
+            return df
+        return df.repartition(want)
+    # No backing files (in-memory test DFs): the one case worth the RDD
+    # conversion to answer exactly.
     if df.rdd.getNumPartitions() < want:
         return df.repartition(want)
     return df
