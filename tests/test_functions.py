@@ -86,3 +86,17 @@ def test_markdown_lite_subset():
     # reference pre-escapes brackets, so '&lt;'/'&rt;' [sic] must survive
     assert render("a &lt;b&rt; c & d") == "<p>a &lt;b&rt; c &amp; d</p>"
     assert render("1 < 2 > 0") == "<p>1 &lt; 2 &gt; 0</p>"
+    # ordered lists
+    assert render("1. a\n2. b") == "<ol>\n<li>a</li>\n<li>b</li>\n</ol>"
+    assert render("1. *a*") == "<ol>\n<li><em>a</em></li>\n</ol>"
+    # fenced code: no inline processing, brackets escaped, blank lines kept
+    assert render("```\nx = 1\n\ny < 2\n```") == (
+        "<pre><code>x = 1\n\ny &lt; 2\n</code></pre>"
+    )
+    assert render("before\n\n```py\n**not bold**\n```\n\nafter") == (
+        "<p>before</p>\n<pre><code>**not bold**\n</code></pre>\n<p>after</p>"
+    )
+    # indented code blocks (python-markdown core behavior)
+    assert render("    code line") == "<pre><code>code line\n</code></pre>"
+    # an unterminated fence is not a fence
+    assert render("``` not code") == "<p>``` not code</p>"

@@ -173,6 +173,35 @@ def test_store_merge_touches_only_batch_buckets(spark, tmp_path):
     assert store.vacuum() == []
 
 
+def test_store_merge_nondeterministic_batch(spark, tmp_path):
+    """A batch whose rows differ per evaluation (rand()-based filter)
+    must merge without losing rows: merge() pins the batch with a
+    localCheckpoint before planning, so the bucket plan, the write pass,
+    and the stats all see the same data.  Before the pin, the write pass
+    could land rows in buckets whose old data was never merged in."""
+    from pyspark.sql import functions as F
+
+    store = _store(spark, tmp_path)
+    seed = spark.createDataFrame(
+        [_comment(f"t1_s{i}", f"seed {i}") for i in range(64)], COMMENT_COLS
+    )
+    store.merge(seed, observed_at=1)
+
+    cand = spark.createDataFrame(
+        [_comment(f"t1_n{i}", f"new {i}") for i in range(256)], COMMENT_COLS
+    )
+    # ~50% sample, re-rolled on every evaluation of the plan
+    nondet = cand.filter(F.rand() < 0.5)
+    res = store.merge(nondet, observed_at=2)
+
+    # every seed row survived, and the snapshot equals seed ∪ merged keys
+    snap = store.snapshot()
+    assert snap.filter(F.col("idstr").startswith("t1_s")).count() == 64
+    merged_new = snap.filter(F.col("idstr").startswith("t1_n")).count()
+    assert merged_new == res.stats["inserted"] == res.stats["batch_keys"]
+    assert 0 < merged_new < 256  # the sample actually sampled
+
+
 def test_store_merge_insert_counters(spark, tmp_path):
     store = _store(spark, tmp_path)
     b1 = spark.createDataFrame(

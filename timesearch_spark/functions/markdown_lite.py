@@ -10,14 +10,21 @@ comment text) with python-markdown-compatible output shapes:
 - ATX headings ``#``–``######``             → ``<h1>``…``<h6>``
 - blockquotes (``> `` prefixed lines)       → ``<blockquote><p>…``
 - unordered lists (``- `` / ``* `` lines)   → ``<ul><li>…``
+- ordered lists (``1. `` numbered lines)    → ``<ol><li>…``
+- fenced code blocks (``` fences)           → ``<pre><code>…``
+- indented code blocks (4-space lines)      → ``<pre><code>…``
 - ``**strong**``, ``*em*``, ``` `code` ``   → ``<strong>/<em>/<code>``
 - ``[text](url)``                           → ``<a href="url">text</a>``
 
 Known deviations (documented, deliberate): raw inline HTML is escaped
-rather than passed through, nested lists/quotes are flattened one level,
-and setext headings / ordered lists / fenced code blocks are rendered as
-paragraphs.  The renderer is pure and total: same string in, same string
-out, never raises.
+rather than passed through, nested lists/quotes are flattened one
+level, and setext headings are rendered as paragraphs.  Fenced code is
+the Reddit-markdown reading of ``` blocks; the reference's renderer
+(python-markdown WITHOUT the fenced_code extension,
+offline_reading.py:285-291) has no fence support at all, so this is an
+extension past reference behavior, not a mismatch against one it has.
+The renderer is pure and total: same string in, same string out, never
+raises.
 """
 
 from __future__ import annotations
@@ -52,6 +59,9 @@ def _inline(s: str) -> str:
     return s
 
 
+_OL_ITEM = re.compile(r"^\d+\.\s+(.*)$")
+
+
 def _render_block(block: str) -> str:
     lines = block.split("\n")
     m = _HEADING.match(lines[0])
@@ -64,12 +74,38 @@ def _render_block(block: str) -> str:
     if all(ln.startswith(("- ", "* ")) for ln in lines):
         items = "\n".join(f"<li>{_inline(ln[2:])}</li>" for ln in lines)
         return "<ul>\n" + items + "\n</ul>"
+    ol = [_OL_ITEM.match(ln) for ln in lines]
+    if all(ol):
+        items = "\n".join(f"<li>{_inline(m.group(1))}</li>" for m in ol)
+        return "<ol>\n" + items + "\n</ol>"
+    if all(ln.startswith("    ") or not ln.strip() for ln in lines):
+        code = "\n".join(ln[4:] for ln in lines)
+        return "<pre><code>" + _escape(code) + "\n</code></pre>"
     return "<p>" + _inline("\n".join(lines)) + "</p>"
+
+
+_FENCE = re.compile(r"^```[^\n`]*\n(.*?)\n?^```\s*$", re.M | re.S)
 
 
 def render(text: str | None) -> str | None:
     """Render a markdown string to HTML (None passes through)."""
     if text is None:
         return None
-    blocks = [b for b in re.split(r"\n\s*\n", text.replace("\r\n", "\n")) if b.strip()]
-    return "\n".join(_render_block(b.strip("\n")) for b in blocks)
+    text = text.replace("\r\n", "\n")
+    # Fenced code first: fences may contain blank lines, so they must be
+    # carved out before the blank-line block split.  Placeholder indexes
+    # into the rendered fence list; \x00 can't appear in markdown text.
+    fences: list[str] = []
+
+    def _carve(m: re.Match) -> str:
+        fences.append("<pre><code>" + _escape(m.group(1)) + "\n</code></pre>")
+        return f"\n\n\x00{len(fences) - 1}\x00\n\n"
+
+    text = _FENCE.sub(_carve, text)
+    blocks = [b for b in re.split(r"\n\s*\n", text) if b.strip()]
+    out = []
+    for b in blocks:
+        b = b.strip("\n")
+        fm = re.fullmatch(r"\x00(\d+)\x00", b)
+        out.append(fences[int(fm.group(1))] if fm else _render_block(b))
+    return "\n".join(out)

@@ -266,6 +266,18 @@ class ParquetMergeStore:
                 "run upgrade_store() before merging"
             )
 
+        # Pin the batch before planning: ``batch`` is evaluated three
+        # times below (bucket planning, the upsert join's write pass,
+        # stats), and a nondeterministic source — sample(), rand()
+        # filters, a task retried against a moving upstream — could
+        # yield different rows per pass, writing buckets whose old rows
+        # were never merged in.  localCheckpoint materializes the rows
+        # once and truncates lineage, so every pass sees the same data;
+        # block loss surfaces as an error, never a silent different
+        # recompute.  Micro-batch-sized, so the extra materialization is
+        # noise next to the merge itself.
+        batch = batch.localCheckpoint(eager=True)
+
         touched = sorted(
             r["__b"]
             for r in batch.select(self._bucket_expr().alias("__b")).distinct().collect()
@@ -299,12 +311,12 @@ class ParquetMergeStore:
         if self.store_edits:
             res.edits.write.mode("append").parquet(os.path.join(self.path, "edits"))
 
-        # Repoint the buckets that were ACTUALLY written, not the set
-        # pre-collected from a separate evaluation of ``batch`` — a
-        # nondeterministic source (task retry, sampling) could produce
-        # different rows on the write pass.  A bucket written outside
-        # ``touched`` never had its old rows merged in, so repointing it
-        # would lose data: fail loudly instead.
+        # Repoint the buckets that were ACTUALLY written.  With the
+        # batch checkpointed above the write pass can't diverge from the
+        # planning pass, but the invariant is cheap to verify from the
+        # directories on disk — keep it as a hard guard: a bucket
+        # written outside ``touched`` never had its old rows merged in,
+        # so repointing it would lose data.
         written = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(vdir)
