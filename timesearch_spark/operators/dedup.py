@@ -163,6 +163,16 @@ def minhash_band_buckets(
         _c(id_col).alias(id_col),
         F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("__s"),
     )
+    # Two explode shapes, chosen by what the explode would duplicate:
+    # the xx64 path pre-hashes the shingle to ONE long, explodes the
+    # permutation index against it, and re-hashes in a top-level
+    # projection — everything stays in whole-stage codegen and the
+    # Generate only copies 8-byte longs (measurably faster than
+    # evaluating the hash as an interpreted transform() lambda).  The
+    # md5 path must hash the raw "{i}:{shingle}" string per
+    # permutation, so index-first explode would copy the ~50-byte
+    # shingle 64×; there the array form posexplode(transform(...)) is
+    # cheaper despite the interpreted lambda (measured, not guessed).
     if hash_family == "md5":
         perms = base.select(
             id_col,
@@ -176,11 +186,10 @@ def minhash_band_buckets(
             ).alias("i", "ph"),
         )
     elif hash_family == "xxhash64":
-        perms = base.select(id_col, F.xxhash64("__s").alias("__h")).select(
-            id_col,
-            F.posexplode(
-                F.transform(seq, lambda i: F.xxhash64(F.col("__h"), i))
-            ).alias("i", "ph"),
+        perms = (
+            base.select(id_col, F.xxhash64("__s").alias("__h"))
+            .select(id_col, "__h", F.explode(seq).alias("i"))
+            .select(id_col, "i", F.xxhash64("__h", F.col("i")).alias("ph"))
         )
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
@@ -419,27 +428,32 @@ def simhash_table(
     tok = spread(df).select(
         _c(id_col).alias(id_col), F.explode(tokens(text_col)).alias("__t")
     )
+    # Explode the bit index FIRST, then derive the ±1 vote in a
+    # top-level projection: 64 × tokens hash/bit computations run inside
+    # whole-stage codegen instead of as interpreted transform() lambdas
+    # (the hot path — see minhash_band_buckets for the same rewrite).
+    seq64 = F.sequence(F.lit(0), F.lit(63))
     if hash_family == "md5":
-        per_tok_bits = F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda b: F.when(
+        bits = tok.select(id_col, "__t", F.explode(seq64).alias("b")).select(
+            id_col,
+            "b",
+            F.when(
                 F.substring(
-                    F.md5(F.concat(b.cast("string"), F.lit(":"), F.col("__t"))),
+                    F.md5(
+                        F.concat(F.col("b").cast("string"), F.lit(":"), F.col("__t"))
+                    ),
                     1, 1,
                 ) <= "7",
                 F.lit(1),
-            ).otherwise(F.lit(-1)),
+            ).otherwise(F.lit(-1)).alias("v"),
         )
-        bits = tok.select(id_col, F.posexplode(per_tok_bits).alias("b", "v"))
     elif hash_family == "xxhash64":
-        bits = tok.select(id_col, F.xxhash64("__t").alias("__h")).select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(63)),
-                    lambda b: F.bit_get(F.col("__h"), b) * 2 - 1,
-                )
-            ).alias("b", "v"),
+        bits = (
+            tok.select(id_col, F.xxhash64("__t").alias("__h"))
+            .select(id_col, "__h", F.explode(seq64).alias("b"))
+            .select(
+                id_col, "b", (F.bit_get("__h", F.col("b")) * 2 - 1).alias("v")
+            )
         )
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
