@@ -34,6 +34,7 @@ HEADLINE = [
     "union_tagged",
     # extensions (skipped silently if not yet registered)
     "dedup_exact",
+    "dedup_incremental",
     "dedup_minhash_xx64",
     "dedup_simhash_xx64",
     "dedup_minhash_lsh",  # md5 oracle-parity family: xx64 twin is the default

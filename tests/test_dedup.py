@@ -23,6 +23,53 @@ def _docs(spark):
     return spark.createDataFrame(base, "doc_id long, text string")
 
 
+def test_incremental_dedup(spark):
+    corpus = _docs(spark).filter(F.col("doc_id") < 30)
+    fresh = _docs(spark).filter(F.col("doc_id") >= 30)  # 30..39: new content
+    reingest = corpus.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"), "text"
+    )  # corpus dups
+    twice = fresh.filter(F.col("doc_id") == 31).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"), "text"
+    )  # within-batch dup of 31
+    batch = fresh.unionByName(reingest).unionByName(twice)
+
+    out = {r["doc_id"]: r for r in dd.incremental_dedup(batch, corpus=corpus).collect()}
+    assert len(out) == batch.count()
+    # fresh docs are new, whitespace/case-insensitively
+    for i in range(30, 40):
+        assert out[i]["is_new"] and out[i]["dup_of"] is None
+    # re-ingested corpus docs point at the corpus keeper (original id)
+    for i in range(0, 30, 3):
+        assert not out[i + OFFSET]["is_new"]
+        assert out[i + OFFSET]["dup_of"] == i
+    # the second batch copy of 31 dups the first batch holder
+    assert not out[31 + OFFSET]["is_new"]
+    assert out[31 + OFFSET]["dup_of"] == 31
+
+    # normalization: case/whitespace variants hit the same fingerprint
+    variant = spark.createDataFrame(
+        [(999, corpus.first()["text"].upper() + "  ")], "doc_id long, text string"
+    )
+    v = dd.incremental_dedup(variant, corpus=corpus).first()
+    assert not v["is_new"] and v["dup_of"] == corpus.first()["doc_id"]
+
+    # prebuilt-index path gives identical results
+    idx = dd.fingerprint_index(corpus)
+    out2 = {r["doc_id"]: r for r in dd.incremental_dedup(batch, index=idx).collect()}
+    assert out == out2 or all(
+        out[k]["is_new"] == out2[k]["is_new"] and out[k]["dup_of"] == out2[k]["dup_of"]
+        for k in out
+    )
+
+    # exactly one of corpus=/index=
+    try:
+        dd.incremental_dedup(batch)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_exact_dedup_groups(spark):
     d = _docs(spark)
     copies = d.filter(F.col("doc_id") % 4 == 0).select(

@@ -91,7 +91,7 @@ def test_spread_is_noop_on_well_split_input(spark):
 
 
 def test_codegen_covers_scalar_queries(spark):
-    for name in ("project_case", "scalar_format", "scalar_base36"):
+    for name in ("project_case", "scalar_newline", "scalar_base36"):
         df = _q(spark, name)
         assert plans.wholestage_codegen_spans(df) >= 1, name
 

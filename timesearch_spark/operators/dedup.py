@@ -88,6 +88,80 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _whitespace_fp(col) -> Column:
+    """md5 of whitespace-normalized lowercase text — the same content
+    fingerprint as textstats.fingerprint_md5 (kept expression-identical;
+    not imported to avoid a module cycle)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " "))
+
+
+def fingerprint_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fp, keeper): one row per distinct content fingerprint with the
+    min-id document holding it.  This is the persisted artifact of
+    incremental dedup: at 100 TB the corpus is never re-read — the index
+    (32-byte key + long, ~a thousandth of the corpus width) is stored
+    bucketed by fp and unioned/min-merged with each ingested batch's
+    index."""
+    return (
+        df.select(_whitespace_fp(text_col).alias("fp"), _c(id_col).alias("keeper"))
+        .groupBy("fp")
+        .agg(F.min("keeper").alias("keeper"))
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    index: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-run exact dedup: tag each batch document against an
+    already-ingested corpus without re-processing the corpus — the
+    realistic shape of dedup in a continuously-fed training pipeline
+    (the reference's insert-only-new EXCEPT semantics, merge_db.py:56-80,
+    lifted from ids to content fingerprints).
+
+    Pass either the corpus rows (an index is built on the fly) or a
+    pre-built ``fingerprint_index`` output.  Returns one row per batch
+    document: (id, fp, is_new, dup_of) where ``is_new`` marks the
+    documents to ingest (fingerprint unseen in the corpus AND first
+    holder of that fingerprint within the batch, min id winning) and
+    ``dup_of`` points at the corpus keeper or the earlier batch document
+    it duplicates (NULL for keepers).
+
+    Scale shape: everything shuffles on the 32-char fp, never the text;
+    the batch-internal first-holder pass is a partial-aggregated
+    groupBy; the corpus side is the narrow index relation, so the join
+    cost tracks index size, not corpus size.  Identical-boilerplate hot
+    fingerprints skew the join key — AQE's skew-join split handles the
+    probe side, and the index side is already one row per fp by
+    construction."""
+    if (corpus is None) == (index is None):
+        raise ValueError("pass exactly one of corpus= or index=")
+    if index is None:
+        index = fingerprint_index(corpus, text_col, id_col)
+    b = batch.select(_c(id_col).alias(id_col), _whitespace_fp(text_col).alias("fp"))
+    first = b.groupBy("fp").agg(F.min(id_col).alias("__first"))
+    return (
+        b.join(index, on="fp", how="left")
+        .join(first, on="fp")
+        .select(
+            id_col,
+            "fp",
+            (F.col("keeper").isNull() & (F.col(id_col) == F.col("__first"))).alias(
+                "is_new"
+            ),
+            F.coalesce(
+                "keeper",
+                F.when(F.col(id_col) != F.col("__first"), F.col("__first")),
+            ).alias("dup_of"),
+        )
+    )
+
+
 # --- minhash + LSH ------------------------------------------------------------
 
 def minhash_signature(col, num_hashes: int = 64, shingle_k: int = 3) -> Column:

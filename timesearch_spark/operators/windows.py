@@ -5,7 +5,8 @@ event-time construct is a hand-rolled monotone lower bound).  These are
 the north-star batch forms; the streaming variants (withWatermark +
 window / session_window) live in timesearch_spark.streaming.
 
-events.ts arrives as nanos-as-long (tables.load); helpers convert once.
+events.ts arrives as nanos-as-long OR timestamp[us] depending on the
+testdata generation (tables.event_ts_sec branches); helpers convert once.
 At 100 TB the tumbling agg is a single map-side-combined hash aggregate
 on (window, key) — the same shape as breakdown — and sessionization is
 one shuffle on user_id followed by a per-user ordered scan (window

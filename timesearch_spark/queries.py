@@ -654,16 +654,23 @@ def union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUBSTRING('t3_' || LOWER(TO_BASE(o_orderkey, 36)), 4) AS bare,
            ('t3_' || LOWER(TO_BASE(o_orderkey, 36)) LIKE 't3_%') AS is_sub,
            'https://redd.it/' || SUBSTRING('t3_' || LOWER(TO_BASE(o_orderkey, 36)), 4)
-             AS permalink
+             AS permalink,
+           PRINTF('%d: %s [%s]', o_orderkey, o_orderpriority, o_orderstatus)
+             AS line
     FROM orders
     """,
 )
 def scalar_base36(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H1 + H2 + H17: base36 encode/decode (common.py:43-65) via F.conv,
-    fullname prefix add/strip (common.py:147-150), and the redd.it
-    permalink built from the stripped id (index.py:134-138) — one
-    map-only pass over the same id column."""
-    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    """H1 + H2 + H17 + H14: base36 encode/decode (common.py:43-65) via
+    F.conv, fullname prefix add/strip (common.py:147-150), the redd.it
+    permalink built from the stripped id (index.py:134-138), and the
+    listing-line string templating (index.py:148-161, formerly the
+    separate ``scalar_format`` registry entry — same table, same grain,
+    merged to stay inside the driver's 50-query oracle window) — one
+    map-only pass."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
     enc = tsf.base36_encode("o_orderkey")
     fullname = F.concat(F.lit("t3_"), enc)
     return o.select(
@@ -676,6 +683,10 @@ def scalar_base36(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit("https://redd.it/"), tsf.strip_prefix(fullname)
         ).alias("permalink"),
+        F.format_string(
+            "%d: %s [%s]", F.col("o_orderkey"), F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+        ).alias("line"),
     )
 
 
@@ -769,24 +780,9 @@ def scalar_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "scalar_format",
-    """
-    SELECT o_orderkey,
-           PRINTF('%d: %s [%s]', o_orderkey, o_orderpriority, o_orderstatus)
-             AS line
-    FROM orders
-    """,
-)
-def scalar_format(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H14: string templating of listing lines (index.py:148-161)."""
-    return load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.format_string(
-            "%d: %s [%s]", F.col("o_orderkey"), F.col("o_orderpriority"),
-            F.col("o_orderstatus"),
-        ).alias("line"),
-    )
+# ``scalar_format`` (H14) was merged into ``scalar_base36`` above — same
+# table, same grain, one map-only pass — to keep the oracled registry
+# inside the driver's 50-query CORRECTNESS window.
 
 
 # =========================================================================
@@ -852,6 +848,53 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by normalized-content hash; the shuffle key is
     the 32-char digest, never the document text."""
     return dd.exact_dedup_groups(_docs_with_exact_copies(spark, sf_dir))
+
+
+@q(
+    "dedup_incremental",
+    r"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    b AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 1
+    ),
+    bf AS (
+      SELECT doc_id,
+             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+      FROM b
+    ),
+    idx AS (
+      SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+             MIN(doc_id) AS keeper
+      FROM corpus GROUP BY 1
+    ),
+    first AS (SELECT fp, MIN(doc_id) AS f FROM bf GROUP BY fp)
+    SELECT bf.doc_id, bf.fp,
+           (idx.keeper IS NULL AND bf.doc_id = first.f) AS is_new,
+           COALESCE(idx.keeper,
+                    CASE WHEN bf.doc_id <> first.f THEN first.f END) AS dup_of
+    FROM bf LEFT JOIN idx USING (fp) JOIN first USING (fp)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run exact dedup (operators.dedup.incremental_dedup): a new
+    batch is tagged against the already-ingested corpus via the narrow
+    fingerprint index — the continuous-pipeline form of the reference's
+    insert-only-new EXCEPT (merge_db.py:56-80), on content fingerprints
+    instead of ids.  Corpus = documents with doc_id % 5 ≠ 0; the batch
+    mixes genuinely-new docs (% 5 = 0), re-ingested corpus docs
+    (% 7 = 1, ids + 1,000,000 → dup_of the corpus keeper), and docs
+    satisfying both predicates, which therefore appear in the batch
+    twice (within-batch dup → dup_of the first batch holder)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0).unionByName(
+        d.filter(F.col("doc_id") % 7 == 1).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return dd.incremental_dedup(batch, corpus=corpus)
 
 
 @q(
