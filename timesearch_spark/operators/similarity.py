@@ -60,8 +60,12 @@ def signature_col(vec_col, planes: list[list[float]]):
     sig = F.lit(0).cast("long")
     v = as_double(vec_col)
     for i, h in enumerate(planes):
+        # F.lit(list): ONE py4j round-trip per plane literal — the
+        # element-wise F.array(*[F.lit(x) ...]) form cost dim calls per
+        # plane, which dominated wall-clock as driver-side plan
+        # construction (measured seconds per query at 16 tables).
         d = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in h]), lambda a, b: a * b),
+            F.zip_with(v, F.lit([float(x) for x in h]), lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -152,11 +156,20 @@ def cosine_topk_lsh(
     probe_hamming = 1
 
     sigs = with_signatures(emb, planes, id_col, vec_col)
-    qsig_cols = [signature_col("q", planes[t]).alias(f"qsig{t}") for t in range(tables)]
-
-    cand = sigs.join(
-        F.broadcast(query.select(F.col("q"), *qsig_cols))
+    # Query signatures go through the same BLAS path as the corpus: one
+    # mapInPandas over the 1-row query instead of tables × bits × dim
+    # expression folds — the fold form (signature_col) spent ~9 s of
+    # driver-side py4j plan construction per query at 16×6×64.
+    qsigs = with_signatures(
+        query.select(F.lit(0).cast("long").alias("__qid"), F.col("q")),
+        planes,
+        "__qid",
+        "q",
+    ).select(
+        F.col("q"), *[F.col(f"sig{t}").alias(f"qsig{t}") for t in range(tables)]
     )
+
+    cand = sigs.join(F.broadcast(qsigs))
     match = F.lit(False)
     for t in range(tables):
         match = match | (
@@ -189,9 +202,32 @@ def centroid_seeds(
 def _rounded_cos_lit(vec_col, centroid: list[float]):
     """ROUND(cos(v, centroid), 6) with the centroid as a literal array —
     the sequential-fold cosine, so the rounded value is bit-identical to
-    DuckDB's ``list_cosine_similarity`` (see functions.vectors)."""
-    c = F.array(*[F.lit(x) for x in centroid])
-    return F.round(cosine(vec_col, c), 6)
+    DuckDB's ``list_cosine_similarity`` (see functions.vectors).  One
+    F.lit(list) call, not dim element-wise lits (plan-construction cost,
+    see signature_col)."""
+    return F.round(cosine(vec_col, F.lit([float(x) for x in centroid])), 6)
+
+
+def _centroid_scores(vec_col, centroids: list[tuple[int, list[float]]]):
+    """array<struct<cos,negcid>> of ROUND(cos(v, centroid), 6) against
+    every centroid, built as ONE transform lambda over a literal
+    codebook array — the per-centroid expression form cost O(n_cells)
+    py4j fold constructions (driver-side seconds); the math per element
+    is the identical sequential fold, so values are unchanged."""
+    cents = F.array(*[
+        F.struct(
+            F.lit(int(cid)).alias("cid"),
+            F.lit([float(x) for x in cv]).alias("v"),
+        )
+        for cid, cv in centroids
+    ])
+    return F.transform(
+        cents,
+        lambda c: F.struct(
+            F.round(cosine(vec_col, c["v"]), 6).alias("cos"),
+            (-c["cid"]).alias("negcid"),
+        ),
+    )
 
 
 def assign_cells(
@@ -205,15 +241,7 @@ def assign_cells(
     scan stage and survives any scale-up (the 100 TB path swaps the
     expression for one mapInPandas BLAS matmul against the broadcast
     codebook, as ``with_signatures`` does for LSH)."""
-    best = F.array_max(
-        F.array(*[
-            F.struct(
-                _rounded_cos_lit(vec_col, cv).alias("cos"),
-                F.lit(-cid).alias("negcid"),
-            )
-            for cid, cv in centroids
-        ])
-    )
+    best = F.array_max(_centroid_scores(vec_col, centroids))
     return emb.withColumn("cell", -best["negcid"])
 
 
@@ -243,16 +271,7 @@ def cosine_topk_ivf(
         query.select(
             F.explode(
                 F.slice(
-                    F.sort_array(
-                        F.array(*[
-                            F.struct(
-                                _rounded_cos_lit("q", cv).alias("cos"),
-                                F.lit(-cid).alias("negcid"),
-                            )
-                            for cid, cv in centroids
-                        ]),
-                        asc=False,
-                    ),
+                    F.sort_array(_centroid_scores("q", centroids), asc=False),
                     1,
                     n_probe,
                 )
