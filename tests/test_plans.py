@@ -115,6 +115,24 @@ def test_split_and_redact_are_map_only(spark):
         assert "Exchange" not in plans.formatted_plan(df), name
 
 
+def test_incremental_dedup_shuffles_fingerprints_not_text(spark):
+    # incremental dedup's exchanges must carry only the narrow
+    # (fp, agg) relations — at 100 TB the document text never crosses
+    # the wire, only 32-char fingerprints and longs
+    import re
+
+    df = _q(spark, "dedup_incremental")
+    lines = plans.formatted_plan(df).splitlines()
+    exchange_inputs = [
+        lines[i + 1]
+        for i, ln in enumerate(lines)
+        if re.match(r"^\(\d+\) Exchange", ln.strip())
+    ]
+    assert exchange_inputs  # the index/first-holder aggs do shuffle
+    for inp in exchange_inputs:
+        assert "text" not in inp and "fp" in inp
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     # the benchmark gram set must broadcast so document grams probe
     # map-side — a shuffle join here would move the whole corpus's grams
