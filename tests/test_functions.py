@@ -100,3 +100,32 @@ def test_markdown_lite_subset():
     assert render("    code line") == "<pre><code>code line\n</code></pre>"
     # an unterminated fence is not a fence
     assert render("``` not code") == "<p>``` not code</p>"
+    # a quote in the url cannot break out of the href attribute
+    assert render('[x](u"onclick=y)') == '<p><a href="u&quot;onclick=y">x</a></p>'
+
+
+def test_markdown_lite_total_on_arbitrary_text():
+    """The renderer is exposed to arbitrary comment bodies: it must be
+    pure and total — always a string, never an exception, deterministic,
+    and never leaking an unescaped raw '<' outside the tags it emits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from timesearch_spark.functions.markdown_lite import render
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=400))
+    def check(s):
+        out = render(s)
+        assert isinstance(out, str)
+        assert render(s) == out  # deterministic
+        # every '<' in the output opens a tag this renderer emits
+        import re
+
+        for m in re.finditer(r"<", out):
+            tail = out[m.start():]
+            assert re.match(
+                r"</?(p|h[1-6]|blockquote|ul|ol|li|pre|code|strong|em|a)\b", tail
+            ), tail[:40]
+
+    check()

@@ -53,7 +53,12 @@ def _escape(s: str) -> str:
 def _inline(s: str) -> str:
     s = _escape(s)
     s = _CODE.sub(lambda m: f"<code>{m.group(1)}</code>", s)
-    s = _LINK.sub(lambda m: f'<a href="{m.group(2)}">{m.group(1)}</a>', s)
+    # quotes in the url are attribute-escaped (python-markdown does the
+    # same) so a crafted url can't break out of the href attribute
+    s = _LINK.sub(
+        lambda m: f'<a href="{m.group(2).replace(chr(34), "&quot;")}">{m.group(1)}</a>',
+        s,
+    )
     s = _STRONG.sub(lambda m: f"<strong>{m.group(1)}</strong>", s)
     s = _EM.sub(lambda m: f"<em>{m.group(1)}</em>", s)
     return s
