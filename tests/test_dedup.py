@@ -177,14 +177,20 @@ def test_simhash_md5_family_recovers_mutated_copies(spark):
         (F.col("doc_id") + OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
     )
+    # A planted pair differs by ONE token ('zz'), so its Hamming distance
+    # equals the number of bits whose 19-vote base sum the extra vote
+    # flips (sum exactly -1 when the vote is +1) — mean ≈ 64·P(S=-1)/2
+    # ≈ 5.6 for these 19-token docs, measured max 11 under the current
+    # md5 bit family.  12 keeps deterministic margin; pigeonhole recall
+    # is exact at any threshold, which is the property under test.
     pairs = dd.simhash_near_dups(
-        d.unionByName(mutated), max_hamming=8, hash_family="md5"
+        d.unionByName(mutated), max_hamming=12, hash_family="md5"
     )
     got = {(r["a"], r["b"]) for r in pairs.collect()}
     planted = {(i, i + OFFSET) for i in range(0, 40, 4)}
     assert planted <= got
-    # recall is exact by pigeonhole: every reported pair <= max_hamming
-    assert all(r["hamming"] <= 8 for r in pairs.collect())
+    # precision is exact: every reported pair <= max_hamming
+    assert all(r["hamming"] <= 12 for r in pairs.collect())
 
 
 def test_connected_components_transitive_chain(spark):

@@ -224,13 +224,16 @@ def minhash_band_buckets(
 
     ``hash_family`` picks the permutation hashes.  ``"xxhash64"``
     (default) is the production path: one string hash per shingle, then
-    num_hashes cheap long re-hashes.  ``"md5"`` derives permutation i as
-    the md5 hex string of ``"{i}:{shingle}"`` and takes string MINs —
-    minhash only needs a consistent total order, and md5-hex compares
-    identically under Spark's and ANSI SQL's binary collation, so this
-    family is reproducible by any engine with md5() (the DuckDB oracle
-    checks the full banding+verify pipeline through it).  Both families
-    share every plan stage; md5 just pays string-width shuffles."""
+    num_hashes cheap long re-hashes.  ``"md5"`` derives permutation
+    i = 4j+k as the 8-hex-char slice k of md5 of ``"{j}:{shingle}"``
+    and takes string MINs — minhash only needs a consistent total order
+    per independent permutation, md5's bits are independent across
+    slices, and hex compares identically under Spark's and ANSI SQL's
+    binary collation, so this family is reproducible by any engine with
+    md5() + substring (the DuckDB oracle checks the full banding+verify
+    pipeline through it) at a quarter of the digest calls.  Both
+    families share every plan stage; md5 just pays string-width
+    shuffles."""
     rows = num_hashes // bands
     seq = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     base = spread(df).select(
@@ -243,21 +246,36 @@ def minhash_band_buckets(
     # projection — everything stays in whole-stage codegen and the
     # Generate only copies 8-byte longs (measurably faster than
     # evaluating the hash as an interpreted transform() lambda).  The
-    # md5 path must hash the raw "{i}:{shingle}" string per
-    # permutation, so index-first explode would copy the ~50-byte
-    # shingle 64×; there the array form posexplode(transform(...)) is
-    # cheaper despite the interpreted lambda (measured, not guessed).
+    # md5 path derives FOUR permutation keys per digest — perm i is the
+    # 8-hex-char slice k = i%4 of md5("{i//4}:{shingle}") — md5's bits
+    # are independent, so the slices act as independent permutations
+    # while paying a quarter of the digest calls; the digests are built
+    # by one transform per shingle (index-first explode would copy the
+    # ~50-byte shingle string through the Generate) and the slicing is
+    # a codegen'd substring after a narrow 4× explode of the 32-char
+    # digest.
     if hash_family == "md5":
-        perms = base.select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    seq,
-                    lambda i: F.md5(
-                        F.concat(i.cast("string"), F.lit(":"), F.col("__s"))
-                    ),
-                )
-            ).alias("i", "ph"),
+        if num_hashes % 4:
+            raise ValueError("md5 family requires num_hashes % 4 == 0")
+        seqj = F.sequence(F.lit(0), F.lit(num_hashes // 4 - 1))
+        perms = (
+            base.select(
+                id_col,
+                F.posexplode(
+                    F.transform(
+                        seqj,
+                        lambda j: F.md5(
+                            F.concat(j.cast("string"), F.lit(":"), F.col("__s"))
+                        ),
+                    )
+                ).alias("j", "d"),
+            )
+            .select(id_col, "j", "d", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"))
+            .select(
+                id_col,
+                (F.col("j") * 4 + F.col("k")).alias("i"),
+                F.substring(F.col("d"), F.col("k") * 8 + 1, F.lit(8)).alias("ph"),
+            )
         )
     elif hash_family == "xxhash64":
         perms = (
@@ -491,14 +509,14 @@ def simhash_table(
     before the 64× bit explode (no-op when the scan already splits).
 
     ``hash_family="xxhash64"`` (default, production) draws token bit b
-    from bit b of one xxhash64 per token.  ``"md5"`` draws it from the
-    sign of an independent md5 per (bit, token) — first hex char ≤ '7'
-    means the high nibble bit is 0 — which any engine with md5() can
-    reproduce (the DuckDB oracle rebuilds the per-bit sign table and
-    cross-checks pair Hamming distances; recall is exact because
-    pigeonhole blocking can't miss a ≤ max_hamming pair, so the oracle
-    needs no blocking of its own).  64 md5 calls per token vs one
-    xxhash64 — parity family only, not the scale default."""
+    from bit b of one xxhash64 per token.  ``"md5"`` draws all 64 bits
+    from ONE md5 per token — bit b is bit (b % 4) of hex digit (b // 4)
+    — which any engine with md5() + substring can reproduce (the DuckDB
+    oracle rebuilds the per-bit sign table and cross-checks pair
+    Hamming distances; recall is exact because pigeonhole blocking
+    can't miss a ≤ max_hamming pair, so the oracle needs no blocking of
+    its own).  Same digest count as the production family — md5 is the
+    parity twin, not the scale default."""
     tok = spread(df).select(
         _c(id_col).alias(id_col), F.explode(tokens(text_col)).alias("__t")
     )
@@ -508,18 +526,28 @@ def simhash_table(
     # (the hot path — see minhash_band_buckets for the same rewrite).
     seq64 = F.sequence(F.lit(0), F.lit(63))
     if hash_family == "md5":
-        bits = tok.select(id_col, "__t", F.explode(seq64).alias("b")).select(
-            id_col,
-            "b",
-            F.when(
-                F.substring(
-                    F.md5(
-                        F.concat(F.col("b").cast("string"), F.lit(":"), F.col("__t"))
-                    ),
-                    1, 1,
-                ) <= "7",
-                F.lit(1),
-            ).otherwise(F.lit(-1)).alias("v"),
+        # ONE digest per token: bit b is bit (b % 4) of hex digit
+        # (b // 4) of md5(token) — md5's 128 bits are independent, so
+        # drawing all 64 votes from one digest matches the statistics of
+        # 64 per-bit digests at 1/64 the md5 calls, and any SQL engine
+        # can rebuild it (substring + hex-digit decode + div/mod).
+        hexd = F.conv(
+            F.substring(
+                F.col("__d"), (F.col("b") / 4).cast("int") + 1, F.lit(1)
+            ),
+            16,
+            10,
+        ).cast("int")
+        bit = (
+            F.floor(
+                hexd / F.pow(F.lit(2.0), (F.col("b") % 4).cast("double"))
+            ).cast("int")
+            % 2
+        )
+        bits = (
+            tok.select(id_col, F.md5("__t").alias("__d"))
+            .select(id_col, "__d", F.explode(seq64).alias("b"))
+            .select(id_col, "b", (bit * 2 - 1).alias("v"))
         )
     elif hash_family == "xxhash64":
         bits = (

@@ -960,9 +960,11 @@ def _mutated_docs_sql(suffix: str) -> str:
     WITH {_mutated_docs_sql(' zzq wwx vvy')},
     {_grams_sql(3, 'docs')},
     perm AS (
-      SELECT doc_id, r.i,
-             MIN(md5(CAST(r.i AS VARCHAR) || ':' || gram)) AS mh
-      FROM dg CROSS JOIN range(0, 64) AS r(i)
+      -- permutation i = 4j+k: 8-hex-char slice k of md5("{{j}}:{{gram}}")
+      SELECT doc_id, 4 * rj.j + rk.k AS i,
+             MIN(substring(md5(CAST(rj.j AS VARCHAR) || ':' || gram),
+                           1 + 8 * rk.k, 8)) AS mh
+      FROM dg CROSS JOIN range(0, 16) AS rj(j) CROSS JOIN range(0, 4) AS rk(k)
       GROUP BY 1, 2
     ),
     band AS (
@@ -1020,10 +1022,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_mutated_docs_sql(' zzq')},
     tk AS (SELECT doc_id, unnest({_TOK_SQL}) AS t FROM docs),
     contrib AS (
+      -- bit b of token = bit (b%4) of hex digit (b//4) of md5(token)
       SELECT doc_id, r.b,
-             SUM(CASE WHEN substr(md5(CAST(r.b AS VARCHAR) || ':' || t), 1, 1)
-                           <= '7'
-                      THEN 1 ELSE -1 END) AS s
+             SUM(CASE WHEN
+                   ((strpos('0123456789abcdef',
+                            substring(md5(t), CAST(r.b // 4 AS INT) + 1, 1)) - 1)
+                    // CAST(2 ** (r.b % 4) AS INT)) % 2 = 1
+                 THEN 1 ELSE -1 END) AS s
       FROM tk CROSS JOIN range(0, 64) AS r(b)
       GROUP BY 1, 2
     ),
