@@ -298,6 +298,86 @@ def test_foreach_batch_skips_stat_counts(spark, tmp_path, monkeypatch):
     assert store.snapshot().count() == 1
 
 
+def test_streaming_event_time_windows_and_dedup(spark, tmp_path):
+    """tumbling/sliding/session windows + watermarked dedup run as real
+    Structured Streaming queries (file source → memory sink) and agree
+    with hand-computed event-time answers."""
+    from pyspark.sql import functions as F
+
+    from timesearch_spark.streaming import windows as sw
+
+    drop = tmp_path / "wdrop"
+    drop.mkdir()
+    evs = [
+        {"idstr": "a1", "author": "alice", "event_type": "post", "created": 0},
+        {"idstr": "a2", "author": "alice", "event_type": "post", "created": 900},
+        {"idstr": "b1", "author": "bob", "event_type": "comment", "created": 1000},
+        {"idstr": "a3", "author": "alice", "event_type": "post", "created": 3700},
+        {"idstr": "b2", "author": "bob", "event_type": "comment", "created": 7300},
+        {"idstr": "b2", "author": "bob", "event_type": "comment", "created": 7300},
+    ]
+    (drop / "b.jsonl").write_text("\n".join(json.dumps(e) for e in evs))
+    schema = "idstr string, author string, event_type string, created long"
+
+    def run(df, name, mode):
+        q = (
+            df.writeStream.format("memory").queryName(name).outputMode(mode)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return spark.table(name).collect()
+
+    stream = spark.readStream.schema(schema).json(str(drop))
+
+    tumb = run(
+        sw.tumbling_counts_stream(stream, "1 hour", key="event_type").select(
+            F.col("window_start").cast("long").alias("ws"), "event_type", "n"
+        ),
+        "tumb", "complete",
+    )
+    assert {(r["ws"], r["event_type"]): r["n"] for r in tumb} == {
+        (0, "post"): 2, (0, "comment"): 1, (3600, "post"): 1, (7200, "comment"): 2,
+    }
+
+    slid = run(
+        sw.sliding_counts_stream(stream, "1 hour", "30 minutes", key="event_type")
+        .select(F.col("window_start").cast("long").alias("ws"), "event_type", "n"),
+        "slid", "complete",
+    )
+    # slide-aligned window starts; every event lands in
+    # duration/slide = 2 overlapping windows
+    assert {(r["ws"], r["event_type"]): r["n"] for r in slid} == {
+        (-1800, "post"): 2, (0, "post"): 2,          # events at 0 and 900
+        (1800, "post"): 1, (3600, "post"): 1,        # event at 3700
+        (-1800, "comment"): 1, (0, "comment"): 1,    # event at 1000
+        (5400, "comment"): 2, (7200, "comment"): 2,  # both 7300 rows
+    }
+
+    sess = run(
+        sw.session_counts_stream(stream, "30 minutes", key="author").select(
+            F.col("session_start").cast("long").alias("s"),
+            F.col("session_end").cast("long").alias("e"),
+            "author",
+            "n_events",
+        ),
+        "sess", "complete",
+    )
+    assert {(r["s"], r["e"], r["author"]): r["n_events"] for r in sess} == {
+        (0, 2700, "alice"): 2,       # 0 and 900 chain within the 1800s gap
+        (3700, 5500, "alice"): 1,
+        (1000, 2800, "bob"): 1,
+        (7300, 9100, "bob"): 2,      # duplicate-id rows both count here
+    }
+
+    # shift off epoch 0: Spark's initial watermark is 1970-01-01, and the
+    # streaming dedup treats an event_time equal to the watermark as late
+    shifted = stream.withColumn("created", F.col("created") + 36000)
+    ded = run(
+        sw.dedup_stream(shifted, key="idstr", ts_col="created"), "ded", "append"
+    )
+    assert sorted(r["idstr"] for r in ded) == ["a1", "a2", "a3", "b1", "b2"]
+
+
 def test_union_of_n_sources_single_query(spark, tmp_path):
     """G4 (livestream.py:45-59 cycle_generators): N per-entity sources
     drained by ONE streaming query through one foreachBatch MERGE."""
