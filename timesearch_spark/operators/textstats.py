@@ -121,17 +121,32 @@ def fingerprint_md5(col) -> Column:
 def fingerprint_rolling(col, window: int = 8) -> Column:
     """Winnowing-style rolling fingerprint: min over the document of
     xxhash64 of each ``window``-token gram — a locality-sensitive scalar
-    (equal for documents sharing their minimal gram)."""
+    (equal for documents sharing their minimal gram); documents shorter
+    than ``window`` hash their whole token join.
+
+    Single ``aggregate`` traversal carrying (last window-1 tokens, best
+    hash): the tokenizing split evaluates once and each step does O(w)
+    work.  The natural transform(sequence, i -> slice(t, i, w)) form
+    re-evaluates the split inside the interpreted lambda for every i —
+    O(n²) splits per document (the text_profile lesson)."""
     t = tokens(col)
-    n = F.size(t)
-    grams = F.when(
-        n >= window,
-        F.transform(
-            F.sequence(F.lit(1), n - (window - 1)),
-            lambda i: F.xxhash64(F.array_join(F.slice(t, i, window), " ")),
-        ),
-    ).otherwise(F.array(F.xxhash64(F.array_join(t, " "))))
-    return F.array_min(grams)
+    init = F.struct(
+        F.array().cast("array<string>").alias("buf"),
+        F.lit(None).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        nb = F.concat(acc["buf"], F.array(x))
+        full = F.size(nb) >= window
+        h = F.xxhash64(F.array_join(nb, " "))
+        best = F.when(
+            full, F.least(F.coalesce(acc["best"], h), h)
+        ).otherwise(acc["best"])
+        buf = F.when(full, F.slice(nb, 2, window - 1)).otherwise(nb)
+        return F.struct(buf.alias("buf"), best.alias("best"))
+
+    res = F.aggregate(t, init, step)
+    return F.coalesce(res["best"], F.xxhash64(F.array_join(t, " ")))
 
 
 # --- one-pass profile table -------------------------------------------------------
