@@ -137,3 +137,33 @@ def test_upsert_later_wins_within_batch(spark):
     )
     r = res.snapshot.first()
     assert r["body"] == "live" and r["score"] == 2
+
+
+def test_salted_topk_matches_plain_window(spark):
+    """operators.skew.topk_per_group must return EXACTLY the rows of the
+    single-window row_number form, for any salt assignment — here on the
+    real lineitem table against the oracled window_rank_children."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL
+
+    qs = entrymod.queries()
+    plain = {tuple(r) for r in qs["window_rank_children"](spark, SF_SMALL).collect()}
+    salted = {tuple(r) for r in qs["window_rank_salted"](spark, SF_SMALL).collect()}
+    assert plain == salted and len(plain) > 0
+
+
+def test_salted_topk_handles_duplicate_order_values(spark):
+    # all rows tie on the order column; row_number's within-shard then
+    # final ranking must still yield exactly k rows per group
+    from pyspark.sql import functions as F
+
+    from timesearch_spark.operators.skew import topk_per_group
+
+    df = spark.range(200).select(
+        (F.col("id") % 2).alias("g"), F.lit(1.0).alias("v"), F.col("id")
+    )
+    out = topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id").asc()], k=5)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert {r["g"] for r in rows} == {0, 1}
+    assert sorted(r["id"] for r in rows if r["g"] == 0) == [0, 2, 4, 6, 8]

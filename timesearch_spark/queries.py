@@ -1343,6 +1343,26 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos", F.round("cos", 6))
 
 
+@q("window_rank_salted")  # exact twin of window_rank_children — rows-only
+def window_rank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 at hot-key scale: the salted two-phase top-k
+    (operators.skew.topk_per_group) — identical rows to the oracled
+    ``window_rank_children`` (pytest asserts exact equality), but a
+    dominant group splits across salt shards instead of serializing one
+    task."""
+    from timesearch_spark.operators.skew import topk_per_group
+
+    return topk_per_group(
+        load(spark, sf_dir, "lineitem"),
+        ["l_orderkey"],
+        [F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()],
+        k=3,
+    ).select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"), "rn",
+    )
+
+
 @q(
     "similarity_topk_ivf",
     """
