@@ -157,3 +157,35 @@ def test_deterministic_shuffle_two_nibble_shards(spark):
     out = deterministic_shuffle(d, seed="s", num_shards=64).collect()
     shards = {r["shard"] for r in out}
     assert shards == set(range(64))  # two-nibble path reaches every shard
+
+
+def test_bm25_matches_hand_computation(spark):
+    import math
+
+    from timesearch_spark.operators import pipeline as pl
+
+    docs = [
+        (1, "spark merge batch merge"),       # merge tf=2, batch tf=1, dl=4
+        (2, "window stream window window x"), # window tf=3, stream tf=1, dl=5
+        (3, "nothing relevant here at all"),  # zero hits, dl=5
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in pl.bm25_scores(df, ["merge", "window"]).collect()
+    }
+
+    n, avgdl, k1, b = 3, 14 / 3, 1.2, 0.75
+
+    def idf(dfreq):
+        return math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def term(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[1] == pytest.approx(idf(1) * term(2, 4))
+    assert got[2] == pytest.approx(idf(1) * term(3, 5))
+    assert got[3] == 0.0  # zero-hit docs kept at score 0
+
+    # ranking sanity on the real table: relevant docs outrank irrelevant
+    assert got[1] > got[3] and got[2] > got[3]

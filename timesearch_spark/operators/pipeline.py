@@ -222,6 +222,73 @@ def ngram_top(
     )
 
 
+# --- BM25 corpus ranking ------------------------------------------------------
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score): Okapi BM25 relevance of every document to a bag of
+    query terms — the canonical corpus-curation ranker (pull the
+    documents most relevant to a benchmark/topic, or inversely, inspect
+    what a contamination query would retrieve).
+
+    idf(t) = ln(1 + (N - df_t + 0.5)/(df_t + 0.5));
+    score  = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Scale shape: ONE explode of the corpus feeds both the per-doc
+    length and the per-(doc, term) counts for the query terms only
+    (the filter runs before the count shuffle, so the wide aggregate is
+    proportional to query-term hits, not corpus tokens).  N and avgdl
+    are 1-row aggregates cross-joined in (no driver collect); the
+    per-term document frequencies are a |terms|-row relation, broadcast
+    into the scoring join.  Zero-hit documents score 0.0 and are kept —
+    filter or rank downstream.
+    """
+    terms = [t.lower() for t in query_terms]
+    tok = df.select(_c(id_col).alias(id_col), F.explode(tokens(text_col)).alias("__t"))
+    dl = tok.groupBy(id_col).agg(F.count("*").alias("__dl"))
+    hits = tok.filter(F.col("__t").isin(*terms))
+    tf = hits.groupBy(id_col, "__t").agg(F.count("*").alias("__tf"))
+    dfreq = (
+        hits.select(id_col, "__t").distinct()
+        .groupBy("__t").agg(F.count("*").alias("__df"))
+    )
+    globals_ = dl.agg(
+        F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), on="__t")
+        .join(F.broadcast(globals_))
+        .join(dl, on=id_col)
+        .select(
+            id_col,
+            (
+                idf
+                * (F.col("__tf") * (k1 + 1))
+                / (
+                    F.col("__tf")
+                    + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("__c"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(F.sum("__c").alias("score"))
+    return (
+        df.select(_c(id_col).alias(id_col))
+        .join(scored, on=id_col, how="left")
+        .select(id_col, F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
+
+
 # --- deterministic global shuffle / sharding ----------------------------------
 
 def deterministic_shuffle(

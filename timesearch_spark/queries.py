@@ -1838,6 +1838,19 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", pl.redact_pii(planted).alias("redacted"))
 
 
+@q("pipeline_bm25")  # float accumulation order — rows-only check + pytest
+def pipeline_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a fixed query-term bag
+    (pipeline.bm25_scores) — the corpus-curation retrieval scorer.
+    Rows-only: the score is a float sum whose grouping order Spark
+    doesn't fix; pytest checks hand-computed values on a tiny corpus."""
+    scores = pl.bm25_scores(
+        load(spark, sf_dir, "documents"),
+        ["merge", "batch", "window", "stream"],
+    )
+    return scores.select("doc_id", F.round("score", 4).alias("score"))
+
+
 @q(
     "ngram_top",
     f"""
