@@ -134,3 +134,34 @@ def test_embedding_dedup_clusters_groups_planted_dups(spark):
         assert out[100 + i]["cluster_id"] == out[i]["cluster_id"] == i
         assert not out[100 + i]["is_keeper"] and out[i]["is_keeper"]
     assert len(out) == 33
+
+
+def test_quantize_embeddings_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, dim=64)
+    qz = sim.quantize_embeddings(emb)
+    joined = emb.join(qz, on="vec_id").select(
+        "vec_id",
+        F.array_max(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("q"),
+                lambda v, q: F.abs(v - q.cast("double") * F.col("scale")),
+            )
+        ).alias("max_err"),
+        "scale",
+    )
+    rows = joined.collect()
+    # symmetric rounding: reconstruction error <= scale/2 per component
+    assert all(r["max_err"] <= r["scale"] / 2 + 1e-12 for r in rows)
+
+
+def test_quantized_topk_recall(spark):
+    emb = _emb(spark, dim=64)
+    qv = emb.limit(1).select(F.col("embedding").alias("q"))
+    exact = [r["vec_id"] for r in sim.cosine_topk(emb, qv, k=10).collect()]
+    quant = [r["vec_id"] for r in sim.cosine_topk_quantized(emb, qv, k=10).collect()]
+    # int8 rounding noise may reorder near-ties but must keep the set
+    assert len(set(exact) & set(quant)) >= 8
+    assert quant[0] == exact[0]  # the self-match survives quantization

@@ -433,6 +433,70 @@ def embedding_near_dups_lsh(
     )
 
 
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, scale, q): symmetric per-vector int8 quantization —
+    scale = max|v|/127, q_i = round(v_i/scale) in [-127, 127].
+
+    The storage/bandwidth lever for ANN state at scale: a broadcast
+    matrix, an IVF cell file, or an LSH bucket table shrinks 4× (int8
+    vs float32, 8× vs float64) for ~1e-2 cosine error at 64 dims —
+    decisive when the broadcast side must fit executor memory
+    (embedding_near_dups_blas' guard) or the index is replicated per
+    executor.  Map-only expressions, no shuffle; reconstruction error
+    is bounded by scale/2 per component (pinned in pytest)."""
+    v = as_double(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, mx / 127.0).otherwise(F.lit(1.0))
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.round(x / scale).cast("int"))
+        ).cast("tinyint"),
+    )
+    return emb.select(
+        _col_pair(id_col), scale.alias("scale"), q.alias("q")
+    )
+
+
+def cosine_topk_quantized(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by cosine over int8-quantized vectors: scores
+    from integer dot products (cosine is scale-invariant, so the
+    per-vector scales cancel out of the ranking except through rounding
+    noise).  Same TakeOrderedAndProject plan as the exact path; pytest
+    bounds the recall loss against exact brute force."""
+    qz = quantize_embeddings(emb, id_col, vec_col)
+    qq = quantize_embeddings(query.select(F.lit(-1).alias("__qid"), F.col("q")), "__qid", "q").select(
+        F.col("q").alias("qq")
+    )
+    joined = qz.join(F.broadcast(qq))
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    d = idot(F.col("q"), F.col("qq")).cast("double")
+    na = F.sqrt(idot(F.col("q"), F.col("q")).cast("double"))
+    nb = F.sqrt(idot(F.col("qq"), F.col("qq")).cast("double"))
+    scored = joined.select(
+        _col_pair(id_col),
+        F.when(na * nb > 0, d / (na * nb)).alias("cos_q8"),
+    )
+    return scored.orderBy(F.col("cos_q8").desc(), _col_pair(id_col).asc()).limit(k)
+
+
 def embedding_dedup_clusters(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -1363,6 +1363,18 @@ def window_rank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("similarity_topk_q8")  # int8 rounding noise — rows-only check + pytest
+def similarity_topk_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 by cosine over symmetric int8-quantized
+    vectors (similarity.quantize_embeddings / cosine_topk_quantized) —
+    the 4× memory form of ANN state.  Pytest bounds reconstruction
+    error (≤ scale/2 per component) and recall vs exact brute force."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    out = sim.cosine_topk_quantized(emb, qv, k=10)
+    return out.withColumn("cos_q8", F.round("cos_q8", 4))
+
+
 @q(
     "similarity_topk_ivf",
     """
