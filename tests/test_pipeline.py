@@ -189,3 +189,41 @@ def test_bm25_matches_hand_computation(spark):
 
     # ranking sanity on the real table: relevant docs outrank irrelevant
     assert got[1] > got[3] and got[2] > got[3]
+
+
+def test_chunk_documents_reconstruction_and_overlap(spark):
+    from timesearch_spark.operators import pipeline as pl
+
+    long_text = " ".join(f"t{i}" for i in range(150))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "just a few tokens"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = pl.chunk_documents(docs, max_tokens=64, overlap=16)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+         for r in out.collect())
+    )
+    by_doc = {}
+    for d, c, t, n in rows:
+        by_doc.setdefault(d, []).append((c, t.split(" "), n))
+
+    # doc 1: chunks start every stride=48 tokens, each 64 long (tail short)
+    chunks = by_doc[1]
+    assert [c for c, _, _ in chunks] == [0, 1, 2]
+    assert chunks[0][1] == [f"t{i}" for i in range(64)]
+    assert chunks[1][1] == [f"t{i}" for i in range(48, 112)]
+    assert chunks[2][1] == [f"t{i}" for i in range(96, 150)]
+    # consecutive chunks share exactly the overlap window
+    assert chunks[0][1][-16:] == chunks[1][1][:16]
+    # de-overlapped concatenation reconstructs the document
+    recon = chunks[0][1] + chunks[1][1][16:] + chunks[2][1][16:]
+    assert recon == [f"t{i}" for i in range(150)]
+
+    # short doc: one whole chunk; empty doc: no chunks
+    assert by_doc[2] == [(0, ["just", "a", "few", "tokens"], 4)]
+    assert 3 not in by_doc
+
+    # degenerate tail (150 -> positions 144..149 would be chunk 3 of
+    # length 6 <= overlap with stride 48... ensure no such chunk exists)
+    assert all(n > 16 or c == 0 for c, _, n in chunks)

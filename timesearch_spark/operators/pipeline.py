@@ -222,6 +222,65 @@ def ngram_top(
     )
 
 
+# --- document chunking --------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """(id, chunk_id, chunk_text, n_tokens): fixed-budget token chunks
+    with ``overlap`` tokens of context between consecutive chunks — the
+    standard pre-embedding / pre-tokenization split for long documents.
+
+    Chunk c covers token positions [c·stride, c·stride + max_tokens)
+    with stride = max_tokens − overlap.  Built from ONE posexplode of
+    the token array: each token computes the (≤ ⌈max/stride⌉, here ≤ 2)
+    chunk ids covering it, explodes to (id, chunk, pos, token) and one
+    hash aggregate reassembles chunks via position-sorted collect_list.
+    No slice-per-chunk expressions — the transform(sequence, i ->
+    slice(...)) form re-evaluates the tokenizing split per chunk
+    (the text_profile O(n²) lesson) and its Generate would copy the
+    whole document per chunk.  Degenerate tail chunks (length ≤ overlap,
+    fully contained in their predecessor) are dropped; documents shorter
+    than max_tokens yield exactly one chunk; empty documents yield none.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    from timesearch_spark.tables import spread
+
+    tok = spread(df).select(
+        _c(id_col).alias(id_col),
+        F.posexplode(tokens(text_col)).alias("__pos", "__t"),
+    )
+    first_chunk = F.greatest(
+        F.lit(0),
+        F.ceil((F.col("__pos") - max_tokens + 1) / F.lit(float(stride))).cast("int"),
+    )
+    last_chunk = F.floor(F.col("__pos") / stride).cast("int")
+    exploded = tok.select(
+        id_col, "__pos", "__t",
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+    )
+    return (
+        exploded.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__t"))),
+                    lambda x: x["__t"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count("*").alias("n_tokens"),
+        )
+        .filter((F.col("chunk_id") == 0) | (F.col("n_tokens") > overlap))
+    )
+
+
 # --- BM25 corpus ranking ------------------------------------------------------
 
 def bm25_scores(

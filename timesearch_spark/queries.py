@@ -1850,6 +1850,16 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", pl.redact_pii(planted).alias("redacted"))
 
 
+@q("pipeline_chunk")  # rows-only (oracle window full); exactness in pytest
+def pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget token chunking with overlap (pipeline.chunk_documents)
+    — the pre-embedding split.  Pytest pins exact chunk boundaries,
+    overlap windows, and de-overlapped reconstruction."""
+    return pl.chunk_documents(
+        load(spark, sf_dir, "documents"), max_tokens=64, overlap=16
+    )
+
+
 @q("pipeline_bm25")  # float accumulation order — rows-only check + pytest
 def pipeline_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 ranking of the corpus against a fixed query-term bag
