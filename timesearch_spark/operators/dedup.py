@@ -772,11 +772,19 @@ def connected_components(
         nodes.select(_c(id_col).alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
     )
+    # Pin the edge list before iterating: ``edges`` is typically the
+    # OUTPUT of an expensive candidate pipeline (minhash banding + exact
+    # verify), and every loop round references it twice (neighbor join +
+    # convergence probe) — without the checkpoint that whole upstream
+    # plan re-executes ~2× per round.  The pinned state is the narrow
+    # (src, dst) pair list only.
     sym = (
         edges.select(_c(a_col).alias("src"), _c(b_col).alias("dst"))
         .unionByName(edges.select(_c(b_col).alias("src"), _c(a_col).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nb = (
