@@ -175,3 +175,25 @@ def test_deterministic_shuffle_has_no_global_sort(spark):
     assert "rangepartitioning" not in plan
     assert "SinglePartition" not in plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_spread_is_metadata_only_for_file_inputs(spark, monkeypatch):
+    """spread() must never materialize df.rdd for parquet-backed input —
+    the RDD conversion costs a full physical-planning pass per call
+    (r3's measured per-query overhead).  Poison the .rdd property and
+    exercise every decision branch that has file metadata."""
+    from pyspark.sql import DataFrame
+
+    from timesearch_spark.tables import spread
+
+    d = load(spark, SF_SMALL, "documents")
+    monkeypatch.setattr(
+        DataFrame,
+        "rdd",
+        property(lambda self: (_ for _ in ()).throw(
+            AssertionError("spread materialized df.rdd")
+        )),
+    )
+    spread(d, min_parts=32)                      # under-split scan branch
+    spread(d.repartition(64), min_parts=32)      # plan-repartition branch
+    spread(d.groupBy("lang").count(), min_parts=32)  # post-shuffle branch
