@@ -129,3 +129,43 @@ def test_markdown_lite_total_on_arbitrary_text():
             ), tail[:40]
 
     check()
+
+
+def test_markdown_render_total_on_nul_bytes():
+    """ADVICE r4 regression: NUL-delimited digit runs in corpus text
+    collided with the fence-placeholder encoding and raised IndexError,
+    violating render()'s never-raises contract."""
+    from timesearch_spark.functions.markdown_lite import render
+
+    assert render("\x000\x00") == "<p>0</p>"
+    assert render("a\x00b") == "<p>ab</p>"
+    out = render("```\ncode\n```\n\n\x005\x00")
+    assert "<pre><code>" in out and "5" in out
+
+
+def test_markdown_package_branch(monkeypatch):
+    """The markdown-present arm (functions/__init__.py) must wire the real
+    package through the SAME Arrow pandas_udf shape as the subset arm —
+    proven with a fake `markdown` module in sys.modules + module reload."""
+    import importlib
+    import sys
+    import types
+
+    import pandas as pd
+
+    import timesearch_spark.functions as fn
+
+    fake = types.ModuleType("markdown")
+    fake.markdown = lambda s: "<MD>%s</MD>" % s
+    monkeypatch.setitem(sys.modules, "markdown", fake)
+    importlib.reload(fn)
+    try:
+        assert fn.HAS_MARKDOWN is True
+        # escape-then-render composition parity (offline_reading.py:285-291):
+        # the body reaching markdown is already '&lt;'/'&rt;'-escaped
+        out = fn.markdown_render.func(pd.Series(["&lt;b&rt; *x*", None]))
+        assert list(out) == ["<MD>&lt;b&rt; *x*</MD>", None]
+    finally:
+        monkeypatch.delitem(sys.modules, "markdown", raising=False)
+        importlib.reload(fn)
+    assert fn.HAS_MARKDOWN is False

@@ -87,3 +87,35 @@ def test_binary_column_pruned_for_metadata_query(spark):
     m = mm.media_from_documents(docs).select("media_id", "kind", "width")
     plan = m._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan
+
+
+def test_decode_dispatches_to_pil_and_falls_back(monkeypatch):
+    """VERDICT r4: the HAS_PIL branch used to raise NotImplementedError.
+    Now it must try the real decode and fall back per-payload to the
+    deterministic stub for anything PIL can't parse, so oracle results
+    never depend on the image stack being installed."""
+    import numpy as np
+    import pandas as pd
+
+    from timesearch_spark.operators import multimodal as mm
+
+    calls = []
+
+    def fake_pil(payload):
+        calls.append(payload)
+        if payload == b"IMG":
+            return np.zeros((2, 2, 3), dtype=np.uint8)
+        raise ValueError("not an image")
+
+    monkeypatch.setattr(mm, "HAS_PIL", True)
+    monkeypatch.setattr(mm, "_pil_pixels", fake_pil)
+    out = mm.decode_image_batch(
+        pd.Series([b"IMG", b"plain text", None]),
+        pd.Series([4, 4, 4]),
+        pd.Series([4, 4, 4]),
+    )
+    assert out[0].shape == (2, 2, 3)                  # real decode
+    assert out[1].shape == (4, 4, 3)                  # stub fallback
+    np.testing.assert_array_equal(out[1], mm._fake_pixels(b"plain text", 4, 4))
+    assert out[2] is None
+    assert calls == [b"IMG", b"plain text"]

@@ -64,3 +64,68 @@ def test_event_ts_bound_comparable_in_both_encodings(spark):
     ).count()
     expected = sum(1 for n, _ in CASES if n >= lo_sec * SEC)
     assert kept_l == kept_t == expected
+
+
+# --- spread() metadata heuristics ------------------------------------------
+
+
+def test_scan_parallelism_reads_footers_without_raising(tmp_path):
+    """r4 regression: _scan_parallelism unpacked 2 values from
+    _file_meta's 3-tuples, so it ALWAYS raised ValueError and spread()'s
+    fallback round-robin-shuffled every under-filed input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from timesearch_spark.tables import _scan_parallelism
+
+    p = str(tmp_path / "multi.parquet")
+    pq.write_table(pa.table({"x": list(range(1000))}), p, row_group_size=100)
+    eff = _scan_parallelism([p], 4)
+    assert eff >= 1  # 10 row groups, but a tiny file never byte-splits
+
+
+def test_spread_noop_when_scan_splits_enough(spark):
+    """A big multi-row-group file whose scan already yields >= want tasks
+    must NOT be repartitioned (the 100 TB case: file-backed input is
+    plenty parallel and spread is a pure metadata check)."""
+    from timesearch_spark import tables
+
+    d = tables.load(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    files = d.inputFiles()
+    # fake footer metadata: 64 row groups / 1 GiB / 10M rows per file —
+    # Spark's split formula gives min(64, ceil(1GiB/32MiB)) = 32 tasks
+    saved = {f: tables._FILE_META.get(f) for f in files}
+    for f in files:
+        tables._FILE_META[f] = (64, 1 << 30, 10_000_000)
+    try:
+        assert tables.spread(d, min_parts=32) is d
+    finally:
+        for f, v in saved.items():
+            if v is None:
+                tables._FILE_META.pop(f, None)
+            else:
+                tables._FILE_META[f] = v
+
+
+def test_spread_recognizes_keyed_repartition(spark):
+    """df.repartition(64, key) prints 'RepartitionByExpression [key#N], 64'
+    — the partition count is the LAST integer; r4's lazy regex grabbed the
+    expression id and stacked a round-robin shuffle on top, destroying the
+    keyed partitioning."""
+    from timesearch_spark import tables
+
+    d = tables.load(spark, "/root/testdata/sf0.001", "documents").repartition(
+        64, "doc_id"
+    )
+    assert tables.spread(d, min_parts=32) is d
+
+
+def test_spread_treats_sort_within_partitions_as_non_shuffle(spark):
+    """sortWithinPartitions introduces no Exchange ('Sort ..., false'), so
+    an under-split scan below it still needs the spread repartition."""
+    from timesearch_spark import tables
+
+    d = tables.load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id"
+    ).sortWithinPartitions("doc_id")
+    assert tables.spread(d, min_parts=32) is not d

@@ -82,3 +82,22 @@ def test_fingerprint_rolling_locality(spark):
     fp = {r["doc_id"]: r["fp"] for r in rows}
     assert fp[1] == fp[2]  # doc 2 contains every window of doc 1
     assert fp[3] != fp[1]
+
+
+def test_profile_table_total_on_empty_docs(spark):
+    """ADVICE r4 regression: the single-pass bigram build evaluated
+    slice(t, 1, n_t - 1) with length -1 on zero-token documents, crashing
+    the stage — empty/whitespace docs are routine in real corpora."""
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, ""), (3, "   \n\t "), (4, "word"), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.text_profile_table(df).collect()}
+    assert rows[1]["n_ws"] == 3
+    for empty in (2, 3):
+        assert rows[empty]["n_ws"] == 0
+        assert rows[empty]["lang_guess"] == "und"
+        assert rows[empty]["stopword_ratio"] is None
+        assert rows[empty]["top_bigram_frac"] is None
+    assert rows[4]["n_ws"] == 1  # one token: no bigrams, but counted
+    assert rows[4]["top_bigram_frac"] is None

@@ -99,7 +99,11 @@ def render(text: str | None) -> str | None:
     text = text.replace("\r\n", "\n")
     # Fenced code first: fences may contain blank lines, so they must be
     # carved out before the blank-line block split.  Placeholder indexes
-    # into the rendered fence list; \x00 can't appear in markdown text.
+    # into the rendered fence list; stray NULs DO occur in real corpus
+    # text and would collide with the placeholder encoding (raising on
+    # fences[i] and breaking the never-raises contract), so strip them
+    # up front — NUL has no markdown meaning and no HTML representation.
+    text = text.replace("\x00", "")
     fences: list[str] = []
 
     def _carve(m: re.Match) -> str:

@@ -2,13 +2,14 @@
 
 Images/audio/video are opaque ``binary`` payload columns plus typed
 metadata (schemas.MEDIA).  The Spark-side plumbing — schema, batch
-iteration, partitioning, output shapes — is real and tested; the actual
-codec work (JPEG decode, audio resample, video frame extraction) is
-STUBBED: the image/audio libraries are not in this container, so each
-decoder is gated behind an import-try and falls back to a deterministic
-fake (clearly marked) with the same shapes/dtypes a real decoder would
-produce.  Swapping in PIL/libav is a one-function change; no plan shape
-changes.
+iteration, partitioning, output shapes — is real and tested.  Image
+decode uses PIL when importable (gated behind an import-try; absent in
+this container) and falls back per-payload to a deterministic fake
+(clearly marked) with the same shapes/dtypes for anything PIL can't
+parse — which includes the whole synthetic corpus, so oracle results
+don't depend on the image stack.  Audio resample / video frame
+extraction remain stubbed the same way; swapping in libav is a
+one-function change with no plan-shape change.
 
 Design notes for 100 TB:
 - payloads never pass through Python row-at-a-time: every stage is
@@ -59,19 +60,38 @@ def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.repeat(gray[:, :, None], 3, axis=2)
 
 
+def _pil_pixels(payload: bytes) -> np.ndarray:
+    """Real decode: PIL open → RGB → (h, w, 3) u8 ndarray.  Raises on
+    payloads that aren't a decodable image (caller falls back to the
+    deterministic stub)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
 def decode_image_batch(payloads: pd.Series, widths: pd.Series, heights: pd.Series):
     """Decode a batch of image payloads → list of (h, w, 3) uint8 arrays.
 
-    Real path: PIL.Image.open over each payload.  Stub path: deterministic
-    fake with identical shapes.  Either way the caller sees numpy arrays.
+    Real path (PIL present): Image.open → RGB ndarray.  Any payload PIL
+    can't parse — including every row of the synthetic corpus, whose
+    payloads are UTF-8 text bytes — falls back to the deterministic fake
+    with the same shape/dtype, so oracle results are identical with and
+    without the image stack installed.
     """
     out = []
     for payload, w, h in zip(payloads, widths, heights):
         if payload is None:
             out.append(None)
             continue
-        if HAS_PIL:  # pragma: no cover
-            raise NotImplementedError("real decode wired when PIL is present")
+        if HAS_PIL:  # pragma: no cover - PIL absent in this container
+            try:
+                out.append(_pil_pixels(bytes(payload)))
+                continue
+            except Exception:
+                pass  # not a decodable image: deterministic stub below
         out.append(_fake_pixels(bytes(payload), int(w or 8), int(h or 8)))
     return out
 

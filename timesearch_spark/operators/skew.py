@@ -35,9 +35,10 @@ def topk_per_group(
     the <= salt_parts*k survivors per group.  Any row in the true global
     top-k is in the top-k of whichever salt shard it landed in, so the
     result is EXACT for every salt assignment; the salt is a
-    deterministic hash of the ordering key only so plans stay replayable
-    (correctness never depends on the salt — shard membership only
-    bounds task size).
+    deterministic hash of the WHOLE row (order_cols may carry SortOrder
+    wrappers, which can't be hashed), so re-running the same input
+    replays identically but adding an unrelated column can move shard
+    assignment — only intermediate plan shapes change, never the result.
 
     Cost: one extra narrow shuffle of the survivor set (<= salt_parts*k
     rows per group — thousands of rows, not a thread's millions).  Use

@@ -195,9 +195,14 @@ def text_profile_table(df, text_col: str = "text", id_col: str = "doc_id"):
     # map stage instead of r3's two.
     t = tokens(text_col)
     n_t = F.size(t)
+    # slice() rejects negative lengths, and unlike the filter-guarded r3
+    # form this single-pass build evaluates for EVERY row — clamp so
+    # zero/one-token (empty or whitespace-only) documents yield an empty
+    # bigram array instead of crashing the stage.
+    bg_len = F.greatest(n_t - 1, F.lit(0))
     bigrams = F.zip_with(
-        F.slice(t, 1, n_t - 1),
-        F.slice(t, 2, n_t - 1),
+        F.slice(t, 1, bg_len),
+        F.slice(t, 2, bg_len),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     tagged = d.select(
@@ -263,7 +268,9 @@ def text_profile_table(df, text_col: str = "text", id_col: str = "doc_id"):
         hits["en"].alias("sw_hits"),
         "punct_ratio",
         F.round(
-            hits["en"].cast("double") / n_ws.cast("double"), 6
+            # try_divide, not `/`: ANSI mode raises DIVIDE_BY_ZERO on the
+            # 0/0 of a zero-token document; the contract is NULL there
+            F.try_divide(hits["en"].cast("double"), n_ws.cast("double")), 6
         ).alias("stopword_ratio"),
         lang_expr.alias("lang_guess"),
         "fp",

@@ -177,24 +177,14 @@ def render_comment_html(df: DataFrame, body_col: str = "body") -> DataFrame:
     """Per-comment HTML div, nested by depth (offline_reading.py:178-199
     template family).  Reference composition (render_markdown,
     offline_reading.py:285-291): escape brackets FIRST — including the
-    '&rt;' [sic] typo — then run the body through markdown.  The
-    ``markdown`` package is gated behind an import-try; when absent, the
-    deterministic subset renderer (functions/markdown_lite.py) covers the
-    constructs forum bodies actually use (paragraphs, headings, quotes,
-    lists, strong/em/code/links) with markdown-compatible output."""
-    escaped = html_escape(F.col(body_col))
-    try:  # pragma: no cover - markdown not installed in this container
-        import markdown  # noqa: F401
+    '&rt;' [sic] typo — then run the body through markdown.
+    ``functions.markdown_render`` owns the package-vs-subset branch (the
+    ``markdown`` package behind an import-try, the deterministic subset
+    renderer in functions/markdown_lite.py otherwise) and is an
+    Arrow-batched pandas_udf in BOTH arms — never a row-at-a-time UDF."""
+    from timesearch_spark.functions import markdown_render
 
-        @F.udf("string")
-        def md(body):
-            return markdown.markdown(body) if body is not None else None
-
-        rendered = md(escaped)
-    except ImportError:
-        from timesearch_spark.functions import markdown_render
-
-        rendered = markdown_render(escaped)
+    rendered = markdown_render(html_escape(F.col(body_col)))
 
     return df.withColumn(
         "html",

@@ -135,7 +135,7 @@ def filter_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "filter_timerange",
     """
-    SELECT event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec, event_type
+    SELECT event_id, epoch_ns(ts) // 1000000000 AS ts_sec, event_type
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
       AND ts <  TIMESTAMP '2024-01-05 00:00:00'
@@ -492,7 +492,7 @@ def self_join_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count_max",
     """
     SELECT (SELECT COUNT(*) FROM lineitem) AS n,
-           (SELECT CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) FROM events) AS max_ts
+           (SELECT MAX(epoch_ns(ts) // 1000000000) FROM events) AS max_ts
     """,
 )
 def count_max(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,7 +727,7 @@ def scalar_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            STRFTIME(ts, '%Y %b %d') AS listing_ts,
            STRFTIME(ts, '%b %d %Y %H:%M:%S') AS human_ts,
-           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec
+           epoch_ns(ts) // 1000000000 AS ts_sec
     FROM events
     """,
 )
@@ -736,7 +736,7 @@ def scalar_datefmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (common.py:94-97, index.py:17), plus the int-seconds truncation of
     sub-second timestamps (int(created_utc), pushshift.py:81) — here
     true-floor nano→second division (tables.py event_ts_sec), checked
-    against the oracle's FLOOR(EPOCH(ts))."""
+    against the oracle's integer epoch_ns // 1e9 (no EPOCH double)."""
     ev = load(spark, sf_dir, "events")
     ts_sec = event_ts_sec("ts", ts_dtype(ev))
     return ev.select(
@@ -1633,39 +1633,56 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "events_windows",
     """
+    WITH e AS (
+      SELECT epoch_ns(ts) // 1000000000 AS ts_sec,
+             event_type,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS value_micros
+      FROM events
+    )
     SELECT 'tumbling_1h' AS grain,
-           CAST(FLOOR(EPOCH(date_trunc('hour', ts))) AS BIGINT) AS window_start_sec,
+           (ts_sec // 3600) * 3600 AS window_start_sec,
            event_type,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(18,6))) AS value_sum
-    FROM events GROUP BY 2, 3
+           CAST(SUM(value_micros) AS BIGINT) AS value_sum_micros
+    FROM e GROUP BY 2, 3
     UNION ALL
     SELECT 'sliding_1h_15m' AS grain, window_start_sec, event_type,
-           COUNT(*) AS n, CAST(NULL AS DECIMAL(38,6)) AS value_sum
+           COUNT(*) AS n, CAST(NULL AS BIGINT) AS value_sum_micros
     FROM (
       SELECT event_type,
              UNNEST(generate_series(
                (ts_sec // 900) * 900 - 2700,
                (ts_sec // 900) * 900,
                900)) AS window_start_sec
-      FROM (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec, event_type
-            FROM events)
+      FROM e
     ) GROUP BY 2, 3
     """,
 )
 def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain event-time rollup (the hypertable-rollup pattern):
-    tumbling 1-hour counts + exact decimal sums per event_type, unioned
-    with sliding 1-hour / 15-minute counts where each event lands in 4
+    tumbling 1-hour counts + value sums per event_type, unioned with
+    sliding 1-hour / 15-minute counts where each event lands in 4
     overlapping windows (the oracle enumerates them with
     generate_series).  Both grains shuffle once on (window, event_type)
     with map-side partial aggregation; the union is plan-level only (two
     independent stages), so at cluster scale each grain parallelizes
     independently.  Streaming forms: streaming.windows
-    .tumbling_counts_stream / .sliding_counts_stream."""
-    ev = load(spark, sf_dir, "events")
+    .tumbling_counts_stream / .sliding_counts_stream.
+
+    Cross-engine determinism: every event-time value is integer-derived
+    (``epoch_ns // 1e9`` on the oracle side, exact long floor on the
+    Spark side — never the EPOCH() double, which loses nanosecond
+    precision above 2^53 and can floor an exact-second boundary into the
+    previous window), and the value sum is ``SUM(FLOOR(value * 1e6))``
+    as BIGINT — the double multiply is bit-identical IEEE in both
+    engines and long addition is exact and order-independent, unlike
+    double→decimal casts whose rounding mode is an engine detail (Spark
+    HALF_UP vs banker's)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "value_micros", F.floor(F.col("value") * 1000000).cast("long")
+    )
     tumb = win.tumbling_counts(
-        ev.withColumn("value", F.col("value").cast("decimal(18,6)")),
+        ev.withColumn("value", F.col("value_micros")),
         "1 hour",
         "event_type",
     ).select(
@@ -1673,7 +1690,7 @@ def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").cast("long").alias("window_start_sec"),
         "event_type",
         "n",
-        F.col("value_sum").cast("decimal(38,6)").alias("value_sum"),
+        F.col("value_sum").cast("long").alias("value_sum_micros"),
     )
     slid = (
         ev.withColumn(
@@ -1688,7 +1705,7 @@ def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").cast("long").alias("window_start_sec"),
             "event_type",
             "n",
-            F.lit(None).cast("decimal(38,6)").alias("value_sum"),
+            F.lit(None).cast("long").alias("value_sum_micros"),
         )
     )
     return tumb.unionByName(slid)
@@ -1698,17 +1715,18 @@ def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize",
     """
     WITH e AS (
-      SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec
+      SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_sec
       FROM events
     ), flagged AS (
-      SELECT user_id, ts_sec,
+      SELECT user_id, event_id, ts_sec,
              CASE WHEN ts_sec - LAG(ts_sec) OVER w > 1800 OR
                        LAG(ts_sec) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
     ), numbered AS (
       SELECT user_id, ts_sec,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts_sec, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
@@ -1719,7 +1737,11 @@ def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based (30 min) sessionization per user: lag + running sum, one
-    shuffle on user_id."""
+    shuffle on user_id.  Oracle determinism: ts_sec is integer-derived
+    (epoch_ns, no EPOCH double) and BOTH window passes — the lag flags
+    and the running sum — order by (ts_sec, event_id), matching the
+    Spark side, so same-second events are totally ordered regardless of
+    the engine's physical row order."""
     return win.sessionize(load(spark, sf_dir, "events"), gap_sec=1800)
 
 

@@ -78,10 +78,10 @@ def _scan_parallelism(files: list[str], default_parallelism: int) -> int:
     open_cost = 4 * 1024 * 1024
     max_part = 128 * 1024 * 1024
     metas = [_file_meta(f) for f in files]
-    total = sum(sz for _, sz in metas)
+    total = sum(sz for _, sz, _ in metas)
     max_split = min(max_part, max(open_cost, total // max(default_parallelism, 1)))
     return sum(
-        min(rg, -(-sz // max_split)) if sz else 1 for rg, sz in metas
+        min(rg, -(-sz // max_split)) if sz else 1 for rg, sz, _ in metas
     )
 
 
@@ -120,10 +120,27 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
         logical = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         logical = ""
-    if re.search(r"^(?:[:+\- ]*)(?:Aggregate|Window|Deduplicate|Sort) ", logical, re.M):
+    # 'Sort ... true' only: global sorts shuffle; sortWithinPartitions
+    # prints 'Sort ... false' and introduces none.
+    if re.search(
+        r"^(?:[:+\- ]*)(?:Aggregate|Window|Deduplicate) |"
+        r"^(?:[:+\- ]*)Sort \[.*\], true\b",
+        logical,
+        re.M,
+    ):
         return df
+    # numPartitions prints as 'Repartition N, true' (true = shuffle;
+    # false is coalesce, which only caps) and 'RepartitionByExpression
+    # [exprs], N' with N LAST on the line — a lazy first-digit match
+    # would grab an expression id like 'l_orderkey#5L' instead.
     reparts = [
-        int(x) for x in re.findall(r"Repartition(?:ByExpression)?\b[^\n]*?(\d+)", logical)
+        int(x)
+        for x in re.findall(r"^[:+\- ]*Repartition (\d+), true\s*$", logical, re.M)
+    ] + [
+        int(x)
+        for x in re.findall(
+            r"^[:+\- ]*RepartitionByExpression \[[^\n]*\], (\d+)\s*$", logical, re.M
+        )
     ]
     if reparts and max(reparts) >= want:
         return df
