@@ -1,0 +1,189 @@
+"""CLI front-end tests: every reference subcommand
+(/root/reference/timesearch.py:22-60) runs end-to-end against a temp
+archive through ``cli.main`` — the same code path as
+``python -m timesearch_spark <cmd>``."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from timesearch_spark import cli
+
+
+def _sub(i, **kw):
+    d = {
+        "id": f"s{i}", "name": f"t3_s{i}", "created_utc": 100 + i,
+        "author": f"user{i % 3}", "subreddit": "t", "title": f"post {i}",
+        "selftext": f"text {i}", "score": i, "is_self": False,
+        "over_18": False, "url": f"https://x/{i}", "num_comments": 0,
+    }
+    d.update(kw)
+    return d
+
+
+def _com(i, **kw):
+    d = {
+        "id": f"c{i}", "name": f"t1_c{i}", "created_utc": 200 + i,
+        "author": f"user{i % 3}", "subreddit": "t", "body": f"reply {i}",
+        "score": i, "parent_id": "t3_s0", "link_id": "t3_s0",
+    }
+    d.update(kw)
+    return d
+
+
+def _write_jsonl(path, objs):
+    path.write_text("\n".join(json.dumps(o) for o in objs) + "\n")
+    return str(path)
+
+
+@pytest.fixture()
+def root(spark, tmp_path):
+    """Archive root pre-seeded via get_submissions + get_comments —
+    exercising those two subcommands is part of the setup."""
+    subs = _write_jsonl(tmp_path / "subs.jsonl", [_sub(i) for i in range(4)])
+    coms = _write_jsonl(tmp_path / "coms.jsonl", [_com(i) for i in range(6)])
+    rootdir = str(tmp_path / "archives")
+    assert cli.main(["--archive-root", rootdir, "get_submissions",
+                     "-r", "t", "--lower", "0", "--source", subs]) == 0
+    assert cli.main(["--archive-root", rootdir, "get_comments",
+                     "-r", "t", "--lower", "0", "--source", coms]) == 0
+    return rootdir
+
+
+def _archive_dir(root):
+    return os.path.join(root, "subreddits", "t")
+
+
+def test_get_submissions_and_comments_populate_archive(spark, root):
+    from timesearch_spark.api import Archive
+
+    ar = Archive(spark, _archive_dir(root))
+    assert ar.submissions.snapshot().count() == 4
+    assert ar.comments.snapshot().count() == 6
+
+
+def test_get_submissions_update_resume(spark, root, tmp_path):
+    more = _write_jsonl(tmp_path / "more.jsonl", [_sub(i) for i in range(6)])
+    assert cli.main(["--archive-root", root, "get_submissions",
+                     "-r", "t", "--source", more]) == 0  # default lower=update
+    from timesearch_spark.api import Archive
+
+    assert Archive(spark, _archive_dir(root)).submissions.snapshot().count() == 6
+
+
+def test_breakdown_writes_json(spark, root):
+    assert cli.main(["--archive-root", root, "breakdown", "-r", "t"]) == 0
+    out = os.path.join(_archive_dir(root), "t_breakdown.json")
+    data = json.loads(open(out).read())
+    assert sum(v["comments"] for v in data.values()) == 6
+    assert sum(v["submissions"] for v in data.values()) == 4
+    # sorted variant: the reference's pretty one-line-per-key format
+    assert cli.main(["--archive-root", root, "breakdown", "-r", "t",
+                     "--sort", "comments"]) == 0
+    sorted_out = os.path.join(_archive_dir(root), "t_breakdown_comments.json")
+    sdata = json.loads(open(sorted_out).read())
+    counts = [v["comments"] for v in sdata.values()]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_index_listing_flags(spark, root):
+    assert cli.main(["--archive-root", root, "index", "-r", "t",
+                     "--score", "--html"]) == 0
+    files = os.listdir(_archive_dir(root))
+    assert any("score" in f for f in files)
+
+
+def test_offline_reading_renders_threads(spark, root):
+    assert cli.main(["--archive-root", root, "offline_reading",
+                     "-r", "t"]) == 0
+    out = os.path.join(_archive_dir(root), "offline_reading")
+    assert len(os.listdir(out)) >= 1
+
+
+def test_merge_db_insert_only(spark, root, tmp_path, capsys):
+    other = _write_jsonl(tmp_path / "other.jsonl",
+                         [_sub(i) for i in range(2, 8)])
+    assert cli.main(["--archive-root", root, "get_submissions", "-r", "t2",
+                     "--lower", "0", "--source", other]) == 0
+    assert cli.main(["--archive-root", root, "merge_db",
+                     "--from", os.path.join(root, "subreddits", "t2"),
+                     "--to", _archive_dir(root)]) == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts["submissions"] == 4  # s4..s7 were new; s2, s3 already present
+    from timesearch_spark.api import Archive
+
+    assert Archive(spark, _archive_dir(root)).submissions.snapshot().count() == 8
+
+
+def test_ingest_jsonfile(spark, root, tmp_path, capsys):
+    dump = _write_jsonl(tmp_path / "dump.jsonl",
+                        [_sub(0), _sub(9), _com(9)])
+    assert cli.main(["--archive-root", root, "ingest_jsonfile", dump,
+                     "-r", "t"]) == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts["new_submissions"] == 1  # s0 already present
+    assert counts["new_comments"] == 1
+
+
+def test_livestream_once(spark, root, tmp_path):
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _write_jsonl(drop / "batch1.jsonl", [_sub(20), _com(20)])
+    assert cli.main(["--archive-root", root, "livestream", "-r", "t",
+                     "--once", "--source", str(drop)]) == 0
+    from timesearch_spark.api import Archive
+
+    ar = Archive(spark, _archive_dir(root))
+    assert ar.submissions.snapshot().filter("idstr = 't3_s20'").count() == 1
+    assert ar.comments.snapshot().filter("idstr = 't1_c20'").count() == 1
+
+
+def test_get_wiki_and_styles(spark, root, tmp_path):
+    pages = tmp_path / "pages.json"
+    pages.write_text(json.dumps({"index": "# hello", "rules/one": "be nice"}))
+    assert cli.main(["--archive-root", root, "get_wiki", "-r", "t",
+                     "--pages-json", str(pages)]) == 0
+    wiki = os.path.join(_archive_dir(root), "wiki")
+    assert os.path.exists(os.path.join(wiki, "index.md"))
+    assert os.path.exists(os.path.join(wiki, "rules", "one.html"))
+
+    css = tmp_path / "style.css"
+    css.write_text("body { color: red }")
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    (imgdir / "logo.png").write_bytes(b"\x89PNG fake")
+    assert cli.main(["--archive-root", root, "get_styles", "-r", "t",
+                     "--css", str(css), "--images", str(imgdir)]) == 0
+    styles = os.path.join(_archive_dir(root), "styles")
+    assert os.path.exists(os.path.join(styles, "stylesheet.css"))
+    assert os.path.exists(os.path.join(styles, "logo.png"))
+
+
+def test_entity_arg_validation(root):
+    with pytest.raises(SystemExit):
+        cli.main(["--archive-root", root, "breakdown"])  # no -r / -u
+    with pytest.raises(SystemExit):
+        cli.main(["--archive-root", root, "breakdown", "-r", "a", "-u", "b"])
+
+
+def test_http_adapter_shape():
+    """The HTTP fetch_page adapter (pushshift.py:148-164's URL shape) with
+    an injected opener — no network needed."""
+    from timesearch_spark.sources.adapters import http_fetch_page
+
+    seen = []
+
+    def opener(url):
+        seen.append(url)
+        return json.dumps({"data": [
+            {"id": "b", "created_utc": 2}, {"id": "a", "created_utc": 1},
+        ]}).encode()
+
+    fetch = http_fetch_page("https://h/s?after={after}&before={before}&limit={limit}",
+                            opener=opener)
+    page = fetch(0, None, 50)
+    assert seen == ["https://h/s?after=0&before=&limit=50"]
+    assert [it["id"] for it in page] == ["a", "b"]  # sorted asc

@@ -1,0 +1,310 @@
+"""CLI front-end: the reference's 10 argparse subcommands over api.py.
+
+Mirrors /root/reference/timesearch.py:22-60,525-582 — same subcommand
+names, same flags (``-r/--subreddit``, ``-u/--user``, ``--lower``,
+``--upper``, ``--once``, ``--sort``, the index section toggles…) — so a
+user of the reference can run ``python -m timesearch_spark
+get_submissions -r sub`` and land on the Spark engine.
+
+Differences forced by the environment, kept explicit:
+
+- Archives are parquet MERGE stores under ``<root>/subreddits/<name>``
+  or ``<root>/users/<name>`` (the analog of the reference's per-entity
+  ``<name>.db`` layout, tsdb.py:19-32); ``--archive-root`` picks the
+  root (default ``.``).
+- The remote API is injected, never hard-coded: ``get_submissions`` /
+  ``get_comments`` take ``--source FILE`` (an NDJSON archive served as
+  keyset pages — sources/adapters.ndjson_fetch_page) or ``--source-url
+  TEMPLATE`` (the HTTP shape, sources/adapters.http_fetch_page).
+  ``livestream`` takes ``--source DIR`` (the streaming drop directory).
+- ``get_wiki`` / ``get_styles`` read local inputs (``--pages-json``,
+  ``--css`` / ``--images``) instead of a live API.
+
+Subcommand gateways import lazily for the same reason the reference
+does (timesearch.py:16-20): help text must not pay engine start-up.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _resolve_archive_path(root: str, subreddit: str | None, username: str | None) -> str:
+    if (subreddit is None) == (username is None):
+        raise SystemExit("exactly one of -r/--subreddit or -u/--user is required")
+    if subreddit is not None:
+        return os.path.join(root, "subreddits", subreddit)
+    return os.path.join(root, "users", username)
+
+
+def _archive(args):
+    from timesearch_spark.api import Archive
+    from timesearch_spark.session import get_spark
+
+    spark = get_spark("timesearch-cli")
+    path = _resolve_archive_path(
+        args.archive_root, getattr(args, "subreddit", None),
+        getattr(args, "username", None),
+    )
+    return Archive(spark, path)
+
+
+def _fetch_page(args):
+    from timesearch_spark.sources import adapters
+
+    if getattr(args, "source", None):
+        return adapters.ndjson_fetch_page(args.source)
+    if getattr(args, "source_url", None):
+        return adapters.http_fetch_page(args.source_url)
+    raise SystemExit("--source FILE or --source-url TEMPLATE is required")
+
+
+def _parse_lower(value):
+    if value is None or value == "update":
+        return "update"
+    return int(value)
+
+
+# --- gateways (one per reference subcommand) ---------------------------------
+
+def cmd_get_submissions(args):
+    from timesearch_spark import api
+
+    n = api.get_submissions(
+        _archive(args), _fetch_page(args),
+        lower=_parse_lower(args.lower),
+    )
+    print(f"get_submissions: {n} items")
+    return 0
+
+
+def cmd_get_comments(args):
+    from timesearch_spark import api
+
+    n = api.get_comments(
+        _archive(args), _fetch_page(args),
+        lower=_parse_lower(args.lower),
+        specific_submission=args.specific_submission,
+    )
+    print(f"get_comments: {n} items")
+    return 0
+
+
+def cmd_livestream(args):
+    from timesearch_spark import api
+
+    query = api.livestream(
+        _archive(args), args.source, once=args.once,
+        poll_seconds=args.sleepy,
+    )
+    query.awaitTermination()
+    print("livestream: done" if args.once else "livestream: stopped")
+    return 0
+
+
+def cmd_ingest_jsonfile(args):
+    from timesearch_spark import api
+
+    counts = api.ingest_jsonfile(_archive(args), args.json_file)
+    print(json.dumps(counts))
+    return 0
+
+
+def cmd_breakdown(args):
+    from timesearch_spark import api
+
+    archive = _archive(args)
+    out = api.breakdown(archive, sort=args.sort, out_dir=archive.path)
+    print(out)
+    return 0
+
+
+def cmd_index(args):
+    from timesearch_spark import api
+
+    archive = _archive(args)
+    # the reference's per-property toggles (--all/--author/--date/…,
+    # timesearch.py:435-515) each produce one listing file
+    orders = []
+    if args.do_all or args.do_date:
+        orders.append("date")
+    if args.do_all or args.do_title:
+        orders.append("title")
+    if args.do_all or args.do_score:
+        orders.append("score")
+    if args.do_all or args.do_author:
+        orders.append("author")
+    if args.do_all or args.do_subreddit:
+        orders.append("subreddit")
+    if args.do_all or args.do_flair:
+        orders.append("flair")
+    if not orders:
+        orders = ["date"]
+    for orderby in orders:
+        out = api.index(
+            archive, archive.path, orderby=orderby,
+            score_threshold=args.score_threshold, html=args.html,
+            offline=args.offline,
+        )
+        print(out)
+    return 0
+
+
+def cmd_offline_reading(args):
+    from timesearch_spark import api
+
+    archive = _archive(args)
+    n = api.offline_reading(archive, os.path.join(archive.path, "offline_reading"))
+    print(f"offline_reading: {n} threads")
+    return 0
+
+
+def cmd_merge_db(args):
+    from timesearch_spark import api
+    from timesearch_spark.api import Archive
+    from timesearch_spark.session import get_spark
+
+    spark = get_spark("timesearch-cli")
+    counts = api.merge_db(Archive(spark, args.to_db_path),
+                          Archive(spark, args.from_db_path))
+    print(json.dumps(counts))
+    return 0
+
+
+def cmd_get_wiki(args):
+    from timesearch_spark import api
+
+    archive = _archive(args)
+    with open(args.pages_json, encoding="utf-8") as f:
+        pages = json.load(f)
+    n = api.get_wiki(archive, pages, os.path.join(archive.path, "wiki"))
+    print(f"get_wiki: {n} pages")
+    return 0
+
+
+def cmd_get_styles(args):
+    from timesearch_spark import api
+
+    archive = _archive(args)
+    stylesheet = None
+    if args.css:
+        with open(args.css, encoding="utf-8") as f:
+            stylesheet = f.read()
+    images = {}
+    if args.images:
+        for name in sorted(os.listdir(args.images)):
+            with open(os.path.join(args.images, name), "rb") as f:
+                images[name] = f.read()
+    n = api.get_styles(archive, stylesheet, images,
+                       os.path.join(archive.path, "styles"))
+    print(f"get_styles: {n} files")
+    return 0
+
+
+# --- parser ------------------------------------------------------------------
+
+def _add_entity_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-r", "--subreddit", dest="subreddit", default=None)
+    p.add_argument("-u", "--user", dest="username", default=None)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="timesearch_spark",
+        description="The subreddit archiver, on Spark. "
+        "1. get_submissions -r name  2. get_comments -r name  "
+        "3. livestream -r name",
+    )
+    parser.add_argument("--archive-root", dest="archive_root", default=".")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("get_submissions", help="collect submissions")
+    _add_entity_args(p)
+    p.add_argument("-l", "--lower", dest="lower", default="update")
+    p.add_argument("-up", "--upper", dest="upper", default=None)
+    p.add_argument("--dont_supplement", "--dont-supplement",
+                   dest="do_supplement", action="store_false")
+    p.add_argument("--source", dest="source", default=None)
+    p.add_argument("--source-url", dest="source_url", default=None)
+    p.set_defaults(func=cmd_get_submissions)
+
+    p = sub.add_parser("get_comments", help="collect comments")
+    _add_entity_args(p)
+    p.add_argument("-s", "--specific", dest="specific_submission", default=None)
+    p.add_argument("-l", "--lower", dest="lower", default="update")
+    p.add_argument("-up", "--upper", dest="upper", default=None)
+    p.add_argument("--dont_supplement", "--dont-supplement",
+                   dest="do_supplement", action="store_false")
+    p.add_argument("--source", dest="source", default=None)
+    p.add_argument("--source-url", dest="source_url", default=None)
+    p.set_defaults(func=cmd_get_comments)
+
+    p = sub.add_parser("livestream", help="continuous ingest")
+    _add_entity_args(p)
+    p.add_argument("-1", "--once", dest="once", action="store_true")
+    p.add_argument("-w", "--wait", "--sleepy", dest="sleepy", type=int, default=30)
+    p.add_argument("-l", "--limit", dest="limit", type=int, default=None)
+    p.add_argument("--source", dest="source", required=True,
+                   help="NDJSON drop directory (streaming source)")
+    p.set_defaults(func=cmd_livestream)
+
+    p = sub.add_parser("ingest_jsonfile", help="ingest an NDJSON archive file")
+    p.add_argument("json_file")
+    _add_entity_args(p)
+    p.set_defaults(func=cmd_ingest_jsonfile)
+
+    p = sub.add_parser("breakdown", help="per-author counts JSON")
+    _add_entity_args(p)
+    p.add_argument("--sort", dest="sort", default=None)
+    p.set_defaults(func=cmd_breakdown)
+
+    p = sub.add_parser("index", help="sorted listing export")
+    _add_entity_args(p)
+    p.add_argument("--all", dest="do_all", action="store_true")
+    p.add_argument("--author", dest="do_author", action="store_true")
+    p.add_argument("--date", dest="do_date", action="store_true")
+    p.add_argument("--flair", dest="do_flair", action="store_true")
+    p.add_argument("--html", dest="html", action="store_true")
+    p.add_argument("--score", dest="do_score", action="store_true")
+    p.add_argument("--sub", dest="do_subreddit", action="store_true")
+    p.add_argument("--title", dest="do_title", action="store_true")
+    p.add_argument("--offline", dest="offline", action="store_true")
+    p.add_argument("--score_threshold", "--score-threshold",
+                   dest="score_threshold", type=int, default=0)
+    p.set_defaults(func=cmd_index)
+
+    p = sub.add_parser("offline_reading", help="thread HTML export")
+    _add_entity_args(p)
+    p.add_argument("-s", "--specific", dest="specific_submission", default=None)
+    p.set_defaults(func=cmd_offline_reading)
+
+    p = sub.add_parser("merge_db", help="insert-only archive merge")
+    p.add_argument("--from", dest="from_db_path", required=True)
+    p.add_argument("--to", dest="to_db_path", required=True)
+    p.set_defaults(func=cmd_merge_db)
+
+    p = sub.add_parser("get_wiki", help="wiki page dump")
+    _add_entity_args(p)
+    p.add_argument("--pages-json", dest="pages_json", required=True,
+                   help="JSON file: {page_name: markdown_text}")
+    p.set_defaults(func=cmd_get_wiki)
+
+    p = sub.add_parser("get_styles", help="stylesheet/image dump")
+    _add_entity_args(p)
+    p.add_argument("--css", dest="css", default=None)
+    p.add_argument("--images", dest="images", default=None)
+    p.set_defaults(func=cmd_get_styles)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

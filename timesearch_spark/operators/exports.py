@@ -155,9 +155,18 @@ def write_breakdown(bd: DataFrame, out_dir: str, basename: str,
 
 def write_thread_html(rendered: DataFrame, out_dir: str) -> int:
     """A10: one ``<submission id>.html`` per thread from the rendered
-    forest (columns: submission, position, html).  Returns file count."""
+    forest (columns: submission, position, html).  Returns file count.
+
+    Files are written EXECUTOR-side (mapInPandas over the grouped
+    one-row-per-thread relation; the count aggregate drives the job), so
+    the sink parallelizes with the thread count — a driver
+    ``toLocalIterator`` loop would serialize every document through one
+    process, the one part of the r4 sink that didn't survive the 100×
+    story.  ``out_dir`` must be reachable from executors (local mode:
+    trivially; cluster: shared FS / fuse-mounted object store — the same
+    contract any foreachPartition file sink has).  Re-runs are idempotent:
+    file-per-key overwrite, no partial-append state."""
     os.makedirs(out_dir, exist_ok=True)
-    n = 0
     # collect_list order is not stable under shuffle: gather (position,
     # html) structs and sort inside the group instead.
     grouped = rendered.groupBy("submission").agg(
@@ -169,10 +178,21 @@ def write_thread_html(rendered: DataFrame, out_dir: str) -> int:
             "\n",
         ).alias("doc")
     )
-    for row in grouped.toLocalIterator():
-        name = row["submission"]
-        name = name if name.startswith("t3_") else "t3_" + name
-        with open(os.path.join(out_dir, f"{name}.html"), "w", encoding="utf-8") as f:
-            f.write(HTML_HEADER + row["doc"] + HTML_FOOTER)
-        n += 1
-    return n
+
+    def write_part(batches):
+        import pandas as pd
+
+        n = 0
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            for name, doc in zip(pdf["submission"], pdf["doc"]):
+                name = name if name.startswith("t3_") else "t3_" + name
+                path = os.path.join(out_dir, f"{name}.html")
+                with open(path, "w", encoding="utf-8") as f:
+                    f.write(HTML_HEADER + doc + HTML_FOOTER)
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    counts = grouped.mapInPandas(write_part, "n long")
+    total = counts.agg(F.sum("n")).first()[0]
+    return int(total or 0)
