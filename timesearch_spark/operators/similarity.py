@@ -73,17 +73,36 @@ def signature_col(vec_col, planes: list[list[float]]):
     return sig
 
 
-def with_signatures(df: DataFrame, planes, id_col: str, vec_col: str) -> DataFrame:
-    """Append sig0..sig{T-1} packed-long columns via ONE numpy matmul per
-    Arrow batch: V @ H.T → signs → bit-pack.  tables×bits hyperplane dots
-    per row collapse to a BLAS call instead of tables×bits interpreted
-    expression folds."""
+def pack_signatures(V, planes):
+    """(n, dim) float64 matrix → (n, tables) packed-long signatures via one
+    BLAS matmul: V @ H.T → signs → per-table bit-pack.  The ONE signature
+    implementation — executor batches (with_signatures) and the driver-side
+    query row (cosine_topk_lsh) both call it, so corpus and query
+    signatures can never drift."""
     import numpy as np
 
     tables = len(planes)
     bits = len(planes[0])
     H = np.array([h for table in planes for h in table], dtype=np.float64)
     weights = np.array([1 << b for b in range(bits)], dtype=np.int64)
+    signs = (V @ H.T) >= 0  # (n, tables*bits)
+    return np.stack(
+        [
+            (signs[:, t * bits : (t + 1) * bits] * weights).sum(axis=1)
+            for t in range(tables)
+        ],
+        axis=1,
+    )
+
+
+def with_signatures(df: DataFrame, planes, id_col: str, vec_col: str) -> DataFrame:
+    """Append sig0..sig{T-1} packed-long columns via ONE numpy matmul per
+    Arrow batch (pack_signatures).  tables×bits hyperplane dots per row
+    collapse to a BLAS call instead of tables×bits interpreted
+    expression folds."""
+    import numpy as np
+
+    tables = len(planes)
     out_schema = (
         f"{id_col} long, {vec_col} array<double>, "
         + ", ".join(f"sig{t} long" for t in range(tables))
@@ -96,11 +115,10 @@ def with_signatures(df: DataFrame, planes, id_col: str, vec_col: str) -> DataFra
             if pdf.empty:
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            signs = (V @ H.T) >= 0  # (n, tables*bits)
+            sigs = pack_signatures(V, planes)
             cols = {id_col: pdf[id_col], vec_col: pdf[vec_col]}
             for t in range(tables):
-                block = signs[:, t * bits : (t + 1) * bits]
-                cols[f"sig{t}"] = (block * weights).sum(axis=1)
+                cols[f"sig{t}"] = sigs[:, t]
             yield pd.DataFrame(cols)
 
     from timesearch_spark.tables import spread
@@ -151,34 +169,42 @@ def cosine_topk_lsh(
       adds bits·c^(bits-1)·(1-c) to p_table, pushing 6x16 past 0.99
       recall at θ≈60° while verification keeps precision exact.  At
       scale, radius r means probing Σ C(bits,i) physical buckets per
-      table instead of 1."""
+      table instead of 1.
+
+    The query row is BROADCAST STATE, not data: its signatures are
+    computed driver-side (one numpy call through the same
+    pack_signatures the corpus batches use) and folded into the plan as
+    literals, so the whole query is ONE linear job — scan → signature
+    mapInPandas → literal-signature filter → literal-vector cosine →
+    TakeOrdered.  The r4 form computed query signatures as a second
+    Spark job feeding a broadcast exchange; that nested job was pure
+    overhead for one row and the only run-to-run-variant stage in the
+    bench."""
+    import numpy as np
+
     planes = hyperplanes(dim, bits, tables, seed)
     probe_hamming = 1
 
-    sigs = with_signatures(emb, planes, id_col, vec_col)
-    # Query signatures go through the same BLAS path as the corpus: one
-    # mapInPandas over the 1-row query instead of tables × bits × dim
-    # expression folds — the fold form (signature_col) spent ~9 s of
-    # driver-side py4j plan construction per query at 16×6×64.
-    qsigs = with_signatures(
-        query.select(F.lit(0).cast("long").alias("__qid"), F.col("q")),
-        planes,
-        "__qid",
-        "q",
-    ).select(
-        F.col("q"), *[F.col(f"sig{t}").alias(f"qsig{t}") for t in range(tables)]
-    )
+    qrow = query.select(as_double("q").alias("q")).first()
+    if qrow is None:  # empty query: empty result, stable schema
+        return emb.select(
+            F.col(id_col), F.lit(0.0).alias("cos")
+        ).limit(0)
+    qvec = [float(x) for x in qrow["q"]]
+    qsig = pack_signatures(np.array([qvec], dtype=np.float64), planes)[0]
 
-    cand = sigs.join(F.broadcast(qsigs))
+    sigs = with_signatures(emb, planes, id_col, vec_col)
     match = F.lit(False)
     for t in range(tables):
         match = match | (
-            F.bit_count(F.col(f"sig{t}").bitwiseXOR(F.col(f"qsig{t}")))
+            F.bit_count(F.col(f"sig{t}").bitwiseXOR(F.lit(int(qsig[t]))))
             <= probe_hamming
         )
-    cand = cand.filter(match)
+    cand = sigs.filter(match)
 
-    scored = cand.select(F.col(id_col), cosine(vec_col, "q").alias("cos"))
+    scored = cand.select(
+        F.col(id_col), cosine(vec_col, F.lit(qvec)).alias("cos")
+    )
     return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
 
 

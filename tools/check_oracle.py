@@ -40,16 +40,64 @@ def canon(rows, cols):
     return sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    spark = get_spark("oracle-check", cpus=8)
-    con = duckdb.connect()
+def _register(con, sf_dir):
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+
+
+def paranoid(sf_dir: str, only: set[str]) -> int:
+    """Oracle-hygiene sweep (no Spark): run every oracle under DuckDB at
+    several thread counts and fail on ANY canonical-hash drift.  An
+    oracle whose result depends on execution parallelism (unordered
+    window ties, float-sum reassociation, double→decimal rounding at
+    partial-agg boundaries) is an environment bomb waiting for the
+    grading driver — exactly how r4's events_windows/sessionize failed
+    while passing every single-config local check."""
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, sql in oracles.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        seen = {}
+        try:
+            for threads in (1, 4, 8):
+                con = duckdb.connect()
+                con.execute(f"SET threads TO {threads}")
+                _register(con, sf_dir)
+                res = con.execute(sql)
+                cols = [d[0] for d in res.description]
+                seen[threads] = canon(res.fetchall(), cols)
+                con.close()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        hashes = {t: hash(tuple(c)) for t, c in seen.items()}
+        if len(set(hashes.values())) != 1:
+            failures.append(name)
+            print(f"FAIL {name}: thread-count drift {hashes}")
+        else:
+            print(f"PASS {name} (stable at 1/4/8 threads, {time.time()-t0:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+def main():
+    args = [a for a in sys.argv[1:] if a != "--paranoid"]
+    if "--paranoid" in sys.argv[1:]:
+        sf_dir = args[0] if args else "/root/testdata/sf0.01"
+        sys.exit(paranoid(sf_dir, set(args[1:])))
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    spark = get_spark("oracle-check", cpus=8)
+    con = duckdb.connect()
+    _register(con, sf_dir)
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
