@@ -165,3 +165,34 @@ def test_quantized_topk_recall(spark):
     # int8 rounding noise may reorder near-ties but must keep the set
     assert len(set(exact) & set(quant)) >= 8
     assert quant[0] == exact[0]  # the self-match survives quantization
+
+
+def test_topk_batch_matches_single_query_path(spark):
+    """cosine_topk_batch must return, for every query, exactly the rows
+    cosine_topk returns for that query alone — same ids, same cos values
+    (the fold-order numpy math is bit-identical to the JVM expression)."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id").isin(3, 17, 42)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    batch = {
+        (r["qid"], r["rn"]): (r["vec_id"], r["cos"])
+        for r in sim.cosine_topk_batch(emb, queries, k=5).collect()
+    }
+    assert len(batch) == 15
+    for qid in (3, 17, 42):
+        qv = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("q")
+        )
+        single = sim.cosine_topk(emb, qv, k=5).collect()
+        for rn, row in enumerate(single, start=1):
+            got_id, got_cos = batch[(qid, rn)]
+            assert got_id == row["vec_id"], (qid, rn)
+            assert got_cos == row["cos"], (qid, rn)  # bit-identical, no tol
+
+
+def test_topk_batch_empty_queries(spark):
+    emb = _emb(spark)
+    out = sim.cosine_topk_batch(emb, emb.filter("vec_id < 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")), k=5)
+    assert out.count() == 0

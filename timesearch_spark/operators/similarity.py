@@ -145,6 +145,99 @@ def cosine_topk(
     return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _fold_dot(V, q):
+    """Row-wise Σⱼ V[:,j]·q[j] accumulated IN DIMENSION ORDER — the exact
+    float64 operation sequence of functions.vectors.dot's left fold (and
+    therefore of DuckDB's list_* on DOUBLE[]), vectorized across rows.
+    np.dot would be faster but reassociates the sum (SIMD/pairwise), and
+    last-ulp drift is exactly what breaks cross-engine top-k selection."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for j in range(V.shape[1]):
+        acc = acc + V[:, j] * q[j]
+    return acc
+
+
+def cosine_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "q",
+) -> DataFrame:
+    """Exact top-k neighbors for a BATCH of query vectors in one corpus
+    pass — the retrieve-neighbors-for-every-probe shape a training
+    pipeline runs (hard-negative mining, kNN labeling, retrieval eval).
+
+    The query set is broadcast state (M×dim doubles collected once, like
+    the IVF codebook); each Arrow batch scores all M queries with
+    fold-order float64 math (_fold_dot — bit-identical to the JVM
+    expression AND the DuckDB oracle, so selection can't drift) and keeps
+    only its local top-k per query.  Survivors are ≤ batches·M·k narrow
+    rows; one window over qid picks the exact global top-k.  Corpus scan
+    cost is paid ONCE for all M queries (vs M broadcast-join jobs), and
+    the shuffle is survivors-only — the same per-partition-top-k-then-
+    k-row-reduce shape cosine_topk gets from TakeOrdered, generalized per
+    query.  Output: (qid, vec_id, cos, rn), rn = 1..k by (cos desc, id).
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    qrows = queries.select(
+        F.col(qid_col).alias("qid"), as_double(qvec_col).alias("q")
+    ).collect()
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "qid long, vec_id long, cos double, rn int"
+        )
+    Qm = np.array([list(r["q"]) for r in qrows], dtype=np.float64)
+    qids = [r["qid"] for r in qrows]
+    qnorm = np.sqrt(np.stack([_fold_dot(Qm[m : m + 1], Qm[m]) for m in range(len(qids))]).ravel())
+
+    out_schema = "qid long, vec_id long, cos double"
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            vnorm = np.sqrt(_fold_dot(V * V, np.ones(V.shape[1])))
+            o_qid, o_id, o_cos = [], [], []
+            for m, qid in enumerate(qids):
+                denom = vnorm * qnorm[m]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom != 0.0, _fold_dot(V, Qm[m]) / denom, np.nan)
+                ok = np.isfinite(cos)
+                idx = np.flatnonzero(ok)
+                # local top-k with the FINAL ordering (cos desc, id asc):
+                # lexsort is stable, last key is primary
+                top = idx[np.lexsort((ids[idx], -cos[idx]))][:k]
+                o_qid.extend([qid] * len(top))
+                o_id.extend(ids[top])
+                o_cos.extend(cos[top])
+            yield pd.DataFrame({"qid": o_qid, "vec_id": o_id, "cos": o_cos})
+
+    from timesearch_spark.tables import spread
+
+    local = (
+        spread(emb)
+        .select(F.col(id_col), as_double(vec_col).alias(vec_col))
+        .mapInPandas(score, out_schema)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query: DataFrame,

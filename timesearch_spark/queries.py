@@ -1286,20 +1286,48 @@ def tree_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "similarity_topk",
     """
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos
-    FROM embeddings, q
-    ORDER BY cos DESC, vec_id ASC LIMIT 10
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 4),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+      FROM embeddings e, q
+    ), ranked AS (
+      SELECT qid, vec_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, vec_id ASC) AS INT) AS rn
+      FROM scored)
+    SELECT qid, vec_id, ROUND(cos, 6) AS cos, rn FROM ranked WHERE rn <= 10
     """,
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact cosine top-10 against the vec_id=0 embedding.
-    Broadcast 1-row query; TakeOrderedAndProject does the global top-k
-    with only k rows per partition crossing to the driver."""
+    """Exact cosine top-10, BOTH plans under one oracle: qid 0 runs the
+    single-query broadcast + TakeOrderedAndProject path (cosine_topk —
+    only k rows per partition cross to the driver), qids 1-3 run the
+    batch path (cosine_topk_batch — one corpus pass scores all queries
+    with fold-order float64 math, local per-query top-k, survivors-only
+    window).  Ranking happens at full precision on both sides (the fold
+    order is engine-identical), so the oracle needs no rounding games
+    until display."""
+    from pyspark.sql import Window
+
     emb = load(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    out = sim.cosine_topk(emb, qv, k=10)
-    return out.withColumn("cos", F.round("cos", 6))
+    w0 = Window.partitionBy(F.lit(0)).orderBy(F.desc("cos"), F.asc("vec_id"))
+    single = (
+        sim.cosine_topk(emb, qv, k=10)
+        .select(
+            F.lit(0).cast("long").alias("qid"),
+            "vec_id",
+            "cos",
+            F.row_number().over(w0).alias("rn"),  # 10 rows: trivial window
+        )
+    )
+    queries = emb.filter((F.col("vec_id") > 0) & (F.col("vec_id") < 4)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    batch = sim.cosine_topk_batch(emb, queries, k=10)
+    return single.unionByName(batch).withColumn("cos", F.round("cos", 6))
 
 
 @q(
