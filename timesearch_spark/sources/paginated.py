@@ -8,7 +8,11 @@ Reference semantics (_pagination_core, pushshift.py:113-146 in
   same-second items on the boundary aren't lost);
 - items whose id appeared in the previous page are dropped (the overlap
   re-fetches them);
-- iteration stops when a page is empty or is a subset of the previous one;
+- iteration stops when a page is empty or is a subset of the previous one
+  (protocol limit, same as the reference: a same-SECOND burst >= page_size
+  makes the next page a subset and stops the scan — ts-keyset pagination
+  cannot advance inside one timestamp; size pages above the max expected
+  burst.  Property-tested in tests/test_properties.py);
 - requests are rate-limited (120/60 s, pushshift.py:54) and retried
   forever with backoff (common.py:115-133).
 
