@@ -187,3 +187,18 @@ def test_http_adapter_shape():
     page = fetch(0, None, 50)
     assert seen == ["https://h/s?after=0&before=&limit=50"]
     assert [it["id"] for it in page] == ["a", "b"]  # sorted asc
+
+
+def test_upper_bound_limits_backfill(spark, tmp_path):
+    """--upper is the reference's -up exclusive ceiling
+    (timesearch.py:563-570): items at created_utc >= upper must not
+    ingest."""
+    subs = _write_jsonl(tmp_path / "u.jsonl", [_sub(i) for i in range(6)])
+    root = str(tmp_path / "arch")
+    assert cli.main(["--archive-root", root, "get_submissions", "-r", "up",
+                     "--lower", "0", "--upper", "103", "--source", subs]) == 0
+    from timesearch_spark.api import Archive
+
+    ar = Archive(spark, os.path.join(root, "subreddits", "up"))
+    got = sorted(r["idstr"] for r in ar.submissions.snapshot().collect())
+    assert got == ["t3_s0", "t3_s1", "t3_s2"]  # created 100..102 < 103

@@ -66,11 +66,12 @@ class Archive:
 # --- historical ingest (timesearch.py get_submissions/get_comments) ----------
 
 def _ingest_paginated(archive, fetch_page, canonicalize, store, lower,
-                      page_size, limiter, lookup, augmented_from=None):
+                      page_size, limiter, lookup, augmented_from=None,
+                      upper=None):
     if lower == "update":  # get_submissions.py:52-59
         lower = store.resume_lower_bound(augmented_submissions=augmented_from)
-    pages = paginate(fetch_page, lower=lower or 0, page_size=page_size,
-                     limiter=limiter)
+    pages = paginate(fetch_page, lower=lower or 0, upper=upper,
+                     page_size=page_size, limiter=limiter)
     raw_schema = schemas.RAW_NDJSON
     extra_cols: tuple = ()
     if lookup is not None:
@@ -95,17 +96,21 @@ def _ingest_paginated(archive, fetch_page, canonicalize, store, lower,
 
 
 def get_submissions(archive: Archive, fetch_page, lower="update",
+                    upper: int | None = None,
                     page_size: int = 1000, limiter: RateLimiter | None = None,
                     lookup=None) -> int:
     """Historical submission backfill (§3.1): keyset pages → enrichment →
-    MERGE.  ``fetch_page(after, before, limit)`` abstracts the remote API."""
+    MERGE.  ``fetch_page(after, before, limit)`` abstracts the remote API;
+    ``upper`` is the reference's -up exclusive bound (timesearch.py:563-570)."""
     return _ingest_paginated(
         archive, fetch_page, _ndjson.submissions_from_raw,
         archive.submissions, lower, page_size, limiter, lookup,
+        upper=upper,
     )
 
 
 def get_comments(archive: Archive, fetch_page, lower="update",
+                 upper: int | None = None,
                  page_size: int = 1000, limiter: RateLimiter | None = None,
                  lookup=None, specific_submission: str | None = None,
                  observed_at: int | None = None) -> int:
@@ -126,6 +131,7 @@ def get_comments(archive: Archive, fetch_page, lower="update",
         0 if specific_submission is not None else lower,
         page_size, limiter, lookup,
         augmented_from=archive.submissions.snapshot(),
+        upper=upper,
     )
     if specific_submission is not None:
         mark_augmented(archive, specific_submission, observed_at=observed_at)
@@ -189,10 +195,13 @@ def ingest_jsonfile(archive: Archive, path: str) -> dict:
 # --- livestream (timesearch.py livestream) -----------------------------------
 
 def livestream(archive: Archive, drop_dir: str, once: bool = False,
-               poll_seconds: int = 30):
-    """Continuous ingest; returns the StreamingQuery (I1)."""
+               poll_seconds: int = 30, limit: int | None = None):
+    """Continuous ingest; returns the StreamingQuery (I1).  ``limit``
+    maps the reference's -l per-cycle item cap (livestream.py:277-285)
+    to maxFilesPerTrigger — the micro-batch's unit of admission."""
     return _ls.livestream(
-        _ls.read_ndjson_stream(archive.spark, drop_dir),
+        _ls.read_ndjson_stream(archive.spark, drop_dir,
+                               max_files_per_trigger=limit),
         archive.submissions, archive.comments,
         checkpoint_dir=os.path.join(archive.path, "_checkpoint"),
         poll_seconds=poll_seconds, once=once,

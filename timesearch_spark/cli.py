@@ -76,6 +76,7 @@ def cmd_get_submissions(args):
     n = api.get_submissions(
         _archive(args), _fetch_page(args),
         lower=_parse_lower(args.lower),
+        upper=int(args.upper) if args.upper is not None else None,
     )
     print(f"get_submissions: {n} items")
     return 0
@@ -87,6 +88,7 @@ def cmd_get_comments(args):
     n = api.get_comments(
         _archive(args), _fetch_page(args),
         lower=_parse_lower(args.lower),
+        upper=int(args.upper) if args.upper is not None else None,
         specific_submission=args.specific_submission,
     )
     print(f"get_comments: {n} items")
@@ -98,7 +100,7 @@ def cmd_livestream(args):
 
     query = api.livestream(
         _archive(args), args.source, once=args.once,
-        poll_seconds=args.sleepy,
+        poll_seconds=args.sleepy, limit=args.limit,
     )
     query.awaitTermination()
     print("livestream: done" if args.once else "livestream: stopped")
