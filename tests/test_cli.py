@@ -202,3 +202,22 @@ def test_upper_bound_limits_backfill(spark, tmp_path):
     ar = Archive(spark, os.path.join(root, "subreddits", "up"))
     got = sorted(r["idstr"] for r in ar.submissions.snapshot().collect())
     assert got == ["t3_s0", "t3_s1", "t3_s2"]  # created 100..102 < 103
+
+
+def test_user_archive_breakdown_groups_by_subreddit(spark, tmp_path):
+    """breakdown -u groups by subreddit (which subreddits the user posts
+    to), mirroring breakdown.py:29-34 — not by author."""
+    subs = _write_jsonl(
+        tmp_path / "usubs.jsonl",
+        [_sub(0, subreddit="aaa", author="me"),
+         _sub(1, subreddit="bbb", author="me"),
+         _sub(2, subreddit="aaa", author="me")],
+    )
+    root = str(tmp_path / "arch")
+    assert cli.main(["--archive-root", root, "get_submissions", "-u", "me",
+                     "--lower", "0", "--source", subs]) == 0
+    assert cli.main(["--archive-root", root, "breakdown", "-u", "me"]) == 0
+    out = os.path.join(root, "users", "me", "me_breakdown.json")
+    data = json.loads(open(out).read())
+    assert data["aaa"]["submissions"] == 2
+    assert data["bbb"]["submissions"] == 1

@@ -211,15 +211,19 @@ def livestream(archive: Archive, drop_dir: str, once: bool = False,
 # --- analytics (timesearch.py breakdown / index / offline_reading) -----------
 
 def breakdown(archive: Archive, sort: str | None = None,
-              out_dir: str | None = None) -> DataFrame | str:
-    """D1 flagship: per-author dual counts; writes JSON when out_dir given."""
+              out_dir: str | None = None, key: str = "author") -> DataFrame | str:
+    """D1 flagship: zero-filled dual counts; writes JSON when out_dir
+    given.  ``key`` follows breakdown.py:29-34 — 'author' for a
+    subreddit archive, 'subreddit' for a user archive (which subreddits
+    the user posts to)."""
     bd = _breakdown(
         archive.submissions.snapshot(), archive.comments.snapshot(),
-        key="author", key_name="author",
+        key=key, key_name=key,
     )
     if out_dir is None:
         return bd
-    return exports.write_breakdown(bd, out_dir, archive.basename, sort=sort)
+    return exports.write_breakdown(bd, out_dir, archive.basename, sort=sort,
+                                   key_name=key)
 
 
 def index(archive: Archive, out_dir: str, orderby: str = "date",

@@ -119,7 +119,10 @@ def cmd_breakdown(args):
     from timesearch_spark import api
 
     archive = _archive(args)
-    out = api.breakdown(archive, sort=args.sort, out_dir=archive.path)
+    # breakdown.py:29-34: subreddit archive → per-author counts; user
+    # archive → per-subreddit counts
+    key = "subreddit" if args.username is not None else "author"
+    out = api.breakdown(archive, sort=args.sort, out_dir=archive.path, key=key)
     print(out)
     return 0
 
