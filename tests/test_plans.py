@@ -197,3 +197,36 @@ def test_spread_is_metadata_only_for_file_inputs(spark, monkeypatch):
     spread(d, min_parts=32)                      # under-split scan branch
     spread(d.repartition(64), min_parts=32)      # plan-repartition branch
     spread(d.groupBy("lang").count(), min_parts=32)  # post-shuffle branch
+
+
+def test_batch_topk_is_one_linear_job(spark):
+    """cosine_topk_batch: the query set is literal/broadcast state, so the
+    plan must contain NO join — one scan, one Python stage, and exactly
+    one survivors-only shuffle (the per-qid ranking window).  Fake
+    well-split footer metadata so spread() is the at-scale no-op and the
+    only Exchange left is the window's."""
+    from timesearch_spark import tables
+    from timesearch_spark.operators import similarity as sim
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    files = emb.inputFiles()
+    saved = {f: tables._FILE_META.get(f) for f in files}
+    for f in files:
+        tables._FILE_META[f] = (64, 1 << 30, 10_000_000)
+    try:
+        queries = emb.filter("vec_id < 4").select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+        )
+        out = sim.cosine_topk_batch(emb, queries, k=10)
+        plan = plans.formatted_plan(out)
+        assert "Join" not in plan
+        assert plans.num_shuffles(out) == 1
+        # Spark pushes the rank limit map-side: partial WindowGroupLimit
+        # before the exchange, so survivors (not all scores) shuffle
+        assert "WindowGroupLimit" in plan
+    finally:
+        for f, v in saved.items():
+            if v is None:
+                tables._FILE_META.pop(f, None)
+            else:
+                tables._FILE_META[f] = v
