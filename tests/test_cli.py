@@ -221,3 +221,16 @@ def test_user_archive_breakdown_groups_by_subreddit(spark, tmp_path):
     data = json.loads(open(out).read())
     assert data["aaa"]["submissions"] == 2
     assert data["bbb"]["submissions"] == 1
+
+
+def test_offline_reading_specific_submission(spark, root, tmp_path):
+    """-s renders ONE thread (offline_reading.py:393-416); the filter
+    lands before the forest walk."""
+    extra = _write_jsonl(tmp_path / "x.jsonl",
+                         [_sub(30), _com(30, parent_id="t3_s30", link_id="t3_s30")])
+    assert cli.main(["--archive-root", root, "ingest_jsonfile", extra,
+                     "-r", "t"]) == 0
+    assert cli.main(["--archive-root", root, "offline_reading", "-r", "t",
+                     "-s", "s30"]) == 0
+    out = os.path.join(_archive_dir(root), "offline_reading")
+    assert os.listdir(out) == ["t3_s30.html"]

@@ -237,10 +237,20 @@ def index(archive: Archive, out_dir: str, orderby: str = "date",
     )
 
 
-def offline_reading(archive: Archive, out_dir: str) -> int:
+def offline_reading(archive: Archive, out_dir: str,
+                    specific_submission: str | None = None) -> int:
     """Thread HTML export (§3.3): forest walk → render → one file per
-    submission; returns the file count."""
+    submission; returns the file count.  ``specific_submission`` renders
+    one thread only (the reference's -s, offline_reading.py:393-416) —
+    the filter lands BEFORE the forest walk, so the shuffle carries one
+    thread, not the archive."""
     comments = archive.comments.snapshot()
+    if specific_submission is not None:
+        sid = specific_submission if specific_submission.startswith("t3_") \
+            else "t3_" + specific_submission
+        from pyspark.sql import functions as F
+
+        comments = comments.filter(F.col("submission") == sid)
     forest = comment_forest(comments)
     enriched = forest.join(
         comments.select("idstr", "body"), on="idstr", how="left"

@@ -162,7 +162,10 @@ def cmd_offline_reading(args):
     from timesearch_spark import api
 
     archive = _archive(args)
-    n = api.offline_reading(archive, os.path.join(archive.path, "offline_reading"))
+    n = api.offline_reading(
+        archive, os.path.join(archive.path, "offline_reading"),
+        specific_submission=args.specific_submission,
+    )
     print(f"offline_reading: {n} threads")
     return 0
 
