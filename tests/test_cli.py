@@ -234,3 +234,33 @@ def test_offline_reading_specific_submission(spark, root, tmp_path):
                      "-s", "s30"]) == 0
     out = os.path.join(_archive_dir(root), "offline_reading")
     assert os.listdir(out) == ["t3_s30.html"]
+
+
+def test_help_never_starts_spark(monkeypatch):
+    """Subcommand gateways import lazily (timesearch.py:16-20's rationale):
+    --help must not pay engine start-up."""
+    import timesearch_spark.session as sess
+
+    def boom(*a, **kw):
+        raise AssertionError("--help started a SparkSession")
+
+    monkeypatch.setattr(sess, "get_spark", boom)
+    for argv in (["--help"], ["get_submissions", "--help"], ["index", "--help"]):
+        with pytest.raises(SystemExit) as e:
+            cli.main(argv)
+        assert e.value.code == 0
+
+
+def test_get_comments_specific_submission_stamps_augmented(spark, root, tmp_path, capsys):
+    """-s scans one thread regardless of age and stamps augmented_at
+    (get_comments.py:92-100) so later general resumes don't skip history."""
+    coms = _write_jsonl(tmp_path / "old.jsonl",
+                        [_com(50, created_utc=150, parent_id="t3_s1", link_id="t3_s1")])
+    assert cli.main(["--archive-root", root, "get_comments", "-r", "t",
+                     "-s", "t3_s1", "--source", coms]) == 0
+    from timesearch_spark.api import Archive
+
+    ar = Archive(spark, _archive_dir(root))
+    assert ar.comments.snapshot().filter("idstr = 't1_c50'").count() == 1
+    aug = ar.submissions.snapshot().filter("idstr = 't3_s1'").first()
+    assert aug["augmented_at"] is not None
