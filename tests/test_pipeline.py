@@ -227,3 +227,30 @@ def test_chunk_documents_reconstruction_and_overlap(spark):
     # degenerate tail (150 -> positions 144..149 would be chunk 3 of
     # length 6 <= overlap with stride 48... ensure no such chunk exists)
     assert all(n > 16 or c == 0 for c, _, n in chunks)
+
+
+def test_curate_corpus_ladder(spark):
+    """Each curation rung drops exactly the planted offenders: non-target
+    language, too-short, repetitive, exact dup (lowest id kept), near-dup
+    (transitively closed), and survivors get a stable split."""
+    from timesearch_spark.operators.pipeline import curate_corpus
+
+    rows = [
+        (1, "the cat sat on the mat and it is a fine day for cats to sit"),
+        (2, "THE CAT SAT ON THE MAT AND IT IS A FINE DAY FOR CATS TO SIT"),
+        (3, "the cat sat on the mat and it is a fine day for cats to nap"),
+        (4, "le chat et la table de les chats en un salon du jour que oui"),
+        (5, ""),
+        (6, "spam spam\nspam spam\nspam spam\nspam spam"),
+        (7, "a completely different english document with the many words"
+            " of it and more then"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curate_corpus(docs, min_tokens=5, neardup_threshold=0.5).collect()}
+    assert sorted(out) == [1, 7]   # 2 exact-dup, 3 near-dup, 4 lang, 5 short, 6 repetitive
+    assert out[1]["lang_guess"] == "en" and out[1]["split"] in ("train", "val", "test")
+    # determinism: same input → same rows and same split assignment
+    again = {r["doc_id"]: r["split"] for r in
+             curate_corpus(docs, min_tokens=5, neardup_threshold=0.5).collect()}
+    assert again == {k: v["split"] for k, v in out.items()}

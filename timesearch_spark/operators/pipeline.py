@@ -392,3 +392,72 @@ def deterministic_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "pos")
     )
+
+
+# --- end-to-end corpus curation ----------------------------------------------
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 5,
+    max_dup_line_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.5,
+    neardup_threshold: float = 0.7,
+    train: float = 0.9,
+    val: float = 0.05,
+) -> DataFrame:
+    """The full curation ladder a pretraining pipeline runs, as ONE
+    composed plan: quality signals → language/quality gate → exact dedup
+    → minhash near-dup removal (transitively closed) → deterministic
+    split.  Output: the surviving docs with (lang_guess, n_ws, split)
+    plus a ``drop_reason`` audit relation available via
+    ``curate_corpus_audit``.
+
+    Every rung reuses the scale-shaped operator it names — the profile's
+    single explode+agg pass, fingerprint groupBy (8-byte digests, never
+    text), LSH banding with candidate-only verification, hash-min
+    components, md5 split — so the composition inherits each rung's
+    100 TB story; Catalyst pipelines the gates into the scans.  Order
+    matters for cost: the quality gate runs FIRST so dedup's shuffles
+    only carry documents that could survive.
+    """
+    from timesearch_spark.operators.dedup import (
+        connected_components,
+        exact_dedup_groups,
+        minhash_near_dups,
+    )
+    from timesearch_spark.operators.textstats import text_profile_table
+
+    prof = text_profile_table(docs, text_col=text_col, id_col=id_col)
+    keep_quality = (
+        prof.filter(
+            F.col("lang_guess").isin(*langs)
+            & (F.col("n_ws") >= min_tokens)
+            & (F.coalesce(F.col("dup_line_frac"), F.lit(0.0)) <= max_dup_line_frac)
+            & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+               <= max_top_bigram_frac)
+        )
+        .select(id_col, "lang_guess", "n_ws")
+    )
+    gated = docs.join(keep_quality, id_col)
+
+    # exact dedup: keep the lowest id of each identical-text group
+    exact_keep = exact_dedup_groups(gated, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    exact = gated.join(exact_keep, id_col)
+
+    # near-dup removal, transitively closed: pairs → components → keeper
+    pairs = minhash_near_dups(
+        exact, text_col, id_col, threshold=neardup_threshold,
+        hash_family="xxhash64",
+    ).select("a", "b")
+    comp = connected_components(exact.select(F.col(id_col)), pairs, id_col=id_col)
+    keepers = comp.filter(F.col("component") == F.col(id_col)).select(id_col)
+    surviving = exact.join(keepers, id_col)
+
+    return train_val_test_split(surviving, id_col, train, val).select(
+        id_col, text_col, "lang_guess", "n_ws", "split"
+    )

@@ -1939,6 +1939,17 @@ def ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.ngram_top(load(spark, sf_dir, "documents"), n=3, k=20)
 
 
+@q("pipeline_curate")  # end-to-end curation ladder — rows-only + pytest
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation composition (pipeline.curate_corpus):
+    quality signals → language/length/repetition gate → exact dedup →
+    transitively-closed minhash near-dup removal → deterministic split,
+    as ONE plan.  Each rung is the oracled operator it names
+    (text_profile, dedup_exact, dedup_minhash_*, dedup_cluster,
+    pipeline_split); this entry pins their composition."""
+    return pl.curate_corpus(load(spark, sf_dir, "documents"))
+
+
 @q(
     "pipeline_shuffle",
     """
