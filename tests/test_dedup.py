@@ -224,3 +224,30 @@ def test_dedup_cluster_keeper_is_min_id(spark):
     assert sum(r["is_keeper"] for r in rows.values()) == len(
         {r["cluster_id"] for r in rows.values()}
     )
+
+
+def test_remove_repeated_paragraphs(spark):
+    """Boilerplate paragraphs (df > max_df) vanish; unique paragraphs stay
+    in order; short repeats survive; row count never changes."""
+    from timesearch_spark.operators.dedup import remove_repeated_paragraphs
+
+    boiler = "subscribe to our newsletter for the latest updates and offers"
+    rows = [
+        (1, f"unique opening one\n\n{boiler}\n\nunique closing one"),
+        (2, f"{boiler}\n\nunique middle two"),
+        (3, f"unique three a\n\nunique three b\n\n{boiler}"),
+        (4, "hi\n\nunique four only"),          # 'hi' repeats but is short
+        (5, f"{boiler}"),                        # all boilerplate
+        (6, "hi\n\nanother unique six"),
+        (7, "hi\n\nlast unique seven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in remove_repeated_paragraphs(docs, max_df=2).collect()}
+    assert len(out) == 7                         # row count preserved
+    assert out[1] == "unique opening one\n\nunique closing one"
+    assert out[2] == "unique middle two"
+    assert out[3] == "unique three a\n\nunique three b"
+    assert out[4] == "hi\n\nunique four only"    # short repeat kept
+    assert out[5] == ""                          # fully boilerplate → empty
+    assert out[6] == "hi\n\nanother unique six"

@@ -839,3 +839,69 @@ def dedup_cluster_assignments(
         F.col("component").alias("cluster_id"),
         (F.col("component") == F.col(id_col)).alias("is_keeper"),
     )
+
+
+# --- paragraph-level boilerplate removal -------------------------------------
+
+def remove_repeated_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 2,
+    min_chars: int = 20,
+) -> DataFrame:
+    """Cross-corpus boilerplate removal (the CCNet/RefinedWeb paragraph
+    rung): drop every paragraph whose normalized fingerprint occurs in
+    MORE than ``max_df`` documents — nav bars, cookie banners, license
+    footers — and reassemble each document's remaining paragraphs in
+    their original order.  Paragraphs shorter than ``min_chars`` are
+    never dropped (greetings/headings legitimately repeat).
+
+    Output: (id, text) with the same id set as the input — a document
+    whose every paragraph was boilerplate comes back with empty text for
+    the caller's quality gate to drop, so this operator never changes
+    row count (composable inside curate_corpus without re-keying).
+
+    Scale shape: paragraphs explode once; the document-frequency
+    aggregate shuffles 16-byte fingerprints with map-side partial
+    distinct; the frequent-fp set probes back as a left-anti join whose
+    build side AQE converts to broadcast at runtime when it is small
+    (boilerplate usually is — but its size is data-dependent, so the
+    plan must not FORCE a broadcast of an unbounded set); the only
+    shuffle that carries paragraph TEXT is the per-document reassembly,
+    keyed by id — the same width as rewriting the corpus, which any
+    text-transforming pass pays.
+    """
+    paras = spread(df).select(
+        _c(id_col).alias(id_col),
+        F.posexplode(F.split(_c(text_col), r"\n\s*\n+")).alias("pos", "para"),
+    )
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("para"))), r"\s+", " "))
+    sized = paras.withColumn("__fp", fp).withColumn(
+        "__long", F.length(F.trim(F.col("para"))) >= min_chars
+    )
+    frequent = (
+        sized.filter(F.col("__long"))
+        .groupBy("__fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("__fp")
+    )
+    bad = frequent.withColumnRenamed("__fp", "__bad")
+    # anti join conditioned on __long: a short paragraph never matches,
+    # so it survives even when its fingerprint is frequent
+    kept = sized.join(
+        bad, (sized["__fp"] == bad["__bad"]) & sized["__long"], "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("__text")
+    )
+    return df.select(_c(id_col).alias(id_col)).join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col("__text"), F.lit("")).alias(text_col)
+    )

@@ -1939,6 +1939,18 @@ def ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.ngram_top(load(spark, sf_dir, "documents"), n=3, k=20)
 
 
+@q("dedup_paragraphs")  # paragraph-grain boilerplate removal — rows-only + pytest
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus repeated-paragraph (boilerplate) removal
+    (dedup.remove_repeated_paragraphs): paragraphs whose normalized
+    fingerprint appears in >2 documents are dropped and each document is
+    reassembled in order — the CCNet/RefinedWeb curation rung below
+    whole-document dedup.  Row count is input-preserving by contract."""
+    from timesearch_spark.operators.dedup import remove_repeated_paragraphs
+
+    return remove_repeated_paragraphs(load(spark, sf_dir, "documents"))
+
+
 @q("pipeline_curate")  # end-to-end curation ladder — rows-only + pytest
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-curation composition (pipeline.curate_corpus):
