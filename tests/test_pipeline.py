@@ -254,3 +254,25 @@ def test_curate_corpus_ladder(spark):
     again = {r["doc_id"]: r["split"] for r in
              curate_corpus(docs, min_tokens=5, neardup_threshold=0.5).collect()}
     assert again == {k: v["split"] for k, v in out.items()}
+
+
+def test_curate_corpus_paragraph_rung(spark):
+    """With paragraph_max_df set, boilerplate is stripped BEFORE the
+    quality gate and dedup fingerprints, so two docs that differ only by
+    shared boilerplate become exact duplicates (one keeper survives)."""
+    from timesearch_spark.operators.pipeline import curate_corpus
+
+    boiler = "subscribe to the newsletter for all of the latest updates here"
+    body = "the cat sat on the mat and it is a fine day for cats to sit"
+    rows = [
+        (1, f"{boiler}\n\n{body}"),
+        (2, f"{body}\n\n{boiler}"),   # same body, boilerplate elsewhere
+        (3, f"{boiler}\n\nthe dog ran far away over the green hill today and sat"),
+        (4, "an unrelated english document with plenty of the usual words in it"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curate_corpus(
+        docs, min_tokens=5, neardup_threshold=0.9, paragraph_max_df=2,
+    ).collect()}
+    assert sorted(out) == [1, 3, 4]   # 2 became an exact dup of 1 post-strip
+    assert out[1]["text"] == body     # boilerplate gone from the output text

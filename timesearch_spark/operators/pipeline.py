@@ -405,15 +405,16 @@ def curate_corpus(
     max_dup_line_frac: float = 0.5,
     max_top_bigram_frac: float = 0.5,
     neardup_threshold: float = 0.7,
+    paragraph_max_df: int | None = None,
     train: float = 0.9,
     val: float = 0.05,
 ) -> DataFrame:
     """The full curation ladder a pretraining pipeline runs, as ONE
-    composed plan: quality signals → language/quality gate → exact dedup
-    → minhash near-dup removal (transitively closed) → deterministic
-    split.  Output: the surviving docs with (lang_guess, n_ws, split)
-    plus a ``drop_reason`` audit relation available via
-    ``curate_corpus_audit``.
+    composed plan: optional paragraph-boilerplate removal
+    (``paragraph_max_df``) → quality signals → language/quality gate →
+    exact dedup → minhash near-dup removal (transitively closed) →
+    deterministic split.  Output: the surviving docs with
+    (lang_guess, n_ws, split).
 
     Every rung reuses the scale-shaped operator it names — the profile's
     single explode+agg pass, fingerprint groupBy (8-byte digests, never
@@ -427,8 +428,16 @@ def curate_corpus(
         connected_components,
         exact_dedup_groups,
         minhash_near_dups,
+        remove_repeated_paragraphs,
     )
     from timesearch_spark.operators.textstats import text_profile_table
+
+    if paragraph_max_df is not None:
+        # boilerplate rung FIRST: quality signals and dedup fingerprints
+        # must see the text that would actually train
+        docs = remove_repeated_paragraphs(
+            docs, text_col, id_col, max_df=paragraph_max_df
+        )
 
     prof = text_profile_table(docs, text_col=text_col, id_col=id_col)
     keep_quality = (
