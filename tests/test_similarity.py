@@ -196,3 +196,34 @@ def test_topk_batch_empty_queries(spark):
     out = sim.cosine_topk_batch(emb, emb.filter("vec_id < 0").select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q")), k=5)
     assert out.count() == 0
+
+
+def test_topk_ivf_batch_exact_when_probing_all_cells(spark):
+    """n_probe = n_cells disables pruning: results must equal the exact
+    batch path row-for-row (same ids, bit-identical cos)."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id").isin(5, 23)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    exact = {(r["qid"], r["rn"]): (r["vec_id"], r["cos"])
+             for r in sim.cosine_topk_batch(emb, queries, k=5).collect()}
+    ivf = {(r["qid"], r["rn"]): (r["vec_id"], r["cos"])
+           for r in sim.cosine_topk_ivf_batch(
+               emb, queries, k=5, n_cells=8, n_probe=8).collect()}
+    assert ivf == exact
+
+
+def test_topk_ivf_batch_recall_under_pruning(spark):
+    """Pruned probes keep most of the true top-k per query (the toy
+    lowest-id quantizer is weak, so this bounds recall, not exactness —
+    the n_probe=n_cells case above pins exact equality)."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id").isin(5, 23)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    exact = sim.cosine_topk_batch(emb, queries, k=5).collect()
+    ivf = sim.cosine_topk_ivf_batch(emb, queries, k=5, n_cells=8, n_probe=6).collect()
+    for qid in (5, 23):
+        truth = {r["vec_id"] for r in exact if r["qid"] == qid}
+        got = {r["vec_id"] for r in ivf if r["qid"] == qid}
+        assert len(got & truth) >= 4, (qid, got, truth)

@@ -405,6 +405,106 @@ def cosine_topk_ivf(
     return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
 
 
+def cosine_topk_ivf_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "q",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Batched IVF ANN: ONE cell-pruned corpus pass answers M queries.
+
+    Combines the two scale tricks of this module: the IVF coarse
+    quantizer prunes the scan to the union of every query's ``n_probe``
+    nearest cells (partition pruning when the corpus is written
+    partitioned by ``cell``), and the batch scorer answers all M queries
+    from that single pass — each Arrow batch scores a row only against
+    the queries actually probing its cell (per-query boolean mask over
+    the batch), keeps local top-k per query, and one survivors-only
+    window ranks globally.  Per-query work tracks n_probe/n_cells of the
+    corpus exactly as the single-query form; the pass over it is shared.
+
+    Probe selection happens driver-side against the codebook (broadcast
+    state, like the query set) — no per-query Spark jobs.  With
+    ``n_probe = n_cells`` results equal ``cosine_topk_batch`` exactly
+    (pytest-pinned); smaller probes trade recall for scan fraction.
+    Output: (qid, vec_id, cos, rn)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    centroids = centroid_seeds(emb, n_cells, id_col, vec_col)
+    cells = assign_cells(emb, centroids, vec_col)
+
+    qrows = queries.select(
+        F.col(qid_col).alias("qid"), as_double(qvec_col).alias("q")
+    ).collect()
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "qid long, vec_id long, cos double, rn int"
+        )
+    qids = [r["qid"] for r in qrows]
+    Qm = np.array([list(r["q"]) for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt(
+        np.stack([_fold_dot(Qm[m : m + 1], Qm[m]) for m in range(len(qids))]).ravel()
+    )
+    # per-query probe cells (rounded cosine desc, centroid id asc — the
+    # same ordering assign_cells' struct-max uses)
+    probe: list[np.ndarray] = []
+    for m in range(len(qids)):
+        scored = []
+        for cid, cv in centroids:
+            c = np.array(cv, dtype=np.float64)
+            cn = np.sqrt(_fold_dot(c[None, :], c)[0])
+            d = qnorm[m] * cn
+            cos = float(_fold_dot(Qm[m : m + 1], c)[0] / d) if d != 0.0 else -2.0
+            scored.append((-round(cos, 6), cid))
+        scored.sort()
+        probe.append(np.array([cid for _, cid in scored[:n_probe]]))
+    probed_union = sorted({int(c) for p in probe for c in p})
+
+    pruned = cells.filter(F.col("cell").isin(probed_union)).select(
+        F.col(id_col), as_double(vec_col).alias(vec_col), "cell"
+    )
+    out_schema = "qid long, vec_id long, cos double"
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            cell = pdf["cell"].to_numpy()
+            vnorm = np.sqrt(_fold_dot(V * V, np.ones(V.shape[1])))
+            o_qid, o_id, o_cos = [], [], []
+            for m, qid in enumerate(qids):
+                mask = np.isin(cell, probe[m])
+                if not mask.any():
+                    continue
+                Vm, im, nm = V[mask], ids[mask], vnorm[mask]
+                denom = nm * qnorm[m]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom != 0.0, _fold_dot(Vm, Qm[m]) / denom, np.nan)
+                ok = np.flatnonzero(np.isfinite(cos))
+                top = ok[np.lexsort((im[ok], -cos[ok]))][:k]
+                o_qid.extend([qid] * len(top))
+                o_id.extend(im[top])
+                o_cos.extend(cos[top])
+            yield pd.DataFrame({"qid": o_qid, "vec_id": o_id, "cos": o_cos})
+
+    from timesearch_spark.tables import spread
+
+    local = spread(pruned).mapInPandas(score, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return local.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.9,

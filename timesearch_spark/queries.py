@@ -1391,6 +1391,20 @@ def window_rank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("similarity_topk_ivf_batch")  # cell-pruned batched ANN — rows-only + pytest
+def similarity_topk_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF ANN (similarity.cosine_topk_ivf_batch): one
+    cell-pruned corpus pass answers four queries — IVF probe pruning
+    picks the scan fraction, the batch scorer shares the pass.  Exactness
+    when probing all cells is pytest-pinned against cosine_topk_batch."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    out = sim.cosine_topk_ivf_batch(emb, queries, k=10, n_cells=16, n_probe=4)
+    return out.withColumn("cos", F.round("cos", 6))
+
+
 @q("similarity_topk_q8")  # int8 rounding noise — rows-only check + pytest
 def similarity_topk_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 by cosine over symmetric int8-quantized
