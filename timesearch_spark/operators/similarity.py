@@ -2,21 +2,29 @@
 LLM-training-pipeline surface; no reference equivalent — the reference's
 closest notion is the dedup set of pushshift.py:119-145).
 
-Two paths:
+The ladder, exact → approximate, single → batched:
 
-- ``cosine_topk``      — brute-force exact top-k against one query vector.
-  The query row is a 1-row broadcast; the scan is embarrassingly parallel
-  and the only "shuffle" is Spark's TakeOrderedAndProject (per-partition
-  top-k, then a k-row reduce on the driver).  This is the correct plan
-  even at 100 TB: k rows per partition flow to the reduce, nothing else.
-
-- ``cosine_topk_lsh``  — random-hyperplane LSH (SimHash for angles,
-  Charikar 2002).  Vectors are bucketed by an L×B bit signature; only
-  buckets matching the query (in any of the L tables) are scanned, then
-  candidates are verified with the exact cosine.  At scale the bucketed
-  table is written pre-partitioned by (table, signature) so a query
-  touches L partitions — an IVF-style inverted file with hyperplane cells
-  instead of k-means centroids.
+- ``cosine_topk``           — brute-force exact top-k for ONE query: 1-row
+  broadcast, embarrassingly-parallel scan, TakeOrderedAndProject (k rows
+  per partition to the driver reduce).  Correct plan even at 100 TB.
+- ``cosine_topk_batch``     — exact top-k for M queries in ONE corpus
+  pass: the query matrix is broadcast state, each Arrow batch scores all
+  queries with fold-order float64 math (bit-identical to the JVM fold and
+  the DuckDB oracle) and keeps local top-k; one survivors-only window
+  ranks globally.
+- ``cosine_topk_lsh``       — random-hyperplane LSH (SimHash for angles,
+  Charikar 2002): L×B bit signatures, Hamming-radius multiprobe, exact
+  verify on candidates.  Query signatures fold into the plan as literals.
+  At scale the signed table is written pre-partitioned by (table, bucket).
+- ``cosine_topk_ivf``       — IVF coarse quantizer: scan only the n_probe
+  nearest Voronoi cells (partition pruning on a cell-partitioned table).
+- ``cosine_topk_ivf_batch`` — IVF pruning × batch scoring: one pruned
+  pass answers M queries; each row scores only against the queries
+  probing its cell.
+- ``cosine_topk_quantized`` — int8 symmetric quantization, int32
+  accumulation; the memory-bound regime's format.
+- ``embedding_near_dups[_blas|_lsh]`` — all-pairs near-dup ladder with an
+  explicit size gate on the O(n²) paths.
 
 Hyperplanes are derived deterministically from a seed via splitmix64 (no
 RNG state, reproducible across engines/runs).
