@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_simhash_xx64",
     "dedup_minhash_lsh",  # md5 oracle-parity family: xx64 twin is the default
     "dedup_ngram_jaccard",
+    "dedup_paragraphs",
     "similarity_topk",
     "similarity_topk_lsh",
     "similarity_neardup_blas",
