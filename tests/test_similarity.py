@@ -227,3 +227,20 @@ def test_topk_ivf_batch_recall_under_pruning(spark):
         truth = {r["vec_id"] for r in exact if r["qid"] == qid}
         got = {r["vec_id"] for r in ivf if r["qid"] == qid}
         assert len(got & truth) >= 4, (qid, got, truth)
+
+
+def test_ivf_honors_preassigned_cells(spark):
+    """A stored `cell` column (cell-partitioned production layout) is used
+    as-is — assignment is not re-derived, and results are unchanged."""
+    emb = _emb(spark)
+    from timesearch_spark.operators.similarity import assign_cells, centroid_seeds
+
+    pre = assign_cells(emb, centroid_seeds(emb, 8), "embedding")
+    queries = emb.filter(F.col("vec_id").isin(5, 23)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    base = sorted(map(tuple, sim.cosine_topk_ivf_batch(
+        emb, queries, k=5, n_cells=8, n_probe=8).collect()))
+    with_pre = sorted(map(tuple, sim.cosine_topk_ivf_batch(
+        pre, queries, k=5, n_cells=8, n_probe=8).collect()))
+    assert base == with_pre

@@ -392,7 +392,10 @@ def cosine_topk_ivf(
     candidate scan is embarrassingly parallel and the only cross-partition
     traffic is TakeOrderedAndProject's k rows per partition."""
     centroids = centroid_seeds(emb, n_cells, id_col, vec_col)
-    cells = assign_cells(emb, centroids, vec_col)
+    # a pre-assigned cell column (the production case: the table is
+    # written cell-partitioned at ingest, so the probe filter is pure
+    # partition pruning) wins over re-deriving the assignment per query
+    cells = emb if "cell" in emb.columns else assign_cells(emb, centroids, vec_col)
 
     qcells = (
         query.select(
@@ -446,7 +449,9 @@ def cosine_topk_ivf_batch(
     from pyspark.sql import Window
 
     centroids = centroid_seeds(emb, n_cells, id_col, vec_col)
-    cells = assign_cells(emb, centroids, vec_col)
+    # honor a pre-assigned cell column (see cosine_topk_ivf): at scale
+    # the probe filter is then partition pruning on the stored layout
+    cells = emb if "cell" in emb.columns else assign_cells(emb, centroids, vec_col)
 
     qrows = queries.select(
         F.col(qid_col).alias("qid"), as_double(qvec_col).alias("q")
