@@ -227,3 +227,23 @@ def test_merge_db_insert_only(spark, tmp_path):
     rows = {r["idstr"]: r["title"] for r in a.submissions.snapshot().collect()}
     assert rows["t3_s1"] == "post 1"  # existing row untouched (merge_db.py:7-12)
     assert rows["t3_s2"] == "OTHER"
+
+
+def test_index_offline_links_resolve_to_rendered_threads(spark, tmp_path):
+    """--offline listing links (../offline_reading/<id>.html,
+    index.py:134-138) must point at files offline_reading actually
+    writes — cross-sink consistency."""
+    import re
+
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    p = tmp_path / "dump.jsonl"
+    objs = [_sub(0), _sub(1), _com(0), _com(1, parent_id="t3_s1", link_id="t3_s1")]
+    p.write_text("\n".join(json.dumps(o) for o in objs))
+    api.ingest_jsonfile(ar, str(p))
+
+    api.offline_reading(ar, str(tmp_path / "out" / "offline_reading"))
+    idx = api.index(ar, str(tmp_path / "out" / "listing"), offline=True)
+    links = re.findall(r"\(\.\./offline_reading/(t3_\w+\.html)\)", open(idx).read())
+    assert len(links) == 2
+    rendered = set(os.listdir(tmp_path / "out" / "offline_reading"))
+    assert set(links) <= rendered
