@@ -167,3 +167,33 @@ def test_salted_topk_handles_duplicate_order_values(spark):
     assert len(rows) == 10
     assert {r["g"] for r in rows} == {0, 1}
     assert sorted(r["id"] for r in rows if r["g"] == 0) == [0, 2, 4, 6, 8]
+
+
+def test_retention_cohorts(spark):
+    """Hand-computed cohort table: users keyed by first-activity day,
+    counted on each day they return."""
+    from timesearch_spark.operators import windows as win
+
+    DAY = 86400
+    rows = [
+        # u1: first day 0, returns day 1 and 2 (twice -> still one count)
+        ("e1", 0 * DAY + 10, "u1"), ("e2", 1 * DAY + 5, "u1"),
+        ("e3", 2 * DAY + 1, "u1"), ("e4", 2 * DAY + 2, "u1"),
+        # u2: first day 0, never returns
+        ("e5", 0 * DAY + 99, "u2"),
+        # u3: first day 1, returns day 2
+        ("e6", 1 * DAY + 50, "u3"), ("e7", 2 * DAY + 60, "u3"),
+    ]
+    events = spark.createDataFrame(
+        [(i, ts * 10**9, u, "click", 1.0) for (i, ts, u) in rows],
+        "event_id string, ts long, user_id string, event_type string, value double",
+    )
+    out = {(r["cohort_period"], r["period_offset"]): r["n_users"]
+           for r in win.retention_cohorts(events).collect()}
+    assert out == {
+        (0, 0): 2,          # u1, u2 start day 0
+        (0, 1): 1,          # u1 returns day 1
+        (0, 2): 1,          # u1 returns day 2 (deduped)
+        (DAY, 0): 1,        # u3 starts day 1
+        (DAY, 1): 1,        # u3 returns day 2
+    }

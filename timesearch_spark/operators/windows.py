@@ -83,3 +83,44 @@ def sessionize(
             F.count("*").alias("n_events"),
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_sec: int = 86400,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention table: users grouped by their FIRST activity
+    period, counted in every later period they return.
+
+    Output: (cohort_period, period_offset, n_users) where cohort_period
+    is the epoch-aligned start of the user's first period and offset is
+    periods-since-cohort (0 = the cohort's own period).
+
+    Shape: one hash-agg to (user, period) distinct activity (map-side
+    combined — the wide shuffle carries one row per user-period, not per
+    event), a window min per user for the cohort (same shuffle key), and
+    a final count-distinct rollup on the narrow (cohort, offset, user)
+    relation.  No joins; everything keys on user_id so AQE coalesces the
+    single exchange chain.  At 100 TB the first aggregate is the only
+    stage that sees raw events."""
+    ev = with_event_time(events)
+    period = ((F.col("ts_sec") / period_sec).cast("long") * period_sec).alias(
+        "period"
+    )
+    user_periods = (
+        ev.select(F.col(user_col), period).distinct()
+    )
+    w = Window.partitionBy(user_col)
+    cohorted = user_periods.withColumn("cohort_period", F.min("period").over(w))
+    return (
+        cohorted.select(
+            "cohort_period",
+            ((F.col("period") - F.col("cohort_period")) / period_sec)
+            .cast("long")
+            .alias("period_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_period", "period_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

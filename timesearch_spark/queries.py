@@ -1753,6 +1753,15 @@ def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumb.unionByName(slid)
 
 
+@q("events_retention")  # cohort retention rollup — rows-only + pytest
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention over events (windows.retention_cohorts):
+    users keyed by first-activity day, distinct-counted in each day they
+    return.  One user-period distinct agg sees raw events; everything
+    after is narrow and keys on user_id."""
+    return win.retention_cohorts(load(spark, sf_dir, "events"))
+
+
 @q(
     "sessionize",
     """
