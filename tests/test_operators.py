@@ -197,3 +197,36 @@ def test_retention_cohorts(spark):
         (DAY, 0): 1,        # u3 starts day 1
         (DAY, 1): 1,        # u3 returns day 2
     }
+
+
+def test_funnel_progression(spark):
+    """Ordered progression: a 'buy' before any 'view' must not count."""
+    from timesearch_spark.operators import windows as win
+
+    rows = [
+        # u1 completes view -> click -> buy in order
+        ("e1", 10, "u1", "view"), ("e2", 20, "u1", "click"), ("e3", 30, "u1", "buy"),
+        # u2 views then buys (no click): reaches stage 1 only
+        ("e4", 10, "u2", "view"), ("e5", 20, "u2", "buy"),
+        # u3 buys FIRST, then views then clicks: stages 1..2, buy mustn't count
+        ("e6", 5, "u3", "buy"), ("e7", 10, "u3", "view"), ("e8", 20, "u3", "click"),
+        # u4 never does a funnel step
+        ("e9", 10, "u4", "scroll"),
+    ]
+    events = spark.createDataFrame(
+        [(i, ts * 10**9, u, t, 0.0) for (i, ts, u, t) in rows],
+        "event_id string, ts long, user_id string, event_type string, value double",
+    )
+    out = {r["stage"]: r["n_users"] for r in
+           win.funnel_progression(events, ["view", "click", "buy"]).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
+    # spine completeness: when every funnel user completes every stage,
+    # intermediate stages still get their cumulative rows
+    solo = spark.createDataFrame(
+        [("e1", 10 * 10**9, "u1", "view", 0.0),
+         ("e2", 20 * 10**9, "u1", "buy", 0.0)],
+        "event_id string, ts long, user_id string, event_type string, value double",
+    )
+    out2 = {r["stage"]: r["n_users"] for r in
+            win.funnel_progression(solo, ["view", "buy"]).collect()}
+    assert out2 == {1: 1, 2: 1}

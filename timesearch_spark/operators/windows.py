@@ -124,3 +124,60 @@ def retention_cohorts(
         .groupBy("cohort_period", "period_offset")
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+def funnel_progression(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: how far each user progresses through ``steps``
+    IN ORDER (a later step only counts after an earlier one happened),
+    plus the per-stage user rollup a dashboard plots.
+
+    Output: (stage, n_users) for stage 1..len(steps) — n_users = users
+    whose ordered progression reached at least that stage.
+
+    Shape: ONE shuffle (groupBy user) collecting each user's
+    (ts, type) events; the ordered walk is a JVM-side ``aggregate`` fold
+    over the sorted array (whole-stage codegen'd, no Python); the stage
+    rollup is a tiny second agg over one row per user.  Per-user state
+    is bounded by that user's event count — the same bound sessionize
+    carries; salt the user key if one user dominates."""
+    ev = with_event_time(events)
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts_sec"), F.col(type_col).alias("t")))
+        ).alias("seq")
+    )
+    steps_arr = F.lit(steps)
+    # fold: state = number of steps completed; an event advances the
+    # state iff it matches the NEXT wanted step
+    stage = F.aggregate(
+        F.col("seq"),
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < F.size(steps_arr))
+            & (e["t"] == F.element_at(steps_arr, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    reached = per_user.select(stage.alias("stage")).filter(F.col("stage") > 0)
+    ladder = reached.groupBy("stage").agg(F.count("*").alias("n_at_stage"))
+    # full spine 1..len(steps): a stage nobody STOPPED at must still get
+    # its cumulative row (everyone passed through it)
+    spine = events.sparkSession.range(1, len(steps) + 1).select(
+        F.col("id").cast("int").alias("stage")
+    )
+    ladder = spine.join(ladder, "stage", "left").na.fill({"n_at_stage": 0})
+    # cumulative over <= len(steps) rows: the single-partition window is
+    # bounded by the step count, not the data
+    w = Window.orderBy(F.desc("stage")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ladder.withColumn("n_users", F.sum("n_at_stage").over(w))
+        .select("stage", "n_users")
+        .orderBy("stage")
+    )

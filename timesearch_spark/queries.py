@@ -1753,6 +1753,17 @@ def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumb.unionByName(slid)
 
 
+@q("events_funnel")  # ordered funnel ladder — rows-only + pytest
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → signup → purchase funnel over events
+    (windows.funnel_progression): per-user ordered progression via one
+    shuffle + a codegen'd fold over each user's sorted event array, then
+    the cumulative per-stage user counts."""
+    return win.funnel_progression(
+        load(spark, sf_dir, "events"), ["view", "click", "signup", "purchase"]
+    )
+
+
 @q("events_retention")  # cohort retention rollup — rows-only + pytest
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention over events (windows.retention_cohorts):
