@@ -458,14 +458,24 @@ def curate_corpus(
     )
     exact = gated.join(exact_keep, id_col)
 
-    # near-dup removal, transitively closed: pairs → components → keeper
+    # near-dup removal, transitively closed: pairs → components → keeper.
+    # Components iterate ONLY over edge-touching nodes — at corpus scale
+    # near-dup pairs are a sliver of the data, and label-propagating over
+    # every untouched document would make the iterative loop scan the
+    # whole corpus per round for nothing.  Untouched docs are trivially
+    # their own keepers; the non-keeper set subtracts via left_anti.
     pairs = minhash_near_dups(
         exact, text_col, id_col, threshold=neardup_threshold,
         hash_family="xxhash64",
     ).select("a", "b")
-    comp = connected_components(exact.select(F.col(id_col)), pairs, id_col=id_col)
-    keepers = comp.filter(F.col("component") == F.col(id_col)).select(id_col)
-    surviving = exact.join(keepers, id_col)
+    edge_nodes = (
+        pairs.select(F.col("a").alias(id_col))
+        .unionByName(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    comp = connected_components(edge_nodes, pairs, id_col=id_col)
+    non_keepers = comp.filter(F.col("component") != F.col(id_col)).select(id_col)
+    surviving = exact.join(non_keepers, id_col, "left_anti")
 
     return train_val_test_split(surviving, id_col, train, val).select(
         id_col, text_col, "lang_guess", "n_ws", "split"
