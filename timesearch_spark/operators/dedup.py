@@ -833,11 +833,22 @@ def dedup_cluster_assignments(
         df, block_col=block_col, text_col=text_col, id_col=id_col,
         threshold=threshold, n=n,
     ).select("a", "b")
-    comp = connected_components(df.select(_c(id_col)), pairs, id_col=id_col)
-    return comp.select(
+    # iterate ONLY the edge-touching subgraph: an isolated node's
+    # hash-min label is trivially its own id, so propagating labels over
+    # the (at scale, vastly larger) untouched corpus every round buys
+    # nothing — join the subgraph's labels back and default the rest
+    edge_nodes = (
+        pairs.select(F.col("a").alias(id_col))
+        .unionByName(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    comp = connected_components(edge_nodes, pairs, id_col=id_col)
+    labeled = df.select(_c(id_col).alias(id_col)).join(comp, id_col, "left")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return labeled.select(
         id_col,
-        F.col("component").alias("cluster_id"),
-        (F.col("component") == F.col(id_col)).alias("is_keeper"),
+        cluster.alias("cluster_id"),
+        (cluster == F.col(id_col)).alias("is_keeper"),
     )
 
 
