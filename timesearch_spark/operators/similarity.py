@@ -752,11 +752,19 @@ def embedding_dedup_clusters(
         "exact": embedding_near_dups,
     }[method]
     pairs = fn(emb, threshold=threshold, id_col=id_col, vec_col=vec_col, **kwargs)
-    comp = connected_components(
-        emb.select(_col_pair(id_col)), pairs.select("a", "b"), id_col=id_col
+    pairs = pairs.select("a", "b")
+    # iterate only the edge-touching subgraph (see dedup_cluster_assignments):
+    # isolated vectors are their own keepers without label propagation
+    edge_nodes = (
+        pairs.select(F.col("a").alias(id_col))
+        .unionByName(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
     )
-    return comp.select(
+    comp = connected_components(edge_nodes, pairs, id_col=id_col)
+    labeled = emb.select(_col_pair(id_col)).join(comp, id_col, "left")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return labeled.select(
         id_col,
-        F.col("component").alias("cluster_id"),
-        (F.col("component") == F.col(id_col)).alias("is_keeper"),
+        cluster.alias("cluster_id"),
+        (cluster == F.col(id_col)).alias("is_keeper"),
     )
