@@ -251,3 +251,37 @@ def test_remove_repeated_paragraphs(spark):
     assert out[4] == "hi\n\nunique four only"    # short repeat kept
     assert out[5] == ""                          # fully boilerplate → empty
     assert out[6] == "hi\n\nanother unique six"
+
+
+def test_incremental_minhash_dedup(spark):
+    """Batch near-dups of corpus docs are tagged with their corpus keeper
+    via the persisted index alone; fresh docs come back is_new."""
+    from timesearch_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the tall fence near the old red barn today")
+    other = ("completely different content about spark partitions and "
+             "shuffle boundaries in a distributed query engine plan")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    buckets, sigs = minhash_index(corpus)
+    batch = spark.createDataFrame(
+        [
+            (10, base),                                   # exact dup of 1
+            (11, base.replace("today", "tonight")),       # near-dup of 1
+            (12, "entirely novel text with words that appear nowhere "
+                 "else in this corpus of fixtures and fences"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_minhash_dedup(
+        batch, buckets, sigs, threshold=0.5).collect()}
+    assert out[10]["is_new"] is False and out[10]["dup_of"] == 1
+    assert out[10]["est_jaccard"] == 1.0
+    assert out[11]["is_new"] is False and out[11]["dup_of"] == 1
+    assert 0.5 <= out[11]["est_jaccard"] < 1.0
+    assert out[12]["is_new"] is True and out[12]["dup_of"] is None

@@ -916,3 +916,105 @@ def remove_repeated_paragraphs(
     return df.select(_c(id_col).alias(id_col)).join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(F.col("__text"), F.lit("")).alias(text_col)
     )
+
+
+# --- incremental near-dup dedup (batch vs persisted minhash index) ------------
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted artifacts of incremental NEAR-dup dedup, the minhash
+    analog of ``fingerprint_index``: ``(buckets, sigs)`` where buckets =
+    (band, bucket, keeper) — store partitioned/bucketed by (band, bucket)
+    so probes are co-located — and sigs = (keeper, sig array<long>).
+    Together ~ (bands + num_hashes) longs per corpus doc: the corpus text
+    is never re-read by later batches."""
+    buckets = minhash_band_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_k, "xxhash64"
+    ).select("band", "bucket", F.col(id_col).alias("keeper"))
+    sigs = minhash_signature_table(
+        df, text_col, id_col, num_hashes, shingle_k
+    ).select(
+        F.col(id_col).alias("keeper"),
+        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    return buckets, sigs
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    index_buckets: DataFrame,
+    index_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Tag each batch document against an already-ingested corpus's
+    minhash index WITHOUT re-reading the corpus — cross-run near-dup
+    dedup, the fuzzy analog of ``incremental_dedup``.
+
+    Returns one row per batch document: (id, is_new, dup_of, est_jaccard)
+    — ``dup_of`` = the min corpus keeper whose banding collided AND whose
+    signature-estimated Jaccard (mean of equal minhash components, the
+    standard unbiased estimator) reaches ``threshold``; NULL with
+    ``is_new`` true otherwise.  Estimate-based verification is the point:
+    exact verification would need corpus text, which the index exists to
+    avoid; at 64 hashes the estimator's σ ≈ 0.06, so thresholds are
+    honored to a few points.
+
+    Scale shape: batch signatures are one codegen'd explode+agg; the
+    candidate join touches only colliding (band, bucket) groups of the
+    stored index (partition-pruned when the index is written bucketed);
+    signatures join in for CANDIDATES only, and the final pick is one
+    partial-agg'd min per batch doc.  Cost tracks index size and
+    collision count, never corpus size."""
+    params = (num_hashes, bands, shingle_k)
+    b_buckets = minhash_band_buckets(
+        batch, text_col, id_col, *params[:2], params[2], "xxhash64"
+    ).select("band", "bucket", F.col(id_col).alias("__bid"))
+    b_sigs = minhash_signature_table(
+        batch, text_col, id_col, num_hashes, shingle_k
+    ).select(
+        F.col(id_col).alias("__bid"),
+        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("__bsig"),
+    )
+    cand = (
+        b_buckets.join(index_buckets, on=["band", "bucket"])
+        .select("__bid", "keeper")
+        .dropDuplicates(["__bid", "keeper"])
+    )
+    est = F.aggregate(
+        F.zip_with(
+            F.col("__bsig"), F.col("sig"),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / num_hashes
+    verified = (
+        cand.join(b_sigs, on="__bid")
+        .join(index_sigs, on="keeper")
+        .select("__bid", "keeper", est.alias("__est"))
+        .filter(F.col("__est") >= threshold)
+    )
+    best = verified.groupBy("__bid").agg(
+        F.min_by(F.struct("keeper", "__est"), F.col("keeper")).alias("__w")
+    )
+    return (
+        batch.select(_c(id_col).alias(id_col))
+        .join(best.withColumnRenamed("__bid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("__w").isNull().alias("is_new"),
+            F.col("__w.keeper").alias("dup_of"),
+            F.round(F.col("__w.__est"), 6).alias("est_jaccard"),
+        )
+    )

@@ -1973,6 +1973,24 @@ def ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.ngram_top(load(spark, sf_dir, "documents"), n=3, k=20)
 
 
+@q("dedup_incremental_minhash")  # cross-run NEAR-dup vs stored index — rows-only + pytest
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy analog of dedup_incremental: a batch (docs with odd ids)
+    tagged against the persisted minhash index of the even-id corpus —
+    banding collision + signature-estimated Jaccard, corpus text never
+    re-read (dedup.incremental_minhash_dedup)."""
+    from timesearch_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    buckets, sigs = minhash_index(corpus)
+    return incremental_minhash_dedup(batch, buckets, sigs, threshold=0.5)
+
+
 @q("dedup_paragraphs")  # paragraph-grain boilerplate removal — rows-only + pytest
 def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus repeated-paragraph (boilerplate) removal
