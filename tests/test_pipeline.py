@@ -276,3 +276,28 @@ def test_curate_corpus_paragraph_rung(spark):
     ).collect()}
     assert sorted(out) == [1, 3, 4]   # 2 became an exact dup of 1 post-strip
     assert out[1]["text"] == body     # boilerplate gone from the output text
+
+
+def test_decontaminate_min_frac_gate(spark):
+    """Fractional gate: a long doc with one incidental shared gram passes;
+    a mostly-leaked doc is flagged.  The comparison is integer-only."""
+    bench_text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                  "lambda mu nu xi omicron pi")
+    corpus = spark.createDataFrame(
+        [
+            # doc 1: the benchmark text plus one extra word -> high overlap
+            (1, bench_text + " extra"),
+            # doc 2: one benchmark 8-gram buried in a long unrelated doc
+            (2, "alpha beta gamma delta epsilon zeta eta theta " +
+                " ".join(f"w{i}" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    loose = {r["doc_id"]: r for r in
+             pl.decontaminate(corpus, bench, n=8).collect()}
+    assert set(loose) == {1, 2}
+    assert loose[1]["n_shared"] <= loose[1]["n_total"]
+    strict = {r["doc_id"] for r in
+              pl.decontaminate(corpus, bench, n=8, min_frac=0.5).collect()}
+    assert strict == {1}

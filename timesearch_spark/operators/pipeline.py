@@ -132,27 +132,49 @@ def decontaminate(
     id_col: str = "doc_id",
     n: int = 8,
     min_shared: int = 1,
+    min_frac: float | None = None,
 ) -> DataFrame:
-    """Flag corpus documents that share any word-``n``-gram with a
+    """Flag corpus documents whose word-``n``-grams overlap a
     benchmark/eval set (the standard contamination check run before
-    training).
+    training): absolute count (``min_shared``) and, when ``min_frac`` is
+    given, the overlap FRACTION of the document's own distinct grams —
+    the form real decontamination uses, since one incidental shared gram
+    in a long document is noise while 30% overlap is a leaked example.
 
     Plan shape: the benchmark's distinct grams (small — benchmarks are
     MBs) are broadcast; each document's grams probe the broadcast hash
     map map-side, so nothing shuffles except the matching (doc, gram)
-    pairs feeding the per-doc distinct count.  Returns
-    (``id_col``, n_shared) for docs with ≥ ``min_shared`` distinct
-    shared grams.
+    pairs feeding the per-doc distinct count; the document's own total
+    (``n_total``) is a per-row expression carried through the explode.
+    Returns (``id_col``, n_shared, n_total) — integer-only, so the
+    fraction never enters a cross-engine float comparison; the
+    ``min_frac`` gate is the exact integer inequality
+    n_shared * 10^6 >= round(min_frac * 10^6) * n_total.
     """
-    g = F.explode(F.array_distinct(shingles(text_col, n))).alias("gram")
-    doc_grams = docs.select(_c(id_col).alias(id_col), g)
-    bench_grams = benchmark.select(g).distinct()
-    return (
+    grams_arr = F.array_distinct(shingles(text_col, n))
+    doc_grams = docs.select(
+        _c(id_col).alias(id_col),
+        F.size(grams_arr).alias("__n_total"),
+        F.explode(grams_arr).alias("gram"),
+    )
+    bench_grams = benchmark.select(
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("gram")
+    ).distinct()
+    out = (
         doc_grams.join(F.broadcast(bench_grams), on="gram")
         .groupBy(id_col)
-        .agg(F.count_distinct("gram").alias("n_shared"))
+        .agg(
+            F.count_distinct("gram").alias("n_shared"),
+            F.first("__n_total").alias("n_total"),
+        )
         .filter(F.col("n_shared") >= min_shared)
     )
+    if min_frac is not None:
+        frac_micros = round(min_frac * 1_000_000)
+        out = out.filter(
+            F.col("n_shared") * 1_000_000 >= frac_micros * F.col("n_total")
+        )
+    return out.select(id_col, "n_shared", "n_total")
 
 
 # --- stratified quota sampling ----------------------------------------------

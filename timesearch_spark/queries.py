@@ -1869,16 +1869,21 @@ def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontaminate",
     f"""
     WITH {_grams_sql(8)},
-    bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0)
-    SELECT d.doc_id, CAST(COUNT(DISTINCT d.gram) AS BIGINT) AS n_shared
-    FROM dg d JOIN bg ON d.gram = bg.gram
-    GROUP BY 1
+    bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0),
+    tot AS (SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_total
+            FROM dg GROUP BY 1)
+    SELECT d.doc_id, CAST(COUNT(DISTINCT d.gram) AS BIGINT) AS n_shared,
+           t.n_total
+    FROM dg d JOIN bg ON d.gram = bg.gram JOIN tot t ON d.doc_id = t.doc_id
+    GROUP BY 1, 3
     """,
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag documents sharing any 8-word gram
-    with the benchmark set (stand-in: every 50th doc).  Benchmark grams
-    broadcast; document grams probe map-side (pipeline.decontaminate)."""
+    with the benchmark set (stand-in: every 50th doc), with the doc's
+    own distinct-gram total alongside so overlap FRACTIONS stay an
+    integer-only cross-engine comparison.  Benchmark grams broadcast;
+    document grams probe map-side (pipeline.decontaminate)."""
     d = load(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 50 == 0)
     return pl.decontaminate(d, bench, n=8)
