@@ -301,3 +301,20 @@ def test_decontaminate_min_frac_gate(spark):
     strict = {r["doc_id"] for r in
               pl.decontaminate(corpus, bench, n=8, min_frac=0.5).collect()}
     assert strict == {1}
+
+
+def test_curate_corpus_decontamination_rung(spark):
+    from timesearch_spark.operators.pipeline import curate_corpus
+
+    bench_text = ("the quick brown fox jumps over the lazy dog near the "
+                  "old red barn while the farmer watches at dawn")
+    rows = [
+        (1, bench_text),  # leaked benchmark doc
+        (2, "a completely separate english document with the plenty of "
+            "common words in it and more of them here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(9, bench_text)], "doc_id long, text string")
+    out = {r["doc_id"] for r in curate_corpus(
+        docs, min_tokens=5, benchmark=bench).collect()}
+    assert out == {2}

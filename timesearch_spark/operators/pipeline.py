@@ -428,6 +428,9 @@ def curate_corpus(
     max_top_bigram_frac: float = 0.5,
     neardup_threshold: float = 0.7,
     paragraph_max_df: int | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 8,
+    decontam_min_frac: float | None = 0.1,
     train: float = 0.9,
     val: float = 0.05,
 ) -> DataFrame:
@@ -435,6 +438,7 @@ def curate_corpus(
     composed plan: optional paragraph-boilerplate removal
     (``paragraph_max_df``) → quality signals → language/quality gate →
     exact dedup → minhash near-dup removal (transitively closed) →
+    optional benchmark decontamination (``benchmark``, fraction-gated) →
     deterministic split.  Output: the surviving docs with
     (lang_guess, n_ws, split).
 
@@ -498,6 +502,15 @@ def curate_corpus(
     comp = connected_components(edge_nodes, pairs, id_col=id_col)
     non_keepers = comp.filter(F.col("component") != F.col(id_col)).select(id_col)
     surviving = exact.join(non_keepers, id_col, "left_anti")
+
+    if benchmark is not None:
+        # decontaminate LAST: the broadcast-probe runs over the smallest
+        # surviving set, and near-dups of a leaked doc are already gone
+        hits = decontaminate(
+            surviving, benchmark, text_col, id_col,
+            n=decontam_n, min_frac=decontam_min_frac,
+        ).select(id_col)
+        surviving = surviving.join(hits, id_col, "left_anti")
 
     return train_val_test_split(surviving, id_col, train, val).select(
         id_col, text_col, "lang_guess", "n_ws", "split"
