@@ -318,3 +318,43 @@ def test_curate_corpus_decontamination_rung(spark):
     out = {r["doc_id"] for r in curate_corpus(
         docs, min_tokens=5, benchmark=bench).collect()}
     assert out == {2}
+
+
+def test_weighted_resample_rates_and_copies(spark):
+    from timesearch_spark.operators.pipeline import weighted_resample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 400 else "b", "text") for i in range(500)],
+        "doc_id long, source string, text string",
+    )
+    out = weighted_resample(docs, {"a": 0.25, "b": 2.5}).collect()
+    a = [r for r in out if r["source"] == "a"]
+    b = [r for r in out if r["source"] == "b"]
+    # a: ~25% of 400 kept, one copy each
+    assert 60 <= len(a) <= 140 and all(r["copy"] == 0 for r in a)
+    # b: every doc at least twice, ~50% a third time
+    b_ids = {}
+    for r in b:
+        b_ids.setdefault(r["doc_id"], []).append(r["copy"])
+    assert set(b_ids) == {i for i in range(400, 500)}
+    assert all(sorted(v) in ([0, 1], [0, 1, 2]) for v in b_ids.values())
+    assert 200 <= len(b) <= 300
+    # determinism
+    again = weighted_resample(docs, {"a": 0.25, "b": 2.5}).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_budget_sample_fills_to_token_budget(spark):
+    from timesearch_spark.operators.pipeline import budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, "s", "w " * 10) for i in range(100)],  # 10 tokens each
+        "doc_id long, source string, text string",
+    )
+    out = budget_sample(docs, token_budget=55).collect()
+    # 10-token docs: 6 docs = 60 >= 55, the crossing doc included
+    assert len(out) == 6
+    assert max(r["cum_tokens"] for r in out) == 60
+    # stable under rerun
+    again = budget_sample(docs, token_budget=55).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)

@@ -515,3 +515,82 @@ def curate_corpus(
     return train_val_test_split(surviving, id_col, train, val).select(
         id_col, text_col, "lang_guess", "n_ws", "split"
     )
+
+
+# --- corpus mixing: weighted resampling + token budgets ----------------------
+
+def weighted_resample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic per-stratum resampling at arbitrary rates — the
+    data-mixing step that turns raw source proportions into a training
+    mix (temperature sampling, up/down-weighting).  ``rates[s] = 0.25``
+    keeps ~25% of stratum s; ``rates[s] = 2.3`` emits every doc 2 times
+    plus a third copy for ~30% of them.
+
+    Membership and copy count are pure functions of (seed, id): stable
+    under reruns, repartitioning, and appends — never `rand()`.  Output
+    adds ``copy`` (0-based) so downstream shuffles can treat copies as
+    distinct rows.  Plan: one generate (posexplode over a per-row copy
+    count), no shuffle, no driver state beyond the broadcast rate map.
+    """
+    if not all(r >= 0 for r in rates.values()) or default_rate < 0:
+        raise ValueError("rates must be >= 0")
+    rate = F.lit(default_rate)
+    for s, r in sorted(rates.items()):
+        rate = F.when(_c(stratum_col) == s, F.lit(float(r))).otherwise(rate)
+    # hash-fraction in [0, 1): first 13 hex chars (52 bits — exact in the
+    # double mantissa) of md5(seed:id)
+    frac = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), _c(id_col).cast("string"))), 1, 13),
+        16, 10,
+    ).cast("double") / float(16 ** 13)
+    n_copies = (F.floor(rate) + F.when(frac < rate - F.floor(rate), 1).otherwise(0)).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .select("*", F.posexplode(F.array_repeat(F.lit(0), F.col("__n"))).alias("copy", "__z"))
+        .drop("__n", "__z")
+    )
+
+
+def budget_sample(
+    df: DataFrame,
+    token_budget: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "budget",
+) -> DataFrame:
+    """Select documents per stratum, in deterministic hash order, until
+    each stratum's cumulative whitespace-token count reaches
+    ``token_budget`` — the fill-the-mix-to-N-tokens selection a training
+    run actually performs (doc counts are the wrong unit; budgets are
+    tokens).
+
+    The first document that CROSSES the budget is still included (budgets
+    are lower bounds), everything after it is not.  One shuffle on the
+    stratum; the running sum is an ordered window over (hash, id) so
+    membership is a pure function of the data and the seed.  Output:
+    (id, stratum, n_tokens, cum_tokens)."""
+    from timesearch_spark.operators.dedup import tokens
+
+    key = F.md5(F.concat(F.lit(f"{seed}:"), _c(id_col).cast("string")))
+    d = df.select(
+        _c(id_col).alias(id_col),
+        _c(stratum_col).alias(stratum_col),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        key.alias("__k"),
+    )
+    w = Window.partitionBy(stratum_col).orderBy("__k", id_col)
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        d.withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < token_budget)
+        .select(id_col, stratum_col, "n_tokens", "cum_tokens")
+    )

@@ -2008,6 +2008,23 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_paragraphs(load(spark, sf_dir, "documents"))
 
 
+@q("pipeline_mix")  # weighted resampling + token budgets — rows-only + pytest
+def pipeline_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing (pipeline.weighted_resample → pipeline.budget_sample):
+    src0 upweighted 2.5×, src1 downsampled to 30%, everything else kept,
+    then each source filled to a 2,000-token budget in deterministic hash
+    order.  Both memberships are pure functions of (seed, id) — never
+    rand() — so the mix is replayable and append-stable."""
+    d = load(spark, sf_dir, "documents")
+    mixed = pl.weighted_resample(d, {"src0": 2.5, "src1": 0.3})
+    # copies count toward the budget as distinct docs: re-key by (id, copy)
+    rekeyed = mixed.select(
+        (F.col("doc_id") * 10 + F.col("copy")).alias("doc_id"),
+        "source", "text",
+    )
+    return pl.budget_sample(rekeyed, token_budget=2000)
+
+
 @q("pipeline_curate")  # end-to-end curation ladder — rows-only + pytest
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-curation composition (pipeline.curate_corpus):
