@@ -2008,6 +2008,18 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_paragraphs(load(spark, sf_dir, "documents"))
 
 
+@q("table_quality")  # one-pass per-column profile — rows-only + pytest
+def table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of lineitem (quality.table_profile): null
+    counts, HLL++ approximate distincts, min/max per column — ONE
+    map-side-combined aggregate job for every column together, the
+    pre-ingest health check a pipeline runs on each new data drop
+    (pair with quality.drift_report against an accepted baseline)."""
+    from timesearch_spark.operators.quality import table_profile
+
+    return table_profile(load(spark, sf_dir, "lineitem"))
+
+
 @q("pipeline_mix")  # weighted resampling + token budgets — rows-only + pytest
 def pipeline_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixing (pipeline.weighted_resample → pipeline.budget_sample):
