@@ -1,0 +1,61 @@
+"""Continuous corpus ingest with cross-run dedup (streaming/corpus)."""
+
+from __future__ import annotations
+
+import json
+
+from timesearch_spark.streaming.corpus import CorpusStore
+
+
+def _doc(i, text, source="web"):
+    return {"doc_id": i, "source": source, "lang": "en", "text": text}
+
+
+def _drop(path, name, docs):
+    (path / name).write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+
+
+def test_ingest_batch_dedups_across_runs(spark, tmp_path):
+    store = CorpusStore(spark, str(tmp_path / "corpus"))
+    b1 = spark.createDataFrame(
+        [(1, "web", "en", "the first document"),
+         (2, "web", "en", "the second document")],
+        "doc_id long, source string, lang string, text string",
+    )
+    assert store.ingest_batch(b1) == {"seen": 2, "new": 2}
+    # second batch: one exact dup (different id), one whitespace-variant
+    # dup, one genuinely new
+    b2 = spark.createDataFrame(
+        [(10, "web", "en", "the first document"),
+         (11, "web", "en", "  THE   second document  "),
+         (12, "web", "en", "a third document entirely")],
+        "doc_id long, source string, lang string, text string",
+    )
+    assert store.ingest_batch(b2) == {"seen": 3, "new": 1}
+    ids = sorted(r["doc_id"] for r in store.corpus().collect())
+    assert ids == [1, 2, 12]
+    # replay is a no-op (idempotent per content)
+    assert store.ingest_batch(b2) == {"seen": 3, "new": 0}
+    assert store.corpus().count() == 3
+    assert store.index().count() == 3
+
+
+def test_ingest_stream_available_now(spark, tmp_path):
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _drop(drop, "a.jsonl", [_doc(1, "alpha doc"), _doc(2, "beta doc")])
+    _drop(drop, "b.jsonl", [_doc(3, "alpha doc"), _doc(4, "gamma doc")])
+
+    store = CorpusStore(spark, str(tmp_path / "corpus"))
+    q = store.ingest_stream(str(drop), once=True)
+    q.awaitTermination(120)
+    texts = sorted(r["text"] for r in store.corpus().collect())
+    # 'alpha doc' ingested once regardless of which file won the race
+    assert texts == ["alpha doc", "beta doc", "gamma doc"]
+
+    # later files picked up by a second availableNow run, still deduped
+    _drop(drop, "c.jsonl", [_doc(5, "beta doc"), _doc(6, "delta doc")])
+    q2 = store.ingest_stream(str(drop), once=True)
+    q2.awaitTermination(120)
+    texts = sorted(r["text"] for r in store.corpus().collect())
+    assert texts == ["alpha doc", "beta doc", "delta doc", "gamma doc"]

@@ -1,0 +1,155 @@
+"""Continuous corpus ingest with cross-run dedup — the streaming form of
+the training-data pipeline's front door.
+
+A drop directory of NDJSON document files feeds a Structured Streaming
+query; every micro-batch is tagged against the persisted content
+FINGERPRINT INDEX (dedup.incremental_dedup), only first-seen documents
+append to the corpus, and the index advances atomically with the data.
+The corpus is append-only (documents are immutable), so unlike the
+archive's MERGE store no rewrite happens — each batch appends one
+parquet directory and swaps a version pointer; readers pin a pointer
+snapshot and never see a half-written batch.
+
+Scale shape per batch: batch fingerprints are one map stage; the
+is-new tag joins the batch against the index relation (32-byte fp +
+long per distinct corpus document — a thousandth of corpus width, and
+the join cost tracks the INDEX, never the corpus); the new index is
+old ∪ new fingerprints (partial-agg'd min per fp).  The corpus text is
+never re-read after its ingest batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+class CorpusStore:
+    """Versioned append-only document corpus + fingerprint index.
+
+    Layout: ``corpus/batch=N/`` parquet per ingested batch,
+    ``index/v=N/`` parquet index versions, ``LATEST`` JSON pointer
+    (atomic rename) naming the live batch list and index version."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- pointer ------------------------------------------------------------
+
+    def _pointer_file(self) -> str:
+        return os.path.join(self.path, "LATEST")
+
+    def _pointer(self) -> dict:
+        try:
+            with open(self._pointer_file()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"version": 0, "batches": []}
+
+    def _swap_pointer(self, ptr: dict) -> None:
+        tmp = self._pointer_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ptr, f)
+        os.replace(tmp, self._pointer_file())  # atomic on POSIX
+
+    def version(self) -> int:
+        return self._pointer()["version"]
+
+    # -- reads --------------------------------------------------------------
+
+    def _empty(self, schema) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    def corpus(self) -> DataFrame:
+        ptr = self._pointer()
+        if not ptr["batches"]:
+            return self._empty(DOCUMENT_SCHEMA)
+        paths = [os.path.join(self.path, "corpus", f"batch={b}") for b in ptr["batches"]]
+        return self.spark.read.schema(DOCUMENT_SCHEMA).parquet(*paths)
+
+    def index(self) -> DataFrame:
+        ptr = self._pointer()
+        if ptr["version"] == 0:
+            return self._empty("fp string, keeper long")
+        return self.spark.read.parquet(
+            os.path.join(self.path, "index", f"v={ptr['version']}")
+        )
+
+    # -- ingest -------------------------------------------------------------
+
+    def ingest_batch(self, batch: DataFrame) -> dict:
+        """Tag ``batch`` against the index, append only first-seen docs,
+        advance the index; returns {'seen': n, 'new': n}.
+
+        Idempotent per content: replaying a batch appends nothing (every
+        fingerprint is already indexed).  The batch is localCheckpointed
+        so the tag and the write see the same rows even off a
+        nondeterministic source."""
+        from timesearch_spark.operators.dedup import (
+            fingerprint_index,
+            incremental_dedup,
+        )
+
+        batch = batch.localCheckpoint(eager=True)
+        n_seen = batch.count()
+        if n_seen == 0:
+            return {"seen": 0, "new": 0}
+        ptr = self._pointer()
+        tag = incremental_dedup(batch, index=self.index())
+        new_docs = batch.join(
+            tag.filter(F.col("is_new")).select("doc_id"), "doc_id"
+        ).localCheckpoint(eager=True)
+        n_new = new_docs.count()
+        version = ptr["version"] + 1
+        if n_new:
+            new_docs.write.mode("overwrite").parquet(
+                os.path.join(self.path, "corpus", f"batch={version}")
+            )
+        merged = (
+            self.index()
+            .unionByName(fingerprint_index(new_docs))
+            .groupBy("fp")
+            .agg(F.min("keeper").alias("keeper"))
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self.path, "index", f"v={version}")
+        )
+        self._swap_pointer(
+            {
+                "version": version,
+                "batches": ptr["batches"] + ([version] if n_new else []),
+            }
+        )
+        return {"seen": n_seen, "new": n_new}
+
+    def ingest_stream(self, drop_dir: str, once: bool = True,
+                      poll_seconds: int = 30):
+        """Run the drop-directory ingest as a Structured Streaming query
+        (availableNow for ``once``, processing-time trigger otherwise);
+        returns the StreamingQuery."""
+        stream = self.spark.readStream.schema(DOCUMENT_SCHEMA).json(drop_dir)
+        writer = stream.writeStream.foreachBatch(
+            lambda b, _id: self.ingest_batch(b)
+        ).option(
+            "checkpointLocation", os.path.join(self.path, "_checkpoint")
+        )
+        if once:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{poll_seconds} seconds")
+        return writer.start()
