@@ -59,3 +59,32 @@ def test_ingest_stream_available_now(spark, tmp_path):
     q2.awaitTermination(120)
     texts = sorted(r["text"] for r in store.corpus().collect())
     assert texts == ["alpha doc", "beta doc", "delta doc", "gamma doc"]
+
+
+def test_ingest_batch_neardup_gate(spark, tmp_path):
+    """With neardup_threshold set, fuzzy rewrites of stored docs are
+    rejected and batch-internal near-dups collapse to one keeper."""
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the tall fence near the old red barn today")
+    store = CorpusStore(spark, str(tmp_path / "c"), neardup_threshold=0.5)
+    b1 = spark.createDataFrame(
+        [(1, "web", "en", base)],
+        "doc_id long, source string, lang string, text string",
+    )
+    assert store.ingest_batch(b1) == {"seen": 1, "new": 1}
+    variant = base.replace("today", "tonight")
+    b2 = spark.createDataFrame(
+        [
+            (10, "web", "en", variant),                       # near-dup of stored 1
+            (11, "web", "en", "a wholly different text about query engines "
+                              "and shuffle planning in distributed systems"),
+            (12, "web", "en", "a wholly different text about query engines "
+                              "and shuffle planning in distributed setups"),  # near-dup of 11
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    out = store.ingest_batch(b2)
+    assert out == {"seen": 3, "new": 1}
+    assert sorted(r["doc_id"] for r in store.corpus().collect()) == [1, 11]
+    # replay: the surviving doc 11 is now exact-indexed -> no-op
+    assert store.ingest_batch(b2)["new"] == 0

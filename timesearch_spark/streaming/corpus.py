@@ -44,9 +44,16 @@ class CorpusStore:
     ``index/v=N/`` parquet index versions, ``LATEST`` JSON pointer
     (atomic rename) naming the live batch list and index version."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 neardup_threshold: float | None = None):
+        """``neardup_threshold``: when set, batches are ALSO tagged
+        against the persisted minhash index (signature-estimated
+        Jaccard >= threshold rejects) and batch-internal near-dups
+        collapse to their min-id keeper — fuzzy dedup at ingest, not
+        just exact content identity."""
         self.spark = spark
         self.path = path
+        self.neardup_threshold = neardup_threshold
         os.makedirs(path, exist_ok=True)
 
     # -- pointer ------------------------------------------------------------
@@ -90,6 +97,22 @@ class CorpusStore:
             os.path.join(self.path, "index", f"v={ptr['version']}")
         )
 
+    def minhash_buckets(self) -> DataFrame:
+        ptr = self._pointer()
+        if ptr["version"] == 0:
+            return self._empty("band int, bucket bigint, keeper long")
+        return self.spark.read.parquet(
+            os.path.join(self.path, "mh_buckets", f"v={ptr['version']}")
+        )
+
+    def minhash_sigs(self) -> DataFrame:
+        ptr = self._pointer()
+        if ptr["version"] == 0:
+            return self._empty("keeper long, sig array<bigint>")
+        return self.spark.read.parquet(
+            os.path.join(self.path, "mh_sigs", f"v={ptr['version']}")
+        )
+
     # -- ingest -------------------------------------------------------------
 
     def ingest_batch(self, batch: DataFrame) -> dict:
@@ -103,6 +126,9 @@ class CorpusStore:
         from timesearch_spark.operators.dedup import (
             fingerprint_index,
             incremental_dedup,
+            incremental_minhash_dedup,
+            minhash_index,
+            minhash_near_dups,
         )
 
         batch = batch.localCheckpoint(eager=True)
@@ -114,6 +140,22 @@ class CorpusStore:
         new_docs = batch.join(
             tag.filter(F.col("is_new")).select("doc_id"), "doc_id"
         ).localCheckpoint(eager=True)
+        if self.neardup_threshold is not None and new_docs.count():
+            # fuzzy gate: reject near-dups of the stored corpus, then
+            # collapse batch-internal near-dups to their min-id keeper
+            near = incremental_minhash_dedup(
+                new_docs, self.minhash_buckets(), self.minhash_sigs(),
+                threshold=self.neardup_threshold,
+            )
+            new_docs = new_docs.join(
+                near.filter(F.col("is_new")).select("doc_id"), "doc_id"
+            )
+            internal = minhash_near_dups(
+                new_docs, threshold=self.neardup_threshold,
+                hash_family="xxhash64",
+            ).select(F.col("b").alias("doc_id")).distinct()
+            new_docs = new_docs.join(internal, "doc_id", "left_anti")
+            new_docs = new_docs.localCheckpoint(eager=True)
         n_new = new_docs.count()
         version = ptr["version"] + 1
         if n_new:
@@ -129,6 +171,14 @@ class CorpusStore:
         merged.write.mode("overwrite").parquet(
             os.path.join(self.path, "index", f"v={version}")
         )
+        if self.neardup_threshold is not None:
+            nb, ns = minhash_index(new_docs)
+            self.minhash_buckets().unionByName(nb).write.mode("overwrite").parquet(
+                os.path.join(self.path, "mh_buckets", f"v={version}")
+            )
+            self.minhash_sigs().unionByName(ns).write.mode("overwrite").parquet(
+                os.path.join(self.path, "mh_sigs", f"v={version}")
+            )
         self._swap_pointer(
             {
                 "version": version,
