@@ -264,3 +264,37 @@ def test_get_comments_specific_submission_stamps_augmented(spark, root, tmp_path
     assert ar.comments.snapshot().filter("idstr = 't1_c50'").count() == 1
     aug = ar.submissions.snapshot().filter("idstr = 't3_s1'").first()
     assert aug["augmented_at"] is not None
+
+
+def test_ingest_corpus_subcommand(spark, tmp_path, capsys):
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    docs = [
+        {"doc_id": 1, "source": "w", "lang": "en", "text": "alpha doc"},
+        {"doc_id": 2, "source": "w", "lang": "en", "text": "alpha doc"},
+        {"doc_id": 3, "source": "w", "lang": "en", "text": "beta doc"},
+    ]
+    (drop / "a.jsonl").write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    corpus = str(tmp_path / "corpus")
+    assert cli.main(["ingest_corpus", "--source", str(drop),
+                     "--corpus", corpus, "--once"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] == 2  # exact dup dropped
+
+
+def test_curate_subcommand(spark, tmp_path, capsys):
+    docs = [
+        {"doc_id": 1, "source": "w", "lang": "en",
+         "text": "the cat sat on the mat and it is a fine day for cats to sit"},
+        {"doc_id": 2, "source": "w", "lang": "en",
+         "text": "THE CAT SAT ON THE MAT AND IT IS A FINE DAY FOR CATS TO SIT"},
+        {"doc_id": 3, "source": "w", "lang": "en", "text": ""},
+    ]
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    outdir = str(tmp_path / "curated")
+    assert cli.main(["curate", "--input", str(src), "--output", outdir]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["kept"] == 1  # dup collapsed, empty doc gated
+    kept = spark.read.parquet(outdir).collect()
+    assert kept[0]["doc_id"] == 1 and kept[0]["split"] in ("train", "val", "test")

@@ -20,6 +20,11 @@ Differences forced by the environment, kept explicit:
 - ``get_wiki`` / ``get_styles`` read local inputs (``--pages-json``,
   ``--css`` / ``--images``) instead of a live API.
 
+Two EXTENSION subcommands (not in the reference) expose the
+training-data surface: ``ingest_corpus`` (drop-dir stream → cross-run
+deduped corpus, streaming/corpus.py) and ``curate`` (the full curation
+ladder over a document table, operators/pipeline.curate_corpus).
+
 Subcommand gateways import lazily for the same reason the reference
 does (timesearch.py:16-20): help text must not pay engine start-up.
 """
@@ -212,6 +217,47 @@ def cmd_get_styles(args):
     return 0
 
 
+def cmd_ingest_corpus(args):
+    from timesearch_spark.session import get_spark
+    from timesearch_spark.streaming.corpus import CorpusStore
+
+    store = CorpusStore(
+        get_spark("timesearch-cli"), args.corpus,
+        neardup_threshold=args.neardup,
+    )
+    q = store.ingest_stream(args.source, once=args.once,
+                            poll_seconds=args.sleepy)
+    q.awaitTermination()
+    print(json.dumps({"version": store.version(),
+                      "docs": store.corpus().count()}))
+    return 0
+
+
+def cmd_curate(args):
+    from timesearch_spark.operators.pipeline import curate_corpus
+    from timesearch_spark.session import get_spark
+    from timesearch_spark.streaming.corpus import DOCUMENT_SCHEMA
+
+    spark = get_spark("timesearch-cli")
+
+    def read_docs(path):
+        if path.endswith((".jsonl", ".json", ".ndjson")):
+            return spark.read.schema(DOCUMENT_SCHEMA).json(path)
+        return spark.read.parquet(path)
+
+    docs = read_docs(args.input)
+    bench = read_docs(args.benchmark) if args.benchmark else None
+    out = curate_corpus(
+        docs, benchmark=bench,
+        paragraph_max_df=args.paragraph_max_df,
+        neardup_threshold=args.neardup,
+    )
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    kept = spark.read.parquet(args.output).count()
+    print(json.dumps({"kept": kept, "output": args.output}))
+    return 0
+
+
 # --- parser ------------------------------------------------------------------
 
 def _add_entity_args(p: argparse.ArgumentParser) -> None:
@@ -305,6 +351,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--css", dest="css", default=None)
     p.add_argument("--images", dest="images", default=None)
     p.set_defaults(func=cmd_get_styles)
+
+    p = sub.add_parser("ingest_corpus",
+                       help="[extension] drop-dir stream -> deduped corpus")
+    p.add_argument("--source", dest="source", required=True)
+    p.add_argument("--corpus", dest="corpus", required=True)
+    p.add_argument("--neardup", dest="neardup", type=float, default=None)
+    p.add_argument("-1", "--once", dest="once", action="store_true")
+    p.add_argument("-w", "--wait", dest="sleepy", type=int, default=30)
+    p.set_defaults(func=cmd_ingest_corpus)
+
+    p = sub.add_parser("curate",
+                       help="[extension] curation ladder over a document table")
+    p.add_argument("--input", dest="input", required=True,
+                   help="parquet dir or NDJSON file of documents")
+    p.add_argument("--output", dest="output", required=True)
+    p.add_argument("--benchmark", dest="benchmark", default=None)
+    p.add_argument("--neardup", dest="neardup", type=float, default=0.7)
+    p.add_argument("--paragraph-max-df", dest="paragraph_max_df",
+                   type=int, default=None)
+    p.set_defaults(func=cmd_curate)
 
     return parser
 
