@@ -71,12 +71,15 @@ def row_count_bound(df: DataFrame) -> int | None:
         return None
 
 
-def _scan_parallelism(files: list[str], default_parallelism: int) -> int:
+def _scan_parallelism(
+    files: list[str], default_parallelism: int,
+    open_cost: int = 4 * 1024 * 1024, max_part: int = 128 * 1024 * 1024,
+) -> int:
     """Estimate of the parquet scan's effective task parallelism: per file,
     min(row groups, byte splits) under Spark's split formula
-    (maxSplitBytes = min(maxPartitionBytes, max(openCost, total/parallelism)))."""
-    open_cost = 4 * 1024 * 1024
-    max_part = 128 * 1024 * 1024
+    (maxSplitBytes = min(maxPartitionBytes, max(openCost, total/parallelism))).
+    Callers with a live session pass the session's actual split configs
+    (spread does); the defaults match Spark's."""
     metas = [_file_meta(f) for f in files]
     total = sum(sz for _, sz, _ in metas)
     max_split = min(max_part, max(open_cost, total // max(default_parallelism, 1)))
@@ -152,7 +155,20 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
         return df
     if files:
         try:
-            effective = _scan_parallelism(files, want)
+            conf = df.sparkSession.conf
+            def _bytes_conf(key, default):
+                try:
+                    v = conf.get(key)
+                    return int(v[:-1]) * 1024 * 1024 if v.endswith("m") else int(v)
+                except Exception:
+                    return default
+            effective = _scan_parallelism(
+                files, want,
+                open_cost=_bytes_conf("spark.sql.files.openCostInBytes",
+                                      4 * 1024 * 1024),
+                max_part=_bytes_conf("spark.sql.files.maxPartitionBytes",
+                                     128 * 1024 * 1024),
+            )
         except Exception:
             # unreadable footers (remote FS without local access): the
             # input is < min_parts files, so it's small — round-robin.
