@@ -88,3 +88,21 @@ def test_ingest_batch_neardup_gate(spark, tmp_path):
     assert sorted(r["doc_id"] for r in store.corpus().collect()) == [1, 11]
     # replay: the surviving doc 11 is now exact-indexed -> no-op
     assert store.ingest_batch(b2)["new"] == 0
+
+
+def test_vacuum_drops_superseded_index_versions(spark, tmp_path):
+    import os
+
+    store = CorpusStore(spark, str(tmp_path / "c"), neardup_threshold=0.5)
+    mk = lambda i, t: spark.createDataFrame(
+        [(i, "w", "en", t)], "doc_id long, source string, lang string, text string")
+    store.ingest_batch(mk(1, "first doc here with several words inside"))
+    store.ingest_batch(mk(2, "second doc here with other words instead"))
+    removed = store.vacuum()
+    assert len(removed) == 3  # v=1 of index, mh_buckets, mh_sigs
+    # live state still reads correctly after vacuum
+    assert store.corpus().count() == 2
+    assert store.index().count() == 2
+    assert sorted(os.listdir(os.path.join(store.path, "index"))) == ["v=2"]
+    # and further ingest works
+    assert store.ingest_batch(mk(3, "third doc entirely fresh text matter"))["new"] == 1

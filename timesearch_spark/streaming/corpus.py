@@ -187,6 +187,26 @@ class CorpusStore:
         )
         return {"seen": n_seen, "new": n_new}
 
+    def vacuum(self) -> list[str]:
+        """Delete index/minhash versions older than the live pointer
+        (corpus batch dirs are all live by construction — the pointer
+        lists them — so only superseded index versions accumulate).
+        Returns the removed paths."""
+        import shutil
+
+        live = self._pointer()["version"]
+        removed = []
+        for sub in ("index", "mh_buckets", "mh_sigs"):
+            root = os.path.join(self.path, sub)
+            if not os.path.isdir(root):
+                continue
+            for d in sorted(os.listdir(root)):
+                if d.startswith("v=") and int(d[2:]) < live:
+                    full = os.path.join(root, d)
+                    shutil.rmtree(full)
+                    removed.append(full)
+        return removed
+
     def ingest_stream(self, drop_dir: str, once: bool = True,
                       poll_seconds: int = 30):
         """Run the drop-directory ingest as a Structured Streaming query
