@@ -230,3 +230,30 @@ def test_funnel_progression(spark):
     out2 = {r["stage"]: r["n_users"] for r in
             win.funnel_progression(solo, ["view", "buy"]).collect()}
     assert out2 == {1: 1, 2: 1}
+
+
+def test_trending_topk(spark):
+    from timesearch_spark.operators import windows as win
+
+    H = 3600
+    rows = (
+        [("a", 5), ("b", 3), ("c", 1)],          # hour 0 counts
+        [("b", 4), ("c", 4), ("d", 2)],          # hour 1: tie b/c -> key asc
+    )
+    data = []
+    eid = 0
+    for hour, counts in enumerate(rows):
+        for key, n in counts:
+            for _ in range(n):
+                data.append((f"e{eid}", (hour * H + eid % 60) * 10**9, "u", key, 0.0))
+                eid += 1
+    events = spark.createDataFrame(
+        data, "event_id string, ts long, user_id string, event_type string, value double")
+    out = {(r["window_start"], r["rn"]): (r["event_type"], r["n"])
+           for r in win.trending_topk(events, "1 hour", k=2).collect()}
+    import datetime as dt
+
+    h0 = dt.datetime(1970, 1, 1, 0, 0)
+    h1 = dt.datetime(1970, 1, 1, 1, 0)
+    assert out[(h0, 1)] == ("a", 5) and out[(h0, 2)] == ("b", 3)
+    assert out[(h1, 1)] == ("b", 4) and out[(h1, 2)] == ("c", 4)  # tie: b before c

@@ -181,3 +181,27 @@ def funnel_progression(
         .select("stage", "n_users")
         .orderBy("stage")
     )
+
+
+def trending_topk(
+    events: DataFrame,
+    duration: str = "1 hour",
+    key: str = "event_type",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k keys per tumbling window by event count — the trending
+    dashboard rollup.  One map-side-combined hash agg on (window, key),
+    then a rank window over the (already tiny) per-window key counts;
+    ties break by key for determinism.  Output: (window_start, key, n,
+    rn).  If one window's key space were ever hot enough to matter,
+    skew.topk_per_group is the salted drop-in."""
+    counts = tumbling_counts(events, duration, key).select(
+        F.col("window_start"), F.col(key), F.col("n")
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc(key)
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

@@ -1753,6 +1753,15 @@ def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumb.unionByName(slid)
 
 
+@q("events_trending")  # per-window top-k keys — rows-only + pytest
+def events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending rollup (windows.trending_topk): top-3 event types per
+    tumbling hour — one map-side-combined (window, key) agg, rank over
+    the tiny per-window counts, key-asc tie-break."""
+    ev = win.trending_topk(load(spark, sf_dir, "events"), "1 hour", k=3)
+    return ev.withColumn("window_start", F.col("window_start").cast("long"))
+
+
 @q("events_funnel")  # ordered funnel ladder — rows-only + pytest
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → signup → purchase funnel over events
