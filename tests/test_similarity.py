@@ -244,3 +244,29 @@ def test_ivf_honors_preassigned_cells(spark):
     with_pre = sorted(map(tuple, sim.cosine_topk_ivf_batch(
         pre, queries, k=5, n_cells=8, n_probe=8).collect()))
     assert base == with_pre
+
+
+def test_train_codebook_recovers_planted_blobs(spark):
+    """k-means|| codebook lands one centroid near each well-separated
+    blob, and plugs into assign_cells/cosine_topk_ivf_batch unchanged."""
+    import math
+
+    rows = []
+    blobs = [(10.0, 0.0), (0.0, 10.0), (-10.0, -10.0)]
+    i = 0
+    for bx, by in blobs:
+        for j in range(20):
+            rows.append((i, [bx + math.sin(j) * 0.1, by + math.cos(j) * 0.1,
+                             0.0, 0.0]))
+            i += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    book = sim.train_codebook(emb, n_cells=3, seed=7)
+    assert len(book) == 3 and sorted(c for c, _ in book) == [0, 1, 2]
+    # every blob center is close to some learned centroid
+    for bx, by in blobs:
+        d = min((cx - bx) ** 2 + (cy - by) ** 2
+                for _, (cx, cy, _, _) in book)
+        assert d < 1.0, (bx, by, book)
+    # interchangeability with the IVF machinery
+    cells = sim.assign_cells(emb, book, "embedding")
+    assert cells.select("cell").distinct().count() == 3

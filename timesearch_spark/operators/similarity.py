@@ -326,6 +326,39 @@ def centroid_seeds(
     return [(r[0], list(r["v"])) for r in rows]
 
 
+def train_codebook(
+    emb: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[tuple[int, list[float]]]:
+    """Production IVF codebook: k-means|| (pyspark.ml.clustering.KMeans)
+    over the embedding column, returned in the same
+    ``[(cell_id, centroid), ...]`` shape ``centroid_seeds`` uses, so
+    ``assign_cells`` / ``cosine_topk_ivf[_batch]`` take either
+    interchangeably (pass ``centroids=train_codebook(...)`` via the
+    pre-assigned-cell path or call assign_cells yourself).
+
+    Deterministic for a fixed (data, seed).  The fit is one ML job over
+    the corpus — run it once at index-build time and persist the
+    codebook; queries only ever see the literal centroid list.  The
+    toy ``centroid_seeds`` (lowest-id vectors) stays the oracle-checkable
+    default; this is the quality upgrade when cell balance matters."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = emb.select(
+        array_to_vector(as_double(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return [
+        (cid, [float(x) for x in center])
+        for cid, center in enumerate(model.clusterCenters())
+    ]
+
+
 def _rounded_cos_lit(vec_col, centroid: list[float]):
     """ROUND(cos(v, centroid), 6) with the centroid as a literal array —
     the sequential-fold cosine, so the rounded value is bit-identical to
