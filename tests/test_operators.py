@@ -257,3 +257,27 @@ def test_trending_topk(spark):
     h1 = dt.datetime(1970, 1, 1, 1, 0)
     assert out[(h0, 1)] == ("a", 5) and out[(h0, 2)] == ("b", 3)
     assert out[(h1, 1)] == ("b", 4) and out[(h1, 2)] == ("c", 4)  # tie: b before c
+
+
+def test_rate_anomalies_flags_spike_not_noise(spark):
+    from timesearch_spark.operators import windows as win
+
+    H = 3600
+    data = []
+    eid = 0
+    # 11 steady hours of ~10 events, then one 100-event spike hour
+    for hour in range(12):
+        n = 100 if hour == 11 else 10 + (hour % 2)  # mild jitter
+        for _ in range(n):
+            data.append((f"e{eid}", (hour * H + eid % 60) * 10**9,
+                         "u", "click", 0.0))
+            eid += 1
+    events = spark.createDataFrame(
+        data, "event_id string, ts long, user_id string, event_type string, value double")
+    out = win.rate_anomalies(events, "1 hour", trailing=24, z=3.0).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n"] == 100 and row["zscore"] > 3
+    import datetime as dt
+
+    assert row["window_start"] == dt.datetime(1970, 1, 1, 11, 0)

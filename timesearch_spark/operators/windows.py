@@ -205,3 +205,52 @@ def trending_topk(
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    duration: str = "1 hour",
+    key: str = "event_type",
+    trailing: int = 24,
+    z: float = 3.0,
+    min_history: int = 6,
+) -> DataFrame:
+    """Per-key event-rate anomaly flags: a window whose count deviates
+    from the TRAILING ``trailing``-window mean by more than ``z`` sample
+    standard deviations (two-sided — spikes and outages both flag).
+    Windows with fewer than ``min_history`` preceding observations are
+    never flagged (cold-start noise).
+
+    Shape: the per-(window, key) counts come from the same
+    map-side-combined agg every rollup here uses; the trailing stats are
+    ONE ordered window pass per key over the tiny count series (rows =
+    windows × keys, not events).  Output: (window_start, key, n, mean,
+    stddev, zscore)."""
+    counts = tumbling_counts(events, duration, key).select(
+        F.col("window_start"), F.col(key), F.col("n")
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("window_start")
+        .rowsBetween(-trailing, -1)
+    )
+    stats = counts.select(
+        "window_start", key, "n",
+        F.avg("n").over(w).alias("mean"),
+        F.stddev_samp("n").over(w).alias("stddev"),
+        F.count("n").over(w).alias("history"),
+    )
+    zscore = (F.col("n") - F.col("mean")) / F.col("stddev")
+    return (
+        stats.filter(
+            (F.col("history") >= min_history)
+            & (F.col("stddev") > 0)
+            & (F.abs(zscore) >= z)
+        )
+        .select(
+            "window_start", key, "n",
+            F.round("mean", 4).alias("mean"),
+            F.round("stddev", 4).alias("stddev"),
+            F.round(zscore, 4).alias("zscore"),
+        )
+    )

@@ -1753,6 +1753,16 @@ def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumb.unionByName(slid)
 
 
+@q("events_anomalies")  # rate-anomaly flags — rows-only + pytest
+def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event-rate anomalies (windows.rate_anomalies): hourly
+    counts vs the trailing-24h mean, two-sided 3-sigma flags, cold-start
+    guarded.  The ops-observability rollup over the same tumbling agg
+    every events query shares."""
+    ev = win.rate_anomalies(load(spark, sf_dir, "events"), "1 hour")
+    return ev.withColumn("window_start", F.col("window_start").cast("long"))
+
+
 @q("events_trending")  # per-window top-k keys — rows-only + pytest
 def events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending rollup (windows.trending_topk): top-3 event types per
