@@ -270,3 +270,38 @@ def test_train_codebook_recovers_planted_blobs(spark):
     # interchangeability with the IVF machinery
     cells = sim.assign_cells(emb, book, "embedding")
     assert cells.select("cell").distinct().count() == 3
+
+
+def test_embed_documents_shapes_and_determinism(spark):
+    from timesearch_spark.operators.embed import embed_documents
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["vec_id"]: r["embedding"] for r in embed_documents(docs, dim=16).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1] == rows[2]                       # same text, same vector
+    assert all(len(v) == 16 for v in rows.values())
+    import math
+
+    assert math.isclose(sum(x * x for x in rows[1]), 1.0, rel_tol=1e-9)  # L2=1
+    assert all(x == 0.0 for x in rows[3]) and all(x == 0.0 for x in rows[4])
+
+
+def test_semantic_dedup_clusters_shared_vocabulary(spark):
+    from timesearch_spark.operators.embed import semantic_dedup
+
+    doc = "the quick brown fox jumps over the lazy dog near the red barn"
+    shuffled = "near the red barn the lazy dog jumps over the quick brown fox"
+    docs = spark.createDataFrame(
+        [(1, doc),
+         (2, shuffled),    # same bag of words, different order -> cos 1.0
+         (3, "entirely different vocabulary about spark shuffle planning")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           semantic_dedup(docs, threshold=0.9, method="exact").collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[1]["is_keeper"] is True and out[2]["is_keeper"] is False
+    assert out[3]["cluster_id"] == 3 and out[3]["is_keeper"] is True

@@ -1997,6 +1997,19 @@ def ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.ngram_top(load(spark, sf_dir, "documents"), n=3, k=20)
 
 
+@q("dedup_semantic")  # text -> embedding-space clusters — rows-only + pytest
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup clustering straight from text
+    (embed.semantic_dedup): hashed-BoW embeddings (deterministic model
+    stand-in; a real encoder swaps into the same batch loop) -> LSH
+    pairs -> hash-min clusters.  Complements the token-level ladder —
+    cosine over embeddings catches word-order-insensitive similarity a
+    shingle set misses."""
+    from timesearch_spark.operators.embed import semantic_dedup
+
+    return semantic_dedup(load(spark, sf_dir, "documents"), threshold=0.9)
+
+
 @q("dedup_incremental_minhash")  # cross-run NEAR-dup vs stored index — rows-only + pytest
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy analog of dedup_incremental: a batch (docs with odd ids)
