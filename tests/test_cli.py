@@ -298,3 +298,13 @@ def test_curate_subcommand(spark, tmp_path, capsys):
     assert res["kept"] == 1  # dup collapsed, empty doc gated
     kept = spark.read.parquet(outdir).collect()
     assert kept[0]["doc_id"] == 1 and kept[0]["split"] in ("train", "val", "test")
+
+
+def test_profile_subcommand(spark, tmp_path, capsys):
+    src = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, "a"), (2, None)], "k long, s string") \
+        .write.parquet(src)
+    assert cli.main(["profile", "--input", src]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    by_col = {r["column"]: r for r in rows}
+    assert by_col["s"]["n_null"] == 1 and by_col["k"]["n_rows"] == 2

@@ -217,6 +217,17 @@ def cmd_get_styles(args):
     return 0
 
 
+def cmd_profile(args):
+    from timesearch_spark.operators.quality import table_profile
+    from timesearch_spark.session import get_spark
+
+    spark = get_spark("timesearch-cli")
+    df = spark.read.parquet(args.input)
+    rows = table_profile(df).collect()
+    print(json.dumps([r.asDict() for r in rows], default=str))
+    return 0
+
+
 def cmd_ingest_corpus(args):
     from timesearch_spark.session import get_spark
     from timesearch_spark.streaming.corpus import CorpusStore
@@ -351,6 +362,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--css", dest="css", default=None)
     p.add_argument("--images", dest="images", default=None)
     p.set_defaults(func=cmd_get_styles)
+
+    p = sub.add_parser("profile",
+                       help="[extension] per-column data-quality profile")
+    p.add_argument("--input", dest="input", required=True,
+                   help="parquet table to profile")
+    p.set_defaults(func=cmd_profile)
 
     p = sub.add_parser("ingest_corpus",
                        help="[extension] drop-dir stream -> deduped corpus")

@@ -1,9 +1,12 @@
-"""Event-time windowed aggregation + sessionization over the events table.
+"""Event-time analytics over the events table: tumbling windows,
+gap sessionization, cohort retention, ordered funnels, trending top-k,
+and rate-anomaly flags.
 
-The reference has no event-time windows at all (SURVEY §2-I: its only
-event-time construct is a hand-rolled monotone lower bound).  These are
+The reference has no event-time constructs at all (SURVEY §2-I: its only
+event-time notion is a hand-rolled monotone lower bound).  These are
 the north-star batch forms; the streaming variants (withWatermark +
-window / session_window) live in timesearch_spark.streaming.
+window / session_window) live in timesearch_spark.streaming, and the
+persisted/incremental form is operators.rollup.MaterializedRollup.
 
 events.ts arrives as nanos-as-long OR timestamp[us] depending on the
 testdata generation (tables.event_ts_sec branches); helpers convert once.
