@@ -247,3 +247,28 @@ def test_index_offline_links_resolve_to_rendered_threads(spark, tmp_path):
     assert len(links) == 2
     rendered = set(os.listdir(tmp_path / "out" / "offline_reading"))
     assert set(links) <= rendered
+
+
+def test_sharded_index_concatenates_to_the_single_file_listing(spark, tmp_path):
+    """Range-partitioned shards, concatenated in filename order, must
+    equal the driver-written single file byte-for-byte (modulo the
+    single file's trailing newline handling)."""
+    from timesearch_spark.operators.exports import write_index_sharded
+
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    p = tmp_path / "dump.jsonl"
+    p.write_text("\n".join(json.dumps(_sub(i, score=i)) for i in range(50)))
+    api.ingest_jsonfile(ar, str(p))
+
+    single = api.index(ar, str(tmp_path / "one"), orderby="score")
+    shard_dir = write_index_sharded(
+        ar.submissions.snapshot(), str(tmp_path / "many"), orderby="score"
+    )
+    parts = sorted(
+        f for f in os.listdir(shard_dir) if f.startswith("part-")
+    )
+    assert len(parts) >= 1
+    sharded = "".join(
+        open(os.path.join(shard_dir, f)).read() for f in parts
+    )
+    assert sharded == open(single).read()

@@ -119,6 +119,27 @@ def write_index(
     return path
 
 
+def write_index_sharded(
+    submissions: DataFrame,
+    out_dir: str,
+    orderby: str = "date",
+    score_threshold: int = 0,
+    html: bool = False,
+    offline: bool = False,
+) -> str:
+    """The 100× form of ``write_index``: the ordered listing written as
+    RANGE-PARTITIONED text shards straight from executors — a global
+    sort range-partitions the lines, so ``part-*`` files concatenate in
+    filename order into exactly the single-file listing.  No driver
+    iteration at any size; ``write_index`` (one file, driver-written,
+    constant memory) remains the right tool when the output contract is
+    literally one file.  Returns the shard directory."""
+    lines = index_lines(submissions, orderby, score_threshold, html, offline)
+    path = os.path.join(out_dir, f"listing_{orderby}_shards")
+    lines.write.mode("overwrite").text(path)
+    return path
+
+
 def breakdown_json(bd: DataFrame, sort: str | None = None,
                    key_name: str = "author") -> str:
     """Serialize a breakdown DataFrame the reference's way
