@@ -230,3 +230,19 @@ def test_batch_topk_is_one_linear_job(spark):
                 tables._FILE_META.pop(f, None)
             else:
                 tables._FILE_META[f] = v
+
+
+def test_no_row_at_a_time_python_in_any_query(spark):
+    """Engine-wide invariant: every Python surface in every registered
+    query is Arrow-batched (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas) — a row-at-a-time BatchEvalPython stage in
+    any plan is the exact anti-pattern the engine bans.  Plan
+    construction only; nothing executes."""
+    import timesearch_spark.queries as tsq
+
+    offenders = []
+    for name, fn in tsq.QUERIES.items():
+        plan = plans.formatted_plan(fn(spark, SF_SMALL))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == []
