@@ -281,3 +281,22 @@ def test_rate_anomalies_flags_spike_not_noise(spark):
     import datetime as dt
 
     assert row["window_start"] == dt.datetime(1970, 1, 1, 11, 0)
+
+
+def test_window_percentiles(spark):
+    from timesearch_spark.operators import windows as win
+
+    H = 3600
+    data = []
+    for i in range(100):  # hour 0: values 1..100
+        data.append((f"a{i}", (0 * H + i % 60) * 10**9, "u", "lat", float(i + 1)))
+    for i in range(10):   # hour 1: values 10..100 step 10
+        data.append((f"b{i}", (1 * H + i) * 10**9, "u", "lat", float((i + 1) * 10)))
+    events = spark.createDataFrame(
+        data, "event_id string, ts long, user_id string, event_type string, value double")
+    out = {r["window_start"].hour: r for r in
+           win.window_percentiles(events, "1 hour").collect()}
+    assert out[0]["n"] == 100 and out[1]["n"] == 10
+    assert 49 <= out[0]["p5"] <= 51          # median of 1..100
+    assert 94 <= out[0]["p95"] <= 96
+    assert out[1]["p5"] in (50.0, 60.0)      # median of 10..100 (10 values)

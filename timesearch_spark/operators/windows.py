@@ -257,3 +257,32 @@ def rate_anomalies(
             F.round(zscore, 4).alias("zscore"),
         )
     )
+
+
+def window_percentiles(
+    events: DataFrame,
+    duration: str = "1 hour",
+    key: str = "event_type",
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-window value percentiles (p50/p95/p99-style latency rollup)
+    via ``percentile_approx`` — a bounded-size quantile sketch per
+    (window, key) group that map-side partial-merges like any aggregate,
+    so the shuffle carries sketches, not values.  ``accuracy`` trades
+    sketch size for error (1/accuracy relative rank error).  Output:
+    (window_start, key, n, p50, p95, p99...) with pN columns named from
+    the requested percentiles."""
+    ev = with_event_time(events)
+    pcols = [
+        F.percentile_approx("value", p, accuracy).alias(
+            f"p{str(p).replace('0.', '')}"
+        )
+        for p in percentiles
+    ]
+    return (
+        ev.groupBy(F.window("event_time", duration).alias("w"), F.col(key))
+        .agg(F.count("*").alias("n"), *pcols)
+        .select(F.col("w.start").alias("window_start"), key, "n",
+                *[f"p{str(p).replace('0.', '')}" for p in percentiles])
+    )

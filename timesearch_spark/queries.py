@@ -1753,6 +1753,16 @@ def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumb.unionByName(slid)
 
 
+@q("events_percentiles")  # per-window quantile sketches — rows-only + pytest
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly p50/p95/p99 of event values per type
+    (windows.window_percentiles): percentile_approx sketches partial-
+    merge map-side, so the shuffle carries bounded sketches, never raw
+    values — the latency-rollup shape at any scale."""
+    ev = win.window_percentiles(load(spark, sf_dir, "events"), "1 hour")
+    return ev.withColumn("window_start", F.col("window_start").cast("long"))
+
+
 @q("events_anomalies")  # rate-anomaly flags — rows-only + pytest
 def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type event-rate anomalies (windows.rate_anomalies): hourly
