@@ -46,3 +46,29 @@ def test_bench_isolates_a_broken_query(spark, monkeypatch):
     assert "synthetic breakage" in out["errors"]["__boom"]
     assert out["runs"]["__boom"] == "err"
     assert "media_stats" in out["queries"]  # the rest still benched
+
+
+def test_check_oracle_canon_normalization():
+    """The local t2 stand-in's normalization must match the driver's
+    contract: floats rounded to 6, NaN spelled out, None sentinel, bytes
+    hexed, nested lists flattened, columns compared by sorted name."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "check_oracle.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert mod.norm_cell(None) == "\0"
+    assert mod.norm_cell(1.23456789) == "1.234568"
+    assert mod.norm_cell(float("nan")) == "nan"
+    assert mod.norm_cell(b"\x01\xff") == "01ff"
+    assert mod.norm_cell([1.0, None]) == "[1.0,\0]"
+    # column order must not matter: (a, b) rows vs (b, a) rows hash equal
+    left = mod.canon([(1, "x"), (2, "y")], ["a", "b"])
+    right = mod.canon([("x", 1), ("y", 2)], ["b", "a"])
+    assert left == right
