@@ -136,15 +136,18 @@ class CorpusStore:
         if n_seen == 0:
             return {"seen": 0, "new": 0}
         ptr = self._pointer()
-        tag = incremental_dedup(batch, index=self.index())
+        idx = self.index()
+        tag = incremental_dedup(batch, index=idx)
         new_docs = batch.join(
             tag.filter(F.col("is_new")).select("doc_id"), "doc_id"
         ).localCheckpoint(eager=True)
+        mh_buckets = mh_sigs = None
         if self.neardup_threshold is not None and new_docs.count():
             # fuzzy gate: reject near-dups of the stored corpus, then
             # collapse batch-internal near-dups to their min-id keeper
+            mh_buckets, mh_sigs = self.minhash_buckets(), self.minhash_sigs()
             near = incremental_minhash_dedup(
-                new_docs, self.minhash_buckets(), self.minhash_sigs(),
+                new_docs, mh_buckets, mh_sigs,
                 threshold=self.neardup_threshold,
             )
             new_docs = new_docs.join(
@@ -163,7 +166,7 @@ class CorpusStore:
                 os.path.join(self.path, "corpus", f"batch={version}")
             )
         merged = (
-            self.index()
+            idx
             .unionByName(fingerprint_index(new_docs))
             .groupBy("fp")
             .agg(F.min("keeper").alias("keeper"))
@@ -172,11 +175,13 @@ class CorpusStore:
             os.path.join(self.path, "index", f"v={version}")
         )
         if self.neardup_threshold is not None:
+            if mh_buckets is None:
+                mh_buckets, mh_sigs = self.minhash_buckets(), self.minhash_sigs()
             nb, ns = minhash_index(new_docs)
-            self.minhash_buckets().unionByName(nb).write.mode("overwrite").parquet(
+            mh_buckets.unionByName(nb).write.mode("overwrite").parquet(
                 os.path.join(self.path, "mh_buckets", f"v={version}")
             )
-            self.minhash_sigs().unionByName(ns).write.mode("overwrite").parquet(
+            mh_sigs.unionByName(ns).write.mode("overwrite").parquet(
                 os.path.join(self.path, "mh_sigs", f"v={version}")
             )
         self._swap_pointer(
