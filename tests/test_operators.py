@@ -300,3 +300,24 @@ def test_window_percentiles(spark):
     assert 49 <= out[0]["p5"] <= 51          # median of 1..100
     assert 94 <= out[0]["p95"] <= 96
     assert out[1]["p5"] in (50.0, 60.0)      # median of 10..100 (10 values)
+
+
+def test_session_funnel_resets_at_session_boundaries(spark):
+    from timesearch_spark.operators import windows as win
+
+    rows = [
+        # u1: view and buy in ONE session -> converts
+        ("e1", 100, "u1", "view"), ("e2", 200, "u1", "buy"),
+        # u2: view, then a >gap pause, then buy -> two sessions, no conversion
+        ("e3", 100, "u2", "view"), ("e4", 100 + 4000, "u2", "buy"),
+    ]
+    events = spark.createDataFrame(
+        [(i, ts * 10**9, u, t, 0.0) for (i, ts, u, t) in rows],
+        "event_id string, ts long, user_id string, event_type string, value double",
+    )
+    scoped = {r["stage"]: r["n_users"] for r in
+              win.session_funnel(events, ["view", "buy"], gap_sec=1800).collect()}
+    assert scoped == {1: 2, 2: 1}   # u2 stops at stage 1 in-session
+    alltime = {r["stage"]: r["n_users"] for r in
+               win.funnel_progression(events, ["view", "buy"]).collect()}
+    assert alltime == {1: 2, 2: 2}  # the all-time funnel counts u2 too

@@ -129,6 +129,38 @@ def retention_cohorts(
     )
 
 
+def _fold_stage(steps: list[str]):
+    """Fold over a sorted ``seq`` of (ts_sec, t) structs: state = number
+    of steps completed in order; an event advances the state iff it
+    matches the NEXT wanted step.  Whole-stage-codegen'd JVM expression."""
+    steps_arr = F.lit(steps)
+    return F.aggregate(
+        F.col("seq"),
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < F.size(steps_arr))
+            & (e["t"] == F.element_at(steps_arr, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+
+
+def _ladder(reached: DataFrame, n_steps: int) -> DataFrame:
+    """(stage) rows → full-spine cumulative (stage, n_users) ladder."""
+    counts = reached.groupBy("stage").agg(F.count("*").alias("n_at_stage"))
+    spine = reached.sparkSession.range(1, n_steps + 1).select(
+        F.col("id").cast("int").alias("stage")
+    )
+    counts = spine.join(counts, "stage", "left").na.fill({"n_at_stage": 0})
+    # cumulative over <= n_steps rows: bounded by the step count
+    w = Window.orderBy(F.desc("stage")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        counts.withColumn("n_users", F.sum("n_at_stage").over(w))
+        .select("stage", "n_users")
+        .orderBy("stage")
+    )
+
+
 def funnel_progression(
     events: DataFrame,
     steps: list[str],
@@ -154,36 +186,51 @@ def funnel_progression(
             F.collect_list(F.struct(F.col("ts_sec"), F.col(type_col).alias("t")))
         ).alias("seq")
     )
-    steps_arr = F.lit(steps)
-    # fold: state = number of steps completed; an event advances the
-    # state iff it matches the NEXT wanted step
-    stage = F.aggregate(
-        F.col("seq"),
-        F.lit(0),
-        lambda acc, e: F.when(
-            (acc < F.size(steps_arr))
-            & (e["t"] == F.element_at(steps_arr, acc + 1)),
-            acc + 1,
-        ).otherwise(acc),
+    reached = per_user.select(_fold_stage(steps).alias("stage")).filter(
+        F.col("stage") > 0
     )
-    reached = per_user.select(stage.alias("stage")).filter(F.col("stage") > 0)
-    ladder = reached.groupBy("stage").agg(F.count("*").alias("n_at_stage"))
-    # full spine 1..len(steps): a stage nobody STOPPED at must still get
-    # its cumulative row (everyone passed through it)
-    spine = events.sparkSession.range(1, len(steps) + 1).select(
-        F.col("id").cast("int").alias("stage")
+    return _ladder(reached, len(steps))
+
+
+def session_funnel(
+    events: DataFrame,
+    steps: list[str],
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel scoped to SESSIONS: the ordered progression resets at every
+    session boundary (sessionize's gap rule), and a user counts at the
+    deepest stage any single session of theirs reached — the "did they
+    convert in one sitting" question, which the all-time funnel can't
+    answer (a view on Monday + a purchase in March is not a funnel).
+
+    Shape: the same single user-shuffle as sessionize (lag + running-sum
+    session ids ride it), one codegen'd fold per (user, session) over the
+    sorted per-session events, a per-user max, then the spine ladder.
+    Output: (stage, n_users)."""
+    ev = with_event_time(events)
+    w = Window.partitionBy(user_col).orderBy("ts_sec", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.col("ts_sec") - F.lag("ts_sec").over(w) > gap_sec, 1)
+        .otherwise(F.when(F.lag("ts_sec").over(w).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    ladder = spine.join(ladder, "stage", "left").na.fill({"n_at_stage": 0})
-    # cumulative over <= len(steps) rows: the single-partition window is
-    # bounded by the step count, not the data
-    w = Window.orderBy(F.desc("stage")).rowsBetween(
-        Window.unboundedPreceding, 0
+    per_session = flagged.groupBy(user_col, "session_seq").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts_sec"), F.col(type_col).alias("t")))
+        ).alias("seq")
     )
-    return (
-        ladder.withColumn("n_users", F.sum("n_at_stage").over(w))
-        .select("stage", "n_users")
-        .orderBy("stage")
+    per_user = (
+        per_session.select(F.col(user_col), _fold_stage(steps).alias("stage"))
+        .groupBy(user_col)
+        .agg(F.max("stage").alias("stage"))
     )
+    reached = per_user.select("stage").filter(F.col("stage") > 0)
+    return _ladder(reached, len(steps))
 
 
 def trending_topk(

@@ -1773,6 +1773,18 @@ def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("window_start", F.col("window_start").cast("long"))
 
 
+@q("events_session_funnel")  # in-session conversion ladder — rows-only + pytest
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped funnel (windows.session_funnel): progression resets
+    at every 30-min-gap session boundary; a user counts at the deepest
+    stage any single session reached — the did-they-convert-in-one-
+    sitting ladder the all-time funnel can't answer."""
+    return win.session_funnel(
+        load(spark, sf_dir, "events"),
+        ["view", "click", "signup", "purchase"], gap_sec=1800,
+    )
+
+
 @q("events_trending")  # per-window top-k keys — rows-only + pytest
 def events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending rollup (windows.trending_topk): top-3 event types per
