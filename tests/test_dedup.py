@@ -285,3 +285,38 @@ def test_incremental_minhash_dedup(spark):
     assert out[11]["is_new"] is False and out[11]["dup_of"] == 1
     assert 0.5 <= out[11]["est_jaccard"] < 1.0
     assert out[12]["is_new"] is True and out[12]["dup_of"] is None
+
+
+def test_incremental_simhash_dedup(spark):
+    """Hamming-near batch docs are tagged against the persisted simhash
+    index; exact recall via pigeonhole blocking."""
+    from timesearch_spark.operators.dedup import (
+        incremental_simhash_dedup,
+        simhash_index,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    corpus = spark.createDataFrame(
+        [(1, base),
+         (2, "unrelated content with completely different tokens here "
+             "about engines plans shuffles and partitions")],
+        "doc_id long, text string",
+    )
+    idx = simhash_index(corpus, max_hamming=6)  # chunk layout must match the probe
+    batch = spark.createDataFrame(
+        [
+            (10, base),                                   # identical: hamming 0
+            (11, base.replace("upsilon", "omega")),       # one-token edit
+            (12, "wholly new vocabulary nothing shared at all with anything "
+                 "stored before in this corpus of fixtures"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           incremental_simhash_dedup(batch, idx, max_hamming=6).collect()}
+    assert out[10]["is_new"] is False and out[10]["dup_of"] == 1
+    assert out[10]["hamming"] == 0
+    assert out[11]["is_new"] is False and out[11]["dup_of"] == 1
+    assert 0 < out[11]["hamming"] <= 6
+    assert out[12]["is_new"] is True and out[12]["dup_of"] is None

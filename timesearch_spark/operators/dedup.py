@@ -1018,3 +1018,98 @@ def incremental_minhash_dedup(
             F.round(F.col("__w.__est"), 6).alias("est_jaccard"),
         )
     )
+
+
+def simhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """The persisted SimHash artifact for incremental near-dup tagging:
+    (chunk, val, keeper, sh) — one row per pigeonhole chunk per corpus
+    doc (max_hamming+1 rows/doc), stored partitioned by (chunk, val) so
+    batch probes prune.  Carries the full 64-bit signature so Hamming
+    verification needs no second relation."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    h = simhash_table(df, text_col, id_col, "xxhash64")
+    return h.select(
+        F.col(id_col).alias("keeper"),
+        F.col("sh"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned(F.col("sh"), c * width)
+                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                    .alias("val"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("cv"),
+    ).select(
+        F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"),
+        "keeper", "sh",
+    )
+
+
+def incremental_simhash_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Tag a batch against a persisted ``simhash_index`` without
+    re-reading the corpus — the Hamming-distance sibling of
+    ``incremental_minhash_dedup`` (simhash favors short/structured text
+    where minhash's shingle sets get thin).
+
+    Returns (id, is_new, dup_of, hamming): ``dup_of`` = min corpus
+    keeper within ``max_hamming`` of the doc's signature; recall is
+    EXACT (pigeonhole: a pair within distance d agrees on ≥1 of d+1
+    chunks, so the blocked probe cannot miss).  Candidates shuffle on
+    narrow (chunk, val) keys; verification is one bit_count per
+    candidate.  ``max_hamming`` is part of the INDEX LAYOUT: the probe's
+    chunking must equal the value the index was built with, or chunk
+    keys don't line up and nothing matches."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    bh = simhash_table(batch, text_col, id_col, "xxhash64")
+    probes = bh.select(
+        F.col(id_col).alias("__bid"),
+        F.col("sh").alias("__bsh"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned(F.col("sh"), c * width)
+                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                    .alias("val"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("cv"),
+    ).select("__bid", "__bsh", F.col("cv.chunk").alias("chunk"),
+             F.col("cv.val").alias("val"))
+    cand = (
+        probes.join(index, on=["chunk", "val"])
+        .select("__bid", "__bsh", "keeper", "sh")
+        .dropDuplicates(["__bid", "keeper"])
+        .withColumn("hamming", hamming64("__bsh", "sh"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    best = cand.groupBy("__bid").agg(
+        F.min_by(F.struct("keeper", "hamming"), F.col("keeper")).alias("__w")
+    )
+    return (
+        batch.select(_c(id_col).alias(id_col))
+        .join(best.withColumnRenamed("__bid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("__w").isNull().alias("is_new"),
+            F.col("__w.keeper").alias("dup_of"),
+            F.col("__w.hamming").alias("hamming"),
+        )
+    )
