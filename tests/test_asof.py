@@ -1,0 +1,225 @@
+"""As-of and interval joins (operators/asof.py): exactness is pinned
+against DuckDB's NATIVE implementations (ASOF JOIN; a true range join)
+on the events table — the strongest available oracle for operators the
+driver checks rows-only."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from timesearch_spark.operators.asof import asof_join, interval_join
+from timesearch_spark.operators.windows import sessionize, with_event_time
+from timesearch_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT event_id, user_id, event_type, "
+        f"epoch_ns(ts) // 1000000000 AS ts_sec "
+        f"FROM '{SF_ORACLE}/events.parquet'"
+    )
+    yield con
+    con.close()
+
+
+def _sides(spark):
+    ev = with_event_time(load(spark, SF_ORACLE, "events"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_sec").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return purchases, clicks
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.sort_values("event_id").reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].fillna(-1).astype("int64")
+    return out
+
+
+@pytest.mark.parametrize(
+    "direction,strict,op",
+    [
+        ("backward", False, "<="),
+        ("backward", True, "<"),
+        ("forward", False, ">="),
+        ("forward", True, ">"),
+    ],
+)
+def test_asof_matches_duckdb_native(spark, duck, direction, strict, op):
+    purchases, clicks = _sides(spark)
+    got = _canon(
+        asof_join(
+            purchases,
+            clicks,
+            on=["user_id"],
+            left_ts="ts_sec",
+            right_ts="click_ts",
+            right_cols=["click_id"],
+            direction=direction,
+            strict=strict,
+        ).toPandas()
+    )
+    exp = _canon(
+        duck.sql(
+            f"""
+        WITH p AS (SELECT event_id, user_id, ts_sec FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts_sec AS click_ts, event_id AS click_id
+                   FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.ts_sec,
+               c.click_ts AS matched_ts, c.click_id
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND c.click_ts {op} p.ts_sec
+        """
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    purchases, clicks = _sides(spark)
+    base = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts_sec",
+        right_ts="click_ts", right_cols=["click_id"],
+    ).toPandas()
+    tol = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts_sec",
+        right_ts="click_ts", right_cols=["click_id"], tolerance=3600,
+    ).toPandas()
+    assert len(tol) == len(base)  # left-outer either way
+    m = base.set_index("event_id")
+    t = tol.set_index("event_id")
+    for eid in m.index:
+        dist = m.loc[eid, "ts_sec"] - m.loc[eid, "matched_ts"]
+        if pd.notna(dist) and dist <= 3600:
+            assert t.loc[eid, "matched_ts"] == m.loc[eid, "matched_ts"]
+        else:
+            assert pd.isna(t.loc[eid, "matched_ts"])
+
+
+def test_asof_rejects_bad_args(spark):
+    purchases, clicks = _sides(spark)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(purchases, clicks, on=["user_id"], left_ts="ts_sec",
+                  right_ts="click_ts", direction="nearest")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            purchases,
+            clicks.select("user_id", F.col("click_ts"),
+                          F.col("click_id").alias("event_id")),
+            on=["user_id"], left_ts="ts_sec", right_ts="click_ts",
+        )
+
+
+_SESS_SQL = """
+    WITH v AS (SELECT user_id, ts_sec, event_id FROM events
+               WHERE event_type = 'view'),
+    numbered AS (
+      SELECT user_id, ts_sec, event_id,
+        CASE WHEN LAG(ts_sec) OVER w IS NULL
+               OR ts_sec - LAG(ts_sec) OVER w > {gap} THEN 1 ELSE 0 END AS ns
+      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+    ),
+    flagged AS (
+      SELECT user_id, ts_sec,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+               AS session_id
+      FROM numbered
+    ),
+    sess AS (
+      SELECT user_id, session_id, MIN(ts_sec) AS session_start,
+             MAX(ts_sec) AS session_end, COUNT(*) AS n_events
+      FROM flagged GROUP BY 1, 2
+    ),
+    p AS (SELECT event_id, user_id, ts_sec FROM events
+          WHERE event_type = 'purchase')
+"""
+
+
+def _iv_sides(spark, gap):
+    ev = with_event_time(load(spark, SF_ORACLE, "events"))
+    sessions = sessionize(ev.filter(F.col("event_type") == "view"), gap_sec=gap)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    return purchases, sessions
+
+
+@pytest.mark.parametrize("gap,bucket", [(7200, 7200), (7200, 600), (86400, 3600)])
+def test_interval_inner_matches_duckdb(spark, duck, gap, bucket):
+    purchases, sessions = _iv_sides(spark, gap)
+    got = (
+        interval_join(
+            purchases, sessions, point_ts="ts_sec",
+            start_col="session_start", end_col="session_end",
+            on=["user_id"], bucket_sec=bucket,
+        )
+        .select("event_id", "session_id", "session_start", "session_end")
+        .toPandas()
+        .sort_values(["event_id", "session_id"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    exp = (
+        duck.sql(
+            _SESS_SQL.format(gap=gap)
+            + """
+        SELECT p.event_id, sess.session_id, sess.session_start,
+               sess.session_end
+        FROM p JOIN sess ON p.user_id = sess.user_id
+          AND p.ts_sec BETWEEN sess.session_start AND sess.session_end
+        ORDER BY p.event_id, sess.session_id
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_interval_left_keeps_unmatched_points(spark):
+    purchases, sessions = _iv_sides(spark, 7200)
+    inner = interval_join(
+        purchases, sessions, point_ts="ts_sec", start_col="session_start",
+        end_col="session_end", on=["user_id"], bucket_sec=7200,
+    )
+    left = interval_join(
+        purchases, sessions, point_ts="ts_sec", start_col="session_start",
+        end_col="session_end", on=["user_id"], bucket_sec=7200, how="left",
+    )
+    n_points = purchases.count()
+    n_inner = inner.count()
+    lpdf = left.toPandas()
+    matched = lpdf[lpdf.session_id.notna()]
+    assert len(matched) == n_inner
+    # every point appears; unmatched exactly once with null interval cols
+    unmatched = lpdf[lpdf.session_id.isna()]
+    assert len(unmatched) == n_points - matched.event_id.nunique()
+    assert unmatched.session_start.isna().all()
+
+
+def test_interval_rejects_bad_args(spark):
+    purchases, sessions = _iv_sides(spark, 7200)
+    with pytest.raises(ValueError, match="inner|left"):
+        interval_join(purchases, sessions, point_ts="ts_sec",
+                      start_col="session_start", end_col="session_end",
+                      on=["user_id"], how="outer")
+    with pytest.raises(ValueError, match="overlapping"):
+        interval_join(
+            purchases.withColumn("session_start", F.lit(0)),
+            sessions, point_ts="ts_sec", start_col="session_start",
+            end_col="session_end", on=["user_id"],
+        )

@@ -159,6 +159,27 @@ def test_pack_sequences_single_shuffle(spark):
     assert plans.num_shuffles(df) == 1
 
 
+def test_asof_join_single_shuffle_no_theta_join(spark):
+    # the union trick: both sides exchange ONCE on the key and the
+    # running last() window answers the temporal predicate — a second
+    # exchange or any Join node would mean the as-of degraded to a
+    # shuffle-per-side or a quadratic theta-join
+    df = _q(spark, "events_asof")
+    plan = plans.executed_plan(df)
+    assert plans.num_shuffles(df) == 1
+    assert "Join" not in plan
+
+
+def test_interval_join_is_hash_equi_join(spark):
+    # bucket blocking must reach the join as an equi-join key: a
+    # BroadcastNestedLoopJoin/CartesianProduct here means the range
+    # predicate leaked into the join condition
+    df = _q(spark, "events_interval")
+    plan = plans.executed_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_ngram_top_partial_aggregates(spark):
     df = _q(spark, "ngram_top")
     assert plans.has_partial_aggregate(df)

@@ -1,0 +1,201 @@
+"""As-of (point-in-time) and interval joins over event streams.
+
+Neither exists in the reference (its only temporal join is the monotone
+resume bound, tsdb.py-style incremental sync); both are staples of the
+time-series workloads this engine targets — "which click preceded this
+purchase", "which session window contains this event".
+
+Spark has no ASOF JOIN operator, and the naive formulation
+(``l JOIN r ON r.ts <= l.ts`` + max) is a quadratic theta-join.  Both
+operators here are re-expressed as linear plans:
+
+- :func:`asof_join` — the union trick: tag both sides, union, ONE
+  shuffle on the key, and a ``last(payload, ignorenulls)`` running
+  window carries the most recent right row forward onto every left row.
+  Cost is one exchange + one ordered scan of \\|L\\|+\\|R\\| rows — the
+  merge-join an engine with a native ASOF operator (DuckDB, kdb) runs,
+  expressed in DataFrame algebra.  At 100 TB both inputs shuffle on the
+  same key, so AQE coalesces them into one co-partitioned stage; a hot
+  key (one user dominating) is the same skew exposure sessionize has —
+  salt the key or pre-filter the hot user.
+- :func:`interval_join` — time-bucket blocking: each interval explodes
+  into the fixed-width buckets it covers, each point hashes to exactly
+  ONE bucket, and the candidate join is a plain equi-join on
+  (key, bucket) + an exact containment filter.  A (point, interval)
+  pair can only meet in the point's bucket, so no dedup pass is needed.
+  Candidate volume is \\|points\\| + \\|intervals\\|·(len/bucket_sec + 1):
+  pick ``bucket_sec`` near the typical interval length so the blow-up
+  stays ~2×.  This is the bucketed range-join DBR's range-join hint and
+  Flink's interval join both compile to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Join each left row to the nearest right row per key: the latest
+    ``right_ts <= left_ts`` (``backward``) or earliest
+    ``right_ts >= left_ts`` (``forward``).  ``strict`` excludes equal
+    timestamps; ``tolerance`` (same units as the ts columns) nulls out
+    matches farther than the bound, keeping the left row (pandas
+    ``merge_asof`` semantics — the join is left-outer either way).
+
+    Output: every left column, plus ``matched_ts`` and each requested
+    right column (nulls when nothing qualifies).  Deterministic: among
+    equal right timestamps the last one in (ts, right-row) order wins;
+    pass a totally-ordered ``right_ts`` (or pre-dedupe) for a unique
+    answer.
+
+    Timestamps may be any orderable numeric/timestamp type shared by
+    both sides; ``tolerance`` requires a numeric one.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    rcols = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in (*on, right_ts)
+    ]
+    clash = set(rcols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+
+    from pyspark.sql.types import StructField, StructType
+
+    payload = F.struct(
+        F.col(right_ts).alias("matched_ts"),
+        *[F.col(c) for c in rcols],
+    )
+    payload_t = StructType(
+        [StructField("matched_ts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in rcols]
+    )
+    left_t = StructType(list(left.schema.fields))
+    # One unioned relation: key cols, event time, tie-rank, payload
+    # (null on the left side), and the left row as a struct (null on the
+    # right side).  On timestamp ties the right row must sort BEFORE the
+    # left row iff ties match (non-strict): side 0 < 1 handles backward;
+    # strict flips the pair so the window's frame ends before the tie.
+    side_right, side_left = (1, 0) if strict else (0, 1)
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__t"),
+        F.lit(side_right).alias("__side"),
+        payload.alias("__p"),
+        F.lit(None).cast(left_t).alias("__l"),
+    )
+    lrow = F.struct(*[F.col(c) for c in left.columns])
+    l = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("__t"),
+        F.lit(side_left).alias("__side"),
+        F.lit(None).cast(payload_t).alias("__p"),
+        lrow.alias("__l"),
+    )
+    both = r.unionByName(l)
+
+    order = [F.col("__t").asc(), F.col("__side").asc()]
+    if direction == "forward":
+        order = [F.col("__t").desc(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy(*[F.col(c) for c in on])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = both.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+
+    out = matched.filter(F.col("__side") == side_left)
+    m = F.col("__m")
+    if tolerance is not None:
+        dist = (
+            F.col("__t") - m["matched_ts"]
+            if direction == "backward"
+            else m["matched_ts"] - F.col("__t")
+        )
+        m = F.when(dist <= tolerance, F.col("__m"))
+    return out.select(
+        *[F.col("__l")[f.name].alias(f.name) for f in left.schema.fields],
+        m["matched_ts"].alias("matched_ts"),
+        *[m[c].alias(c) for c in rcols],
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    on: list[str] | None = None,
+    bucket_sec: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row containing it
+    (``start <= ts <= end``), optionally key-scoped by ``on``.
+
+    ``how="inner"`` drops uncontained points; ``"left"`` keeps them with
+    null interval columns.  Column names must not clash (caller selects/
+    renames first — same contract as asof_join's right_cols).
+
+    The containment predicate never reaches the join condition as a
+    range: both sides get integer bucket keys (``ts // bucket_sec``;
+    intervals explode into every bucket they overlap) and the join is a
+    hash equi-join on (on..., bucket) with the exact BETWEEN applied as
+    a post-filter.  Each point belongs to exactly one bucket, so a
+    qualifying pair meets exactly once — no dedup stage.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left: {how!r}")
+    on = on or []
+    clash = set(points.columns) & set(intervals.columns)
+    if clash - set(on):
+        raise ValueError(
+            f"overlapping non-key columns: {sorted(clash - set(on))}"
+        )
+    b = F.lit(int(bucket_sec))
+    ivb = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / b).cast("long"),
+                F.floor(F.col(end_col) / b).cast("long"),
+            )
+        ),
+    )
+    ptb = points.withColumn("__b", F.floor(F.col(point_ts) / b).cast("long"))
+    contained = (F.col(point_ts) >= F.col(start_col)) & (
+        F.col(point_ts) <= F.col(end_col)
+    )
+    if how == "inner":
+        return ptb.join(ivb, [*on, "__b"]).filter(contained).drop("__b")
+    # left: inner-match once, then add back unmatched points
+    hit = ptb.join(ivb, [*on, "__b"]).filter(contained).drop("__b")
+    iv_only = [c for c in intervals.columns if c not in on]
+    missed = (
+        ptb.join(
+            ivb.select(*on, "__b", F.col(start_col), F.col(end_col)),
+            [*on, "__b"],
+            "left",
+        )
+        .withColumn("__hit", F.when(contained, 1).otherwise(0))
+        .groupBy(*points.columns)
+        .agg(F.max("__hit").alias("__any"))
+        .filter(F.col("__any") == 0)
+        .drop("__any")
+    )
+    for c in iv_only:
+        missed = missed.withColumn(
+            c, F.lit(None).cast(intervals.schema[c].dataType)
+        )
+    return hit.unionByName(missed)

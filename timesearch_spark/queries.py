@@ -793,6 +793,7 @@ def scalar_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
 from timesearch_spark.operators import dedup as dd  # noqa: E402
 from timesearch_spark.operators import similarity as sim  # noqa: E402
 from timesearch_spark.operators import textstats as tx  # noqa: E402
+from timesearch_spark.operators import asof as aso  # noqa: E402
 from timesearch_spark.operators import windows as win  # noqa: E402
 
 #: DuckDB mirror of dedup.tokens(text): lowercased whitespace split,
@@ -1812,6 +1813,61 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return.  One user-period distinct agg sees raw events; everything
     after is narrow and keys on user_id."""
     return win.retention_cohorts(load(spark, sf_dir, "events"))
+
+
+@q("events_asof")  # point-in-time attribution join — rows-only + pytest
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (asof.asof_join): each purchase attributed to the
+    user's latest click at-or-before it, within a 24 h tolerance — the
+    union-trick linear plan (ONE shuffle on user_id, running
+    last(payload, ignorenulls) window), never a quadratic theta-join.
+    Exactness vs DuckDB's native ASOF JOIN is pinned in
+    tests/test_asof.py across backward/forward × strict × tolerance."""
+    ev = win.with_event_time(load(spark, sf_dir, "events"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_sec").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return aso.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts_sec",
+        right_ts="click_ts",
+        right_cols=["click_id"],
+        tolerance=86400,
+    )
+
+
+@q("events_interval")  # bucketed range join — rows-only + pytest
+def events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (asof.interval_join): purchases placed
+    inside the user's view-session windows (sessionize over views, 2 h
+    gap).  Time-bucket blocking turns the range predicate into a hash
+    equi-join on (user, bucket) + exact BETWEEN filter; each point owns
+    one bucket so pairs meet exactly once.  Exactness vs a DuckDB range
+    join is pinned in tests/test_asof.py."""
+    ev = win.with_event_time(load(spark, sf_dir, "events"))
+    sessions = win.sessionize(
+        ev.filter(F.col("event_type") == "view"), gap_sec=7200
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    return aso.interval_join(
+        purchases,
+        sessions,
+        point_ts="ts_sec",
+        start_col="session_start",
+        end_col="session_end",
+        on=["user_id"],
+        bucket_sec=7200,
+        how="left",
+    )
 
 
 @q(
