@@ -794,6 +794,7 @@ from timesearch_spark.operators import dedup as dd  # noqa: E402
 from timesearch_spark.operators import similarity as sim  # noqa: E402
 from timesearch_spark.operators import textstats as tx  # noqa: E402
 from timesearch_spark.operators import asof as aso  # noqa: E402
+from timesearch_spark.operators import sketches as sk  # noqa: E402
 from timesearch_spark.operators import windows as win  # noqa: E402
 
 #: DuckDB mirror of dedup.tokens(text): lowercased whitespace split,
@@ -1813,6 +1814,18 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return.  One user-period distinct agg sees raw events; everything
     after is narrow and keys on user_id."""
     return win.retention_cohorts(load(spark, sf_dir, "events"))
+
+
+@q("events_unique_sketch")  # mergeable HLL distinct rollup — rows-only + pytest
+def events_unique_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users per event_type AND overall, from mergeable
+    HLL sketches (sketches.distinct_sketches → rollup_estimates): one
+    map-side-combined agg sees raw events; the overall row is a sketch
+    union, which per-key COUNT(DISTINCT) results could never produce.
+    Estimate-vs-exact tolerance and the persisted SketchStore's
+    incremental-refresh contract are pinned in tests/test_sketches.py."""
+    s = sk.distinct_sketches(load(spark, sf_dir, "events"))
+    return sk.rollup_estimates(s)
 
 
 @q("events_asof")  # point-in-time attribution join — rows-only + pytest
