@@ -267,3 +267,34 @@ def test_no_row_at_a_time_python_in_any_query(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+# every one is a BOUNDED broadcast side (a 1-row query vector, a 1-row
+# corpus-stats scalar, a scalar-aggregate cross of two 1-row relations,
+# or the explicitly size-gated all-pairs brute path) — never data×data.
+_BNLJ_BOUNDED = {
+    "count_max",            # 1-row agg × 1-row agg scalar cross
+    "similarity_topk",      # broadcast 1-row query vector
+    "similarity_topk_q8",   # broadcast 1-row query vector
+    "similarity_neardup_brute",  # size-gated O(n²) path, brute BY DESIGN
+    "pipeline_bm25",        # broadcast 1-row (N, avgdl) corpus stats
+}
+
+
+def test_no_unbounded_cross_join_in_any_query(spark):
+    """Engine-wide invariant: no registered query's plan contains a
+    CartesianProduct, and BroadcastNestedLoopJoin appears only in the
+    documented bounded-broadcast set above.  A new query tripping this
+    either needs a join key (bucketed/blocked form) or an explicit
+    entry here with the boundedness argument."""
+    import timesearch_spark.queries as tsq
+
+    offenders = []
+    for name, fn in tsq.QUERIES.items():
+        plan = plans.formatted_plan(fn(spark, SF_SMALL))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_BOUNDED:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert offenders == []
