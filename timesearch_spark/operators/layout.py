@@ -1,0 +1,137 @@
+"""Physical data layout: clustered writes, layout inspection, and
+small-file compaction.
+
+At 100 TB the fastest scan is the one that never happens: parquet keeps
+min/max statistics per row group, and a reader (Spark's parquet filter
+pushdown, DuckDB zone maps) skips any row group whose [min, max] range
+can't satisfy the predicate.  Those stats are only selective if the
+writer CLUSTERED the data — a shuffled table has every row group
+spanning the whole key domain, so nothing ever prunes.
+
+- :func:`cluster_write` — range-partition on the cluster key(s) and
+  sort within each partition before writing: globally ordered layout,
+  near-disjoint per-file and per-row-group key ranges.  This is the
+  plain-parquet form of Delta/Iceberg ``CLUSTER BY`` (a linear sort;
+  for multi-column point lookups across ALL dimensions a Z-order curve
+  is the upgrade, same write shape with an interleaved sort key).
+  ``repartitionByRange`` samples the key distribution, so skewed keys
+  still land in balanced files.
+- :func:`layout_stats` / :func:`clustering_quality` — read the parquet
+  footers (pyarrow, metadata-only) and score how prunable a column is:
+  the average fraction of row groups a uniformly-drawn point predicate
+  must read.  1/n_groups = perfectly clustered, ~1.0 = shuffled.  Tests
+  pin the write path with this, not with timing.
+- :func:`compact` — bounded-size rewrite of a small-file table into
+  ~``target_mb`` files, preserving an optional cluster order.  The
+  companion to every incremental sink in this engine (store.py's
+  micro-batch buckets, CorpusStore's versioned appends): frequent small
+  appends are write-optimal and read-toxic; periodic compaction is the
+  standard repair (OPTIMIZE in Delta, rewrite_data_files in Iceberg).
+
+No reference equivalent: the reference's storage is a single sqlite
+file (tsdb.py); physical layout is this engine's own scale surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def cluster_write(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` to ``path`` as parquet, range-clustered on
+    ``cluster_cols``: one range-exchange (sampled bounds → balanced
+    output files) + an in-partition sort that rides the same exchange —
+    Spark plans repartitionByRange + sortWithinPartitions on matching
+    keys as ONE shuffle, so clustering costs a single pass."""
+    parts = (
+        df.repartitionByRange(num_files, *cluster_cols)
+        if num_files
+        else df.repartitionByRange(*cluster_cols)
+    )
+    parts.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
+
+
+def layout_stats(path: str, column: str) -> list[tuple]:
+    """Per-row-group (min, max, n_rows) for ``column`` across every
+    parquet file under ``path`` — footer metadata only, no data read."""
+    import pyarrow.parquet as pq
+
+    out = []
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    for fp in files:
+        meta = pq.ParquetFile(fp).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        ci = idx[column]
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            out.append((st.min, st.max, meta.row_group(rg).num_rows))
+    return out
+
+
+def clustering_quality(path: str, column: str, probes: int = 64) -> float:
+    """Average fraction of row groups a point predicate on ``column``
+    must read, estimated over ``probes`` evenly-spaced values across the
+    observed domain.  Lower is better: 1/n_groups is perfect clustering,
+    ~1.0 means every row group spans the domain (no pruning possible)."""
+    stats = layout_stats(path, column)
+    if not stats:
+        return 1.0
+    lo = min(s[0] for s in stats)
+    hi = max(s[1] for s in stats)
+    if hi == lo:
+        return 1.0
+    hits = 0
+    for i in range(probes):
+        v = lo + (hi - lo) * i / (probes - 1)
+        hits += sum(1 for mn, mx, _ in stats if mn <= v <= mx)
+    return hits / (probes * len(stats))
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    cluster_cols: list[str] | None = None,
+) -> int:
+    """Rewrite the parquet table at ``path`` into ~``target_mb`` files
+    (computed from current on-disk bytes), optionally re-clustering.
+    Returns the new file count.  Rewrite-to-temp + atomic swap: the
+    original directory is replaced only after the rewrite fully
+    succeeds, so a failed compaction leaves the table untouched."""
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n = max(1, -(-total // (target_mb << 20)))  # ceil div
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    if cluster_cols:
+        (
+            df.repartitionByRange(n, *cluster_cols)
+            .sortWithinPartitions(*cluster_cols)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    old = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
