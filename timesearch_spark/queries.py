@@ -794,6 +794,7 @@ from timesearch_spark.operators import dedup as dd  # noqa: E402
 from timesearch_spark.operators import similarity as sim  # noqa: E402
 from timesearch_spark.operators import textstats as tx  # noqa: E402
 from timesearch_spark.operators import asof as aso  # noqa: E402
+from timesearch_spark.operators import scd  # noqa: E402
 from timesearch_spark.operators import sketches as sk  # noqa: E402
 from timesearch_spark.operators import windows as win  # noqa: E402
 
@@ -1814,6 +1815,30 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return.  One user-period distinct agg sees raw events; everything
     after is narrow and keys on user_id."""
     return win.retention_cohorts(load(spark, sf_dir, "events"))
+
+
+@q("orders_scd2")  # SCD2 history from a change stream — rows-only + pytest
+def orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 materialization (scd.scd2_build): each customer's
+    order-priority/status change stream becomes versioned
+    [valid_from, valid_to) history — one key shuffle, lag-dedup of
+    no-op changes, lead-closed intervals.  This is the history table
+    the reference's edit-capture CDC rows (operators/upsert.py, I3)
+    imply but never build; point-in-time lookup (scd2_lookup) rides
+    asof_join.  Exactness vs a DuckDB restatement and the
+    interval-tiling invariant are pinned in tests/test_scd.py."""
+    o = load(spark, sf_dir, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.unix_timestamp("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    return scd.scd2_build(
+        changes, key_cols=["custkey"], ts_col="ts",
+        attr_cols=["priority", "status"], order_cols=["seq"],
+    ).drop("ts", "seq")
 
 
 @q("events_unique_sketch")  # mergeable HLL distinct rollup — rows-only + pytest
