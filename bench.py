@@ -46,6 +46,10 @@ HEADLINE = [
     "text_profile",
     "events_windows",
     "sessionize",
+    "events_asof",
+    "events_interval",
+    "events_unique_sketch",
+    "orders_scd2",
     "tree_depth",
     "media_stats",
 ]
