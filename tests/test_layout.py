@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_ORACLE
@@ -40,6 +42,34 @@ def test_cluster_write_single_shuffle(spark):
     df = ev.repartitionByRange(8, "user_id").sortWithinPartitions("user_id")
     # the sort must ride the range exchange, not add one
     assert plans.executed_plan(df).count("Exchange") == 1
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    from timesearch_spark.operators.windows import with_event_time
+
+    ev = with_event_time(load(spark, SF_ORACLE, "events")).select(
+        "event_id", "user_id", "ts_sec"
+    )
+    linear = str(tmp_path / "linear")
+    zorder = str(tmp_path / "zorder")
+    layout.cluster_write(ev, linear, ["user_id", "ts_sec"], num_files=16)
+    layout.zorder_write(ev, zorder, ["user_id", "ts_sec"], num_files=16)
+
+    lin_user = layout.clustering_quality(linear, "user_id")
+    lin_ts = layout.clustering_quality(linear, "ts_sec")
+    z_user = layout.clustering_quality(zorder, "user_id")
+    z_ts = layout.clustering_quality(zorder, "ts_sec")
+    # linear sort: leading key prunes, trailing key doesn't
+    assert lin_user < 0.3 and lin_ts > 0.8
+    # z-order: BOTH dimensions prune (each file covers a 2-D square)
+    assert z_user < 0.6 and z_ts < 0.6
+    # same data
+    z = spark.read.parquet(zorder)
+    assert z.count() == ev.count()
+    assert z.select(F.sum("event_id")).first()[0] == \
+        ev.select(F.sum("event_id")).first()[0]
+    with pytest.raises(ValueError, match="exactly 2"):
+        layout.zorder_write(ev, str(tmp_path / "bad"), ["user_id"])
 
 
 def test_compact_shrinks_files_preserves_data(spark, tmp_path):

@@ -100,6 +100,73 @@ def clustering_quality(path: str, column: str, probes: int = 64) -> float:
     return hits / (probes * len(stats))
 
 
+def _quantile_bucket(col: str, bounds: list[float]):
+    """Bucket id (0..len(bounds)) of ``col`` against sorted quantile
+    boundaries, as ONE foldable-literal expression: count of boundaries
+    <= value.  Quantile (not uniform) buckets keep the z-curve balanced
+    under skewed columns — every bucket holds ~the same row count."""
+    b = F.lit([float(x) for x in bounds])
+    return F.size(
+        F.filter(b, lambda x: x <= F.col(col).cast("double"))
+    ).cast("long")
+
+
+def _interleave_bits(b1, b2, bits: int):
+    """Morton/Z value: interleave the low ``bits`` bits of two bucket
+    ids — b1 in odd positions, b2 in even.  Pure integer expression
+    (shifts + masks), whole-stage codegen'd."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(b1, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b2, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 16,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` Z-ORDER clustered on two columns: each file covers a
+    small square of the 2-D key space instead of a slab of one
+    dimension, so point/range predicates on EITHER column prune row
+    groups — the property a linear sort only gives its leading key.
+    This is Delta OPTIMIZE ZORDER BY re-expressed as plain DataFrame
+    ops: per-column quantile bucket ids (approxQuantile boundaries as a
+    foldable literal, so bucketing rides the scan), bit-interleaved into
+    a Morton value, then the same range-partition + in-partition sort
+    single-shuffle write cluster_write uses.
+
+    Two columns (the common case: entity × time).  More dimensions
+    interleave the same way but each added dimension dilutes per-column
+    pruning — at 100 TB, two or three is the useful range (the Delta
+    guidance).  approxQuantile is one metadata-light pass; at scale
+    reuse boundaries from a previous run instead of resampling."""
+    if len(cols) != 2:
+        raise ValueError("zorder_write interleaves exactly 2 columns")
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qa, qb = df.approxQuantile(
+        [cols[0], cols[1]], probs, 0.001
+    )
+    b1 = _quantile_bucket(cols[0], qa)
+    b2 = _quantile_bucket(cols[1], qb)
+    with_z = df.withColumn("__z", _interleave_bits(b1, b2, bits))
+    (
+        with_z.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact(
     spark: SparkSession,
     path: str,
