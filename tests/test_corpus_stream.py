@@ -106,3 +106,44 @@ def test_vacuum_drops_superseded_index_versions(spark, tmp_path):
     assert sorted(os.listdir(os.path.join(store.path, "index"))) == ["v=2"]
     # and further ingest works
     assert store.ingest_batch(mk(3, "third doc entirely fresh text matter"))["new"] == 1
+
+
+def test_compact_batches_consolidates_and_preserves_dedup(spark, tmp_path):
+    store = CorpusStore(spark, str(tmp_path / "corpus"))
+    for i in range(3):
+        b = spark.createDataFrame(
+            [(i * 10 + j, "web", "en", f"document number {i}-{j}")
+             for j in range(4)],
+            "doc_id long, source string, lang string, text string",
+        )
+        assert store.ingest_batch(b)["new"] == 4
+    before_ids = sorted(r["doc_id"] for r in store.corpus().collect())
+
+    stats = store.compact_batches()
+    assert stats["batches_before"] == 3 and stats["batches_after"] == 1
+    assert stats["files_after"] < stats["files_before"]
+    assert sorted(r["doc_id"] for r in store.corpus().collect()) == before_ids
+
+    # dedup state survives: replaying an old batch appends nothing,
+    # genuinely new content still lands
+    replay = spark.createDataFrame(
+        [(99, "web", "en", "document number 0-0")],
+        "doc_id long, source string, lang string, text string",
+    )
+    assert store.ingest_batch(replay) == {"seen": 1, "new": 0}
+    fresh = spark.createDataFrame(
+        [(100, "web", "en", "an entirely unseen document")],
+        "doc_id long, source string, lang string, text string",
+    )
+    assert store.ingest_batch(fresh) == {"seen": 1, "new": 1}
+    assert store.corpus().count() == len(before_ids) + 1
+
+    # compacting a single batch is a no-op
+    store2 = CorpusStore(spark, str(tmp_path / "single"))
+    b = spark.createDataFrame(
+        [(1, "web", "en", "only doc")],
+        "doc_id long, source string, lang string, text string",
+    )
+    store2.ingest_batch(b)
+    s = store2.compact_batches()
+    assert s["batches_before"] == s["batches_after"] == 1

@@ -192,6 +192,67 @@ class CorpusStore:
         )
         return {"seen": n_seen, "new": n_new}
 
+    def compact_batches(self, target_mb: int = 128) -> dict:
+        """Consolidate every live ``batch=`` directory into ONE
+        doc_id-clustered batch of ~``target_mb`` files (operators/
+        layout.py semantics applied to the corpus): continuous ingest is
+        write-optimal and read-toxic — thousands of per-micro-batch
+        files whose footers a every corpus read must enumerate.
+
+        Rewrite-then-swap: the consolidated batch is fully written
+        BEFORE the pointer flips to it, and old directories are removed
+        only after the swap, so a crash at any point leaves a readable
+        corpus (worst case: the orphaned consolidated dir, re-claimed by
+        the next compaction).  The fingerprint/minhash indexes reference
+        doc ids, not batch paths, so dedup state is untouched.  Returns
+        {'batches_before', 'batches_after', 'files_before',
+        'files_after'}."""
+        ptr = self._pointer()
+
+        def _files(batches):
+            out = []
+            for b in batches:
+                d = os.path.join(self.path, "corpus", f"batch={b}")
+                out += [
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                ]
+            return out
+
+        before = _files(ptr["batches"])
+        stats = {
+            "batches_before": len(ptr["batches"]),
+            "files_before": len(before),
+        }
+        if len(ptr["batches"]) <= 1:
+            return {
+                **stats,
+                "batches_after": stats["batches_before"],
+                "files_after": stats["files_before"],
+            }
+        total = sum(os.path.getsize(f) for f in before)
+        n = max(1, -(-total // (target_mb << 20)))
+        label = f"{ptr['version']}compacted"  # never collides with int versions
+        (
+            self.corpus()
+            .repartitionByRange(n, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.path, "corpus", f"batch={label}"))
+        )
+        old = ptr["batches"]
+        self._swap_pointer({"version": ptr["version"], "batches": [label]})
+        import shutil
+
+        for b in old:
+            shutil.rmtree(os.path.join(self.path, "corpus", f"batch={b}"))
+        return {
+            **stats,
+            "batches_after": 1,
+            "files_after": len(_files([label])),
+        }
+
     def vacuum(self) -> list[str]:
         """Delete index/minhash versions older than the live pointer
         (corpus batch dirs are all live by construction — the pointer
