@@ -211,6 +211,18 @@ def test_interval_left_keeps_unmatched_points(spark):
     assert unmatched.session_start.isna().all()
 
 
+def test_interval_left_id_path_equals_fullrow_path(spark):
+    purchases, sessions = _iv_sides(spark, 7200)
+    kw = dict(point_ts="ts_sec", start_col="session_start",
+              end_col="session_end", on=["user_id"], bucket_sec=7200,
+              how="left")
+    slow = interval_join(purchases, sessions, **kw)
+    fast = interval_join(purchases, sessions, **kw,
+                         point_id_cols=["event_id"])
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.exceptAll(slow).count() == 0
+
+
 def test_interval_rejects_bad_args(spark):
     purchases, sessions = _iv_sides(spark, 7200)
     with pytest.raises(ValueError, match="inner|left"):

@@ -140,6 +140,7 @@ def interval_join(
     on: list[str] | None = None,
     bucket_sec: int = 3600,
     how: str = "inner",
+    point_id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Join each point row to every interval row containing it
     (``start <= ts <= end``), optionally key-scoped by ``on``.
@@ -147,6 +148,11 @@ def interval_join(
     ``how="inner"`` drops uncontained points; ``"left"`` keeps them with
     null interval columns.  Column names must not clash (caller selects/
     renames first — same contract as asof_join's right_cols).
+
+    For ``how="left"``, pass ``point_id_cols`` (a key unique per point
+    row) so the unmatched set is recovered with a narrow left-anti join
+    on those columns; without it the fallback groups by the FULL point
+    row — correct, but a wide shuffle worth avoiding at scale.
 
     The containment predicate never reaches the join condition as a
     range: both sides get integer bucket keys (``ts // bucket_sec``;
@@ -182,18 +188,25 @@ def interval_join(
     # left: inner-match once, then add back unmatched points
     hit = ptb.join(ivb, [*on, "__b"]).filter(contained).drop("__b")
     iv_only = [c for c in intervals.columns if c not in on]
-    missed = (
-        ptb.join(
-            ivb.select(*on, "__b", F.col(start_col), F.col(end_col)),
-            [*on, "__b"],
-            "left",
+    if point_id_cols:
+        # narrow anti join on the point key: the matched-id side is
+        # id-columns-only, so the recovery shuffle carries keys, not rows
+        missed = ptb.drop("__b").join(
+            hit.select(*point_id_cols), point_id_cols, "left_anti"
         )
-        .withColumn("__hit", F.when(contained, 1).otherwise(0))
-        .groupBy(*points.columns)
-        .agg(F.max("__hit").alias("__any"))
-        .filter(F.col("__any") == 0)
-        .drop("__any")
-    )
+    else:
+        missed = (
+            ptb.join(
+                ivb.select(*on, "__b", F.col(start_col), F.col(end_col)),
+                [*on, "__b"],
+                "left",
+            )
+            .withColumn("__hit", F.when(contained, 1).otherwise(0))
+            .groupBy(*points.columns)
+            .agg(F.max("__hit").alias("__any"))
+            .filter(F.col("__any") == 0)
+            .drop("__any")
+        )
     for c in iv_only:
         missed = missed.withColumn(
             c, F.lit(None).cast(intervals.schema[c].dataType)

@@ -1905,6 +1905,7 @@ def events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["user_id"],
         bucket_sec=7200,
         how="left",
+        point_id_cols=["event_id"],
     )
 
 
