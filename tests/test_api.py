@@ -272,3 +272,26 @@ def test_sharded_index_concatenates_to_the_single_file_listing(spark, tmp_path):
         open(os.path.join(shard_dir, f)).read() for f in parts
     )
     assert sharded == open(single).read()
+
+    # html contract: driver-written 00_header/zz_footer bracket the
+    # shards so filename-order concatenation of ALL content files is the
+    # byte-equal single html listing (not just the bare line divs)
+    from timesearch_spark.operators.exports import write_index
+
+    single_html = write_index(
+        ar.submissions.snapshot(), str(tmp_path / "oneh"), "idx",
+        orderby="score", html=True,
+    )
+    shard_html = write_index_sharded(
+        ar.submissions.snapshot(), str(tmp_path / "manyh"),
+        orderby="score", html=True,
+    )
+    content = sorted(
+        f for f in os.listdir(shard_html)
+        if f.startswith(("00_", "part-", "zz_"))
+    )
+    assert content[0] == "00_header.html" and content[-1] == "zz_footer.html"
+    cat = "".join(
+        open(os.path.join(shard_html, f)).read() for f in content
+    )
+    assert cat == open(single_html).read()

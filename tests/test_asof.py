@@ -199,6 +199,7 @@ def test_interval_left_keeps_unmatched_points(spark):
     left = interval_join(
         purchases, sessions, point_ts="ts_sec", start_col="session_start",
         end_col="session_end", on=["user_id"], bucket_sec=7200, how="left",
+        point_id_cols=["event_id"],
     )
     n_points = purchases.count()
     n_inner = inner.count()
@@ -211,16 +212,30 @@ def test_interval_left_keeps_unmatched_points(spark):
     assert unmatched.session_start.isna().all()
 
 
-def test_interval_left_id_path_equals_fullrow_path(spark):
+def test_interval_left_requires_point_key(spark):
     purchases, sessions = _iv_sides(spark, 7200)
-    kw = dict(point_ts="ts_sec", start_col="session_start",
-              end_col="session_end", on=["user_id"], bucket_sec=7200,
-              how="left")
-    slow = interval_join(purchases, sessions, **kw)
-    fast = interval_join(purchases, sessions, **kw,
-                         point_id_cols=["event_id"])
-    assert slow.exceptAll(fast).count() == 0
-    assert fast.exceptAll(slow).count() == 0
+    with pytest.raises(ValueError, match="point_id_cols"):
+        interval_join(purchases, sessions, point_ts="ts_sec",
+                      start_col="session_start", end_col="session_end",
+                      on=["user_id"], how="left")
+
+
+def test_asof_tie_break_on_right_order_cols(spark):
+    # two right rows at the SAME timestamp: without right_order_cols the
+    # winner is shuffle-order-dependent; with it, the greatest wins
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 50, 1, "old"), (1, 50, 2, "new")],
+        "k long, rts long, ver long, tag string",
+    )
+    got = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_cols=["ver", "tag"], right_order_cols=["ver"],
+    ).first()
+    assert got["ver"] == 2 and got["tag"] == "new"
+    with pytest.raises(ValueError, match="payload"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                  right_cols=["tag"], right_order_cols=["ver"])
 
 
 def test_interval_rejects_bad_args(spark):

@@ -88,3 +88,29 @@ def test_compact_shrinks_files_preserves_data(spark, tmp_path):
     assert got.select(F.sum("event_id")).first()[0] == checksum
     # compaction with cluster_cols also fixes the layout
     assert layout.clustering_quality(p, "user_id") <= 1.0 / n + 0.2
+
+
+def test_compact_repairs_crash_residue_and_rejects_partitioned(
+    spark, tmp_path
+):
+    ev = load(spark, SF_ORACLE, "events").select("event_id", "user_id")
+    p = str(tmp_path / "t")
+    ev.repartition(4).write.parquet(p)
+    total = ev.count()
+
+    # crash between the two renames: live path gone, old snapshot left
+    os.rename(p, p + ".__compact_old__")
+    layout.compact(spark, p, target_mb=128)
+    assert spark.read.parquet(p).count() == total
+
+    # crash after the swap: stale old dir next to a live table
+    os.makedirs(p + ".__compact_old__")
+    layout.compact(spark, p, target_mb=128)
+    assert not os.path.exists(p + ".__compact_old__")
+    assert spark.read.parquet(p).count() == total
+
+    # hive-partitioned input is refused, not silently flattened
+    pp = str(tmp_path / "part")
+    ev.withColumn("b", F.col("user_id") % 2).write.partitionBy("b").parquet(pp)
+    with pytest.raises(ValueError, match="partitioned"):
+        layout.compact(spark, pp)

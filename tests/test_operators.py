@@ -297,9 +297,9 @@ def test_window_percentiles(spark):
     out = {r["window_start"].hour: r for r in
            win.window_percentiles(events, "1 hour").collect()}
     assert out[0]["n"] == 100 and out[1]["n"] == 10
-    assert 49 <= out[0]["p5"] <= 51          # median of 1..100
+    assert 49 <= out[0]["p50"] <= 51          # median of 1..100
     assert 94 <= out[0]["p95"] <= 96
-    assert out[1]["p5"] in (50.0, 60.0)      # median of 10..100 (10 values)
+    assert out[1]["p50"] in (50.0, 60.0)      # median of 10..100 (10 values)
 
 
 def test_session_funnel_resets_at_session_boundaries(spark):

@@ -110,6 +110,23 @@ def test_scd2_drop_unchanged_collapses_noise(spark):
     assert a.count() == b.count()
 
 
+def test_scd2_lookup_same_instant_versions_deterministic(spark):
+    # two changes at the SAME timestamp produce a zero-length interval
+    # [T, T) and an open [T, null); a fact at T+1 must deterministically
+    # match the open (greatest-version) one, never null out
+    changes = spark.createDataFrame(
+        [(1, 100, "LOW", 10), (1, 100, "HIGH", 11), (1, 50, "MED", 9)],
+        "custkey long, ts long, priority string, seq long",
+    )
+    dim = scd2_build(changes, ["custkey"], "ts", ["priority"],
+                     order_cols=["seq"])
+    facts = spark.createDataFrame([(1, 101)], "custkey long, fts long")
+    for _ in range(3):  # was shuffle-order-dependent before the fix
+        got = scd2_lookup(facts, dim, on=["custkey"], fact_ts="fts",
+                          attr_cols=["priority"]).first()
+        assert got["priority"] == "HIGH" and got["matched_ts"] == 100
+
+
 def test_scd2_lookup_matches_duckdb_interval_join(spark, duck):
     dim = scd2_build(
         _changes(spark), ["custkey"], "ts", ["priority", "status"],

@@ -270,6 +270,26 @@ def test_train_codebook_recovers_planted_blobs(spark):
     # interchangeability with the IVF machinery
     cells = sim.assign_cells(emb, book, "embedding")
     assert cells.select("cell").distinct().count() == 3
+    # the trained-codebook path: pre-assigned cells + centroids= must
+    # probe the SAME codebook (cell ids don't transfer) — with full
+    # probes the result equals the seeds-codebook run exactly
+    queries = emb.filter(F.col("vec_id").isin(0, 25)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    trained = sorted(map(tuple, sim.cosine_topk_ivf_batch(
+        cells, queries, k=5, n_cells=3, n_probe=3,
+        centroids=book).collect()))
+    base = sorted(map(tuple, sim.cosine_topk_ivf_batch(
+        emb, queries, k=5, n_cells=3, n_probe=3).collect()))
+    assert trained == base
+    # pruned probe on the trained book: the query's own blob is always
+    # probed, so the true nearest neighbors survive
+    near = sim.cosine_topk_ivf(
+        cells, emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q")),
+        k=5, n_cells=3, n_probe=1, centroids=book,
+    ).collect()
+    assert {r["vec_id"] for r in near} <= set(range(20))
 
 
 def test_embed_documents_shapes_and_determinism(spark):

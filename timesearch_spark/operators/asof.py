@@ -45,6 +45,7 @@ def asof_join(
     direction: str = "backward",
     tolerance: int | None = None,
     strict: bool = False,
+    right_order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Join each left row to the nearest right row per key: the latest
     ``right_ts <= left_ts`` (``backward``) or earliest
@@ -54,10 +55,12 @@ def asof_join(
     ``merge_asof`` semantics — the join is left-outer either way).
 
     Output: every left column, plus ``matched_ts`` and each requested
-    right column (nulls when nothing qualifies).  Deterministic: among
-    equal right timestamps the last one in (ts, right-row) order wins;
-    pass a totally-ordered ``right_ts`` (or pre-dedupe) for a unique
-    answer.
+    right column (nulls when nothing qualifies).  Among right rows with
+    EQUAL timestamps the winner is shuffle-order-dependent unless
+    ``right_order_cols`` (payload columns, must be in ``right_cols``)
+    totally orders them — then the row with the GREATEST order value
+    wins.  Pass it whenever ``right_ts`` can tie (scd2_lookup passes
+    ``version``); with a totally-ordered ``right_ts`` it is unneeded.
 
     Timestamps may be any orderable numeric/timestamp type shared by
     both sides; ``tolerance`` requires a numeric one.
@@ -105,9 +108,21 @@ def asof_join(
     )
     both = r.unionByName(l)
 
-    order = [F.col("__t").asc(), F.col("__side").asc()]
+    if right_order_cols:
+        missing = set(right_order_cols) - {"matched_ts", *rcols}
+        if missing:
+            raise ValueError(
+                f"right_order_cols not in the payload: {sorted(missing)}"
+            )
+    # tie-break among equal right timestamps: payload order columns rank
+    # rights within the (__t, __side) group; left rows (__p null) sort
+    # first, which is irrelevant — each left row only ends its own frame
+    ties = [
+        F.col("__p")[c].asc_nulls_first() for c in (right_order_cols or [])
+    ]
+    order = [F.col("__t").asc(), F.col("__side").asc(), *ties]
     if direction == "forward":
-        order = [F.col("__t").desc(), F.col("__side").asc()]
+        order = [F.col("__t").desc(), F.col("__side").asc(), *ties]
     w = (
         Window.partitionBy(*[F.col(c) for c in on])
         .orderBy(*order)
@@ -149,10 +164,12 @@ def interval_join(
     null interval columns.  Column names must not clash (caller selects/
     renames first — same contract as asof_join's right_cols).
 
-    For ``how="left"``, pass ``point_id_cols`` (a key unique per point
-    row) so the unmatched set is recovered with a narrow left-anti join
-    on those columns; without it the fallback groups by the FULL point
-    row — correct, but a wide shuffle worth avoiding at scale.
+    ``how="left"`` requires ``point_id_cols`` — a key unique per point
+    row — so the unmatched set is recovered with a narrow left-anti
+    join carrying only key columns.  (A keyless fallback would have to
+    group by the full point row, which both shuffles wide AND collapses
+    byte-identical duplicate points — a silent row-count change the
+    left-join contract forbids.)
 
     The containment predicate never reaches the join condition as a
     range: both sides get integer bucket keys (``ts // bucket_sec``;
@@ -185,28 +202,16 @@ def interval_join(
     )
     if how == "inner":
         return ptb.join(ivb, [*on, "__b"]).filter(contained).drop("__b")
-    # left: inner-match once, then add back unmatched points
+    # left: inner-match once, then add back unmatched points via a
+    # narrow anti join on the point key (the matched-id side is
+    # id-columns-only, so the recovery shuffle carries keys, not rows)
+    if not point_id_cols:
+        raise ValueError("how='left' requires point_id_cols")
     hit = ptb.join(ivb, [*on, "__b"]).filter(contained).drop("__b")
     iv_only = [c for c in intervals.columns if c not in on]
-    if point_id_cols:
-        # narrow anti join on the point key: the matched-id side is
-        # id-columns-only, so the recovery shuffle carries keys, not rows
-        missed = ptb.drop("__b").join(
-            hit.select(*point_id_cols), point_id_cols, "left_anti"
-        )
-    else:
-        missed = (
-            ptb.join(
-                ivb.select(*on, "__b", F.col(start_col), F.col(end_col)),
-                [*on, "__b"],
-                "left",
-            )
-            .withColumn("__hit", F.when(contained, 1).otherwise(0))
-            .groupBy(*points.columns)
-            .agg(F.max("__hit").alias("__any"))
-            .filter(F.col("__any") == 0)
-            .drop("__any")
-        )
+    missed = ptb.drop("__b").join(
+        hit.select(*point_id_cols), point_id_cols, "left_anti"
+    )
     for c in iv_only:
         missed = missed.withColumn(
             c, F.lit(None).cast(intervals.schema[c].dataType)

@@ -129,14 +129,25 @@ def write_index_sharded(
 ) -> str:
     """The 100× form of ``write_index``: the ordered listing written as
     RANGE-PARTITIONED text shards straight from executors — a global
-    sort range-partitions the lines, so ``part-*`` files concatenate in
-    filename order into exactly the single-file listing.  No driver
-    iteration at any size; ``write_index`` (one file, driver-written,
-    constant memory) remains the right tool when the output contract is
-    literally one file.  Returns the shard directory."""
+    sort range-partitions the lines, so the directory's content files
+    concatenate in filename order into exactly the single-file
+    ``write_index`` output (for html, driver-written ``00_header.html``
+    / ``zz_footer.html`` bracket the ``part-*`` shards — they sort
+    first/last, and Spark's zero-byte ``_SUCCESS`` marker is
+    concatenation-neutral).  No driver iteration at any size;
+    ``write_index`` (one file, driver-written, constant memory) remains
+    the right tool when the output contract is literally one file.
+    Returns the shard directory."""
     lines = index_lines(submissions, orderby, score_threshold, html, offline)
     path = os.path.join(out_dir, f"listing_{orderby}_shards")
     lines.write.mode("overwrite").text(path)
+    if html:
+        with open(os.path.join(path, "00_header.html"), "w",
+                  encoding="utf-8") as f:
+            f.write(HTML_HEADER)
+        with open(os.path.join(path, "zz_footer.html"), "w",
+                  encoding="utf-8") as f:
+            f.write(HTML_FOOTER)
     return path
 
 

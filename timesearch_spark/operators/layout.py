@@ -175,9 +175,34 @@ def compact(
 ) -> int:
     """Rewrite the parquet table at ``path`` into ~``target_mb`` files
     (computed from current on-disk bytes), optionally re-clustering.
-    Returns the new file count.  Rewrite-to-temp + atomic swap: the
-    original directory is replaced only after the rewrite fully
-    succeeds, so a failed compaction leaves the table untouched."""
+    Returns the new file count.  Rewrite-to-temp + swap: the original
+    directory is replaced only after the rewrite fully succeeds, so a
+    failed compaction leaves the table untouched; residue from a crash
+    mid-swap is repaired on the next call (the old-dir snapshot is
+    restored if the live path vanished, discarded otherwise).
+
+    Flat (unpartitioned) tables only: rewriting a hive-partitioned
+    directory would silently drop its partitioning — compact each
+    partition directory instead (or use CorpusStore.compact_batches for
+    the corpus layout)."""
+    import shutil
+
+    old = path.rstrip("/") + ".__compact_old__"
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)  # crashed between the two renames
+        else:
+            shutil.rmtree(old)  # crashed before the old copy was removed
+    part_dirs = [
+        d
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"compact() is for flat tables; {path} is hive-partitioned "
+            f"({part_dirs[0]}, ...) — compact per partition directory"
+        )
     total = sum(
         os.path.getsize(os.path.join(path, f))
         for f in os.listdir(path)
@@ -195,9 +220,6 @@ def compact(
         )
     else:
         df.repartition(n).write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    old = path.rstrip("/") + ".__compact_old__"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -92,6 +92,10 @@ class MaterializedRollup:
                 F.col("window_start").cast("long").alias("w"),
             )
         )
+        # materialize the (tiny: windows × keys) rollup once — the window
+        # count and the write would otherwise each re-run the raw-event
+        # aggregation, doubling the refresh's pruned-scan cost
+        rollup = rollup.localCheckpoint(eager=True)
         n_windows = rollup.select("w").distinct().count()
         if n_windows:
             (

@@ -92,12 +92,18 @@ def scd2_lookup(
     ``attr_cols``."""
     joined = asof_join(
         facts,
-        dim.select(*on, "valid_from", "valid_to", *attr_cols),
+        dim.select(*on, "valid_from", "valid_to", "version", *attr_cols),
         on=on,
         left_ts=fact_ts,
         right_ts="valid_from",
-        right_cols=["valid_to", *attr_cols],
+        right_cols=["valid_to", "version", *attr_cols],
         direction="backward",
+        # same-instant versions (zero-length intervals from same-ts
+        # changes) tie on valid_from: the greatest version is the one
+        # whose interval is open at that instant — without this the
+        # winner is shuffle-order-dependent and the in_range guard can
+        # null out a valid match
+        right_order_cols=["version"],
     )
     # intervals tile the timeline, so the as-of hit is the containing
     # version by construction; the guard only matters for half-open
@@ -108,4 +114,4 @@ def scd2_lookup(
     out = joined
     for c in ["matched_ts", "valid_to", *attr_cols]:
         out = out.withColumn(c, F.when(in_range, F.col(c)))
-    return out.drop("valid_to")
+    return out.drop("valid_to", "version")

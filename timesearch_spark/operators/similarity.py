@@ -413,18 +413,27 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     n_cells: int = 16,
     n_probe: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """ANN top-k via an IVF (inverted-file) coarse quantizer: vectors are
     partitioned into ``n_cells`` Voronoi cells around centroid seeds; a
     query scans only the ``n_probe`` cells whose centroids are nearest to
     it, then exact-cosine ranks the candidates.
 
+    ``centroids`` is the codebook (``train_codebook`` output or any
+    ``[(cell_id, vector), ...]``); default = the deterministic
+    ``centroid_seeds``.  A pre-assigned ``cell`` column MUST have been
+    assigned from the same codebook — cell ids are meaningless across
+    codebooks, so pass ``centroids`` whenever the table was bucketed
+    with a trained one.
+
     Scale shape: the cell table is written partitioned by ``cell``, so a
     probe is partition pruning — a query touches n_probe/n_cells of the
     data (here 1/4; production 64-probe/65536-cell ≈ 1/1000).  The
     candidate scan is embarrassingly parallel and the only cross-partition
     traffic is TakeOrderedAndProject's k rows per partition."""
-    centroids = centroid_seeds(emb, n_cells, id_col, vec_col)
+    if centroids is None:
+        centroids = centroid_seeds(emb, n_cells, id_col, vec_col)
     # a pre-assigned cell column (the production case: the table is
     # written cell-partitioned at ingest, so the probe filter is pure
     # partition pruning) wins over re-deriving the assignment per query
@@ -459,6 +468,7 @@ def cosine_topk_ivf_batch(
     qvec_col: str = "q",
     n_cells: int = 16,
     n_probe: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Batched IVF ANN: ONE cell-pruned corpus pass answers M queries.
 
@@ -481,9 +491,12 @@ def cosine_topk_ivf_batch(
 
     from pyspark.sql import Window
 
-    centroids = centroid_seeds(emb, n_cells, id_col, vec_col)
+    if centroids is None:
+        centroids = centroid_seeds(emb, n_cells, id_col, vec_col)
     # honor a pre-assigned cell column (see cosine_topk_ivf): at scale
-    # the probe filter is then partition pruning on the stored layout
+    # the probe filter is then partition pruning on the stored layout;
+    # it must have been assigned from the SAME codebook (pass centroids
+    # for a trained one — ids don't transfer across codebooks)
     cells = emb if "cell" in emb.columns else assign_cells(emb, centroids, vec_col)
 
     qrows = queries.select(

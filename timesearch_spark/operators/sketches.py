@@ -173,13 +173,23 @@ class SketchStore:
         ps = self._stored_periods()
         src = events
         if ps:
-            horizon = max(ps) - allowed_lateness_sec
+            # floor to a PERIOD BOUNDARY: a mid-period horizon would
+            # rebuild that period's sketch from a partial scan and
+            # silently overwrite the full-period sketch with it
+            horizon = (
+                (max(ps) - allowed_lateness_sec)
+                // self.period_sec
+                * self.period_sec
+            )
             src = events.filter(
                 F.col("ts") >= event_ts_bound(horizon, ts_dtype(events))
             )
+        # materialize once: the count and the write otherwise each
+        # re-run the raw-event aggregation (sketch rows are periods ×
+        # keys — tiny — so pinning them is free)
         fresh = distinct_sketches(
             src, self.period_sec, self.key, self.id_col, self.lg_k
-        ).withColumnRenamed("period", "p")
+        ).withColumnRenamed("period", "p").localCheckpoint(eager=True)
         n = fresh.select("p").distinct().count()
         if n:
             (

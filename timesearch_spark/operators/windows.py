@@ -318,12 +318,13 @@ def window_percentiles(
     (window, key) group that map-side partial-merges like any aggregate,
     so the shuffle carries sketches, not values.  ``accuracy`` trades
     sketch size for error (1/accuracy relative rank error).  Output:
-    (window_start, key, n, p50, p95, p99...) with pN columns named from
-    the requested percentiles."""
+    (window_start, key, n, p50, p95, p99...) with pNN columns named
+    from the requested percentiles (two-digit percent: 0.5 → p50,
+    0.05 → p05 — never ambiguous between the median and the 5th)."""
     ev = with_event_time(events)
     pcols = [
         F.percentile_approx("value", p, accuracy).alias(
-            f"p{str(p).replace('0.', '')}"
+            f"p{int(round(p * 100)):02d}"
         )
         for p in percentiles
     ]
@@ -331,5 +332,5 @@ def window_percentiles(
         ev.groupBy(F.window("event_time", duration).alias("w"), F.col(key))
         .agg(F.count("*").alias("n"), *pcols)
         .select(F.col("w.start").alias("window_start"), key, "n",
-                *[f"p{str(p).replace('0.', '')}" for p in percentiles])
+                *[f"p{int(round(p * 100)):02d}" for p in percentiles])
     )

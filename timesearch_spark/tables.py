@@ -157,9 +157,19 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
         try:
             conf = df.sparkSession.conf
             def _bytes_conf(key, default):
+                # Spark byte configs accept "134217728", "128m", "256MB",
+                # "1g", "4194304b" (case-insensitive, optional 'b') — parse
+                # the full grammar or the fallback silently re-defaults and
+                # spread() mis-estimates the scan's split count
                 try:
-                    v = conf.get(key)
-                    return int(v[:-1]) * 1024 * 1024 if v.endswith("m") else int(v)
+                    import re as _re
+
+                    m = _re.fullmatch(
+                        r"\s*(\d+)\s*([kmgt]?)b?\s*", conf.get(key).lower()
+                    )
+                    mult = {"": 1, "k": 1 << 10, "m": 1 << 20,
+                            "g": 1 << 30, "t": 1 << 40}[m.group(2)]
+                    return int(m.group(1)) * mult
                 except Exception:
                     return default
             effective = _scan_parallelism(
