@@ -110,6 +110,42 @@ def test_scd2_drop_unchanged_collapses_noise(spark):
     assert a.count() == b.count()
 
 
+def test_scd2_apply_equals_full_rebuild(spark):
+    from timesearch_spark.operators.scd import scd2_apply
+
+    full = _changes(spark)
+    # split the change stream in TIME (the CDC append case — exactness
+    # holds; mid-history inserts hit the documented drop_unchanged
+    # exception): early rows are the stored history, later ones arrive
+    # as an incremental batch
+    cut = full.approxQuantile("ts", [0.5], 0.0)[0]
+    early = full.filter(F.col("ts") < cut)
+    late = full.filter(F.col("ts") >= cut)
+    kw = dict(key_cols=["custkey"], ts_col="ts",
+              attr_cols=["priority", "status"], order_cols=["seq"])
+    hist = scd2_build(early, **kw, keep_order_cols=True)
+    applied = scd2_apply(hist, late, **kw)
+    expected = scd2_build(full, **kw, keep_order_cols=True)
+    assert applied.exceptAll(expected).count() == 0
+    assert expected.exceptAll(applied).count() == 0
+
+    # untouched keys pass through, not recompute: an empty batch over a
+    # disjoint key leaves history identical
+    noop = scd2_apply(
+        hist,
+        late.filter(F.col("custkey") == -1),  # no such key
+        **kw,
+    )
+    assert noop.exceptAll(hist).count() == 0
+    assert hist.exceptAll(noop).count() == 0
+
+    # missing order columns in history → explicit error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_order_cols"):
+        scd2_apply(scd2_build(early, **kw), late, **kw)
+
+
 def test_scd2_lookup_same_instant_versions_deterministic(spark):
     # two changes at the SAME timestamp produce a zero-length interval
     # [T, T) and an open [T, null); a fact at T+1 must deterministically

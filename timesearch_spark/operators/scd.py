@@ -40,10 +40,14 @@ def scd2_build(
     attr_cols: list[str],
     order_cols: list[str] | None = None,
     drop_unchanged: bool = True,
+    keep_order_cols: bool = False,
 ) -> DataFrame:
     """Change rows → SCD2 history: (key..., attr..., valid_from,
     valid_to, version, is_current) with ``valid_to`` null on the open
     (current) version and version = 1..n per key in time order.
+    ``keep_order_cols`` carries the order columns into the output (each
+    version remembers the change-log position that created it) —
+    required for exact incremental maintenance via :func:`scd2_apply`.
 
     ``order_cols`` breaks same-timestamp ties (pass the change-log
     sequence id; defaults to ``attr_cols`` for a deterministic if
@@ -73,9 +77,72 @@ def scd2_build(
         .withColumn("is_current", F.col("valid_to").isNull())
         .select(
             *key_cols, *attr_cols,
+            *(tie if keep_order_cols and order_cols is not None else []),
             "valid_from", "valid_to", "version", "is_current",
         )
     )
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    order_cols: list[str] | None = None,
+    drop_unchanged: bool = True,
+) -> DataFrame:
+    """Incremental SCD2 maintenance: fold a new change batch into an
+    existing history WITHOUT rebuilding untouched keys.
+
+    Keys absent from the batch pass through untouched (a left-anti probe
+    on the batch's distinct keys — the only thing the full history
+    pays); for touched keys the stored versions are lowered back to
+    change rows (valid_from, attrs — versions ARE the surviving change
+    rows, so no original change log is needed) and re-built together
+    with the batch.  Cost tracks |touched keys' history| + |batch|, not
+    |history| — the same contract every incremental operator in this
+    engine makes (dedup index, rollup refresh, sketch store).
+
+    Exactly equivalent to ``scd2_build(keep_order_cols=True)`` over the
+    full concatenated change stream (test-pinned) — with one documented
+    exception: a no-op change already collapsed by ``drop_unchanged``
+    is gone from the stored history, so a LATE batch row landing
+    between it and its predecessor cannot resurrect it (the full
+    rebuild would).  Appends at/after each key's last stored change —
+    the normal CDC case — are always exact.  Requires a history built
+    WITH ``keep_order_cols=True`` when ``order_cols`` is given —
+    versions must remember their change-log position for cross-batch
+    ties to re-resolve identically."""
+    tie = order_cols if order_cols is not None else []
+    missing = set(tie) - set(history.columns)
+    if missing:
+        raise ValueError(
+            f"history lacks order columns {sorted(missing)}: build it "
+            "with keep_order_cols=True for incremental maintenance"
+        )
+    keys = changes.select(*key_cols).distinct()
+    untouched = history.join(keys, key_cols, "left_anti")
+    lowered = (
+        history.join(keys, key_cols)
+        .select(
+            *key_cols,
+            F.col("valid_from").alias(ts_col),
+            *attr_cols,
+            *tie,
+        )
+    )
+    batch = changes.select(*key_cols, ts_col, *attr_cols, *tie)
+    rebuilt = scd2_build(
+        lowered.unionByName(batch),
+        key_cols,
+        ts_col,
+        attr_cols,
+        order_cols=order_cols,
+        drop_unchanged=drop_unchanged,
+        keep_order_cols=order_cols is not None,
+    )
+    return untouched.unionByName(rebuilt)
 
 
 def scd2_lookup(
