@@ -308,3 +308,27 @@ def test_profile_subcommand(spark, tmp_path, capsys):
     rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     by_col = {r["column"]: r for r in rows}
     assert by_col["s"]["n_null"] == 1 and by_col["k"]["n_rows"] == 2
+
+
+def test_compact_subcommand(spark, tmp_path, capsys):
+    # flat-table form
+    src = str(tmp_path / "t")
+    spark.range(1000).repartition(20).write.parquet(src)
+    assert cli.main(["compact", "--table", src, "--cluster", "id"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["files_after"] < 20
+    assert spark.read.parquet(src).count() == 1000
+
+    # corpus-store form
+    from timesearch_spark.streaming.corpus import CorpusStore
+
+    store = CorpusStore(spark, str(tmp_path / "c"))
+    for i in range(2):
+        b = spark.createDataFrame(
+            [(i * 10, "w", "en", f"unique doc {i}")],
+            "doc_id long, source string, lang string, text string",
+        )
+        store.ingest_batch(b)
+    assert cli.main(["compact", "--corpus", str(tmp_path / "c")]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["batches_after"] == 1 and res["vacuumed"] >= 1

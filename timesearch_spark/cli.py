@@ -244,6 +244,26 @@ def cmd_ingest_corpus(args):
     return 0
 
 
+def cmd_compact(args):
+    from timesearch_spark.session import get_spark
+    from timesearch_spark.streaming.corpus import CorpusStore
+
+    spark = get_spark("timesearch-cli")
+    if args.corpus:
+        store = CorpusStore(spark, args.corpus)
+        stats = store.compact_batches(target_mb=args.target_mb)
+        stats["vacuumed"] = len(store.vacuum())
+        print(json.dumps(stats))
+    else:
+        from timesearch_spark.operators.layout import compact
+
+        cluster = args.cluster.split(",") if args.cluster else None
+        n = compact(spark, args.table, target_mb=args.target_mb,
+                    cluster_cols=cluster)
+        print(json.dumps({"files_after": n, "table": args.table}))
+    return 0
+
+
 def cmd_curate(args):
     from timesearch_spark.operators.pipeline import curate_corpus
     from timesearch_spark.session import get_spark
@@ -388,6 +408,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--paragraph-max-df", dest="paragraph_max_df",
                    type=int, default=None)
     p.set_defaults(func=cmd_curate)
+
+    p = sub.add_parser(
+        "compact",
+        help="[extension] small-file compaction: a CorpusStore "
+        "(--corpus, consolidates batch dirs + vacuums superseded "
+        "indexes) or a flat parquet table (--table, optional "
+        "--cluster col[,col])",
+    )
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--corpus", dest="corpus", default=None)
+    g.add_argument("--table", dest="table", default=None)
+    p.add_argument("--target-mb", dest="target_mb", type=int, default=128)
+    p.add_argument("--cluster", dest="cluster", default=None)
+    p.set_defaults(func=cmd_compact)
 
     return parser
 
