@@ -109,6 +109,53 @@ def test_asof_tolerance_nulls_far_matches(spark):
             assert pd.isna(t.loc[eid, "matched_ts"])
 
 
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Independent second oracle: seeded-random key/ts data vs pandas
+    merge_asof across direction × tolerance (pandas has no strict
+    flag; DuckDB covers that axis).  Catches boundary conventions a
+    single fixed dataset can miss."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for trial in range(4):
+        nl, nr = rng.randint(30, 120), rng.randint(30, 120)
+        lp = pd.DataFrame({
+            "k": rng.randint(0, 8, nl),
+            "ts": rng.randint(0, 500, nl).astype("int64"),
+            "lid": np.arange(nl, dtype="int64"),
+        })
+        rp = pd.DataFrame({
+            "k": rng.randint(0, 8, nr),
+            "rts": np.sort(rng.choice(10_000, nr, replace=False)).astype(
+                "int64"
+            ),  # unique right ts → unique expected match
+            "rid": np.arange(nr, dtype="int64") + 1000,
+        })
+        ld = spark.createDataFrame(lp)
+        rd = spark.createDataFrame(rp)
+        for direction in ("backward", "forward"):
+            for tol in (None, 50):
+                got = (
+                    asof_join(
+                        ld, rd, on=["k"], left_ts="ts", right_ts="rts",
+                        right_cols=["rid"], direction=direction,
+                        tolerance=tol,
+                    )
+                    .toPandas()
+                    .sort_values("lid")
+                    .reset_index(drop=True)
+                )
+                exp = pd.merge_asof(
+                    lp.sort_values("ts"),
+                    rp.rename(columns={"rts": "ts"}).sort_values("ts"),
+                    on="ts", by="k", direction=direction,
+                    tolerance=tol,
+                ).sort_values("lid").reset_index(drop=True)
+                a = got.rid.fillna(-1).astype("int64")
+                b = exp.rid.fillna(-1).astype("int64")
+                assert (a == b).all(), (trial, direction, tol)
+
+
 def test_asof_rejects_bad_args(spark):
     purchases, clicks = _sides(spark)
     with pytest.raises(ValueError, match="direction"):
