@@ -60,6 +60,19 @@ def test_overall_row_is_a_true_union(events, daily):
         assert abs(overall - exact_all[period]) / exact_all[period] <= 0.02
 
 
+def test_one_pass_rollup_equals_two_step_composition(spark, events, daily):
+    one = sk.distinct_rollup(events)
+    two = sk.rollup_estimates(daily)
+    assert one.exceptAll(two).count() == 0
+    assert two.exceptAll(one).count() == 0
+    # and it really is one aggregate pass: a single scan of events
+    from timesearch_spark import plans
+
+    plan = plans.executed_plan(sk.distinct_rollup(events, lg_k=11))
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan  # grouping-sets expansion, not a self-union
+
+
 def test_cumulative_monotone_and_converges(events, daily):
     cum = sk.cumulative_estimates(daily).toPandas()
     for _, grp in cum.groupby("event_type"):

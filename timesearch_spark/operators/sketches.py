@@ -65,6 +65,50 @@ def distinct_sketches(
     )
 
 
+def distinct_rollup(
+    events: DataFrame,
+    period_sec: int = 86400,
+    key: str = "event_type",
+    id_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-period distinct estimates per key AND overall in ONE raw-event
+    pass: ``rollup(period, key)`` expands to the ((period, key), (period))
+    grouping sets inside a single ObjectHashAggregate, so the overall row
+    never costs a second scan (composing rollup_estimates over a LAZY
+    distinct_sketches plan would re-aggregate raw events per branch —
+    use that composition only over a persisted sketch table, where both
+    branches read tiny stored rows).  Output: (period, key, n_unique)
+    with ``__all__`` for the cross-key row; the grand-total row rollup
+    also emits is dropped to match rollup_estimates.  Equality with the
+    two-step composition is test-pinned."""
+    ev = with_event_time(events)
+    period = (
+        (F.col("ts_sec") / period_sec).cast("long") * period_sec
+    ).alias("period")
+    return (
+        ev.select(period, F.col(key), F.col(id_col))
+        .rollup("period", key)
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col(id_col), F.lit(lg_k))
+            ).alias("n_unique"),
+            # grouping() distinguishes the rollup rows from genuinely
+            # null data values — coalesce alone would conflate them
+            F.grouping("period").alias("__gp"),
+            F.grouping(key).alias("__gk"),
+        )
+        .filter(F.col("__gp") == 0)  # drop the grand-total row
+        .select(
+            "period",
+            F.when(F.col("__gk") == 1, F.lit("__all__"))
+            .otherwise(F.col(key))
+            .alias(key),
+            "n_unique",
+        )
+    )
+
+
 def rollup_estimates(sketches: DataFrame, key: str = "event_type") -> DataFrame:
     """Per-period estimates from a sketch table: one row per (period,
     key) plus an ``__all__`` row per period (the union across keys —

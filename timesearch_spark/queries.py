@@ -1844,13 +1844,15 @@ def orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("events_unique_sketch")  # mergeable HLL distinct rollup — rows-only + pytest
 def events_unique_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily distinct users per event_type AND overall, from mergeable
-    HLL sketches (sketches.distinct_sketches → rollup_estimates): one
-    map-side-combined agg sees raw events; the overall row is a sketch
-    union, which per-key COUNT(DISTINCT) results could never produce.
-    Estimate-vs-exact tolerance and the persisted SketchStore's
-    incremental-refresh contract are pinned in tests/test_sketches.py."""
-    s = sk.distinct_sketches(load(spark, sf_dir, "events"))
-    return sk.rollup_estimates(s)
+    HLL sketches (sketches.distinct_rollup): ONE raw-event pass —
+    rollup(period, key) grouping sets inside a single
+    ObjectHashAggregate — where the overall row is a sketch union that
+    per-key COUNT(DISTINCT) results could never produce.  Equality with
+    the two-step distinct_sketches → rollup_estimates composition (the
+    persisted-artifact flow), estimate-vs-exact tolerance, and the
+    SketchStore's incremental-refresh contract are pinned in
+    tests/test_sketches.py."""
+    return sk.distinct_rollup(load(spark, sf_dir, "events"))
 
 
 @q("events_asof")  # point-in-time attribution join — rows-only + pytest
