@@ -121,6 +121,42 @@ def test_simhash_table_matches_column_api(spark):
     assert via_table == via_col
 
 
+def test_simhash_empty_docs_kept_and_collide(spark):
+    """Zero-token docs must not vanish from the table (column-API parity:
+    simhash64 gives them -1), and two empty docs are hamming-0 dups —
+    blocking, the persisted index, and the incremental probe all agree."""
+    d = spark.createDataFrame(
+        [(1, "   "), (2, ""), (3, "real text here")],
+        "doc_id long, text string",
+    )
+    tab = {r["doc_id"]: r["sh"] for r in dd.simhash_table(d).collect()}
+    col = {
+        r["doc_id"]: r["sh"]
+        for r in d.select("doc_id", dd.simhash64("text").alias("sh")).collect()
+    }
+    assert tab == col and tab[1] == -1 and tab[2] == -1
+    pairs = dd.simhash_near_dups(d, max_hamming=3).collect()
+    assert [(r["a"], r["b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+    # incremental probe vs an index containing an empty doc
+    idx = dd.simhash_index(d.filter("doc_id = 1"))
+    tagged = {
+        r["doc_id"]: (r["is_new"], r["dup_of"])
+        for r in dd.incremental_simhash_dedup(
+            d.filter("doc_id >= 2"), idx
+        ).collect()
+    }
+    assert tagged[2] == (False, 1) and tagged[3][0] is True
+
+
+def test_minhash_rejects_bad_band_config(spark):
+    d = _docs(spark).limit(3)
+    import pytest as _pytest
+
+    for bands in (0, 128, 12):
+        with _pytest.raises(ValueError, match="bands"):
+            dd.minhash_near_dups(d, num_hashes=64, bands=bands).collect()
+
+
 def test_ngram_jaccard_identical_docs(spark):
     d = spark.createDataFrame(
         [(1, "b", "one two three"), (2, "b", "one two three"), (3, "b", "four five six")],

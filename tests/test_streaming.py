@@ -415,3 +415,75 @@ def test_union_of_n_sources_single_query(spark, tmp_path):
     snap = store.snapshot().collect()
     assert {r["idstr"] for r in snap} == set(entities.values())
     assert {r["subreddit"] for r in snap} == set(entities.keys())
+
+
+def test_edits_replay_is_idempotent_and_uncommitted_invisible(spark, tmp_path):
+    """Crash between the edits write and the manifest commit: the
+    orphaned edits version is invisible to edits(), and the replayed
+    batch REPLACES it instead of appending duplicate CDC rows."""
+    store = _store(spark, tmp_path, "cdc")
+    store.merge(
+        spark.createDataFrame([_comment("t1_a", "old")], COMMENT_COLS),
+        observed_at=1,
+    )
+    ptr = (tmp_path / "cdc" / "LATEST").read_text()  # pre-edit pointer
+    edit_batch = spark.createDataFrame(
+        [_comment("t1_a", "new")], COMMENT_COLS
+    )
+    store.merge(edit_batch, observed_at=2)
+    assert store.edits().count() == 1
+    # simulate the crash: roll the pointer back to before the merge —
+    # the edits/v=2 dir is now an orphan of an uncommitted merge
+    (tmp_path / "cdc" / "LATEST").write_text(ptr)
+    assert store.edits().count() == 0  # uncommitted version invisible
+    # replay converges: same version, same edits dir, no duplicates
+    store.merge(edit_batch, observed_at=3)
+    assert store.edits().count() == 1
+
+
+def test_merge_preserves_partial_schema_version_and_gates(spark, tmp_path):
+    from timesearch_spark.streaming import store as st
+
+    store = _store(spark, tmp_path, "partial")
+    store.merge(
+        spark.createDataFrame([_comment("t1_a", "x")], COMMENT_COLS),
+        observed_at=1,
+    )
+    # a bucketed-but-mid-migration archive (schema v2 + bucket manifest)
+    store._commit(store.version(), schema_version=2)
+    try:
+        store.merge(
+            spark.createDataFrame([_comment("t1_b", "y")], COMMENT_COLS)
+        )
+        raise AssertionError("merge accepted a partially-migrated store")
+    except st.ArchiveOutOfDate as e:
+        assert "upgrade_store" in str(e)
+    assert store.schema_version() == 2  # untouched, migration still runs
+
+    # NEWER archive than the engine: refused in the other direction too
+    store._commit(store.version(), schema_version=st.SCHEMA_VERSION + 1)
+    try:
+        store.check_schema_version()
+        raise AssertionError("gate accepted a newer-engine archive")
+    except st.ArchiveOutOfDate as e:
+        assert "NEWER" in str(e)
+
+
+def test_upgrade_skips_rewrite_for_layout_only_steps(spark, tmp_path):
+    """A bucketed v2 store (the interrupted-upgrade state) upgrades to
+    v3 with a pointer bump only — no second full-corpus rewrite."""
+    import os
+
+    from timesearch_spark.streaming import store as st
+
+    store = _store(spark, tmp_path, "bump")
+    store.merge(
+        spark.createDataFrame([_comment("t1_a", "x")], COMMENT_COLS),
+        observed_at=1,
+    )
+    store._commit(store.version(), schema_version=2)
+    vdirs_before = sorted(os.listdir(tmp_path / "bump" / "snapshot"))
+    assert st.upgrade_store(store) == st.SCHEMA_VERSION
+    assert sorted(os.listdir(tmp_path / "bump" / "snapshot")) == vdirs_before
+    store.check_schema_version()
+    assert store.snapshot().count() == 1

@@ -234,6 +234,15 @@ def minhash_band_buckets(
     pipeline through it) at a quarter of the digest calls.  Both
     families share every plan stage; md5 just pays string-width
     shuffles."""
+    if bands < 1 or num_hashes % bands:
+        # bands > num_hashes would make rows = 0 (banding degenerates to
+        # a divide-by-zero: NaN/Infinity bands in non-ANSI, a crash in
+        # ANSI); a non-divisor silently appends a short extra band and
+        # skews the recall curve — both are config errors, not data
+        raise ValueError(
+            f"bands must divide num_hashes: got bands={bands}, "
+            f"num_hashes={num_hashes}"
+        )
     rows = num_hashes // bands
     seq = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     base = spread(df).select(
@@ -567,15 +576,44 @@ def simhash_table(
         half.alias("half"),
         F.when(F.col("s") >= 0, F.pow(F.lit(2.0), pos)).otherwise(F.lit(0.0)).alias("p"),
     ).groupBy(id_col, "half").agg(F.sum("p").cast("long").alias("hv"))
-    return halves.groupBy(id_col).agg(
+    sig = halves.groupBy(id_col).agg(
         F.sum(
             F.when(F.col("half") == 1, F.shiftleft(F.col("hv"), 32)).otherwise(F.col("hv"))
         ).alias("sh")
+    )
+    # zero-token docs (empty/whitespace text) vanish in the explode but
+    # simhash64 gives them -1 (every bit sum is 0, 0 >= 0 sets the bit);
+    # complete the relation so the '(same values)' parity holds and the
+    # dedup rungs agree on degenerate input instead of silently dropping
+    # it from blocking/indexing/probing
+    ids = spread(df).select(_c(id_col).alias(id_col)).distinct()
+    return ids.join(sig, id_col, "left").select(
+        id_col, F.coalesce(F.col("sh"), F.lit(-1).cast("long")).alias("sh")
     )
 
 
 def hamming64(a, b) -> Column:
     return F.bit_count(_c(a).bitwiseXOR(_c(b)))
+
+
+def _simhash_chunks(sh_col, max_hamming: int):
+    """array<struct<chunk,val>> of the pigeonhole chunk keys for one
+    signature: 64 bits split into max_hamming+1 equal slices.  The ONE
+    chunking implementation — near-dup blocking, the persisted index,
+    and the incremental probe all call it, because index and probe
+    chunkings must be bit-identical or chunk keys don't line up and
+    candidate generation silently returns nothing."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    return F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(_c(sh_col), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+            .alias("val"),
+        )
+        for c in range(chunks)
+    ])
 
 
 def simhash_near_dups(
@@ -592,23 +630,11 @@ def simhash_near_dups(
     same-chunk-value pairs (a shuffle on 16-bit chunk keys), then verified
     with bit_count.  No cross product.  ``hash_family`` as in
     :func:`simhash_table`."""
-    chunks = max_hamming + 1
-    width = 64 // chunks
     h = simhash_table(df, text_col, id_col, hash_family)
     exploded = h.select(
         id_col,
         "sh",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk"),
-                    F.shiftrightunsigned(F.col("sh"), c * width)
-                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-                    .alias("val"),
-                )
-                for c in range(chunks)
-            ])
-        ).alias("cv"),
+        F.explode(_simhash_chunks("sh", max_hamming)).alias("cv"),
     ).select(id_col, "sh", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
 
     a = exploded.select("chunk", "val", F.col(id_col).alias("a"), F.col("sh").alias("sha"))
@@ -1031,23 +1057,11 @@ def simhash_index(
     doc (max_hamming+1 rows/doc), stored partitioned by (chunk, val) so
     batch probes prune.  Carries the full 64-bit signature so Hamming
     verification needs no second relation."""
-    chunks = max_hamming + 1
-    width = 64 // chunks
     h = simhash_table(df, text_col, id_col, "xxhash64")
     return h.select(
         F.col(id_col).alias("keeper"),
         F.col("sh"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk"),
-                    F.shiftrightunsigned(F.col("sh"), c * width)
-                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-                    .alias("val"),
-                )
-                for c in range(chunks)
-            ])
-        ).alias("cv"),
+        F.explode(_simhash_chunks("sh", max_hamming)).alias("cv"),
     ).select(
         F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"),
         "keeper", "sh",
@@ -1074,23 +1088,11 @@ def incremental_simhash_dedup(
     candidate.  ``max_hamming`` is part of the INDEX LAYOUT: the probe's
     chunking must equal the value the index was built with, or chunk
     keys don't line up and nothing matches."""
-    chunks = max_hamming + 1
-    width = 64 // chunks
     bh = simhash_table(batch, text_col, id_col, "xxhash64")
     probes = bh.select(
         F.col(id_col).alias("__bid"),
         F.col("sh").alias("__bsh"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk"),
-                    F.shiftrightunsigned(F.col("sh"), c * width)
-                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-                    .alias("val"),
-                )
-                for c in range(chunks)
-            ])
-        ).alias("cv"),
+        F.explode(_simhash_chunks("sh", max_hamming)).alias("cv"),
     ).select("__bid", "__bsh", F.col("cv.chunk").alias("chunk"),
              F.col("cv.val").alias("val"))
     cand = (

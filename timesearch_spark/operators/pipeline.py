@@ -392,12 +392,20 @@ def deterministic_shuffle(
 
     Scale: one shuffle on the shard key + a per-shard sort; shard count
     bounds sort width, so at 100 TB raise ``num_shards`` to
-    corpus_bytes / desired_shard_bytes.  Skew-free by construction
-    (hash-uniform shard key).  ``num_shards`` must be ≤ 16 or a power
-    split of the hex space; values above 16 use two nibbles (256-way).
+    corpus_bytes / desired_shard_bytes.  Skew-free by construction —
+    which is WHY ``num_shards`` must be a power of two ≤ 256: the shard
+    is nibble(s) mod num_shards, and a non-divisor of the 16/256 nibble
+    space would give low residues twice the mass of high ones (2× shard
+    skew, and a round-robin loader's tail degenerates to the fat
+    shards).  Values above 16 use two nibbles (256-way).
     """
-    if not 1 <= num_shards <= 256:
-        raise ValueError(f"num_shards must be in [1, 256]: {num_shards}")
+    if not 1 <= num_shards <= 256 or (
+        (16 if num_shards <= 16 else 256) % num_shards
+    ):
+        raise ValueError(
+            "num_shards must be a power of two in [1, 256] (a non-divisor "
+            f"of the nibble space skews shards 2x): {num_shards}"
+        )
     width = 1 if num_shards <= 16 else 2
     key = F.md5(F.concat(F.lit(f"{seed}:"), _c(id_col).cast("string")))
     keyed = df.select(_c(id_col).alias(id_col), key.alias("key"))

@@ -153,6 +153,19 @@ def cosine_topk(
     return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _round6(x: float) -> float:
+    """ROUND(x, 6) with Spark's semantics: HALF_UP over the SHORTEST
+    decimal repr of the double (java BigDecimal.valueOf) — Python's
+    round() is round-half-even and diverges on .5-boundary values."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def _fold_dot(V, q):
     """Row-wise Σⱼ V[:,j]·q[j] accumulated IN DIMENSION ORDER — the exact
     float64 operation sequence of functions.vectors.dot's left fold (and
@@ -256,6 +269,7 @@ def cosine_topk_lsh(
     bits: int = 6,
     tables: int = 16,
     seed: int = 42,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """ANN top-k: candidates = vectors sharing the query's signature in any
     of ``tables`` hyperplane tables; exact-cosine verify + top-k on the
@@ -284,7 +298,6 @@ def cosine_topk_lsh(
     import numpy as np
 
     planes = hyperplanes(dim, bits, tables, seed)
-    probe_hamming = 1
 
     qrow = query.select(as_double("q").alias("q")).first()
     if qrow is None:  # empty query: empty result, stable schema
@@ -521,7 +534,11 @@ def cosine_topk_ivf_batch(
             cn = np.sqrt(_fold_dot(c[None, :], c)[0])
             d = qnorm[m] * cn
             cos = float(_fold_dot(Qm[m : m + 1], c)[0] / d) if d != 0.0 else -2.0
-            scored.append((-round(cos, 6), cid))
+            # _round6, NOT Python round(): assign_cells ranks with Spark
+            # F.round (BigDecimal HALF_UP over the shortest double repr);
+            # banker's rounding here could probe a different cell set
+            # than the stored assignment on a .5-boundary cosine
+            scored.append((-_round6(cos), cid))
         scored.sort()
         probe.append(np.array([cid for _, cid in scored[:n_probe]]))
     probed_union = sorted({int(c) for p in probe for c in p})

@@ -132,12 +132,20 @@ class ParquetMergeStore:
         return ptr.get("version", 0) > 0 and "buckets" not in ptr
 
     def check_schema_version(self) -> None:
-        """Open-time gate (tsdb.py:217-228): refuse an older archive."""
+        """Open-time gate (tsdb.py:217-228): refuse a mismatched archive
+        in BOTH directions — older needs migration, newer means this
+        engine would misread a layout it doesn't know."""
         found = self.schema_version()
         if found < SCHEMA_VERSION:
             raise ArchiveOutOfDate(
                 f"archive at {self.path} is schema v{found}; "
                 f"engine expects v{SCHEMA_VERSION} — run upgrade_store()"
+            )
+        if found > SCHEMA_VERSION:
+            raise ArchiveOutOfDate(
+                f"archive at {self.path} is schema v{found}, NEWER than "
+                f"this engine's v{SCHEMA_VERSION} — upgrade the engine; "
+                "reading would misinterpret the on-disk layout"
             )
 
     def _version_dir(self, version: int) -> str:
@@ -149,9 +157,15 @@ class ParquetMergeStore:
     def _commit(
         self,
         version: int,
-        schema_version: int = SCHEMA_VERSION,
+        schema_version: int | None = None,
         buckets: dict[str, int] | None = None,
     ) -> None:
+        # default: CARRY FORWARD the stored schema version — a merge on
+        # a partially-migrated store must not stamp it current and
+        # silently skip the pending migrations (only migrations pass an
+        # explicit new version)
+        if schema_version is None:
+            schema_version = self.schema_version()
         if buckets is None:
             buckets = self.bucket_manifest()
         tmp = self._pointer_file() + ".tmp"
@@ -198,13 +212,31 @@ class ParquetMergeStore:
         return self.spark.read.parquet(*paths)
 
     def edits(self) -> DataFrame:
+        """The CDC log: edit batches land in ``edits/v=N`` (N = the merge
+        version that produced them) and only COMMITTED versions are read
+        — an edits dir orphaned by a crash between the edits write and
+        the manifest commit is invisible, and the replayed batch
+        overwrites it at the same version (idempotent, no duplicate
+        history).  Flat ``part-*`` files from the pre-versioned layout
+        are grandfathered in as committed."""
         d = os.path.join(self.path, "edits")
+        paths: list[str] = []
         try:
-            return self.spark.read.parquet(d)
-        except Exception:
+            committed = self.version()
+            for entry in os.listdir(d):
+                full = os.path.join(d, entry)
+                if entry.startswith("v=") and os.path.isdir(full):
+                    if int(entry[2:]) <= committed:
+                        paths.append(full)
+                elif entry.endswith(".parquet"):
+                    paths.append(full)  # legacy flat layout
+        except FileNotFoundError:
+            pass
+        if not paths:
             return self.spark.createDataFrame(
                 [], f"{self.key} string, previous_{self.text_col} string, replaced_at long"
             )
+        return self.spark.read.parquet(*paths)
 
     def resume_lower_bound(
         self, augmented_submissions: DataFrame | None = None
@@ -265,6 +297,10 @@ class ParquetMergeStore:
                 f"archive at {self.path} uses the pre-bucket flat layout; "
                 "run upgrade_store() before merging"
             )
+        # both-direction version gate: merging a partially-migrated (or
+        # newer-engine) archive under wrong layout assumptions is data
+        # loss, not a warning
+        self.check_schema_version()
 
         # Pin the batch before planning: ``batch`` is evaluated three
         # times below (bucket planning, the upsert join's write pass,
@@ -309,7 +345,14 @@ class ParquetMergeStore:
             .parquet(vdir)
         )
         if self.store_edits:
-            res.edits.write.mode("append").parquet(os.path.join(self.path, "edits"))
+            # versioned + overwrite: a replay of this (uncommitted) merge
+            # recomputes the same new_version and REPLACES the orphaned
+            # edits dir instead of appending duplicate CDC rows; edits()
+            # only reads committed versions, so the window between this
+            # write and _commit exposes nothing
+            res.edits.write.mode("overwrite").parquet(
+                os.path.join(self.path, "edits", f"v={new_version}")
+            )
 
         # Repoint the buckets that were ACTUALLY written.  With the
         # batch checkpointed above the write pass can't diverge from the
@@ -411,6 +454,12 @@ MIGRATIONS: dict[int, callable] = {
     3: lambda store, df: df,
 }
 
+#: Steps whose migration is a pure layout/version bump: when the store is
+#: already bucketed (a previous step's overwrite_snapshot re-bucketed it),
+#: the runner commits the version WITHOUT re-reading and re-writing the
+#: whole corpus — a v1 store pays ONE full rewrite, not one per step.
+LAYOUT_ONLY_STEPS: frozenset[int] = frozenset({3})
+
 
 def _add_missing_columns(df: DataFrame, schema) -> DataFrame:
     for field in schema.fields:
@@ -425,6 +474,12 @@ def upgrade_store(store: ParquetMergeStore) -> int:
     current = store.schema_version()
     while current < SCHEMA_VERSION:
         step = current + 1
+        if step in LAYOUT_ONLY_STEPS and not store._is_legacy_flat():
+            # already in the target layout: bump the committed version,
+            # skip the corpus rewrite
+            store._commit(store.version(), schema_version=step)
+            current = step
+            continue
         migrate = MIGRATIONS.get(step)
         snap = store.snapshot()
         if migrate is not None:
