@@ -297,3 +297,27 @@ def test_interval_rejects_bad_args(spark):
             sessions, point_ts="ts_sec", start_col="session_start",
             end_col="session_end", on=["user_id"],
         )
+
+
+def test_asof_ignores_null_timestamps(spark):
+    """Null right timestamps must never match (DuckDB ASOF ignores null
+    keys); null left timestamps stay unmatched in both directions."""
+    left = spark.createDataFrame(
+        [(1, 100, 1), (1, None, 2)], "k long, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 10), (1, 50, 11)], "k long, rts long, rid long"
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                left, right, on=["k"], left_ts="ts", right_ts="rts",
+                right_cols=["rid"], direction=direction,
+            ).collect()
+        }
+        assert got[2] is None, direction  # null left ts: unmatched
+        if direction == "backward":
+            assert got[1] == 11  # only the real (non-null) right matches
+        else:
+            assert got[1] is None  # no right at/after ts=100

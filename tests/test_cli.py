@@ -332,3 +332,22 @@ def test_compact_subcommand(spark, tmp_path, capsys):
     assert cli.main(["compact", "--corpus", str(tmp_path / "c")]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["batches_after"] == 1 and res["vacuumed"] >= 1
+
+
+def test_http_adapter_drops_malformed_items():
+    """An item with null/absent created_utc must be dropped, not raise —
+    a deterministic KeyError inside retry_forever would re-fetch the
+    same page every backoff interval for eternity."""
+    from timesearch_spark.sources.adapters import http_fetch_page
+
+    def opener(url):
+        return json.dumps({"data": [
+            {"id": "ok", "created_utc": 5},
+            {"id": "no_ts"},                      # absent created_utc
+            {"id": "null_ts", "created_utc": None},
+            {"created_utc": 6},                   # absent id
+        ]}).encode()
+
+    fetch = http_fetch_page("https://h/s?after={after}&limit={limit}",
+                            opener=opener)
+    assert [it["id"] for it in fetch(0, None, 50)] == ["ok"]

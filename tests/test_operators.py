@@ -321,3 +321,27 @@ def test_session_funnel_resets_at_session_boundaries(spark):
     alltime = {r["stage"]: r["n_users"] for r in
                win.funnel_progression(events, ["view", "buy"]).collect()}
     assert alltime == {1: 2, 2: 2}  # the all-time funnel counts u2 too
+
+
+def test_rate_anomalies_flags_break_from_flat_history(spark):
+    """stddev == 0 (perfectly constant rate) then a deviation: the
+    infinite-z case must flag (outage/spike of a steady service), with
+    null zscore standing in for infinity."""
+    from timesearch_spark.operators import windows as win
+
+    H = 3600
+    data = []
+    eid = 0
+    for hour in range(12):
+        n = 100 if hour == 11 else 10  # EXACTLY 10/hour, then a spike
+        for _ in range(n):
+            data.append((f"e{eid}", (hour * H + eid % 60) * 10**9,
+                         "u", "click", 0.0))
+            eid += 1
+    events = spark.createDataFrame(
+        data,
+        "event_id string, ts long, user_id string, event_type string, value double")
+    out = win.rate_anomalies(events, "1 hour", trailing=24, z=3.0).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n"] == 100 and row["stddev"] == 0.0 and row["zscore"] is None

@@ -76,3 +76,17 @@ def test_render_html_escapes_with_reference_typo(spark):
     html = render_comment_html(enriched).first()["html"]
     # '&rt;' [sic] — the reference's own typo (offline_reading.py:285-290)
     assert "&lt;b&rt;" in html and 'id="t1_a"' in html
+
+
+def test_null_scores_sort_as_zero_not_nan(spark):
+    """Arrow hands nullable long scores over as float64 NaN; the walk
+    must treat them as 0 (deterministic sibling order), never let NaN
+    poison the sort key into shuffle-order output."""
+    rows = [
+        ("t1_a", "t3_s", "s", 1, None),   # null score -> 0
+        ("t1_b", "t3_s", "s", 2, -5),     # below 0 -> after a
+        ("t1_c", "t3_s", "s", 3, 7),      # above 0 -> first
+    ]
+    for _ in range(3):
+        out = sorted(_forest(spark, rows).collect(), key=lambda r: r["position"])
+        assert [r["idstr"] for r in out] == ["t1_c", "t1_a", "t1_b"]

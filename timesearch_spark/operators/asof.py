@@ -91,6 +91,11 @@ def asof_join(
     # left row iff ties match (non-strict): side 0 < 1 handles backward;
     # strict flips the pair so the window's frame ends before the tie.
     side_right, side_left = (1, 0) if strict else (0, 1)
+    # null timestamps never participate: a null right_ts sorts FIRST
+    # under the ascending window order and last(ignorenulls) would carry
+    # its payload onto every otherwise-unmatched left row (DuckDB's ASOF
+    # ignores null keys; pandas merge_asof refuses them outright)
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("__t"),
@@ -131,7 +136,9 @@ def asof_join(
     matched = both.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
 
     out = matched.filter(F.col("__side") == side_left)
-    m = F.col("__m")
+    # a null LEFT ts can't qualify either (under the forward/descending
+    # order it sorts after every right row and would match the earliest)
+    m = F.when(F.col("__t").isNotNull(), F.col("__m"))
     if tolerance is not None:
         dist = (
             F.col("__t") - m["matched_ts"]

@@ -56,9 +56,11 @@ def distinct_sketches(
     epoch-aligned period and key.  Output: period = epoch seconds long.
     """
     ev = with_event_time(events)
-    period = (
-        (F.col("ts_sec") / period_sec).cast("long") * period_sec
-    ).alias("period")
+    # F.floor, not cast('long'): the cast truncates toward zero and
+    # misfiles pre-epoch (negative) timestamps
+    period = (F.floor(F.col("ts_sec") / period_sec) * period_sec).alias(
+        "period"
+    )
     return ev.groupBy(period, F.col(key)).agg(
         F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("sketch"),
         F.count("*").alias("n_events"),
@@ -83,9 +85,9 @@ def distinct_rollup(
     also emits is dropped to match rollup_estimates.  Equality with the
     two-step composition is test-pinned."""
     ev = with_event_time(events)
-    period = (
-        (F.col("ts_sec") / period_sec).cast("long") * period_sec
-    ).alias("period")
+    period = (F.floor(F.col("ts_sec") / period_sec) * period_sec).alias(
+        "period"
+    )
     return (
         ev.select(period, F.col(key), F.col(id_col))
         .rollup("period", key)
@@ -205,8 +207,13 @@ class SketchStore:
             )
         return (
             self.spark.read.parquet(self.path)
-            .withColumnRenamed("p", "period")
-            .select("period", self.key, "sketch", "n_events")
+            # partition-dir inference types p as INT for epoch values
+            # < 2^31: cast back to the long every other period column
+            # carries (and survive 2038)
+            .select(
+                F.col("p").cast("long").alias("period"),
+                self.key, "sketch", "n_events",
+            )
         )
 
     def refresh(self, events: DataFrame, allowed_lateness_sec: int = 0) -> int:

@@ -70,7 +70,11 @@ def _walk_one_thread(
             score[parent] = 0
         children.setdefault(parent, []).append(idstr)
         parent_of[idstr] = parent
-        score[idstr] = sc if sc is not None else 0
+        # Arrow hands a nullable long column over as float64 with NaN
+        # (not None) — and NaN poisons the sibling sort key (every
+        # comparison False → render order degrades to shuffle order).
+        # `sc != sc` is the NaN test.
+        score[idstr] = 0 if sc is None or sc != sc else sc
 
     # Iterative preorder DFS (recursion depth is unbounded in adversarial
     # threads; an explicit stack is).

@@ -56,6 +56,25 @@ def tumbling_counts(
     )
 
 
+def _session_flags(events: DataFrame, gap_sec: int, user_col: str) -> DataFrame:
+    """The one session-boundary rule: lag + running sum over the
+    (ts_sec, event_id)-ordered per-user window → ``session_seq``.
+    Shared by sessionize and session_funnel so the boundary semantics
+    (gap strictness, tie order, null handling) can never drift between
+    them."""
+    ev = with_event_time(events)
+    w = Window.partitionBy(user_col).orderBy("ts_sec", "event_id")
+    return ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_sec") - F.lag("ts_sec").over(w) > gap_sec, 1
+        ).otherwise(F.when(F.lag("ts_sec").over(w).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_sec: int = 1800,
@@ -67,17 +86,7 @@ def sessionize(
     Classic lag + running-sum construction: one shuffle on the user, two
     ordered window passes.  Output: (user_id, session_id, session_start,
     session_end, n_events)."""
-    ev = with_event_time(events)
-    w = Window.partitionBy(user_col).orderBy("ts_sec", "event_id")
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(
-            F.col("ts_sec") - F.lag("ts_sec").over(w) > gap_sec, 1
-        ).otherwise(F.when(F.lag("ts_sec").over(w).isNull(), 1).otherwise(0)),
-    ).withColumn(
-        "session_seq",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    flagged = _session_flags(events, gap_sec, user_col)
     return (
         flagged.groupBy(F.col(user_col), F.col("session_seq").alias("session_id"))
         .agg(
@@ -108,7 +117,9 @@ def retention_cohorts(
     single exchange chain.  At 100 TB the first aggregate is the only
     stage that sees raw events."""
     ev = with_event_time(events)
-    period = ((F.col("ts_sec") / period_sec).cast("long") * period_sec).alias(
+    # F.floor, not cast('long'): the cast truncates toward zero, which
+    # puts pre-epoch (negative) timestamps in the wrong period
+    period = (F.floor(F.col("ts_sec") / period_sec) * period_sec).alias(
         "period"
     )
     user_periods = (
@@ -209,16 +220,7 @@ def session_funnel(
     session ids ride it), one codegen'd fold per (user, session) over the
     sorted per-session events, a per-user max, then the spine ladder.
     Output: (stage, n_users)."""
-    ev = with_event_time(events)
-    w = Window.partitionBy(user_col).orderBy("ts_sec", "event_id")
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(F.col("ts_sec") - F.lag("ts_sec").over(w) > gap_sec, 1)
-        .otherwise(F.when(F.lag("ts_sec").over(w).isNull(), 1).otherwise(0)),
-    ).withColumn(
-        "session_seq",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    flagged = _session_flags(events, gap_sec, user_col)
     per_session = flagged.groupBy(user_col, "session_seq").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("ts_sec"), F.col(type_col).alias("t")))
@@ -291,19 +293,31 @@ def rate_anomalies(
         F.count("n").over(w).alias("history"),
     )
     zscore = (F.col("n") - F.col("mean")) / F.col("stddev")
+    # stddev == 0 (perfectly flat history) is the HIGHEST-signal case,
+    # not a reason to stay silent: any deviation from a constant rate is
+    # an infinite-z anomaly — a steady service going dark, exactly the
+    # outage this operator advertises.  zscore reports null there
+    # (infinity has no finite value to round).
+    flat_break = (F.col("stddev") == 0) & (F.col("n") != F.col("mean"))
     return (
         stats.filter(
             (F.col("history") >= min_history)
-            & (F.col("stddev") > 0)
-            & (F.abs(zscore) >= z)
+            & (((F.col("stddev") > 0) & (F.abs(zscore) >= z)) | flat_break)
         )
         .select(
             "window_start", key, "n",
             F.round("mean", 4).alias("mean"),
             F.round("stddev", 4).alias("stddev"),
-            F.round(zscore, 4).alias("zscore"),
+            F.when(F.col("stddev") > 0, F.round(zscore, 4)).alias("zscore"),
         )
     )
+
+
+def _pname(p: float) -> str:
+    """p50 / p05 / p99_5: the percent with its fractional part kept —
+    rounding to an int collapsed distinct percentiles (0.995 and 1.0
+    both became p100, a silent mislabel + duplicate-column trap)."""
+    return "p" + f"{p * 100:.4f}".rstrip("0").rstrip(".").replace(".", "_").zfill(2)
 
 
 def window_percentiles(
@@ -319,12 +333,13 @@ def window_percentiles(
     so the shuffle carries sketches, not values.  ``accuracy`` trades
     sketch size for error (1/accuracy relative rank error).  Output:
     (window_start, key, n, p50, p95, p99...) with pNN columns named
-    from the requested percentiles (two-digit percent: 0.5 → p50,
-    0.05 → p05 — never ambiguous between the median and the 5th)."""
+    from the requested percentiles: percent with any fractional part
+    kept (0.5 → p50, 0.05 → p05, 0.995 → p99_5) — distinct requested
+    percentiles always yield distinct column names."""
     ev = with_event_time(events)
     pcols = [
         F.percentile_approx("value", p, accuracy).alias(
-            f"p{int(round(p * 100)):02d}"
+            _pname(p)
         )
         for p in percentiles
     ]
@@ -332,5 +347,5 @@ def window_percentiles(
         ev.groupBy(F.window("event_time", duration).alias("w"), F.col(key))
         .agg(F.count("*").alias("n"), *pcols)
         .select(F.col("w.start").alias("window_start"), key, "n",
-                *[f"p{int(round(p * 100)):02d}" for p in percentiles])
+                *[_pname(p) for p in percentiles])
     )

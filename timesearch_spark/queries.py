@@ -106,10 +106,10 @@ def sort_computed_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("point_lookup", "SELECT * FROM orders WHERE o_orderkey = 7"
                    )
 def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: point probe by key (tsdb.py:391).  Dates stringified for the
-    cross-engine compare."""
-    df = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 7)
-    return df.withColumn("o_orderdate", F.col("o_orderdate"))
+    """A2: point probe by key (tsdb.py:391).  The timestamp column flows
+    through natively — the driver's canonicalizer renders both engines'
+    timestamps identically, so no stringification is needed."""
+    return load(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 7)
 
 
 # =========================================================================

@@ -50,18 +50,20 @@ def ndjson_fetch_page(path: str) -> Callable[[int, int | None, int], list[dict]]
                 continue
             items.append(obj)
     items.sort(key=lambda it: (it["created_utc"], it["id"]))
+    created = [it["created_utc"] for it in items]  # sorted, for bisect
 
     def fetch_page(after: int, before: int | None, limit: int) -> list[dict]:
+        import bisect
+
+        # binary-search the first item with ts > after: a linear skip
+        # made a full pagination pass O(n²/page_size) over a large
+        # archive (every page rescanned the consumed prefix)
+        start = bisect.bisect_right(created, after)
         out = []
-        for it in items:
-            ts = it["created_utc"]
-            if ts <= after:
-                continue
-            if before is not None and ts >= before:
+        for it in items[start : start + limit]:
+            if before is not None and it["created_utc"] >= before:
                 break
             out.append(it)
-            if len(out) >= limit:
-                break
         return out
 
     return fetch_page
@@ -96,6 +98,15 @@ def http_fetch_page(
         )
         body = json.loads(opener(url).decode("utf-8"))
         data = body.get(data_key, []) if isinstance(body, dict) else body
+        # drop malformed items (null/absent created_utc or id) — the same
+        # contract ndjson_fetch_page applies.  A KeyError here would be
+        # DETERMINISTIC, and the caller's retry_forever would re-fetch the
+        # same page every backoff interval for eternity.
+        data = [
+            it
+            for it in data
+            if it.get("created_utc") is not None and it.get("id") is not None
+        ]
         return sorted(data, key=lambda it: (it["created_utc"], it["id"]))
 
     return fetch_page
