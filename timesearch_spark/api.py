@@ -91,7 +91,13 @@ def _ingest_paginated(archive, fetch_page, canonicalize, store, lower,
         batch = canonicalize(raw, extra_cols=extra_cols)
         order_col = "source_priority" if lookup is not None else None
         store.merge(batch, batch_order_col=order_col)
-        n += len(page)
+        if lookup is not None:
+            # the interleaved page holds dummy (priority 1) + live
+            # (priority 2) rows per item — count ITEMS, not rows, to
+            # keep the reference's ingest-count semantics
+            n += sum(1 for it in page if it.get("source_priority") == 1)
+        else:
+            n += len(page)
     return n
 
 
@@ -149,6 +155,12 @@ def mark_augmented(archive: Archive, submission_idstr: str,
 
     if observed_at is None:
         observed_at = int(_t.time())
+    # accept a bare base36 id like every other entry point: an
+    # un-normalized key would full-outer-merge a phantom near-all-null
+    # row instead of stamping the stored submission, and the
+    # augmented-aware resume bound would silently exclude nothing
+    if not submission_idstr.startswith("t3_"):
+        submission_idstr = "t3_" + submission_idstr
     row = archive.spark.createDataFrame(
         [(submission_idstr,)], "idstr string"
     ).select(

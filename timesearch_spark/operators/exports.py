@@ -218,6 +218,10 @@ def write_thread_html(rendered: DataFrame, out_dir: str) -> int:
         os.makedirs(out_dir, exist_ok=True)
         for pdf in batches:
             for name, doc in zip(pdf["submission"], pdf["doc"]):
+                if name is None:
+                    # orphan comments (raw line without link_id) have no
+                    # thread to render into — skip, don't kill the job
+                    continue
                 name = name if name.startswith("t3_") else "t3_" + name
                 path = os.path.join(out_dir, f"{name}.html")
                 with open(path, "w", encoding="utf-8") as f:

@@ -94,6 +94,11 @@ def drift_report(
         F.col("approx_distinct").alias("b_dist"),
     )
     j = cur.join(base, "column", "full_outer")
+    if not 0.0 < max_distinct_ratio_drift < 1.0:
+        raise ValueError(
+            "max_distinct_ratio_drift must be in (0, 1): "
+            f"{max_distinct_ratio_drift}"  # 1.0 would divide by zero below
+        )
     lo = 1.0 - max_distinct_ratio_drift
     hi = 1.0 / lo
     ratio = F.col("c_dist") / F.nullif(F.col("b_dist"), F.lit(0))
@@ -115,7 +120,11 @@ def drift_report(
                                  F.round("c_null_frac", 4).cast("string")).alias("detail")),
         ),
         F.when(
-            (ratio < lo) | (ratio > hi),
+            # a zero-distinct baseline makes the ratio NULL (nullif) —
+            # flag any growth from zero explicitly or the most extreme
+            # cardinality explosion possible would pass silently
+            (ratio < lo) | (ratio > hi)
+            | ((F.col("b_dist") == 0) & (F.col("c_dist") > 0)),
             F.struct(F.lit("cardinality_drift").alias("issue"),
                      F.concat_ws("->", F.col("b_dist").cast("string"),
                                  F.col("c_dist").cast("string")).alias("detail")),

@@ -60,7 +60,11 @@ class MaterializedRollup:
             return self.spark.createDataFrame(
                 [], f"{self.key} string, n bigint, value_sum_micros bigint, w bigint"
             )
-        return self.spark.read.parquet(self.path)
+        # partition-dir inference types w as INT for epoch values < 2^31:
+        # cast back to the long the empty-store branch declares
+        return self.spark.read.parquet(self.path).withColumn(
+            "w", F.col("w").cast("long")
+        )
 
     def refresh(self, events: DataFrame, allowed_lateness: int = 1) -> dict:
         """Recompute every window that can still change; returns

@@ -75,11 +75,14 @@ def _latest_per_key(batch: DataFrame, key: str, order_col: str | None) -> DataFr
     order_exprs = []
     if order_col is not None:
         order_exprs.append(F.col(order_col).desc())
-    else:
-        if "created" in batch.columns:
-            order_exprs.append(F.col("created").desc())
-        batch = batch.withColumn("__arrival", F.monotonically_increasing_id())
-        order_exprs.append(F.col("__arrival").desc())
+    # created/arrival ALWAYS follow as tiebreaks: with only an explicit
+    # order_col, two same-key rows at equal priority (the 1-second
+    # pagination overlap re-reading an item) would pick a
+    # nondeterministic winner — the older version could clobber the newer
+    if "created" in batch.columns:
+        order_exprs.append(F.col("created").desc())
+    batch = batch.withColumn("__arrival", F.monotonically_increasing_id())
+    order_exprs.append(F.col("__arrival").desc())
     w = Window.partitionBy(key).orderBy(*order_exprs)
     return (
         batch.withColumn("__rn", F.row_number().over(w))
@@ -95,7 +98,13 @@ def _is_deleted(author_col, text_col):
     greasy = F.lit(False)
     for marker in GREASY:
         greasy = greasy | text_col.contains(marker)
-    author_gone = author_col.isNull() | (author_col == F.lit("[DELETED]"))
+    # match the canonical '[DELETED]' sentinel AND the raw lowercase
+    # '[deleted]' that archive/pushshift dumps carry verbatim (only
+    # NULL authors get canonicalized; a literal string flows through) —
+    # exports.py applies the same case-insensitive test
+    author_gone = author_col.isNull() | (
+        F.lower(author_col) == F.lit("[deleted]")
+    )
     return (author_gone & removed) | greasy
 
 

@@ -391,7 +391,7 @@ ORACLE["enrich_join"] = ORACLE["window_latest_version"]
       AND (s.body IS NULL OR s.body <> b.body)
       -- deletion mask (tsdb.py:527-545): author gone + removal placeholder
       AND NOT (
-        (b.author IS NULL OR b.author = '[DELETED]')
+        (b.author IS NULL OR LOWER(b.author) = '[deleted]')
         AND b.body IN ('[removed]', '[deleted]')
       )
       AND NOT b.body LIKE '%pastebin.com/64GuVi2F%'

@@ -81,10 +81,17 @@ def livestream(
         # The canonical projections keep the transient ``edited`` column:
         # the upsert uses it for replaced_at (tsdb.py:374-377) and drops it
         # from the stored snapshot (it's not in the store schema).
+        # compute_stats=False: the per-merge counter jobs (3 counts per
+        # store per micro-batch) are wasted work at a 30 s cadence —
+        # store.foreach_batch documents exactly this hot-path rule
         if submissions_store is not None:
-            submissions_store.merge(submissions_from_raw(batch))
+            submissions_store.merge(
+                submissions_from_raw(batch), compute_stats=False
+            )
         if comments_store is not None:
-            comments_store.merge(comments_from_raw(batch))
+            comments_store.merge(
+                comments_from_raw(batch), compute_stats=False
+            )
 
     writer = (
         raw_stream.writeStream.foreachBatch(handle_batch)

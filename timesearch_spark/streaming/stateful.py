@@ -45,10 +45,16 @@ def running_author_counts(events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            is_sub = pdf["idstr"].str.startswith("t3_")
+            # fillna: a NULL idstr makes .str.startswith yield NaN in an
+            # object series and `~` raises TypeError — one malformed
+            # event must not kill the streaming query; NULL created is
+            # skipped the same way (int(NaN) raises)
+            is_sub = pdf["idstr"].fillna("").str.startswith("t3_")
             n_subs += int(is_sub.sum())
             n_comms += int((~is_sub).sum())
-            last = max(last, int(pdf["created"].max()))
+            created_max = pdf["created"].dropna().max()
+            if created_max == created_max and created_max is not None:
+                last = max(last, int(created_max))
         state.update((n_subs, n_comms, last))
         yield pd.DataFrame(
             [
@@ -98,7 +104,9 @@ def scan_state(comments: DataFrame, idle_timeout_ms: int = 30 * 60 * 1000) -> Da
             if pdf.empty:
                 continue
             n += len(pdf)
-            last = max(last, int(pdf["created"].max()))
+            created_max = pdf["created"].dropna().max()
+            if created_max == created_max and created_max is not None:
+                last = max(last, int(created_max))
         state.update((n, last))
         state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(

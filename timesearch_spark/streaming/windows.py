@@ -89,7 +89,16 @@ def dedup_stream(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Watermarked exactly-once-per-key dedup (I2's overlap + id-set,
-    with bounded state instead of an unbounded driver set)."""
+    with bounded state instead of an unbounded driver set).
+
+    ``dropDuplicatesWithinWatermark``, NOT ``dropDuplicates([key])``:
+    the plain form only expires state when the event-time column is part
+    of the dedup subset — keyed on id alone it would keep one state
+    entry per distinct key FOREVER, the exact unbounded growth this
+    function exists to avoid.  The WithinWatermark variant evicts each
+    key once the watermark passes its event time; duplicates arriving
+    inside the watermark window (the reference's 1-second pagination
+    overlap, plus late replays) still dedup."""
     return with_event_time(stream, ts_col).withWatermark(
         "event_time", watermark
-    ).dropDuplicates([key])
+    ).dropDuplicatesWithinWatermark([key])
