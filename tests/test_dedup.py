@@ -126,7 +126,7 @@ def test_simhash_empty_docs_kept_and_collide(spark):
     simhash64 gives them -1), and two empty docs are hamming-0 dups —
     blocking, the persisted index, and the incremental probe all agree."""
     d = spark.createDataFrame(
-        [(1, "   "), (2, ""), (3, "real text here")],
+        [(1, "   "), (2, ""), (3, "real text here"), (4, None)],
         "doc_id long, text string",
     )
     tab = {r["doc_id"]: r["sh"] for r in dd.simhash_table(d).collect()}
@@ -134,9 +134,12 @@ def test_simhash_empty_docs_kept_and_collide(spark):
         r["doc_id"]: r["sh"]
         for r in d.select("doc_id", dd.simhash64("text").alias("sh")).collect()
     }
-    assert tab == col and tab[1] == -1 and tab[2] == -1
-    pairs = dd.simhash_near_dups(d, max_hamming=3).collect()
-    assert [(r["a"], r["b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+    assert tab == col and tab[1] == -1 and tab[2] == -1 and tab[4] == -1
+    pairs = sorted(
+        (r["a"], r["b"], r["hamming"])
+        for r in dd.simhash_near_dups(d, max_hamming=3).collect()
+    )
+    assert pairs == [(1, 2, 0), (1, 4, 0), (2, 4, 0)]
     # incremental probe vs an index containing an empty doc
     idx = dd.simhash_index(d.filter("doc_id = 1"))
     tagged = {

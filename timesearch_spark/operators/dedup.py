@@ -477,8 +477,16 @@ def simhash64(col) -> Column:
 
     The bit loop runs in Python (shift amounts must be int literals for
     the JVM shift builtins); token hashes are materialized once per row so
-    the 64 per-bit folds reuse them."""
-    hashes = F.transform(tokens(col), lambda tok: F.xxhash64(tok))
+    the 64 per-bit folds reuse them.
+
+    Null text ≡ empty text: both have zero tokens, every bit sum is 0,
+    and the signature is -1 — without the coalesce a null text's
+    aggregate would be NULL and the sig would silently come out 0,
+    diverging from simhash_table's relation form."""
+    hashes = F.transform(
+        F.coalesce(tokens(col), F.array().cast("array<string>")),
+        lambda tok: F.xxhash64(tok),
+    )
 
     def bit_fold(b: int):
         # closure, not a default arg: pyspark counts lambda params to
@@ -526,8 +534,12 @@ def simhash_table(
     can't miss a ≤ max_hamming pair, so the oracle needs no blocking of
     its own).  Same digest count as the production family — md5 is the
     parity twin, not the scale default."""
+    # explode_OUTER: a zero-token doc keeps one null-token row instead of
+    # vanishing from the relation — its null votes make every bit sum
+    # null, which the bit-set rule below reads as "set" (matching
+    # simhash64's -1 for empty docs) with NO completion join
     tok = spread(df).select(
-        _c(id_col).alias(id_col), F.explode(tokens(text_col)).alias("__t")
+        _c(id_col).alias(id_col), F.explode_outer(tokens(text_col)).alias("__t")
     )
     # Explode the bit index FIRST, then derive the ±1 vote in a
     # top-level projection: 64 × tokens hash/bit computations run inside
@@ -559,8 +571,11 @@ def simhash_table(
             .select(id_col, "b", (bit * 2 - 1).alias("v"))
         )
     elif hash_family == "xxhash64":
+        # null-guard the hash: xxhash64(NULL) returns the seed value, not
+        # null — the null-token row must carry a NULL vote
+        h = F.when(F.col("__t").isNotNull(), F.xxhash64("__t"))
         bits = (
-            tok.select(id_col, F.xxhash64("__t").alias("__h"))
+            tok.select(id_col, h.alias("__h"))
             .select(id_col, "__h", F.explode(seq64).alias("b"))
             .select(
                 id_col, "b", (F.bit_get("__h", F.col("b")) * 2 - 1).alias("v")
@@ -574,21 +589,17 @@ def simhash_table(
     halves = per_bit.select(
         id_col,
         half.alias("half"),
-        F.when(F.col("s") >= 0, F.pow(F.lit(2.0), pos)).otherwise(F.lit(0.0)).alias("p"),
+        # s NULL = the doc's only row was the null-token explode_outer
+        # row (zero tokens): treat as "bit set" (0 >= 0), which makes
+        # every bit 1 → sig -1, exactly simhash64's empty-doc value
+        F.when((F.col("s") >= 0) | F.col("s").isNull(), F.pow(F.lit(2.0), pos))
+        .otherwise(F.lit(0.0))
+        .alias("p"),
     ).groupBy(id_col, "half").agg(F.sum("p").cast("long").alias("hv"))
-    sig = halves.groupBy(id_col).agg(
+    return halves.groupBy(id_col).agg(
         F.sum(
             F.when(F.col("half") == 1, F.shiftleft(F.col("hv"), 32)).otherwise(F.col("hv"))
         ).alias("sh")
-    )
-    # zero-token docs (empty/whitespace text) vanish in the explode but
-    # simhash64 gives them -1 (every bit sum is 0, 0 >= 0 sets the bit);
-    # complete the relation so the '(same values)' parity holds and the
-    # dedup rungs agree on degenerate input instead of silently dropping
-    # it from blocking/indexing/probing
-    ids = spread(df).select(_c(id_col).alias(id_col)).distinct()
-    return ids.join(sig, id_col, "left").select(
-        id_col, F.coalesce(F.col("sh"), F.lit(-1).cast("long")).alias("sh")
     )
 
 
