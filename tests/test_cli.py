@@ -351,3 +351,34 @@ def test_http_adapter_drops_malformed_items():
     fetch = http_fetch_page("https://h/s?after={after}&limit={limit}",
                             opener=opener)
     assert [it["id"] for it in fetch(0, None, 50)] == ["ok"]
+
+
+def test_supplement_source_enriches_and_flag_disables(spark, tmp_path, capsys):
+    """--supplement-source wires the reference's supplement step: live
+    copies (priority 2) overwrite the archived dummy rows; and
+    --dont_supplement really disables it."""
+    dump = tmp_path / "dump.jsonl"
+    dump.write_text(json.dumps(_sub(1, score=5)) + "\n")
+    live = tmp_path / "live.jsonl"
+    live_item = {**_sub(1, score=99)}
+    live.write_text(json.dumps(live_item) + "\n")
+
+    root = str(tmp_path / "a")
+    assert cli.main([
+        "--archive-root", root, "get_submissions", "-r", "s",
+        "--lower", "0", "--source", str(dump),
+        "--supplement-source", str(live),
+    ]) == 0
+    from timesearch_spark.api import Archive
+
+    ar = Archive(spark, f"{root}/subreddits/s")
+    assert ar.submissions.snapshot().first()["score"] == 99
+
+    root2 = str(tmp_path / "b")
+    assert cli.main([
+        "--archive-root", root2, "get_submissions", "-r", "s",
+        "--lower", "0", "--source", str(dump),
+        "--supplement-source", str(live), "--dont_supplement",
+    ]) == 0
+    ar2 = Archive(spark, f"{root2}/subreddits/s")
+    assert ar2.submissions.snapshot().first()["score"] == 5

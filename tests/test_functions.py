@@ -169,3 +169,14 @@ def test_markdown_package_branch(monkeypatch):
         monkeypatch.delitem(sys.modules, "markdown", raising=False)
         importlib.reload(fn)
     assert fn.HAS_MARKDOWN is False
+
+
+def test_markdown_code_spans_stay_literal():
+    """python-markdown keeps code-span content literal: link/em/strong
+    syntax inside backticks must not render."""
+    from timesearch_spark.functions.markdown_lite import render
+
+    out = render("`[x](y)` and [a](b) and `**bold**`")
+    assert "<code>[x](y)</code>" in out
+    assert "<code>**bold**</code>" in out
+    assert '<a href="b">a</a>' in out

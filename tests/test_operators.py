@@ -345,3 +345,19 @@ def test_rate_anomalies_flags_break_from_flat_history(spark):
     assert len(out) == 1
     row = out[0]
     assert row["n"] == 100 and row["stddev"] == 0.0 and row["zscore"] is None
+
+
+def test_breakdown_null_key_group_stays_one_row(spark):
+    """NULL grouping keys (deleted authors) must merge into ONE zero-
+    filled row across both sides — a plain USING join splits them and
+    the JSON export then drops one of the counts."""
+    from timesearch_spark.operators.breakdown import breakdown
+
+    subs = spark.createDataFrame(
+        [("u1",), (None,), (None,)], "author string")
+    comms = spark.createDataFrame(
+        [("u1",), ("u1",), (None,)], "author string")
+    rows = {r["author"]: (r["submissions"], r["comments"])
+            for r in breakdown(subs, comms, key="author").collect()}
+    assert len(rows) == 2
+    assert rows["u1"] == (1, 2) and rows[None] == (2, 1)

@@ -67,6 +67,36 @@ def _fetch_page(args):
     raise SystemExit("--source FILE or --source-url TEMPLATE is required")
 
 
+def _lookup(args):
+    """Supplementation lookup (the reference's supplement_reddit_data
+    step, on by default and disabled by --dont_supplement): live copies
+    come from --supplement-source, an NDJSON file of fresher item
+    versions keyed by id.  Returns None when supplementation is off or
+    no live source was given — the flag is honored either way instead
+    of being silently ignored."""
+    if not getattr(args, "do_supplement", True):
+        return None
+    src = getattr(args, "supplement_source", None)
+    if not src:
+        return None
+    import json as _json
+
+    live = {}
+    with open(src, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            obj = _json.loads(line)
+            if obj.get("id") is not None:
+                live[obj["id"]] = obj
+
+    def lookup(ids):
+        return {i: live[i] for i in ids if i in live}
+
+    return lookup
+
+
 def _parse_lower(value):
     if value is None or value == "update":
         return "update"
@@ -82,6 +112,7 @@ def cmd_get_submissions(args):
         _archive(args), _fetch_page(args),
         lower=_parse_lower(args.lower),
         upper=int(args.upper) if args.upper is not None else None,
+        lookup=_lookup(args),
     )
     print(f"get_submissions: {n} items")
     return 0
@@ -95,6 +126,7 @@ def cmd_get_comments(args):
         lower=_parse_lower(args.lower),
         upper=int(args.upper) if args.upper is not None else None,
         specific_submission=args.specific_submission,
+        lookup=_lookup(args),
     )
     print(f"get_comments: {n} items")
     return 0
@@ -312,6 +344,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-up", "--upper", dest="upper", default=None)
     p.add_argument("--dont_supplement", "--dont-supplement",
                    dest="do_supplement", action="store_false")
+    p.add_argument("--supplement-source", dest="supplement_source",
+                   default=None,
+                   help="NDJSON file of live item copies for enrichment")
     p.add_argument("--source", dest="source", default=None)
     p.add_argument("--source-url", dest="source_url", default=None)
     p.set_defaults(func=cmd_get_submissions)
@@ -323,6 +358,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-up", "--upper", dest="upper", default=None)
     p.add_argument("--dont_supplement", "--dont-supplement",
                    dest="do_supplement", action="store_false")
+    p.add_argument("--supplement-source", dest="supplement_source",
+                   default=None,
+                   help="NDJSON file of live item copies for enrichment")
     p.add_argument("--source", dest="source", default=None)
     p.add_argument("--source-url", dest="source_url", default=None)
     p.set_defaults(func=cmd_get_comments)
@@ -343,7 +381,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("breakdown", help="per-author counts JSON")
     _add_entity_args(p)
-    p.add_argument("--sort", dest="sort", default=None)
+    p.add_argument("--sort", dest="sort", default=None,
+                   choices=["name", "submissions", "comments", "total_posts"])
     p.set_defaults(func=cmd_breakdown)
 
     p = sub.add_parser("index", help="sorted listing export")

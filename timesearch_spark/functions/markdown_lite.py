@@ -52,7 +52,17 @@ def _escape(s: str) -> str:
 
 def _inline(s: str) -> str:
     s = _escape(s)
-    s = _CODE.sub(lambda m: f"<code>{m.group(1)}</code>", s)
+    # carve code spans out FIRST (NUL placeholders — render() strips
+    # NULs from the input, so no collision): python-markdown keeps
+    # code-span content literal, and running link/strong/em over the
+    # rendered <code> body would rewrite `[x](y)` inside backticks
+    spans: list[str] = []
+
+    def _carve(m):
+        spans.append(f"<code>{m.group(1)}</code>")
+        return f"\x00i{len(spans) - 1}\x00"
+
+    s = _CODE.sub(_carve, s)
     # quotes in the url are attribute-escaped (python-markdown does the
     # same) so a crafted url can't break out of the href attribute
     s = _LINK.sub(
@@ -61,6 +71,8 @@ def _inline(s: str) -> str:
     )
     s = _STRONG.sub(lambda m: f"<strong>{m.group(1)}</strong>", s)
     s = _EM.sub(lambda m: f"<em>{m.group(1)}</em>", s)
+    for i, span in enumerate(spans):
+        s = s.replace(f"\x00i{i}\x00", span)
     return s
 
 

@@ -37,9 +37,24 @@ def breakdown(
     """
     key_name = key_name or key
     lc = left.groupBy(F.col(key).alias(key_name)).agg(F.count("*").alias(left_name))
-    rc = right.groupBy(F.col(key).alias(key_name)).agg(F.count("*").alias(right_name))
+    rc = right.groupBy(F.col(key).alias(key_name)).agg(
+        F.count("*").alias(f"__r_{right_name}")
+    )
+    # null-SAFE join key: a NULL grouping key (deleted authors) groups on
+    # each side but a plain USING join can't equate NULL=NULL — the group
+    # would split into two half-counted rows and the JSON export's dict
+    # would keep only one (the reference's dict setdefault merges them)
     out = (
-        lc.join(rc, key_name, "full_outer")
+        lc.join(
+            rc,
+            lc[key_name].eqNullSafe(rc[key_name]),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(lc[key_name], rc[key_name]).alias(key_name),
+            F.col(left_name),
+            F.col(f"__r_{right_name}").alias(right_name),
+        )
         .select(
             F.col(key_name),
             F.coalesce(F.col(left_name), F.lit(0)).alias(left_name),
@@ -62,5 +77,10 @@ def breakdown_sorted(
     lower_key = F.lower(F.col(key_name).cast("string"))
     if sort == "name":
         return bd.orderBy(lower_key.asc())
-    col = {"submissions": left_name, "comments": right_name, "total_posts": "total_posts"}[sort]
-    return bd.orderBy(F.col(col).desc(), lower_key.asc())
+    cols = {"submissions": left_name, "comments": right_name,
+            "total_posts": "total_posts"}
+    if sort not in cols:
+        raise ValueError(
+            f"unknown sort {sort!r}: use name|{'|'.join(cols)}"
+        )
+    return bd.orderBy(F.col(cols[sort]).desc(), lower_key.asc())

@@ -69,7 +69,10 @@ def exact_dedup_groups(
 ) -> DataFrame:
     """Duplicate groups by content hash: (content_hash, keeper_id, dup_count).
     The shuffle key is the 32-char md5, not the document text."""
-    t = F.lower(F.trim(_c(text_col))) if normalize else _c(text_col)
+    # coalesce: null text = empty text (engine-wide policy) — md5(NULL)
+    # is NULL and a null hash never groups/joins, silently losing docs
+    txt = F.coalesce(_c(text_col), F.lit(""))
+    t = F.lower(F.trim(txt)) if normalize else txt
     return (
         df.select(F.md5(t).alias("content_hash"), _c(id_col).alias(id_col))
         .groupBy("content_hash")
@@ -91,8 +94,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def _whitespace_fp(col) -> Column:
     """md5 of whitespace-normalized lowercase text — the same content
     fingerprint as textstats.fingerprint_md5 (kept expression-identical;
-    not imported to avoid a module cycle)."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " "))
+    not imported to avoid a module cycle).  Null text fingerprints as
+    empty text: a NULL fp would drop the doc from every inner join in
+    the incremental-dedup path (neither appended nor indexed)."""
+    return F.md5(
+        F.regexp_replace(
+            F.lower(F.trim(F.coalesce(_c(col), F.lit("")))), r"\s+", " "
+        )
+    )
 
 
 def fingerprint_index(

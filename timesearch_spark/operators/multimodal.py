@@ -46,6 +46,15 @@ except ImportError:
     HAS_PIL = False
 
 
+def _int_or(v, default: int) -> int:
+    """NaN/None-safe int: Arrow hands nullable ints to pandas as float64
+    NaN, which is TRUTHY — `v or default` keeps the NaN and int(NaN)
+    raises.  `v != v` is the NaN test."""
+    if v is None or v != v:
+        return default
+    return int(v)
+
+
 def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in for a JPEG/PNG decode: gray image tiling the
     payload's sha256 digest — pixel (y, x) holds digest byte
@@ -92,7 +101,7 @@ def decode_image_batch(payloads: pd.Series, widths: pd.Series, heights: pd.Serie
                 continue
             except Exception:
                 pass  # not a decodable image: deterministic stub below
-        out.append(_fake_pixels(bytes(payload), int(w or 8), int(h or 8)))
+        out.append(_fake_pixels(bytes(payload), _int_or(w, 8), _int_or(h, 8)))
     return out
 
 
@@ -167,7 +176,10 @@ def image_features(media: DataFrame, dim: int = 64) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "feature": feats,
-                    "feat_dim": [dim if f is not None else 0 for f in feats],
+                    # report the ACTUAL emitted width (side*side), not the
+                    # request — a non-square dim would otherwise lie to
+                    # every consumer that trusts feat_dim
+                    "feat_dim": [len(f) if f is not None else 0 for f in feats],
                 }
             )
 
@@ -227,7 +239,7 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
             ):
                 if payload is None:
                     continue
-                n = min(max_frames, max(1, int((dur or 0) // every_ms) + 1))
+                n = min(max_frames, max(1, _int_or(dur, 0) // every_ms + 1))
                 digest = hashlib.sha256(bytes(payload)).digest()
                 for i in range(n):
                     ids.append(mid)

@@ -45,10 +45,25 @@ def topk_per_group(
     the plain window (window_rank_children) when no group can dominate a
     task; use this when one can.
     """
-    # salt = deterministic hash of the whole row (order_cols may carry
-    # SortOrder wrappers, which can't be hashed); identical rows share a
-    # shard, which is fine — exactness never depends on the assignment
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_parts))
+    # salt = deterministic hash of the hashABLE row columns (order_cols
+    # may carry SortOrder wrappers, which can't be hashed; MapType
+    # columns are rejected by xxhash64 outright — e.g. the MEDIA table's
+    # meta map); identical rows share a shard, which is fine — exactness
+    # never depends on the assignment
+    from pyspark.sql.types import MapType
+
+    def _hashable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if hasattr(dt, "elementType"):
+            return _hashable(dt.elementType)
+        if hasattr(dt, "fields"):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
+    cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+    salt_src = [F.col(c) for c in cols] or [F.lit(0)]
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(salt_parts))
     w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
     w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return (

@@ -86,7 +86,7 @@ def breakdown_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(l.comments, 0) AS comments,
              CAST(COALESCE(o.submissions, 0) + COALESCE(l.comments, 0) AS BIGINT)
                AS total_posts
-      FROM o FULL OUTER JOIN l ON o.custkey = l.custkey
+      FROM o FULL OUTER JOIN l ON o.custkey IS NOT DISTINCT FROM l.custkey
     )
     SELECT * FROM bd
     ORDER BY total_posts DESC, LOWER(CAST(custkey AS VARCHAR)) ASC
@@ -841,7 +841,7 @@ _DOCS_COPIES_SQL = """
     "dedup_exact",
     f"""
     WITH u AS ({_DOCS_COPIES_SQL})
-    SELECT MD5(LOWER(TRIM(text))) AS content_hash,
+    SELECT MD5(LOWER(TRIM(COALESCE(text, '')))) AS content_hash,
            MIN(doc_id) AS keeper_id,
            COUNT(*) AS dup_count
     FROM u GROUP BY 1
@@ -864,11 +864,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bf AS (
       SELECT doc_id,
-             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+             MD5(REGEXP_REPLACE(LOWER(TRIM(COALESCE(text, ''))), '\s+', ' ', 'g')) AS fp
       FROM b
     ),
     idx AS (
-      SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+      SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(COALESCE(text, ''))), '\s+', ' ', 'g')) AS fp,
              MIN(doc_id) AS keeper
       FROM corpus GROUP BY 1
     ),

@@ -209,6 +209,21 @@ class CorpusStore:
         'files_after'}."""
         ptr = self._pointer()
 
+        # reclaim orphans first: batch dirs the pointer doesn't list are
+        # residue of a crash — either a consolidated dir written before
+        # its pointer swap, or old dirs whose post-swap removal was
+        # interrupted (vacuum deliberately never touches the corpus
+        # subtree, so this is the only reclaim point).  Same reader
+        # caveat as vacuum: call when no reader holds an old pointer.
+        import shutil
+
+        croot = os.path.join(self.path, "corpus")
+        live = {f"batch={b}" for b in ptr["batches"]}
+        if os.path.isdir(croot):
+            for d in os.listdir(croot):
+                if d.startswith("batch=") and d not in live:
+                    shutil.rmtree(os.path.join(croot, d))
+
         def _files(batches):
             out = []
             for b in batches:
