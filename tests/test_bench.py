@@ -48,6 +48,17 @@ def test_bench_isolates_a_broken_query(spark, monkeypatch):
     assert "media_stats" in out["queries"]  # the rest still benched
 
 
+def test_headline_names_all_registered():
+    """Every HEADLINE entry must exist in the registry — a renamed query
+    would otherwise be skipped silently ('skipped if not yet
+    registered' is for forward declarations, not typos) and vanish from
+    the driver's recorded bench without any error."""
+    import timesearch_spark.queries as tsq
+
+    missing = [q for q in bench.HEADLINE if q not in tsq.QUERIES]
+    assert missing == []
+
+
 def test_check_oracle_canon_normalization():
     """The local t2 stand-in's normalization must match the driver's
     contract: floats rounded to 6, NaN spelled out, None sentinel, bytes
