@@ -361,3 +361,22 @@ def test_breakdown_null_key_group_stays_one_row(spark):
             for r in breakdown(subs, comms, key="author").collect()}
     assert len(rows) == 2
     assert rows["u1"] == (1, 2) and rows[None] == (2, 1)
+
+
+def test_detect_hot_keys_finds_the_planted_whale(spark):
+    from timesearch_spark.operators.skew import detect_hot_keys
+
+    rows = [("whale",)] * 5000 + [(f"u{i}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "author string")
+    # full sample: deterministic; whale holds 50% of rows
+    hot = detect_hot_keys(df, ["author"], share_threshold=0.05,
+                          min_rows=1000, sample_fraction=1.0).collect()
+    assert [r["author"] for r in hot] == ["whale"]
+    assert hot[0]["est_rows"] == 5000 and abs(hot[0]["share"] - 0.5) < 0.01
+    # min_rows gate: same share, table too small to matter
+    small = spark.createDataFrame(rows[:200], "author string")
+    assert detect_hot_keys(small, ["author"], share_threshold=0.05,
+                           min_rows=1000, sample_fraction=1.0).count() == 0
+    # empty input: stable empty schema
+    assert detect_hot_keys(small.limit(0), ["author"],
+                           sample_fraction=1.0).count() == 0

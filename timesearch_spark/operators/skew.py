@@ -74,3 +74,49 @@ def topk_per_group(
         .filter(F.col("rn") <= k)
         .drop("__salt", "__rn1")
     )
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    group_cols: list[str],
+    share_threshold: float = 0.01,
+    min_rows: int = 100_000,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Keys heavy enough to hotspot a per-group ordered stage: share of
+    all rows >= ``share_threshold`` (and, scaled up from the sample,
+    at least ``min_rows`` rows — a 1% share of a small table is not a
+    problem).  Output: (group_cols..., est_rows, share), descending.
+
+    One sampled aggregate decides whether the plain window or
+    ``topk_per_group`` is the right physical plan — the decision costs
+    a fraction of a scan, the wrong plan costs a serialized stage.
+    ``sample_fraction`` defaults to 1%; sampling only wobbles a
+    genuinely hot key's count by sqrt(n) noise, far below the 10×
+    margins these thresholds act on.  Deterministic for fixed
+    (data, seed).  The sample total is a driver-side scalar (one count
+    job), not a global window — a window over the per-key counts would
+    drag every key through one partition, the exact hotspot this module
+    exists to avoid."""
+    frac = sample_fraction if sample_fraction is not None else 0.01
+    s = df.select(*group_cols).sample(fraction=frac, seed=seed)
+    s = s.localCheckpoint(eager=True)  # count + agg see the same sample
+    total = s.count()
+    if total == 0:
+        return s.groupBy(*group_cols).count().select(
+            *group_cols,
+            F.lit(0).cast("long").alias("est_rows"),
+            F.lit(0.0).alias("share"),
+        )
+    counts = s.groupBy(*group_cols).agg(F.count("*").alias("__c"))
+    return (
+        counts.withColumn("share", F.col("__c") / F.lit(float(total)))
+        .withColumn("est_rows", (F.col("__c") / F.lit(frac)).cast("long"))
+        .filter(
+            (F.col("share") >= share_threshold)
+            & (F.col("est_rows") >= min_rows)
+        )
+        .select(*group_cols, "est_rows", F.round("share", 6).alias("share"))
+        .orderBy(F.desc("share"), *group_cols)
+    )
