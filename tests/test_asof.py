@@ -259,12 +259,47 @@ def test_interval_left_keeps_unmatched_points(spark):
     assert unmatched.session_start.isna().all()
 
 
-def test_interval_left_requires_point_key(spark):
-    purchases, sessions = _iv_sides(spark, 7200)
-    with pytest.raises(ValueError, match="point_id_cols"):
-        interval_join(purchases, sessions, point_ts="ts_sec",
-                      start_col="session_start", end_col="session_end",
-                      on=["user_id"], how="left")
+def test_interval_left_preserves_duplicate_points(spark):
+    # the left path is a true outer join: byte-identical duplicate point
+    # rows each survive, matched or not (the r5 left-anti recovery would
+    # have collapsed the unmatched copy when ids collided)
+    points = spark.createDataFrame(
+        [(1, 1, 150), (1, 1, 150), (1, 2, 999)],
+        "user_id long, event_id long, ts_sec long",
+    )
+    ivs = spark.createDataFrame(
+        [(1, 7, 100, 200)],
+        "user_id long, session_id long, session_start long, session_end long",
+    )
+    got = interval_join(
+        points, ivs, point_ts="ts_sec", start_col="session_start",
+        end_col="session_end", on=["user_id"], bucket_sec=100, how="left",
+    ).toPandas()
+    assert len(got) == 3
+    assert (got[got.event_id == 1].session_id == 7).all()
+    assert got[got.event_id == 2].session_id.isna().all()
+
+
+def test_interval_bucket_explosion_guard(spark):
+    # a 10-year interval at bucket_sec=3600 would explode into ~87k
+    # buckets — the guard must raise OUR message, never Spark's opaque
+    # sequence-length error; bucket_sec=None auto-derives and succeeds
+    points = spark.createDataFrame([(1, 50)], "user_id long, ts_sec long")
+    ivs = spark.createDataFrame(
+        [(1, 0, 10 * 365 * 86400)],
+        "user_id long, session_start long, session_end long",
+    )
+    bad = interval_join(
+        points, ivs, point_ts="ts_sec", start_col="session_start",
+        end_col="session_end", on=["user_id"], bucket_sec=3600,
+    )
+    with pytest.raises(Exception, match="interval_join: an interval spans"):
+        bad.collect()
+    auto = interval_join(
+        points, ivs, point_ts="ts_sec", start_col="session_start",
+        end_col="session_end", on=["user_id"], bucket_sec=None,
+    )
+    assert auto.count() == 1
 
 
 def test_asof_tie_break_on_right_order_cols(spark):

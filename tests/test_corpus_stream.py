@@ -147,3 +147,34 @@ def test_compact_batches_consolidates_and_preserves_dedup(spark, tmp_path):
     store2.ingest_batch(b)
     s = store2.compact_batches()
     assert s["batches_before"] == s["batches_after"] == 1
+
+
+def test_compact_spares_in_flight_ingest_dir(spark, tmp_path):
+    # ingest_batch writes its batch=N dir BEFORE swapping the pointer; a
+    # compaction overlapping that window must not reclaim the
+    # higher-versioned dir as an orphan (it is an in-flight ingest), but
+    # a stale non-integer compacted orphan is still reclaimed
+    import os
+
+    root = str(tmp_path / "corpus")
+    store = CorpusStore(spark, root)
+    b1 = spark.createDataFrame(
+        [(1, "web", "en", "one doc"), (2, "web", "en", "two doc")],
+        "doc_id long, source string, lang string, text string",
+    )
+    store.ingest_batch(b1)
+    store.ingest_batch(
+        spark.createDataFrame(
+            [(3, "web", "en", "three doc")],
+            "doc_id long, source string, lang string, text string",
+        )
+    )
+    croot = os.path.join(root, "corpus")
+    ver = store._pointer()["version"]
+    inflight = os.path.join(croot, f"batch={ver + 1}")
+    orphan = os.path.join(croot, "batch=0compacted")
+    os.makedirs(inflight)
+    os.makedirs(orphan)
+    store.compact_batches()
+    assert os.path.isdir(inflight)      # spared: version > pointer
+    assert not os.path.isdir(orphan)    # reclaimed: crashed compaction

@@ -203,3 +203,18 @@ def test_scd2_lookup_matches_duckdb_interval_join(spark, duck):
     pd.testing.assert_frame_equal(
         got[["custkey", "seq", "fts", "priority", "status"]], exp
     )
+
+
+def test_scd2_keep_order_cols_dedupes_attr_overlap(spark):
+    # an order column that is ALSO an attr column must not be selected
+    # twice when keep_order_cols=True (duplicate-named output breaks
+    # scd2_apply joins far from the cause)
+    ch = spark.createDataFrame(
+        [(1, 10, 5), (1, 20, 6)], "k long, ts long, seq long"
+    )
+    hist = scd2_build(
+        ch, key_cols=["k"], ts_col="ts", attr_cols=["seq"],
+        order_cols=["seq"], keep_order_cols=True,
+    )
+    assert hist.columns.count("seq") == 1
+    assert hist.count() == 2

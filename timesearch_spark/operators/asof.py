@@ -73,6 +73,13 @@ def asof_join(
     clash = set(rcols) & set(left.columns)
     if clash:
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    # "matched_ts" is a reserved output name: a left column (or requested
+    # right column) with that name would silently duplicate in the output
+    if "matched_ts" in left.columns or "matched_ts" in rcols:
+        raise ValueError(
+            "'matched_ts' is reserved for the as-of output; rename the "
+            "input column before joining"
+        )
 
     from pyspark.sql.types import StructField, StructType
 
@@ -153,6 +160,33 @@ def asof_join(
     )
 
 
+#: Hard ceiling on buckets one interval may explode into.  Spark's
+#: ``sequence`` silently allows huge arrays until it hits its own
+#: element cap and kills the job with an opaque error; we fail first,
+#: loudly, with a fix suggestion (or auto-derive — see interval_join).
+MAX_BUCKETS_PER_INTERVAL = 4096
+
+
+def derive_bucket_sec(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    max_buckets: int = MAX_BUCKETS_PER_INTERVAL,
+) -> int:
+    """Sample interval lengths and pick a bucket width: the p90 length
+    (so ~90% of intervals explode into ≤2 buckets) floored at
+    ``max_len / max_buckets`` (so even the longest interval stays under
+    the explosion cap).  One narrow agg job over (start, end) only.
+    """
+    ln = F.col(end_col) - F.col(start_col)
+    row = intervals.agg(
+        F.percentile_approx(ln, 0.9).alias("p90"), F.max(ln).alias("mx")
+    ).first()
+    if row is None or row["p90"] is None:
+        return 3600
+    return max(int(row["p90"]), int(row["mx"] // max_buckets) + 1, 1)
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -160,9 +194,10 @@ def interval_join(
     start_col: str,
     end_col: str,
     on: list[str] | None = None,
-    bucket_sec: int = 3600,
+    bucket_sec: int | None = 3600,
     how: str = "inner",
     point_id_cols: list[str] | None = None,
+    max_buckets: int = MAX_BUCKETS_PER_INTERVAL,
 ) -> DataFrame:
     """Join each point row to every interval row containing it
     (``start <= ts <= end``), optionally key-scoped by ``on``.
@@ -170,20 +205,23 @@ def interval_join(
     ``how="inner"`` drops uncontained points; ``"left"`` keeps them with
     null interval columns.  Column names must not clash (caller selects/
     renames first — same contract as asof_join's right_cols).
-
-    ``how="left"`` requires ``point_id_cols`` — a key unique per point
-    row — so the unmatched set is recovered with a narrow left-anti
-    join carrying only key columns.  (A keyless fallback would have to
-    group by the full point row, which both shuffles wide AND collapses
-    byte-identical duplicate points — a silent row-count change the
-    left-join contract forbids.)
+    ``point_id_cols`` is accepted for backward compatibility and
+    ignored: the left path is a true outer hash join, so duplicate
+    point rows are preserved verbatim with no uniqueness requirement.
 
     The containment predicate never reaches the join condition as a
     range: both sides get integer bucket keys (``ts // bucket_sec``;
     intervals explode into every bucket they overlap) and the join is a
     hash equi-join on (on..., bucket) with the exact BETWEEN applied as
-    a post-filter.  Each point belongs to exactly one bucket, so a
-    qualifying pair meets exactly once — no dedup stage.
+    a post-filter (inner) or inside the join condition (left).  Each
+    point belongs to exactly one bucket, so a qualifying pair meets
+    exactly once — no dedup stage.
+
+    ``bucket_sec=None`` auto-derives the width from a one-pass sample
+    of interval lengths (:func:`derive_bucket_sec`).  An explicit
+    ``bucket_sec`` that would explode any interval into more than
+    ``max_buckets`` buckets raises at runtime with a clear message
+    instead of hitting Spark's opaque ``sequence`` element cap.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left: {how!r}")
@@ -193,15 +231,30 @@ def interval_join(
         raise ValueError(
             f"overlapping non-key columns: {sorted(clash - set(on))}"
         )
+    if bucket_sec is None:
+        bucket_sec = derive_bucket_sec(
+            intervals, start_col, end_col, max_buckets
+        )
     b = F.lit(int(bucket_sec))
-    ivb = intervals.withColumn(
-        "__b",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / b).cast("long"),
-                F.floor(F.col(end_col) / b).cast("long"),
+    start_b = F.floor(F.col(start_col) / b).cast("long")
+    end_b = F.floor(F.col(end_col) / b).cast("long")
+    n_buckets = end_b - start_b + F.lit(1)
+    guarded_start = F.when(
+        n_buckets > max_buckets,
+        F.raise_error(
+            F.concat(
+                F.lit("interval_join: an interval spans "),
+                n_buckets.cast("string"),
+                F.lit(
+                    f" buckets (> {max_buckets}) at bucket_sec="
+                    f"{int(bucket_sec)}; raise bucket_sec or pass "
+                    "bucket_sec=None to auto-derive it"
+                ),
             )
-        ),
+        ).cast("long"),
+    ).otherwise(start_b)
+    ivb = intervals.withColumn(
+        "__b", F.explode(F.sequence(guarded_start, end_b))
     )
     ptb = points.withColumn("__b", F.floor(F.col(point_ts) / b).cast("long"))
     contained = (F.col(point_ts) >= F.col(start_col)) & (
@@ -209,18 +262,22 @@ def interval_join(
     )
     if how == "inner":
         return ptb.join(ivb, [*on, "__b"]).filter(contained).drop("__b")
-    # left: inner-match once, then add back unmatched points via a
-    # narrow anti join on the point key (the matched-id side is
-    # id-columns-only, so the recovery shuffle carries keys, not rows)
-    if not point_id_cols:
-        raise ValueError("how='left' requires point_id_cols")
-    hit = ptb.join(ivb, [*on, "__b"]).filter(contained).drop("__b")
-    iv_only = [c for c in intervals.columns if c not in on]
-    missed = ptb.drop("__b").join(
-        hit.select(*point_id_cols), point_id_cols, "left_anti"
+    # left: ONE outer hash equi-join with the exact containment folded
+    # into the join condition — Catalyst extracts the equality conjuncts
+    # as hash keys and evaluates BETWEEN during the probe, so a point
+    # whose bucket matches but containment fails still surfaces once
+    # with null interval columns.  No second pass, no point-key
+    # uniqueness requirement, duplicate points preserved verbatim.
+    p, iv = ptb.alias("__pt"), ivb.alias("__iv")
+    cond = F.col("__pt.__b") == F.col("__iv.__b")
+    for c in on:
+        cond = cond & (F.col(f"__pt.{c}") == F.col(f"__iv.{c}"))
+    cond = cond & (
+        (F.col(f"__pt.{point_ts}") >= F.col(f"__iv.{start_col}"))
+        & (F.col(f"__pt.{point_ts}") <= F.col(f"__iv.{end_col}"))
     )
-    for c in iv_only:
-        missed = missed.withColumn(
-            c, F.lit(None).cast(intervals.schema[c].dataType)
-        )
-    return hit.unionByName(missed)
+    iv_only = [c for c in intervals.columns if c not in on]
+    return p.join(iv, cond, "left").select(
+        *[F.col(f"__pt.{c}") for c in points.columns],
+        *[F.col(f"__iv.{c}") for c in iv_only],
+    )

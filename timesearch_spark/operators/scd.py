@@ -77,7 +77,14 @@ def scd2_build(
         .withColumn("is_current", F.col("valid_to").isNull())
         .select(
             *key_cols, *attr_cols,
-            *(tie if keep_order_cols and order_cols is not None else []),
+            # an order col that is also a key/attr col is already in the
+            # output — re-selecting it would produce a duplicate-named
+            # column that breaks scd2_apply's joins far from the cause
+            *(
+                [c for c in tie if c not in (*key_cols, *attr_cols)]
+                if keep_order_cols and order_cols is not None
+                else []
+            ),
             "valid_from", "valid_to", "version", "is_current",
         )
     )

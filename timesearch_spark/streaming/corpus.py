@@ -215,13 +215,25 @@ class CorpusStore:
         # interrupted (vacuum deliberately never touches the corpus
         # subtree, so this is the only reclaim point).  Same reader
         # caveat as vacuum: call when no reader holds an old pointer.
+        # A dir whose numeric version EXCEEDS the pointer is NOT an
+        # orphan — ingest_batch writes its batch=N dir before swapping
+        # the pointer, so a higher-versioned dir is an in-flight ingest
+        # and must be left alone (the store is single-writer per
+        # operation, but compaction and ingest may overlap in time).
         import shutil
 
         croot = os.path.join(self.path, "corpus")
         live = {f"batch={b}" for b in ptr["batches"]}
+
+        def _in_flight(name: str) -> bool:
+            try:
+                return int(name.split("=", 1)[1]) > ptr["version"]
+            except ValueError:
+                return False
+
         if os.path.isdir(croot):
             for d in os.listdir(croot):
-                if d.startswith("batch=") and d not in live:
+                if d.startswith("batch=") and d not in live and not _in_flight(d):
                     shutil.rmtree(os.path.join(croot, d))
 
         def _files(batches):
