@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_minhash_lsh",  # md5 oracle-parity family: xx64 twin is the default
     "dedup_ngram_jaccard",
     "dedup_paragraphs",
+    "dedup_incremental_minhash",
     "similarity_topk",
     "similarity_topk_lsh",
     "similarity_neardup_blas",
@@ -50,6 +51,7 @@ HEADLINE = [
     "events_interval",
     "events_unique_sketch",
     "orders_scd2",
+    "pipeline_curate",  # the five-rung curation ladder users actually run
     "tree_depth",
     "media_stats",
 ]

@@ -382,3 +382,37 @@ def test_supplement_source_enriches_and_flag_disables(spark, tmp_path, capsys):
     ]) == 0
     ar2 = Archive(spark, f"{root2}/subreddits/s")
     assert ar2.submissions.snapshot().first()["score"] == 5
+
+
+def test_full_reference_workflow_chained(spark, tmp_path, capsys):
+    """The reference's end-to-end loop (timesearch.py:22-60) as ONE
+    chain against a single fresh archive: ingest_jsonfile seeds it, then
+    breakdown, index, and offline_reading all read the same store —
+    each step consuming the previous step's on-disk state."""
+    dump = _write_jsonl(
+        tmp_path / "dump.jsonl",
+        [_sub(i) for i in range(5)] + [_com(i) for i in range(8)],
+    )
+    rootdir = str(tmp_path / "chain_archives")
+    assert cli.main(["--archive-root", rootdir, "ingest_jsonfile", dump,
+                     "-r", "t"]) == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts["new_submissions"] == 5 and counts["new_comments"] == 8
+
+    adir = os.path.join(rootdir, "subreddits", "t")
+    assert cli.main(["--archive-root", rootdir, "breakdown", "-r", "t"]) == 0
+    data = json.loads(open(os.path.join(adir, "t_breakdown.json")).read())
+    assert sum(v["submissions"] for v in data.values()) == 5
+    assert sum(v["comments"] for v in data.values()) == 8
+
+    assert cli.main(["--archive-root", rootdir, "index", "-r", "t",
+                     "--score", "--html"]) == 0
+    listing = [f for f in os.listdir(adir) if "score" in f]
+    assert listing
+
+    assert cli.main(["--archive-root", rootdir, "offline_reading",
+                     "-r", "t"]) == 0
+    threads = os.listdir(os.path.join(adir, "offline_reading"))
+    assert len(threads) >= 1
+    html = open(os.path.join(adir, "offline_reading", threads[0])).read()
+    assert "reply" in html or "post" in html

@@ -5,6 +5,8 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 
 from timesearch_spark.operators import multimodal as mm
@@ -119,3 +121,111 @@ def test_decode_dispatches_to_pil_and_falls_back(monkeypatch):
     np.testing.assert_array_equal(out[1], mm._fake_pixels(b"plain text", 4, 4))
     assert out[2] is None
     assert calls == [b"IMG", b"plain text"]
+
+
+# --- real-PIL decode path with an actual PNG ---------------------------------
+
+def _png_bytes(arr):
+    """Encode an (h, w, 3) u8 array as a real RGB PNG (filter 0 rows) —
+    stdlib only, deterministic."""
+    import struct
+    import zlib
+
+    h, w, _ = arr.shape
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _install_fake_pil(monkeypatch):
+    """A PIL stand-in whose Image.open REALLY decodes 8-bit RGB PNGs
+    (zlib inflate + filter-0 unpack) and raises on anything else —
+    exercising the exact _pil_pixels code path a real Pillow would."""
+    import struct
+    import sys
+    import types
+    import zlib
+
+    class _Img:
+        def __init__(self, arr):
+            self._a = arr
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return self._a if dtype is None else self._a.astype(dtype)
+
+    def _open(fp):
+        data = fp.read()
+        if not data.startswith(b"\x89PNG\r\n\x1a\n"):
+            raise OSError("cannot identify image file")
+        pos, idat, w, h = 8, b"", None, None
+        while pos < len(data):
+            ln = int.from_bytes(data[pos:pos + 4], "big")
+            tag = data[pos + 4:pos + 8]
+            body = data[pos + 8:pos + 8 + ln]
+            pos += 12 + ln
+            if tag == b"IHDR":
+                w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+                if depth != 8 or ctype != 2:
+                    raise OSError("unsupported png flavor")
+            elif tag == b"IDAT":
+                idat += body
+        raw = zlib.decompress(idat)
+        stride = w * 3 + 1
+        rows = []
+        for y in range(h):
+            row = raw[y * stride:(y + 1) * stride]
+            if row[0] != 0:
+                raise OSError("unsupported filter")
+            rows.append(np.frombuffer(row[1:], dtype=np.uint8).reshape(w, 3))
+        return _Img(np.stack(rows))
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = _open
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    monkeypatch.setattr(mm, "HAS_PIL", True)
+
+
+def test_pil_path_decodes_real_png(monkeypatch):
+    _install_fake_pil(monkeypatch)
+    rng = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    png = _png_bytes(rng)
+    got = mm._pil_pixels(png)
+    assert got.shape == (5, 7, 3) and got.dtype == np.uint8
+    np.testing.assert_array_equal(got, rng)
+
+
+def test_decode_batch_mixes_real_and_fallback_rows(monkeypatch):
+    # one decodable PNG, one text payload (per-row stub fallback), one
+    # null — all in the same Arrow batch, PIL "installed"
+    _install_fake_pil(monkeypatch)
+    arr = np.full((3, 4, 3), 9, dtype=np.uint8)
+    png = _png_bytes(arr)
+    out = mm.decode_image_batch(
+        pd.Series([png, b"plain text", None]),
+        pd.Series([4.0, 4.0, None]),
+        pd.Series([3.0, 4.0, None]),
+    )
+    np.testing.assert_array_equal(out[0], arr)          # REAL decode
+    np.testing.assert_array_equal(                       # per-row stub
+        out[1], mm._fake_pixels(b"plain text", 4, 4)
+    )
+    assert out[2] is None

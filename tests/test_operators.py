@@ -380,3 +380,55 @@ def test_detect_hot_keys_finds_the_planted_whale(spark):
     # empty input: stable empty schema
     assert detect_hot_keys(small.limit(0), ["author"],
                            sample_fraction=1.0).count() == 0
+
+
+def test_topk_auto_picks_path_by_skew(spark):
+    """topk_per_group_auto: the sampled probe routes a skewed input
+    through the salted two-phase plan and a uniform input through the
+    plain single window — with identical rows either way."""
+    from pyspark.sql import functions as F
+
+    from timesearch_spark.operators.skew import (
+        should_salt, topk_per_group, topk_per_group_auto,
+    )
+
+    skewed = spark.createDataFrame(
+        [("hot", i) for i in range(5000)]
+        + [(f"g{i % 50}", i) for i in range(5000)],
+        "g string, v long",
+    )
+    uniform = spark.createDataFrame(
+        [(f"g{i % 50}", i) for i in range(10000)], "g string, v long"
+    )
+    kw = dict(share_threshold=0.05, min_rows=1000, sample_fraction=1.0)
+    assert should_salt(skewed, ["g"], **kw)
+    assert not should_salt(uniform, ["g"], **kw)
+
+    order = [F.col("v").desc()]
+    for df in (skewed, uniform):
+        auto = topk_per_group_auto(df, ["g"], order, k=3, **kw)
+        salted = topk_per_group(df, ["g"], order, k=3)
+        assert {tuple(r) for r in auto.collect()} == {
+            tuple(r) for r in salted.collect()
+        }
+    # the choice is visible in the plan: only the skewed input salts
+    assert "__salt" in topk_per_group_auto(
+        skewed, ["g"], order, k=3, **kw
+    )._jdf.queryExecution().toString()
+    assert "__salt" not in topk_per_group_auto(
+        uniform, ["g"], order, k=3, **kw
+    )._jdf.queryExecution().toString()
+
+
+def test_trending_topk_auto_skew_matches_plain(spark):
+    from tests.conftest import SF_SMALL
+    from timesearch_spark.operators import windows as win
+    from timesearch_spark.tables import load
+
+    ev = win.with_event_time(load(spark, SF_SMALL, "events"))
+    plain = {tuple(r) for r in win.trending_topk(ev, "1 hour", k=2).collect()}
+    auto = {
+        tuple(r)
+        for r in win.trending_topk(ev, "1 hour", k=2, auto_skew=True).collect()
+    }
+    assert plain == auto and len(plain) > 0

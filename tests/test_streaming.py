@@ -487,3 +487,49 @@ def test_upgrade_skips_rewrite_for_layout_only_steps(spark, tmp_path):
     assert sorted(os.listdir(tmp_path / "bump" / "snapshot")) == vdirs_before
     store.check_schema_version()
     assert store.snapshot().count() == 1
+
+
+def test_concurrent_merge_loses_cleanly(spark, tmp_path, monkeypatch):
+    """Two writers racing the same store: the slower merge must abort
+    with ConcurrentWriteError BEFORE touching the faster writer's
+    committed version dir — no torn state, and a straight retry of the
+    losing batch lands on the new snapshot."""
+    import timesearch_spark.streaming.store as st
+
+    store_a = _store(spark, tmp_path, "race")
+    store_b = ParquetMergeStore(
+        spark, str(tmp_path / "race"), schema=COMMENTS, key="idstr",
+        text_col="body",
+    )
+    batch_a = spark.createDataFrame([_comment("a1", "from A")], COMMENT_COLS)
+    batch_b = spark.createDataFrame([_comment("b1", "from B")], COMMENT_COLS)
+
+    # interleave deterministically: while A's merge is between planning
+    # and commit, B plans+commits the same base version
+    fired = []
+    orig = st.upsert_snapshot
+
+    def hooked(*args, **kwargs):
+        if not fired:
+            fired.append(True)
+            monkeypatch.setattr(st, "upsert_snapshot", orig)
+            store_b.merge(batch_b)  # B wins: commits v1 under A's feet
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(st, "upsert_snapshot", hooked)
+    import pytest as _pytest
+
+    with _pytest.raises(st.ConcurrentWriteError):
+        store_a.merge(batch_a)
+
+    # no torn state: B's commit is intact, A left nothing behind
+    assert store_a.version() == 1
+    assert [r["idstr"] for r in store_a.snapshot().collect()] == ["b1"]
+    assert store_a.vacuum() == []  # staging cleaned up on abort
+
+    # retry of the losing batch sees the new snapshot and succeeds
+    res = store_a.merge(batch_a)
+    assert res.stats["inserted"] == 1
+    assert sorted(r["idstr"] for r in store_a.snapshot().collect()) == [
+        "a1", "b1",
+    ]

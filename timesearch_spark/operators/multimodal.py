@@ -95,7 +95,7 @@ def decode_image_batch(payloads: pd.Series, widths: pd.Series, heights: pd.Serie
         if payload is None:
             out.append(None)
             continue
-        if HAS_PIL:  # pragma: no cover - PIL absent in this container
+        if HAS_PIL:
             try:
                 out.append(_pil_pixels(bytes(payload)))
                 continue

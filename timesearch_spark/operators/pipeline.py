@@ -484,13 +484,28 @@ def curate_corpus(
         )
         .select(id_col, "lang_guess", "n_ws")
     )
-    gated = docs.join(keep_quality, id_col)
+    # Each rung boundary below is consumed by 2-3 downstream branches
+    # (gated → exact agg + join; exact → minhash twice + the left_anti;
+    # pairs → component nodes + edges).  Without persist() the whole
+    # upstream ladder — profile explode+agg, dedup joins, minhash
+    # banding — re-executes once PER BRANCH inside the one final action
+    # (measured 3× wall-clock at sf0.1).  persist is lazy (the returned
+    # plan stays declarative, nothing runs at build time) and
+    # MEMORY_AND_DISK spills rather than OOMs at cluster scale; the
+    # cached rungs are the pruned survivor sets, not the raw corpus.
+    from pyspark import StorageLevel
+
+    gated = docs.join(keep_quality, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # exact dedup: keep the lowest id of each identical-text group
     exact_keep = exact_dedup_groups(gated, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    exact = gated.join(exact_keep, id_col)
+    exact = gated.join(exact_keep, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # near-dup removal, transitively closed: pairs → components → keeper.
     # Components iterate ONLY over edge-touching nodes — at corpus scale
@@ -501,7 +516,7 @@ def curate_corpus(
     pairs = minhash_near_dups(
         exact, text_col, id_col, threshold=neardup_threshold,
         hash_family="xxhash64",
-    ).select("a", "b")
+    ).select("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
     edge_nodes = (
         pairs.select(F.col("a").alias(id_col))
         .unionByName(pairs.select(F.col("b").alias(id_col)))

@@ -76,6 +76,55 @@ def topk_per_group(
     )
 
 
+def should_salt(
+    df: DataFrame,
+    group_cols: list[str],
+    share_threshold: float = 0.01,
+    min_rows: int = 100_000,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> bool:
+    """True when :func:`detect_hot_keys` finds at least one key heavy
+    enough to hotspot a per-group ordered stage.  One sampled probe +
+    a LIMIT-1 existence check — two small driver jobs, no full scan."""
+    hot = detect_hot_keys(
+        df, group_cols, share_threshold, min_rows, sample_fraction, seed
+    )
+    return hot.limit(1).count() > 0
+
+
+def topk_per_group_auto(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    salt_parts: int = 16,
+    share_threshold: float = 0.01,
+    min_rows: int = 100_000,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact top-k per group with the physical plan chosen by a sampled
+    skew probe: the plain single window when no key can dominate a task,
+    the salted two-phase :func:`topk_per_group` when one can.  Both
+    paths produce identical rows and schema (group cols + payload +
+    ``rn``), so the choice is invisible to callers.
+
+    The probe (:func:`should_salt`) evaluates ``df`` once at plan-build
+    time — if ``df`` is an expensive sub-plan, cache/localCheckpoint it
+    first so the probe and the ranked query share the materialization.
+    """
+    if should_salt(
+        df, group_cols, share_threshold, min_rows, sample_fraction, seed
+    ):
+        return topk_per_group(df, group_cols, order_cols, k, salt_parts)
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def detect_hot_keys(
     df: DataFrame,
     group_cols: list[str],

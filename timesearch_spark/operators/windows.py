@@ -240,19 +240,31 @@ def trending_topk(
     duration: str = "1 hour",
     key: str = "event_type",
     k: int = 3,
+    auto_skew: bool = False,
 ) -> DataFrame:
     """Top-k keys per tumbling window by event count — the trending
     dashboard rollup.  One map-side-combined hash agg on (window, key),
     then a rank window over the (already tiny) per-window key counts;
     ties break by key for determinism.  Output: (window_start, key, n,
-    rn).  If one window's key space were ever hot enough to matter,
-    skew.topk_per_group is the salted drop-in."""
+    rn).
+
+    ``auto_skew=True`` routes the rank through
+    ``skew.topk_per_group_auto``: a sampled probe of the per-window key
+    counts decides between the plain window and the salted two-phase
+    form (one hot window — a high-cardinality key space landing in one
+    task — serializes the stage otherwise).  The counts sub-plan is
+    localCheckpointed first so the probe and the ranked query share one
+    materialization instead of computing the agg twice."""
     counts = tumbling_counts(events, duration, key).select(
         F.col("window_start"), F.col(key), F.col("n")
     )
-    w = Window.partitionBy("window_start").orderBy(
-        F.desc("n"), F.asc(key)
-    )
+    order = [F.desc("n"), F.asc(key)]
+    if auto_skew:
+        from timesearch_spark.operators.skew import topk_per_group_auto
+
+        counts = counts.localCheckpoint(eager=True)
+        return topk_per_group_auto(counts, ["window_start"], order, k)
+    w = Window.partitionBy("window_start").orderBy(*order)
     return (
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)

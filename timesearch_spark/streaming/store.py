@@ -41,6 +41,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,6 +65,16 @@ N_BUCKETS_DEFAULT = 32
 class ArchiveOutOfDate(Exception):
     """Raised when a store was written by an older schema version
     (exceptions.py:22-26 analog); run ``upgrade_store`` to migrate."""
+
+
+class ConcurrentWriteError(Exception):
+    """Raised when a commit finds the version pointer moved since the
+    writer planned its batch — a second writer committed concurrently.
+    The store is single-writer (the reference's SQLite gets this free
+    from file locking); this check turns a silent lost-update into a
+    clean abort.  The loser's orphaned ``snapshot/v=N`` dir is inert
+    (the pointer never references it) and is replaced by the next
+    committed merge at that version or reclaimed by ``vacuum``."""
 
 
 class ParquetMergeStore:
@@ -159,7 +170,22 @@ class ParquetMergeStore:
         version: int,
         schema_version: int | None = None,
         buckets: dict[str, int] | None = None,
+        expected_version: int | None = None,
     ) -> None:
+        # best-effort CAS: re-read the pointer immediately before the
+        # swap and abort on drift.  Not a lock (two writers passing the
+        # check in the same instant can still race — the contract IS
+        # single-writer), but it catches the realistic failure mode: a
+        # slow merge landing after a faster one already committed.
+        if expected_version is not None:
+            found = self._pointer()["version"]
+            if found != expected_version:
+                raise ConcurrentWriteError(
+                    f"pointer moved from v{expected_version} to v{found} "
+                    "while this merge ran — a concurrent writer "
+                    "committed; this store is single-writer, re-run the "
+                    "batch against the new snapshot"
+                )
         # default: CARRY FORWARD the stored schema version — a merge on
         # a partially-migrated store must not stamp it current and
         # silently skip the pending migrations (only migrations pass an
@@ -324,6 +350,11 @@ class ParquetMergeStore:
                 stats={"inserted": 0, "updated": 0, "batch_keys": 0},
             )
 
+        # version + manifest this merge is based on: the commit CAS
+        # aborts if another writer moves the pointer past this
+        base_version = self.version()
+        base_manifest = dict(self.bucket_manifest())
+
         old = self.snapshot(buckets=touched)
         res = upsert_snapshot(
             old,
@@ -336,14 +367,69 @@ class ParquetMergeStore:
             batch_order_col=batch_order_col,
         )
 
-        new_version = self.version() + 1
+        new_version = base_version + 1
         vdir = self._version_dir(new_version)
+        # Write to a per-attempt staging dir, publish by atomic rename
+        # AFTER a version-drift check: writing v=N directly would let a
+        # slow merge clobber a dir a faster concurrent writer already
+        # committed at the same version — the one torn state the
+        # single-writer CAS protocol must never produce.
+        staging = vdir + f".staging-{uuid.uuid4().hex}"
         (
             res.snapshot.withColumn("__bucket", self._bucket_expr())
             .write.partitionBy("__bucket")
             .mode("overwrite")
-            .parquet(vdir)
+            .parquet(staging)
         )
+
+        # Repoint the buckets that were ACTUALLY written.  With the
+        # batch checkpointed above the write pass can't diverge from the
+        # planning pass, but the invariant is cheap to verify from the
+        # directories on disk — keep it as a hard guard: a bucket
+        # written outside ``touched`` never had its old rows merged in,
+        # so repointing it would lose data.
+        written = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(staging)
+            if d.startswith("__bucket=")
+        )
+        extra = set(written) - set(touched)
+        if extra:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError(
+                f"batch produced rows in buckets {sorted(extra)} not seen "
+                "when planning the merge — the source is nondeterministic "
+                "across evaluations; persist/checkpoint the batch upstream"
+            )
+
+        if compute_stats:
+            # Parquet metadata counts over the touched buckets only.
+            before = old.count()
+            after = self.spark.read.parquet(staging).count()
+            batch_keys = batch.select(self.key).distinct().count()
+            res.stats.update(
+                inserted=after - before,
+                updated=batch_keys - (after - before),
+                batch_keys=batch_keys,
+            )
+
+        # Pre-publish CAS: abort (cleanly, B's data untouched) before
+        # renaming over anything if another writer committed meanwhile.
+        if self.version() != base_version:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"pointer moved from v{base_version} to v{self.version()} "
+                "while this merge ran — a concurrent writer committed; "
+                "this store is single-writer, re-run the batch against "
+                "the new snapshot"
+            )
+        # An existing v=N dir here is an UNCOMMITTED orphan of a crashed
+        # earlier attempt (the pointer still reads base_version, so it
+        # references nothing at N) — replace it.
+        if os.path.isdir(vdir):
+            shutil.rmtree(vdir)
+        os.rename(staging, vdir)  # atomic publish of the data files
+
         if self.store_edits:
             # versioned + overwrite: a replay of this (uncommitted) merge
             # recomputes the same new_version and REPLACES the orphaned
@@ -354,40 +440,10 @@ class ParquetMergeStore:
                 os.path.join(self.path, "edits", f"v={new_version}")
             )
 
-        # Repoint the buckets that were ACTUALLY written.  With the
-        # batch checkpointed above the write pass can't diverge from the
-        # planning pass, but the invariant is cheap to verify from the
-        # directories on disk — keep it as a hard guard: a bucket
-        # written outside ``touched`` never had its old rows merged in,
-        # so repointing it would lose data.
-        written = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(vdir)
-            if d.startswith("__bucket=")
-        )
-        extra = set(written) - set(touched)
-        if extra:
-            raise RuntimeError(
-                f"batch produced rows in buckets {sorted(extra)} not seen "
-                "when planning the merge — the source is nondeterministic "
-                "across evaluations; persist/checkpoint the batch upstream"
-            )
-
-        if compute_stats:
-            # Parquet metadata counts over the touched buckets only.
-            before = old.count()
-            after = self.spark.read.parquet(vdir).count()
-            batch_keys = batch.select(self.key).distinct().count()
-            res.stats.update(
-                inserted=after - before,
-                updated=batch_keys - (after - before),
-                batch_keys=batch_keys,
-            )
-
-        manifest = dict(self.bucket_manifest())
+        manifest = base_manifest
         for b in written:
             manifest[str(b)] = new_version
-        self._commit(new_version, buckets=manifest)
+        self._commit(new_version, buckets=manifest, expected_version=base_version)
         return res
 
     def overwrite_snapshot(
@@ -395,20 +451,36 @@ class ParquetMergeStore:
     ) -> int:
         """Full-table rewrite (migrations, merge_db): every bucket lands
         at the new version.  Returns the new version."""
-        new_version = self.version() + 1
+        base_version = self.version()
+        new_version = base_version + 1
         vdir = self._version_dir(new_version)
+        staging = vdir + f".staging-{uuid.uuid4().hex}"
         (
             df.withColumn("__bucket", self._bucket_expr())
             .write.partitionBy("__bucket")
             .mode("overwrite")
-            .parquet(vdir)
+            .parquet(staging)
         )
         written = {
             d.split("=", 1)[1]: new_version
-            for d in os.listdir(vdir)
+            for d in os.listdir(staging)
             if d.startswith("__bucket=")
         }
-        self._commit(new_version, schema_version=schema_version, buckets=written)
+        if self.version() != base_version:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"pointer moved from v{base_version} to v{self.version()} "
+                "during overwrite_snapshot — concurrent writer committed"
+            )
+        if os.path.isdir(vdir):
+            shutil.rmtree(vdir)
+        os.rename(staging, vdir)
+        self._commit(
+            new_version,
+            schema_version=schema_version,
+            buckets=written,
+            expected_version=base_version,
+        )
         return new_version
 
     def vacuum(self) -> list[str]:
@@ -426,6 +498,12 @@ class ParquetMergeStore:
             return removed
         for d in os.listdir(root):
             if not d.startswith("v="):
+                continue
+            if ".staging-" in d:
+                # residue of a merge that crashed (or CAS-aborted with the
+                # cleanup interrupted) before publishing — never referenced
+                shutil.rmtree(os.path.join(root, d))
+                removed.append(d)
                 continue
             ver = int(d.split("=", 1)[1])
             if ver not in live:
