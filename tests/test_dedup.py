@@ -359,3 +359,33 @@ def test_incremental_simhash_dedup(spark):
     assert out[11]["is_new"] is False and out[11]["dup_of"] == 1
     assert 0 < out[11]["hamming"] <= 6
     assert out[12]["is_new"] is True and out[12]["dup_of"] is None
+
+
+def test_band_buckets_from_sigs_identical_to_banding_path(spark):
+    """band_buckets_from_sig_table must produce byte-identical (id,
+    band, bucket) rows to minhash_band_buckets' xxhash64 family — the
+    two constructions must inter-operate against the same stored
+    index."""
+    from tests.conftest import SF_SMALL
+    from timesearch_spark.operators.dedup import (
+        band_buckets_from_sig_table,
+        minhash_band_buckets,
+        minhash_signature_table,
+    )
+    from timesearch_spark.tables import load
+
+    d = load(spark, SF_SMALL, "documents").limit(200)
+    via_banding = {
+        tuple(r)
+        for r in minhash_band_buckets(
+            d, "text", "doc_id", 64, 16, 3, "xxhash64"
+        ).collect()
+    }
+    via_sigs = {
+        tuple(r)
+        for r in band_buckets_from_sig_table(
+            minhash_signature_table(d, "text", "doc_id", 64, 3),
+            "doc_id", 64, 16,
+        ).collect()
+    }
+    assert via_banding == via_sigs and len(via_sigs) > 0

@@ -1,0 +1,256 @@
+"""Filesystem shim for store METADATA (pointers, version listings,
+staging swaps).
+
+Every persisted store in this engine (ParquetMergeStore, SketchStore,
+MaterializedRollup, CorpusStore, layout compaction) keeps its DATA in
+parquet read/written by Spark — already object-store-capable — but
+discovers its own STATE (pointer files, ``v=N`` dirs, staging renames)
+through filesystem listings.  ``os.listdir`` on ``s3://...`` throws
+before any Spark work runs, so at the 100 TB design point, where the
+warehouse lives behind a Hadoop-compatible FileSystem, the metadata
+layer must speak the same API.
+
+``get_fs(spark, path)`` returns:
+
+- :class:`LocalFS` for plain paths — stdlib ``os``/``shutil``, zero
+  py4j overhead, byte-for-byte the behavior the stores always had;
+- :class:`HadoopFS` for any ``scheme://`` path — the JVM-side
+  ``org.apache.hadoop.fs.FileSystem`` resolved from the active
+  session's Hadoop configuration, the exact mechanism Spark's own
+  readers use, so whatever scheme Spark can read (s3a, hdfs, gs, abfs,
+  file) the metadata layer now handles too.
+
+Only small control-plane operations go through here (a pointer file of
+a few hundred bytes, a directory listing per refresh, one rename per
+commit); data-plane IO stays in Spark.  Atomicity notes: ``rename`` is
+atomic on HDFS and local file://; on S3-style object stores it is
+copy+delete — for those, pair the store with a real transactional
+catalog or accept the documented single-writer contract (the pointer
+swap window shrinks to one small PUT either way.
+
+The reference has no analog: its storage layer is one local SQLite
+file (tsdb.py:19-32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+_SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+
+
+def has_scheme(path: str) -> bool:
+    return bool(_SCHEME.match(path))
+
+
+def get_fs(spark, path: str):
+    """The right shim for ``path``: HadoopFS for ``scheme://`` URIs,
+    LocalFS otherwise.  ``spark`` may be None for local paths."""
+    if has_scheme(path):
+        if spark is None:
+            raise ValueError(
+                f"a SparkSession is required for schemed path {path!r}"
+            )
+        return HadoopFS(spark)
+    return LocalFS()
+
+
+class LocalFS:
+    """Plain-path implementation: stdlib only, no JVM round trips."""
+
+    def ls(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    def delete(self, path: str) -> None:
+        """Recursive, missing-ok (rm -rf semantics)."""
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def open_binary(self, path: str):
+        """Seekable binary reader (parquet footer inspection)."""
+        return open(path, "rb")
+
+
+class HadoopFS:
+    """Hadoop FileSystem implementation via the session's JVM gateway.
+
+    Each path resolves its own FileSystem instance (s3a vs hdfs vs
+    file), so one shim serves mixed-scheme deployments.  Costs one py4j
+    round trip per operation — fine for control-plane metadata, never
+    used on the data plane.
+    """
+
+    def __init__(self, spark):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _path(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, jpath):
+        return jpath.getFileSystem(self._conf)
+
+    def ls(self, path: str) -> list[str]:
+        p = self._path(path)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            raise FileNotFoundError(path)
+        return [s.getPath().getName() for s in fs.listStatus(p)]
+
+    def exists(self, path: str) -> bool:
+        p = self._path(path)
+        return self._fs(p).exists(p)
+
+    def is_dir(self, path: str) -> bool:
+        p = self._path(path)
+        fs = self._fs(p)
+        return fs.exists(p) and fs.getFileStatus(p).isDirectory()
+
+    def mkdirs(self, path: str) -> None:
+        p = self._path(path)
+        self._fs(p).mkdirs(p)
+
+    def read_text(self, path: str) -> str:
+        p = self._path(path)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            raise FileNotFoundError(path)
+        stream = fs.open(p)
+        try:
+            # InputStream.readAllBytes (Java 9+) -> py4j hands back bytes
+            return bytes(stream.readAllBytes()).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        # write-temp-then-rename: atomic on HDFS/local, copy+delete on
+        # object stores (see module docstring)
+        p = self._path(path)
+        fs = self._fs(p)
+        tmp = self._path(path + ".tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        if fs.exists(p):
+            fs.delete(p, False)
+        if not fs.rename(tmp, p):
+            raise OSError(f"rename failed: {path}.tmp -> {path}")
+
+    def delete(self, path: str) -> None:
+        p = self._path(path)
+        fs = self._fs(p)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    def rename(self, src: str, dst: str) -> None:
+        p_src, p_dst = self._path(src), self._path(dst)
+        if not self._fs(p_src).rename(p_src, p_dst):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def size(self, path: str) -> int:
+        p = self._path(path)
+        return self._fs(p).getFileStatus(p).getLen()
+
+    def open_binary(self, path: str):
+        p = self._path(path)
+        fs = self._fs(p)
+        return _JStreamFile(fs.open(p), self.size(path))
+
+
+class _JStreamFile:
+    """Minimal seekable file-like over an FSDataInputStream — enough for
+    pyarrow's parquet footer reads (seek/tell/read/size).  Footer
+    inspection is a handful of small reads, so the per-call py4j hop is
+    acceptable; never use this for bulk data."""
+
+    def __init__(self, jstream, length: int):
+        self._s = jstream
+        self._len = length
+        self._closed = False
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence == 1:
+            pos += self._s.getPos()
+        elif whence == 2:
+            pos += self._len
+        self._s.seek(pos)
+        return pos
+
+    def tell(self) -> int:
+        return self._s.getPos()
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._len - self.tell()
+        if n <= 0:
+            return b""
+        return bytes(self._s.readNBytes(n))
+
+    def size(self) -> int:
+        return self._len
+
+    def seekable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return True
+
+    @property
+    def closed(self) -> bool:  # pyarrow probes this as an ATTRIBUTE
+        return self._closed
+
+    def close(self) -> None:
+        self._closed = True
+        self._s.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_json(fs, path: str, default: dict | None = None) -> dict:
+    """Pointer-file helper: parsed JSON, or ``default`` when absent."""
+    try:
+        return json.loads(fs.read_text(path))
+    except FileNotFoundError:
+        if default is not None:
+            return default
+        raise
+
+
+def write_json_atomic(fs, path: str, obj: dict) -> None:
+    fs.write_text_atomic(path, json.dumps(obj))

@@ -683,6 +683,15 @@ def ngram_jaccard_pairs(
     source/lang).  Blocks bound the pair count; the LSH variants replace
     blocking when no natural key exists.
 
+    100 TB caveat (measured, SCALING_r06.md): the OUTPUT — all pairs at
+    or above threshold — is inherently O(group_size²) per duplicate
+    group, so when group sizes grow with the corpus (boilerplate, page
+    replication) ANY correct all-pairs operator goes superlinear
+    because the answer does.  At scale, run exact dedup first so
+    identical-text groups collapse to one representative (the curate
+    ladder orders it this way), raise the threshold, or consume the
+    clustered keeper form instead of the raw pair list.
+
     Inverted-index formulation: explode distinct grams, self-join on
     (block, gram) so only co-occurring pairs materialize, count shared
     grams per pair, then jaccard = inter / (|A| + |B| − inter).  Every
@@ -966,6 +975,42 @@ def remove_repeated_paragraphs(
 
 # --- incremental near-dup dedup (batch vs persisted minhash index) ------------
 
+def band_buckets_from_sig_table(
+    sig_tbl: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band, bucket) derived from an already-computed wide
+    signature table — byte-identical bucket values to the xxhash64
+    family of :func:`minhash_band_buckets` (same per-permutation mins,
+    same perm-ordered ``xxhash64`` fold seeded with the band index), so
+    the two constructions inter-operate against the same stored index.
+
+    Use this when the signature table is needed ANYWAY (the incremental
+    index/probe paths): one shingle explode + one wide min-aggregate
+    feeds both artifacts, instead of paying the banding path's separate
+    num_hashes× row explode over the same text."""
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            f"bands must divide num_hashes: got bands={bands}, "
+            f"num_hashes={num_hashes}"
+        )
+    rows = num_hashes // bands
+    sig = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+    per_band = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(sig, b * rows + 1, rows),
+            b.cast("long"),
+            lambda acc, x: F.xxhash64(acc, x),
+        ),
+    )
+    return sig_tbl.select(
+        _c(id_col).alias(id_col), F.posexplode(per_band).alias("band", "bucket")
+    )
+
+
 def minhash_index(
     df: DataFrame,
     text_col: str = "text",
@@ -979,13 +1024,21 @@ def minhash_index(
     (band, bucket, keeper) — store partitioned/bucketed by (band, bucket)
     so probes are co-located — and sigs = (keeper, sig array<long>).
     Together ~ (bands + num_hashes) longs per corpus doc: the corpus text
-    is never re-read by later batches."""
-    buckets = minhash_band_buckets(
-        df, text_col, id_col, num_hashes, bands, shingle_k, "xxhash64"
-    ).select("band", "bucket", F.col(id_col).alias("keeper"))
-    sigs = minhash_signature_table(
+    is never re-read by later batches.
+
+    Both artifacts derive from ONE persisted signature pass (the wide
+    min-aggregate) — the banding fold reuses the cached mins instead of
+    re-exploding the corpus text, and the bucket values are identical to
+    ``minhash_band_buckets(..., "xxhash64")`` (test-pinned)."""
+    from pyspark import StorageLevel
+
+    sig_tbl = minhash_signature_table(
         df, text_col, id_col, num_hashes, shingle_k
-    ).select(
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = band_buckets_from_sig_table(
+        sig_tbl, id_col, num_hashes, bands
+    ).select("band", "bucket", F.col(id_col).alias("keeper"))
+    sigs = sig_tbl.select(
         F.col(id_col).alias("keeper"),
         F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
     )
@@ -1022,13 +1075,20 @@ def incremental_minhash_dedup(
     signatures join in for CANDIDATES only, and the final pick is one
     partial-agg'd min per batch doc.  Cost tracks index size and
     collision count, never corpus size."""
-    params = (num_hashes, bands, shingle_k)
-    b_buckets = minhash_band_buckets(
-        batch, text_col, id_col, *params[:2], params[2], "xxhash64"
-    ).select("band", "bucket", F.col(id_col).alias("__bid"))
-    b_sigs = minhash_signature_table(
+    from pyspark import StorageLevel
+
+    # one signature pass over the batch feeds both probe artifacts: the
+    # banding fold derives from the persisted wide mins
+    # (band_buckets_from_sig_table — bucket values identical to the
+    # minhash_band_buckets xx64 family), instead of re-exploding the
+    # batch text a second time
+    sig_tbl = minhash_signature_table(
         batch, text_col, id_col, num_hashes, shingle_k
-    ).select(
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    b_buckets = band_buckets_from_sig_table(
+        sig_tbl, id_col, num_hashes, bands
+    ).select("band", "bucket", F.col(id_col).alias("__bid"))
+    b_sigs = sig_tbl.select(
         F.col(id_col).alias("__bid"),
         F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("__bsig"),
     )

@@ -60,19 +60,26 @@ def cluster_write(
     parts.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
 
 
-def layout_stats(path: str, column: str) -> list[tuple]:
+def layout_stats(path: str, column: str, spark=None) -> list[tuple]:
     """Per-row-group (min, max, n_rows) for ``column`` across every
-    parquet file under ``path`` — footer metadata only, no data read."""
+    parquet file under ``path`` — footer metadata only, no data read.
+    For a ``scheme://`` path pass ``spark``; footers are then read
+    through the Hadoop FileSystem (seekable stream shim) instead of the
+    local OS."""
     import pyarrow.parquet as pq
 
+    from timesearch_spark.fs import get_fs
+
+    fs = get_fs(spark, path)
     out = []
     files = sorted(
         os.path.join(path, f)
-        for f in os.listdir(path)
+        for f in fs.ls(path)
         if f.endswith(".parquet")
     )
     for fp in files:
-        meta = pq.ParquetFile(fp).metadata
+        with fs.open_binary(fp) as fobj:
+            meta = pq.ParquetFile(fobj).metadata
         idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
         ci = idx[column]
         for rg in range(meta.num_row_groups):
@@ -81,12 +88,13 @@ def layout_stats(path: str, column: str) -> list[tuple]:
     return out
 
 
-def clustering_quality(path: str, column: str, probes: int = 64) -> float:
+def clustering_quality(path: str, column: str, probes: int = 64,
+                       spark=None) -> float:
     """Average fraction of row groups a point predicate on ``column``
     must read, estimated over ``probes`` evenly-spaced values across the
     observed domain.  Lower is better: 1/n_groups is perfect clustering,
     ~1.0 means every row group spans the domain (no pruning possible)."""
-    stats = layout_stats(path, column)
+    stats = layout_stats(path, column, spark=spark)
     if not stats:
         return 1.0
     lo = min(s[0] for s in stats)
@@ -185,18 +193,19 @@ def compact(
     directory would silently drop its partitioning — compact each
     partition directory instead (or use CorpusStore.compact_batches for
     the corpus layout)."""
-    import shutil
+    from timesearch_spark.fs import get_fs
 
+    fs = get_fs(spark, path)
     old = path.rstrip("/") + ".__compact_old__"
-    if os.path.exists(old):
-        if not os.path.exists(path):
-            os.rename(old, path)  # crashed between the two renames
+    if fs.exists(old):
+        if not fs.exists(path):
+            fs.rename(old, path)  # crashed between the two renames
         else:
-            shutil.rmtree(old)  # crashed before the old copy was removed
+            fs.delete(old)  # crashed before the old copy was removed
     part_dirs = [
         d
-        for d in os.listdir(path)
-        if "=" in d and os.path.isdir(os.path.join(path, d))
+        for d in fs.ls(path)
+        if "=" in d and fs.is_dir(os.path.join(path, d))
     ]
     if part_dirs:
         raise ValueError(
@@ -204,8 +213,8 @@ def compact(
             f"({part_dirs[0]}, ...) — compact per partition directory"
         )
     total = sum(
-        os.path.getsize(os.path.join(path, f))
-        for f in os.listdir(path)
+        fs.size(os.path.join(path, f))
+        for f in fs.ls(path)
         if f.endswith(".parquet")
     )
     n = max(1, -(-total // (target_mb << 20)))  # ceil div
@@ -220,7 +229,7 @@ def compact(
         )
     else:
         df.repartition(n).write.mode("overwrite").parquet(tmp)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.delete(old)
+    return sum(1 for f in fs.ls(path) if f.endswith(".parquet"))

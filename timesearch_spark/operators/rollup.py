@@ -28,6 +28,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from timesearch_spark.fs import get_fs
 from timesearch_spark.operators import windows as win
 from timesearch_spark.tables import event_ts_bound, ts_dtype
 
@@ -42,13 +43,16 @@ class MaterializedRollup:
         self.path = path
         self.duration_sec = duration_sec
         self.key = key
-        os.makedirs(path, exist_ok=True)
+        # metadata listings route through the fs shim (object-store
+        # capable); data IO is Spark parquet either way
+        self._fs = get_fs(spark, path)
+        self._fs.mkdirs(path)
 
     def _materialized_windows(self) -> list[int]:
         try:
             return sorted(
                 int(m.group(1))
-                for d in os.listdir(self.path)
+                for d in self._fs.ls(self.path)
                 if (m := re.fullmatch(r"w=(\d+)", d))
             )
         except FileNotFoundError:

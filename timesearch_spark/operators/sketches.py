@@ -41,6 +41,8 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from timesearch_spark.fs import get_fs
+
 from timesearch_spark.operators.windows import with_event_time
 from timesearch_spark.tables import event_ts_bound, ts_dtype
 
@@ -185,13 +187,16 @@ class SketchStore:
         self.key = key
         self.id_col = id_col
         self.lg_k = lg_k
-        os.makedirs(path, exist_ok=True)
+        # metadata listings route through the fs shim (object-store
+        # capable); data IO is Spark parquet either way
+        self._fs = get_fs(spark, path)
+        self._fs.mkdirs(path)
 
     def _stored_periods(self) -> list[int]:
         try:
             return sorted(
                 int(m.group(1))
-                for d in os.listdir(self.path)
+                for d in self._fs.ls(self.path)
                 if (m := re.fullmatch(r"p=(\d+)", d))
             )
         except FileNotFoundError:

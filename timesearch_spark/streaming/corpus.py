@@ -20,12 +20,13 @@ never re-read after its ingest batch.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from timesearch_spark.fs import get_fs, read_json, write_json_atomic
 
 DOCUMENT_SCHEMA = T.StructType(
     [
@@ -54,7 +55,10 @@ class CorpusStore:
         self.spark = spark
         self.path = path
         self.neardup_threshold = neardup_threshold
-        os.makedirs(path, exist_ok=True)
+        # metadata IO (pointer, listings, reclaim) through the fs shim:
+        # object-store capable; data IO is Spark parquet either way
+        self._fs = get_fs(spark, path)
+        self._fs.mkdirs(path)
 
     # -- pointer ------------------------------------------------------------
 
@@ -62,17 +66,13 @@ class CorpusStore:
         return os.path.join(self.path, "LATEST")
 
     def _pointer(self) -> dict:
-        try:
-            with open(self._pointer_file()) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return {"version": 0, "batches": []}
+        return read_json(
+            self._fs, self._pointer_file(),
+            default={"version": 0, "batches": []},
+        )
 
     def _swap_pointer(self, ptr: dict) -> None:
-        tmp = self._pointer_file() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(ptr, f)
-        os.replace(tmp, self._pointer_file())  # atomic on POSIX
+        write_json_atomic(self._fs, self._pointer_file(), ptr)
 
     def version(self) -> int:
         return self._pointer()["version"]
@@ -220,8 +220,6 @@ class CorpusStore:
         # the pointer, so a higher-versioned dir is an in-flight ingest
         # and must be left alone (the store is single-writer per
         # operation, but compaction and ingest may overlap in time).
-        import shutil
-
         croot = os.path.join(self.path, "corpus")
         live = {f"batch={b}" for b in ptr["batches"]}
 
@@ -231,10 +229,10 @@ class CorpusStore:
             except ValueError:
                 return False
 
-        if os.path.isdir(croot):
-            for d in os.listdir(croot):
+        if self._fs.is_dir(croot):
+            for d in self._fs.ls(croot):
                 if d.startswith("batch=") and d not in live and not _in_flight(d):
-                    shutil.rmtree(os.path.join(croot, d))
+                    self._fs.delete(os.path.join(croot, d))
 
         def _files(batches):
             out = []
@@ -242,7 +240,7 @@ class CorpusStore:
                 d = os.path.join(self.path, "corpus", f"batch={b}")
                 out += [
                     os.path.join(d, f)
-                    for f in os.listdir(d)
+                    for f in self._fs.ls(d)
                     if f.endswith(".parquet")
                 ]
             return out
@@ -258,7 +256,7 @@ class CorpusStore:
                 "batches_after": stats["batches_before"],
                 "files_after": stats["files_before"],
             }
-        total = sum(os.path.getsize(f) for f in before)
+        total = sum(self._fs.size(f) for f in before)
         n = max(1, -(-total // (target_mb << 20)))
         label = f"{ptr['version']}compacted"  # never collides with int versions
         (
@@ -270,10 +268,8 @@ class CorpusStore:
         )
         old = ptr["batches"]
         self._swap_pointer({"version": ptr["version"], "batches": [label]})
-        import shutil
-
         for b in old:
-            shutil.rmtree(os.path.join(self.path, "corpus", f"batch={b}"))
+            self._fs.delete(os.path.join(self.path, "corpus", f"batch={b}"))
         return {
             **stats,
             "batches_after": 1,
@@ -285,18 +281,16 @@ class CorpusStore:
         (corpus batch dirs are all live by construction — the pointer
         lists them — so only superseded index versions accumulate).
         Returns the removed paths."""
-        import shutil
-
         live = self._pointer()["version"]
         removed = []
         for sub in ("index", "mh_buckets", "mh_sigs"):
             root = os.path.join(self.path, sub)
-            if not os.path.isdir(root):
+            if not self._fs.is_dir(root):
                 continue
-            for d in sorted(os.listdir(root)):
+            for d in sorted(self._fs.ls(root)):
                 if d.startswith("v=") and int(d[2:]) < live:
                     full = os.path.join(root, d)
-                    shutil.rmtree(full)
+                    self._fs.delete(full)
                     removed.append(full)
         return removed
 

@@ -37,15 +37,14 @@ buckets its keys hash into.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from timesearch_spark.fs import get_fs, read_json, write_json_atomic
 from timesearch_spark.operators.upsert import UpsertResult, upsert_snapshot
 
 #: Archive format version (parity with DATABASE_VERSION stored in
@@ -94,11 +93,15 @@ class ParquetMergeStore:
         self.key = key
         self.text_col = text_col
         self.store_edits = store_edits
+        # metadata IO routes through the fs shim, so the store works on
+        # any Hadoop-compatible filesystem (s3a/hdfs/file), not just the
+        # local disk the reference's SQLite assumed (tsdb.py:19-32)
+        self._fs = get_fs(spark, path)
         # A store that already exists keeps its original bucket count —
         # manifest entries are only valid under the hash modulus they
         # were written with.
         self.n_buckets = int(self._pointer().get("n_buckets", n_buckets))
-        os.makedirs(path, exist_ok=True)
+        self._fs.mkdirs(path)
 
     # -- bucket math ----------------------------------------------------------
 
@@ -113,15 +116,15 @@ class ParquetMergeStore:
         return os.path.join(self.path, "LATEST")
 
     def _pointer(self) -> dict:
-        try:
-            with open(self._pointer_file()) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return {
+        return read_json(
+            self._fs,
+            self._pointer_file(),
+            default={
                 "version": 0,
                 "schema_version": SCHEMA_VERSION,
                 "buckets": {},
-            }
+            },
+        )
 
     def version(self) -> int:
         return self._pointer()["version"]
@@ -194,19 +197,17 @@ class ParquetMergeStore:
             schema_version = self.schema_version()
         if buckets is None:
             buckets = self.bucket_manifest()
-        tmp = self._pointer_file() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "version": version,
-                    "schema_version": schema_version,
-                    "n_buckets": self.n_buckets,
-                    "buckets": buckets,
-                    "committed_at": time.time(),
-                },
-                f,
-            )
-        os.replace(tmp, self._pointer_file())  # atomic pointer swap
+        write_json_atomic(  # atomic pointer swap (see fs shim notes)
+            self._fs,
+            self._pointer_file(),
+            {
+                "version": version,
+                "schema_version": schema_version,
+                "n_buckets": self.n_buckets,
+                "buckets": buckets,
+                "committed_at": time.time(),
+            },
+        )
 
     # -- reads ----------------------------------------------------------------
 
@@ -218,7 +219,7 @@ class ParquetMergeStore:
             # v=N.  No pruning possible — return it whole so reads (and
             # upgrade_store) see the data instead of an empty manifest.
             flat = self._version_dir(self.version())
-            return [flat] if os.path.isdir(flat) else []
+            return [flat] if self._fs.is_dir(flat) else []
         manifest = self.bucket_manifest()
         if buckets is None:
             items = manifest.items()
@@ -249,9 +250,9 @@ class ParquetMergeStore:
         paths: list[str] = []
         try:
             committed = self.version()
-            for entry in os.listdir(d):
+            for entry in self._fs.ls(d):
                 full = os.path.join(d, entry)
-                if entry.startswith("v=") and os.path.isdir(full):
+                if entry.startswith("v=") and self._fs.is_dir(full):
                     if int(entry[2:]) <= committed:
                         paths.append(full)
                 elif entry.endswith(".parquet"):
@@ -390,12 +391,12 @@ class ParquetMergeStore:
         # so repointing it would lose data.
         written = sorted(
             int(d.split("=", 1)[1])
-            for d in os.listdir(staging)
+            for d in self._fs.ls(staging)
             if d.startswith("__bucket=")
         )
         extra = set(written) - set(touched)
         if extra:
-            shutil.rmtree(staging, ignore_errors=True)
+            self._fs.delete(staging)
             raise RuntimeError(
                 f"batch produced rows in buckets {sorted(extra)} not seen "
                 "when planning the merge — the source is nondeterministic "
@@ -416,7 +417,7 @@ class ParquetMergeStore:
         # Pre-publish CAS: abort (cleanly, B's data untouched) before
         # renaming over anything if another writer committed meanwhile.
         if self.version() != base_version:
-            shutil.rmtree(staging, ignore_errors=True)
+            self._fs.delete(staging)
             raise ConcurrentWriteError(
                 f"pointer moved from v{base_version} to v{self.version()} "
                 "while this merge ran — a concurrent writer committed; "
@@ -426,9 +427,9 @@ class ParquetMergeStore:
         # An existing v=N dir here is an UNCOMMITTED orphan of a crashed
         # earlier attempt (the pointer still reads base_version, so it
         # references nothing at N) — replace it.
-        if os.path.isdir(vdir):
-            shutil.rmtree(vdir)
-        os.rename(staging, vdir)  # atomic publish of the data files
+        if self._fs.is_dir(vdir):
+            self._fs.delete(vdir)
+        self._fs.rename(staging, vdir)  # atomic publish of the data files
 
         if self.store_edits:
             # versioned + overwrite: a replay of this (uncommitted) merge
@@ -463,18 +464,18 @@ class ParquetMergeStore:
         )
         written = {
             d.split("=", 1)[1]: new_version
-            for d in os.listdir(staging)
+            for d in self._fs.ls(staging)
             if d.startswith("__bucket=")
         }
         if self.version() != base_version:
-            shutil.rmtree(staging, ignore_errors=True)
+            self._fs.delete(staging)
             raise ConcurrentWriteError(
                 f"pointer moved from v{base_version} to v{self.version()} "
                 "during overwrite_snapshot — concurrent writer committed"
             )
-        if os.path.isdir(vdir):
-            shutil.rmtree(vdir)
-        os.rename(staging, vdir)
+        if self._fs.is_dir(vdir):
+            self._fs.delete(vdir)
+        self._fs.rename(staging, vdir)
         self._commit(
             new_version,
             schema_version=schema_version,
@@ -494,20 +495,20 @@ class ParquetMergeStore:
         live = {ver for ver in self.bucket_manifest().values()}
         root = os.path.join(self.path, "snapshot")
         removed = []
-        if not os.path.isdir(root):
+        if not self._fs.is_dir(root):
             return removed
-        for d in os.listdir(root):
+        for d in self._fs.ls(root):
             if not d.startswith("v="):
                 continue
             if ".staging-" in d:
                 # residue of a merge that crashed (or CAS-aborted with the
                 # cleanup interrupted) before publishing — never referenced
-                shutil.rmtree(os.path.join(root, d))
+                self._fs.delete(os.path.join(root, d))
                 removed.append(d)
                 continue
             ver = int(d.split("=", 1)[1])
             if ver not in live:
-                shutil.rmtree(os.path.join(root, d))
+                self._fs.delete(os.path.join(root, d))
                 removed.append(d)
         return removed
 
