@@ -148,3 +148,40 @@ def test_layout_stats_on_file_scheme(spark, tmp_path):
     n = layout.compact(spark, p, target_mb=128)
     assert n >= 1
     assert spark.read.parquet(p).count() == 1000
+
+
+def test_export_sinks_on_file_scheme(spark, tmp_path):
+    """Driver-side export sinks (listing, breakdown) write through the
+    shim, so a scheme:// out_dir works — the listing streams through
+    the buffered JVM writer, the breakdown through the atomic pointer
+    path."""
+    import json
+
+    from timesearch_spark import api
+    from timesearch_spark.operators.breakdown import breakdown
+    from timesearch_spark.operators.exports import write_breakdown, write_index
+
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    dump = tmp_path / "dump.jsonl"
+    rows = [
+        {"id": f"s{i}", "name": f"t3_s{i}", "created_utc": 100 + i,
+         "author": f"u{i % 2}", "subreddit": "t", "title": f"post {i}",
+         "selftext": "x", "score": i, "is_self": False, "over_18": False,
+         "url": None, "num_comments": 0}
+        for i in range(6)
+    ]
+    dump.write_text("\n".join(json.dumps(r) for r in rows))
+    api.ingest_jsonfile(ar, str(dump))
+    subs = ar.submissions.snapshot()
+
+    out = f"file://{tmp_path}/exports"
+    path = write_index(subs, out, "t", orderby="score")
+    assert path.startswith("file://")
+    local = path[len("file://"):]
+    text = open(local).read()
+    assert text.count("\n") == 6
+
+    bd = breakdown(subs, subs.limit(0), key="author")
+    bpath = write_breakdown(bd, out, "t")
+    data = json.loads(open(bpath[len("file://"):]).read())
+    assert sum(v["submissions"] for v in data.values()) == 6

@@ -100,6 +100,10 @@ class LocalFS:
         """Seekable binary reader (parquet footer inspection)."""
         return open(path, "rb")
 
+    def open_write(self, path: str):
+        """Streaming text writer (driver-side export sinks)."""
+        return open(path, "w", encoding="utf-8")
+
 
 class HadoopFS:
     """Hadoop FileSystem implementation via the session's JVM gateway.
@@ -188,6 +192,10 @@ class HadoopFS:
         fs = self._fs(p)
         return _JStreamFile(fs.open(p), self.size(path))
 
+    def open_write(self, path: str):
+        p = self._path(path)
+        return _JWriteStream(self._fs(p).create(p, True))
+
 
 class _JStreamFile:
     """Minimal seekable file-like over an FSDataInputStream — enough for
@@ -233,6 +241,42 @@ class _JStreamFile:
 
     def close(self) -> None:
         self._closed = True
+        self._s.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class _JWriteStream:
+    """Buffered text writer over an FSDataOutputStream: lines accumulate
+    in a Python buffer and flush to the JVM in ~1 MiB chunks, so a
+    million-line listing costs hundreds of py4j hops, not a million."""
+
+    _CHUNK = 1 << 20
+
+    def __init__(self, jstream):
+        self._s = jstream
+        self._buf: list[bytes] = []
+        self._n = 0
+
+    def write(self, text: str) -> int:
+        b = text.encode("utf-8")
+        self._buf.append(b)
+        self._n += len(b)
+        if self._n >= self._CHUNK:
+            self._flush()
+        return len(text)
+
+    def _flush(self) -> None:
+        if self._buf:
+            self._s.write(bytearray(b"".join(self._buf)))
+            self._buf, self._n = [], 0
+
+    def close(self) -> None:
+        self._flush()
         self._s.close()
 
     def __enter__(self):

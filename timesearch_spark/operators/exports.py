@@ -104,12 +104,15 @@ def write_index(
     offline: bool = False,
 ) -> str:
     """Write one ordered listing file; returns its path."""
+    from timesearch_spark.fs import get_fs
+
     _, suffix = INDEX_ORDERINGS[orderby]
     ext = ".html" if html else ".txt"
-    os.makedirs(out_dir, exist_ok=True)
+    fs = get_fs(submissions.sparkSession, out_dir)
+    fs.mkdirs(out_dir)
     path = os.path.join(out_dir, basename + suffix + ext)
     lines = index_lines(submissions, orderby, score_threshold, html, offline)
-    with open(path, "w", encoding="utf-8") as f:
+    with fs.open_write(path) as f:
         if html:
             f.write(HTML_HEADER)
         for row in lines.toLocalIterator():  # ordered, constant driver memory
@@ -138,15 +141,16 @@ def write_index_sharded(
     ``write_index`` (one file, driver-written, constant memory) remains
     the right tool when the output contract is literally one file.
     Returns the shard directory."""
+    from timesearch_spark.fs import get_fs
+
     lines = index_lines(submissions, orderby, score_threshold, html, offline)
     path = os.path.join(out_dir, f"listing_{orderby}_shards")
     lines.write.mode("overwrite").text(path)
     if html:
-        with open(os.path.join(path, "00_header.html"), "w",
-                  encoding="utf-8") as f:
+        fs = get_fs(submissions.sparkSession, out_dir)
+        with fs.open_write(os.path.join(path, "00_header.html")) as f:
             f.write(HTML_HEADER)
-        with open(os.path.join(path, "zz_footer.html"), "w",
-                  encoding="utf-8") as f:
+        with fs.open_write(os.path.join(path, "zz_footer.html")) as f:
             f.write(HTML_FOOTER)
     return path
 
@@ -177,11 +181,13 @@ def breakdown_json(bd: DataFrame, sort: str | None = None,
 
 def write_breakdown(bd: DataFrame, out_dir: str, basename: str,
                     sort: str | None = None, key_name: str = "author") -> str:
-    os.makedirs(out_dir, exist_ok=True)
+    from timesearch_spark.fs import get_fs
+
+    fs = get_fs(bd.sparkSession, out_dir)
+    fs.mkdirs(out_dir)
     suffix = f"_breakdown_{sort}.json" if sort else "_breakdown.json"
     path = os.path.join(out_dir, basename + suffix)
-    with open(path, "w", encoding="utf-8") as f:
-        f.write(breakdown_json(bd, sort=sort, key_name=key_name))
+    fs.write_text_atomic(path, breakdown_json(bd, sort=sort, key_name=key_name))
     return path
 
 
