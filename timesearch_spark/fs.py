@@ -117,6 +117,7 @@ class HadoopFS:
     def __init__(self, spark):
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
+        self._gateway = spark.sparkContext._gateway
 
     def _path(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
@@ -157,8 +158,13 @@ class HadoopFS:
             stream.close()
 
     def write_text_atomic(self, path: str, text: str) -> None:
-        # write-temp-then-rename: atomic on HDFS/local, copy+delete on
-        # object stores (see module docstring)
+        # write-temp-then-rename.  Preferred publish is FileContext's
+        # OVERWRITE rename — atomic on HDFS and local, so a concurrent
+        # reader never observes a missing pointer file.  Filesystems
+        # without an AbstractFileSystem binding (some object stores)
+        # fall back to delete+rename, which has a small
+        # pointer-absent window — their rename is copy+delete anyway,
+        # so the single-writer contract is the real guarantee there.
         p = self._path(path)
         fs = self._fs(p)
         tmp = self._path(path + ".tmp")
@@ -167,6 +173,19 @@ class HadoopFS:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                p.toUri(), self._conf
+            )
+            rename_cls = getattr(
+                self._jvm, "org.apache.hadoop.fs.Options$Rename"
+            )
+            opts = self._gateway.new_array(rename_cls, 1)
+            opts[0] = rename_cls.OVERWRITE
+            fc.rename(tmp, p, opts)
+            return
+        except Exception:
+            pass  # no AbstractFileSystem binding: non-atomic fallback
         if fs.exists(p):
             fs.delete(p, False)
         if not fs.rename(tmp, p):
