@@ -356,3 +356,21 @@ def test_asof_ignores_null_timestamps(spark):
             assert got[1] == 11  # only the real (non-null) right matches
         else:
             assert got[1] is None  # no right at/after ts=100
+
+
+def test_auto_bucket_never_trips_its_own_guard(spark):
+    # boundary-crossing interval: length 8191 starting at 1 spans
+    # floor(len/b)+2 buckets — an auto-derived width dividing by
+    # max_buckets exactly would yield 4097 > 4096 and raise the guard
+    # the auto mode exists to avoid
+    points = spark.createDataFrame([(1, 50)], "user_id long, ts_sec long")
+    ivs = spark.createDataFrame(
+        [(1, 1, 8192), (1, 10, 12)],
+        "user_id long, session_start long, session_end long",
+    )
+    got = interval_join(
+        points, ivs, point_ts="ts_sec", start_col="session_start",
+        end_col="session_end", on=["user_id"], bucket_sec=None,
+        max_buckets=4096,
+    )
+    assert got.count() == 1  # ts=50 inside [1, 8192] only

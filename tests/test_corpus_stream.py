@@ -178,3 +178,67 @@ def test_compact_spares_in_flight_ingest_dir(spark, tmp_path):
     store.compact_batches()
     assert os.path.isdir(inflight)      # spared: version > pointer
     assert not os.path.isdir(orphan)    # reclaimed: crashed compaction
+
+
+def _b(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+
+
+def test_compaction_finishing_mid_ingest_keeps_both(spark, tmp_path):
+    """A compaction that lands while an ingest is running must not be
+    undone by the ingest's pointer swap: the swap merges against the
+    CURRENT batch list, so the compacted batch and the new batch both
+    survive."""
+    root = str(tmp_path / "corpus")
+    store = CorpusStore(spark, root)
+    store.ingest_batch(_b(spark, [(1, "w", "en", "one doc")]))
+    store.ingest_batch(_b(spark, [(2, "w", "en", "two doc")]))
+
+    other = CorpusStore(spark, root)
+    orig_index = store.index
+
+    def hooked():
+        store.index = orig_index  # fire once
+        other.compact_batches()   # compaction lands mid-ingest
+        return orig_index()
+
+    store.index = hooked
+    assert store.ingest_batch(_b(spark, [(3, "w", "en", "three doc")])) == {
+        "seen": 1, "new": 1,
+    }
+    texts = sorted(r["text"] for r in store.corpus().collect())
+    assert texts == ["one doc", "three doc", "two doc"]
+
+
+def test_ingest_committing_mid_compaction_aborts_compaction(spark, tmp_path):
+    """The mirror race: an ingest committing while compact_batches
+    rewrites must abort the compaction cleanly (stale swap would drop
+    the new batch and regress the version)."""
+    import pytest as _pytest
+
+    from timesearch_spark.streaming.store import ConcurrentWriteError
+
+    root = str(tmp_path / "corpus2")
+    store = CorpusStore(spark, root)
+    store.ingest_batch(_b(spark, [(1, "w", "en", "one doc")]))
+    store.ingest_batch(_b(spark, [(2, "w", "en", "two doc")]))
+
+    other = CorpusStore(spark, root)
+    orig_corpus = store.corpus
+
+    def hooked():
+        store.corpus = orig_corpus  # fire once
+        other.ingest_batch(_b(spark, [(3, "w", "en", "three doc")]))
+        return orig_corpus()
+
+    store.corpus = hooked
+    with _pytest.raises(ConcurrentWriteError):
+        store.compact_batches()
+    texts = sorted(r["text"] for r in store.corpus().collect())
+    assert texts == ["one doc", "three doc", "two doc"]
+    # the aborted consolidated dir was discarded; a retry succeeds
+    s = store.compact_batches()
+    assert s["batches_after"] == 1
+    assert store.corpus().count() == 3

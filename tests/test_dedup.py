@@ -389,3 +389,27 @@ def test_band_buckets_from_sigs_identical_to_banding_path(spark):
         ).collect()
     }
     assert via_banding == via_sigs and len(via_sigs) > 0
+
+
+def test_release_pins_unpersists_shared_passes(spark):
+    """minhash_index / incremental_minhash_dedup persist a shared
+    signature pass; release_pins must actually unpersist it (loop
+    callers depend on this to keep CacheManager bounded)."""
+    from tests.conftest import SF_SMALL
+    from timesearch_spark.operators.dedup import (
+        incremental_minhash_dedup, minhash_index, release_pins,
+    )
+    from timesearch_spark.tables import load
+
+    d = load(spark, SF_SMALL, "documents").limit(100)
+    buckets, sigs = minhash_index(d)
+    tag = incremental_minhash_dedup(d, buckets, sigs, threshold=0.5)
+    tag.count()  # materialize: caches populate
+    pins = tag._pinned + buckets._pinned
+    assert all(p.storageLevel.useMemory or p.storageLevel.useDisk for p in pins)
+    release_pins(tag, buckets, sigs)
+    release_pins(tag)  # idempotent; plain DataFrames are a no-op too
+    release_pins(d)
+    assert all(
+        not (p.storageLevel.useMemory or p.storageLevel.useDisk) for p in pins
+    )

@@ -175,8 +175,11 @@ def derive_bucket_sec(
 ) -> int:
     """Sample interval lengths and pick a bucket width: the p90 length
     (so ~90% of intervals explode into ≤2 buckets) floored at
-    ``max_len / max_buckets`` (so even the longest interval stays under
-    the explosion cap).  One narrow agg job over (start, end) only.
+    ``max_len / (max_buckets - 2)`` — a bucket-boundary-crossing
+    interval spans ``floor(len/b) + 2`` buckets, so dividing by
+    ``max_buckets`` exactly would let the longest interval land at
+    ``max_buckets + 1`` and trip the very guard this function exists to
+    avoid.  One narrow agg job over (start, end) only.
     """
     ln = F.col(end_col) - F.col(start_col)
     row = intervals.agg(
@@ -184,7 +187,9 @@ def derive_bucket_sec(
     ).first()
     if row is None or row["p90"] is None:
         return 3600
-    return max(int(row["p90"]), int(row["mx"] // max_buckets) + 1, 1)
+    return max(
+        int(row["p90"]), int(row["mx"] // max(max_buckets - 2, 1)) + 1, 1
+    )
 
 
 def interval_join(

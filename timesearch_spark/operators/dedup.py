@@ -975,6 +975,19 @@ def remove_repeated_paragraphs(
 
 # --- incremental near-dup dedup (batch vs persisted minhash index) ------------
 
+def release_pins(*dfs) -> None:
+    """Unpersist every cached sub-plan a result DataFrame carries in
+    ``_pinned`` (idempotent, missing attribute is a no-op).  Operators
+    that persist a shared sub-plan (minhash_index,
+    incremental_minhash_dedup, pipeline.curate_corpus) attach the
+    handles here; call this once the result has been fully consumed —
+    loop callers that skip it leak one CacheManager entry per call for
+    the session lifetime."""
+    for df in dfs:
+        for pin in getattr(df, "_pinned", []):
+            pin.unpersist()
+
+
 def band_buckets_from_sig_table(
     sig_tbl: DataFrame,
     id_col: str = "doc_id",
@@ -1026,15 +1039,18 @@ def minhash_index(
     Together ~ (bands + num_hashes) longs per corpus doc: the corpus text
     is never re-read by later batches.
 
-    Both artifacts derive from ONE persisted signature pass (the wide
-    min-aggregate) — the banding fold reuses the cached mins instead of
-    re-exploding the corpus text, and the bucket values are identical to
-    ``minhash_band_buckets(..., "xxhash64")`` (test-pinned)."""
-    from pyspark import StorageLevel
-
+    Both artifacts derive from ONE materialized signature pass (the
+    wide min-aggregate) — the banding fold reuses the pinned mins
+    instead of re-exploding the corpus text, and the bucket values are
+    identical to ``minhash_band_buckets(..., "xxhash64")``
+    (test-pinned).  The shared pass is persist()ed; because CacheManager
+    entries live until unpersist, BOTH returned DataFrames carry the
+    handle in ``_pinned`` — loop callers (CorpusStore.ingest_batch)
+    must ``release_pins`` after consuming them or the per-batch caches
+    accumulate for the session lifetime."""
     sig_tbl = minhash_signature_table(
         df, text_col, id_col, num_hashes, shingle_k
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist()
     buckets = band_buckets_from_sig_table(
         sig_tbl, id_col, num_hashes, bands
     ).select("band", "bucket", F.col(id_col).alias("keeper"))
@@ -1042,6 +1058,8 @@ def minhash_index(
         F.col(id_col).alias("keeper"),
         F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
     )
+    buckets._pinned = [sig_tbl]
+    sigs._pinned = [sig_tbl]
     return buckets, sigs
 
 
@@ -1075,16 +1093,15 @@ def incremental_minhash_dedup(
     signatures join in for CANDIDATES only, and the final pick is one
     partial-agg'd min per batch doc.  Cost tracks index size and
     collision count, never corpus size."""
-    from pyspark import StorageLevel
-
     # one signature pass over the batch feeds both probe artifacts: the
     # banding fold derives from the persisted wide mins
     # (band_buckets_from_sig_table — bucket values identical to the
     # minhash_band_buckets xx64 family), instead of re-exploding the
-    # batch text a second time
+    # batch text a second time.  The result carries the handle in
+    # ``_pinned``: loop callers release_pins after consuming
     sig_tbl = minhash_signature_table(
         batch, text_col, id_col, num_hashes, shingle_k
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist()
     b_buckets = band_buckets_from_sig_table(
         sig_tbl, id_col, num_hashes, bands
     ).select("band", "bucket", F.col(id_col).alias("__bid"))
@@ -1114,7 +1131,7 @@ def incremental_minhash_dedup(
     best = verified.groupBy("__bid").agg(
         F.min_by(F.struct("keeper", "__est"), F.col("keeper")).alias("__w")
     )
-    return (
+    out = (
         batch.select(_c(id_col).alias(id_col))
         .join(best.withColumnRenamed("__bid", id_col), id_col, "left")
         .select(
@@ -1124,6 +1141,8 @@ def incremental_minhash_dedup(
             F.round(F.col("__w.__est"), 6).alias("est_jaccard"),
         )
     )
+    out._pinned = [sig_tbl]
+    return out
 
 
 def simhash_index(

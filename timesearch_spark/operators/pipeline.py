@@ -490,22 +490,18 @@ def curate_corpus(
     # upstream ladder — profile explode+agg, dedup joins, minhash
     # banding — re-executes once PER BRANCH inside the one final action
     # (measured 3× wall-clock at sf0.1).  persist is lazy (the returned
-    # plan stays declarative, nothing runs at build time) and
-    # MEMORY_AND_DISK spills rather than OOMs at cluster scale; the
-    # cached rungs are the pruned survivor sets, not the raw corpus.
-    from pyspark import StorageLevel
-
-    gated = docs.join(keep_quality, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # plan stays declarative) and the pinned rungs are the pruned
+    # survivor sets, not the raw corpus.  The handles ride on the
+    # returned DataFrame as ``_pinned``: a caller running the ladder in
+    # a loop should dedup.release_pins(result) after consuming it, or
+    # the cache entries live for the session.
+    gated = docs.join(keep_quality, id_col).persist()
 
     # exact dedup: keep the lowest id of each identical-text group
     exact_keep = exact_dedup_groups(gated, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    exact = gated.join(exact_keep, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    exact = gated.join(exact_keep, id_col).persist()
 
     # near-dup removal, transitively closed: pairs → components → keeper.
     # Components iterate ONLY over edge-touching nodes — at corpus scale
@@ -516,7 +512,7 @@ def curate_corpus(
     pairs = minhash_near_dups(
         exact, text_col, id_col, threshold=neardup_threshold,
         hash_family="xxhash64",
-    ).select("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("a", "b").persist()
     edge_nodes = (
         pairs.select(F.col("a").alias(id_col))
         .unionByName(pairs.select(F.col("b").alias(id_col)))
@@ -535,9 +531,11 @@ def curate_corpus(
         ).select(id_col)
         surviving = surviving.join(hits, id_col, "left_anti")
 
-    return train_val_test_split(surviving, id_col, train, val).select(
+    out = train_val_test_split(surviving, id_col, train, val).select(
         id_col, text_col, "lang_guess", "n_ws", "split"
     )
+    out._pinned = [gated, exact, pairs]
+    return out
 
 
 # --- corpus mixing: weighted resampling + token budgets ----------------------

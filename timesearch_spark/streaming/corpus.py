@@ -129,9 +129,11 @@ class CorpusStore:
             incremental_minhash_dedup,
             minhash_index,
             minhash_near_dups,
+            release_pins,
         )
 
         batch = batch.localCheckpoint(eager=True)
+        pinned = []  # released after the batch is fully consumed
         n_seen = batch.count()
         if n_seen == 0:
             return {"seen": 0, "new": 0}
@@ -150,6 +152,7 @@ class CorpusStore:
                 new_docs, mh_buckets, mh_sigs,
                 threshold=self.neardup_threshold,
             )
+            pinned.append(near)
             new_docs = new_docs.join(
                 near.filter(F.col("is_new")).select("doc_id"), "doc_id"
             )
@@ -178,18 +181,41 @@ class CorpusStore:
             if mh_buckets is None:
                 mh_buckets, mh_sigs = self.minhash_buckets(), self.minhash_sigs()
             nb, ns = minhash_index(new_docs)
+            pinned.append(nb)  # nb/ns share one pinned signature pass
             mh_buckets.unionByName(nb).write.mode("overwrite").parquet(
                 os.path.join(self.path, "mh_buckets", f"v={version}")
             )
             mh_sigs.unionByName(ns).write.mode("overwrite").parquet(
                 os.path.join(self.path, "mh_sigs", f"v={version}")
             )
+        # Re-read the pointer at swap time and merge against the CURRENT
+        # batch list, not the one captured at ingest start: a compaction
+        # finishing during this ingest replaced the batch list (same
+        # version), and swapping the stale list back would resurrect
+        # batch dirs the compaction just deleted — every pre-compaction
+        # document would vanish.  A VERSION drift, by contrast, means a
+        # concurrent INGEST committed (two ingest writers are a contract
+        # violation — same single-writer rule as ParquetMergeStore), so
+        # abort instead of silently dropping its documents.
+        cur = self._pointer()
+        if cur["version"] != ptr["version"]:
+            from timesearch_spark.streaming.store import ConcurrentWriteError
+
+            raise ConcurrentWriteError(
+                f"corpus pointer moved from v{ptr['version']} to "
+                f"v{cur['version']} during ingest — a concurrent ingest "
+                "committed; this store is single-ingest-writer"
+            )
         self._swap_pointer(
             {
                 "version": version,
-                "batches": ptr["batches"] + ([version] if n_new else []),
+                "batches": cur["batches"] + ([version] if n_new else []),
             }
         )
+        # every artifact is written: drop the per-batch signature caches
+        # (ingest runs in a loop — without this, CacheManager entries
+        # accumulate for the session lifetime)
+        release_pins(*pinned)
         return {"seen": n_seen, "new": n_new}
 
     def compact_batches(self, target_mb: int = 128) -> dict:
@@ -266,6 +292,22 @@ class CorpusStore:
             .write.mode("overwrite")
             .parquet(os.path.join(self.path, "corpus", f"batch={label}"))
         )
+        # Abort (and discard the consolidated dir) if an ingest committed
+        # while the rewrite ran: swapping the stale single-batch list
+        # would drop the new batch AND regress the version — the mirror
+        # of the stale-batch-list check in ingest_batch.  An unchanged
+        # version means at most the batch list is the one we read (only
+        # ingest bumps the version), so the swap below is consistent.
+        cur = self._pointer()
+        if cur["version"] != ptr["version"]:
+            from timesearch_spark.streaming.store import ConcurrentWriteError
+
+            self._fs.delete(os.path.join(self.path, "corpus", f"batch={label}"))
+            raise ConcurrentWriteError(
+                f"corpus pointer moved from v{ptr['version']} to "
+                f"v{cur['version']} during compaction — an ingest "
+                "committed; re-run compact_batches"
+            )
         old = ptr["batches"]
         self._swap_pointer({"version": ptr["version"], "batches": [label]})
         for b in old:

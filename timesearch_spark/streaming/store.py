@@ -70,10 +70,15 @@ class ConcurrentWriteError(Exception):
     """Raised when a commit finds the version pointer moved since the
     writer planned its batch — a second writer committed concurrently.
     The store is single-writer (the reference's SQLite gets this free
-    from file locking); this check turns a silent lost-update into a
-    clean abort.  The loser's orphaned ``snapshot/v=N`` dir is inert
-    (the pointer never references it) and is replaced by the next
-    committed merge at that version or reclaimed by ``vacuum``."""
+    from file locking); this BEST-EFFORT check turns the realistic
+    lost-update race — a slow merge landing after a faster one already
+    committed — into a clean abort.  It is not a lock: writes stage
+    into per-attempt dirs and publish inside a jobs-free window of two
+    renames + one pointer write, but two writers both inside that tiny
+    window can still interleave, which is why concurrent writers remain
+    a contract violation rather than a supported mode.  The loser's
+    staging dirs are deleted on abort (or reclaimed by ``vacuum`` after
+    a crash)."""
 
 
 class ParquetMergeStore:
@@ -252,6 +257,8 @@ class ParquetMergeStore:
             committed = self.version()
             for entry in self._fs.ls(d):
                 full = os.path.join(d, entry)
+                if ".staging-" in entry:
+                    continue  # in-flight or crashed pre-publish residue
                 if entry.startswith("v=") and self._fs.is_dir(full):
                     if int(entry[2:]) <= committed:
                         paths.append(full)
@@ -375,7 +382,8 @@ class ParquetMergeStore:
         # slow merge clobber a dir a faster concurrent writer already
         # committed at the same version — the one torn state the
         # single-writer CAS protocol must never produce.
-        staging = vdir + f".staging-{uuid.uuid4().hex}"
+        token = uuid.uuid4().hex
+        staging = vdir + f".staging-{token}"
         (
             res.snapshot.withColumn("__bucket", self._bucket_expr())
             .write.partitionBy("__bucket")
@@ -414,10 +422,27 @@ class ParquetMergeStore:
                 batch_keys=batch_keys,
             )
 
-        # Pre-publish CAS: abort (cleanly, B's data untouched) before
-        # renaming over anything if another writer committed meanwhile.
+        edits_dir = os.path.join(self.path, "edits", f"v={new_version}")
+        edits_staging = None
+        if self.store_edits:
+            # the edits batch stages BEFORE the CAS so that the
+            # publish window below contains NO Spark jobs — only two
+            # renames and the pointer write, milliseconds not seconds
+            edits_staging = f"{edits_dir}.staging-{token}"
+            res.edits.write.mode("overwrite").parquet(edits_staging)
+
+        # Pre-publish CAS: abort (cleanly, the winner's data untouched)
+        # before renaming over anything if another writer committed
+        # meanwhile.  Best-effort, not a lock: a writer sitting between
+        # its own CAS and commit is invisible to this check, so two
+        # writers BOTH inside the (tiny) publish window can still
+        # interleave — the store's contract is single-writer; the CAS
+        # exists to turn the realistic race (a slow merge landing after
+        # a faster one committed) into a clean abort.
         if self.version() != base_version:
             self._fs.delete(staging)
+            if edits_staging:
+                self._fs.delete(edits_staging)
             raise ConcurrentWriteError(
                 f"pointer moved from v{base_version} to v{self.version()} "
                 "while this merge ran — a concurrent writer committed; "
@@ -430,16 +455,10 @@ class ParquetMergeStore:
         if self._fs.is_dir(vdir):
             self._fs.delete(vdir)
         self._fs.rename(staging, vdir)  # atomic publish of the data files
-
-        if self.store_edits:
-            # versioned + overwrite: a replay of this (uncommitted) merge
-            # recomputes the same new_version and REPLACES the orphaned
-            # edits dir instead of appending duplicate CDC rows; edits()
-            # only reads committed versions, so the window between this
-            # write and _commit exposes nothing
-            res.edits.write.mode("overwrite").parquet(
-                os.path.join(self.path, "edits", f"v={new_version}")
-            )
+        if edits_staging:
+            if self._fs.is_dir(edits_dir):
+                self._fs.delete(edits_dir)
+            self._fs.rename(edits_staging, edits_dir)
 
         manifest = base_manifest
         for b in written:
@@ -485,8 +504,13 @@ class ParquetMergeStore:
         return new_version
 
     def vacuum(self) -> list[str]:
-        """Delete snapshot version directories no longer referenced by the
-        manifest.  Call only when no reader holds an older pointer."""
+        """Delete snapshot version directories no longer referenced by
+        the manifest, plus ``.staging-`` residue of crashed merges.
+        Call only when no reader holds an older pointer AND no merge is
+        in flight — a staging dir being written right now is
+        indistinguishable from crash residue, so vacuuming under a live
+        writer kills that writer's merge (it fails cleanly post-write,
+        but its work is lost)."""
         if self._is_legacy_flat():
             raise ArchiveOutOfDate(
                 f"archive at {self.path} has no bucket manifest — vacuuming "
@@ -510,6 +534,12 @@ class ParquetMergeStore:
             if ver not in live:
                 self._fs.delete(os.path.join(root, d))
                 removed.append(d)
+        edir = os.path.join(self.path, "edits")
+        if self._fs.is_dir(edir):
+            for d in self._fs.ls(edir):
+                if ".staging-" in d:
+                    self._fs.delete(os.path.join(edir, d))
+                    removed.append(d)
         return removed
 
     def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
