@@ -359,18 +359,25 @@ def test_asof_ignores_null_timestamps(spark):
 
 
 def test_auto_bucket_never_trips_its_own_guard(spark):
-    # boundary-crossing interval: length 8191 starting at 1 spans
-    # floor(len/b)+2 buckets — an auto-derived width dividing by
-    # max_buckets exactly would yield 4097 > 4096 and raise the guard
-    # the auto mode exists to avoid
+    # the max-length term must decide the width (many short intervals
+    # keep p90 tiny at 2), and the longest interval is
+    # boundary-crossing: [1, 8192] at b=2 spans floor(8192/2) -
+    # floor(1/2) + 1 = 4097 buckets — dividing by max_buckets exactly
+    # (the pre-fix formula: 8191//4096 + 1 = 2) trips the very guard
+    # auto mode exists to avoid; the margin formula derives 3 and the
+    # interval fits in 2731 buckets
     points = spark.createDataFrame([(1, 50)], "user_id long, ts_sec long")
     ivs = spark.createDataFrame(
-        [(1, 1, 8192), (1, 10, 12)],
+        [(1, 1, 8192)] + [(1, 10 * i, 10 * i + 2) for i in range(2, 12)],
         "user_id long, session_start long, session_end long",
     )
+    from timesearch_spark.operators.asof import derive_bucket_sec
+
+    assert derive_bucket_sec(ivs, "session_start", "session_end", 4096) == 3
     got = interval_join(
         points, ivs, point_ts="ts_sec", start_col="session_start",
         end_col="session_end", on=["user_id"], bucket_sec=None,
         max_buckets=4096,
     )
-    assert got.count() == 1  # ts=50 inside [1, 8192] only
+    # ts=50 is contained in [1, 8192] and in the short interval [50, 52]
+    assert got.count() == 2

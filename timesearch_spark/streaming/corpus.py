@@ -123,20 +123,31 @@ class CorpusStore:
         fingerprint is already indexed).  The batch is localCheckpointed
         so the tag and the write see the same rows even off a
         nondeterministic source."""
+        batch = batch.localCheckpoint(eager=True)
+        pinned = []  # released (even on abort) once the batch is done
+        n_seen = batch.count()
+        if n_seen == 0:
+            return {"seen": 0, "new": 0}
+        try:
+            return self._ingest_pinned(batch, n_seen, pinned)
+        finally:
+            # drop the per-batch signature caches on EVERY exit path —
+            # a loop that catches ConcurrentWriteError and retries must
+            # not accumulate CacheManager entries per failed attempt
+            from timesearch_spark.operators.dedup import release_pins
+
+            release_pins(*pinned)
+
+    def _ingest_pinned(self, batch: DataFrame, n_seen: int,
+                       pinned: list) -> dict:
         from timesearch_spark.operators.dedup import (
             fingerprint_index,
             incremental_dedup,
             incremental_minhash_dedup,
             minhash_index,
             minhash_near_dups,
-            release_pins,
         )
 
-        batch = batch.localCheckpoint(eager=True)
-        pinned = []  # released after the batch is fully consumed
-        n_seen = batch.count()
-        if n_seen == 0:
-            return {"seen": 0, "new": 0}
         ptr = self._pointer()
         idx = self.index()
         tag = incremental_dedup(batch, index=idx)
@@ -164,9 +175,26 @@ class CorpusStore:
             new_docs = new_docs.localCheckpoint(eager=True)
         n_new = new_docs.count()
         version = ptr["version"] + 1
+        # Every artifact stages into a per-attempt dir and publishes by
+        # rename AFTER the version-drift check — writing final paths
+        # directly would let a slow ingest clobber a faster concurrent
+        # ingest's committed batch/index dirs at the same version BEFORE
+        # its own abort (the exact torn state ParquetMergeStore's
+        # staging protocol closes; same design here).
+        import uuid as _uuid
+
+        token = _uuid.uuid4().hex
+        publishes: list[tuple[str, str]] = []  # (staging, final)
+
+        def _stage(sub: str, name: str) -> str:
+            final = os.path.join(self.path, sub, name)
+            stg = f"{final}.staging-{token}"
+            publishes.append((stg, final))
+            return stg
+
         if n_new:
             new_docs.write.mode("overwrite").parquet(
-                os.path.join(self.path, "corpus", f"batch={version}")
+                _stage("corpus", f"batch={version}")
             )
         merged = (
             idx
@@ -174,48 +202,48 @@ class CorpusStore:
             .groupBy("fp")
             .agg(F.min("keeper").alias("keeper"))
         )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(self.path, "index", f"v={version}")
-        )
+        merged.write.mode("overwrite").parquet(_stage("index", f"v={version}"))
         if self.neardup_threshold is not None:
             if mh_buckets is None:
                 mh_buckets, mh_sigs = self.minhash_buckets(), self.minhash_sigs()
             nb, ns = minhash_index(new_docs)
             pinned.append(nb)  # nb/ns share one pinned signature pass
             mh_buckets.unionByName(nb).write.mode("overwrite").parquet(
-                os.path.join(self.path, "mh_buckets", f"v={version}")
+                _stage("mh_buckets", f"v={version}")
             )
             mh_sigs.unionByName(ns).write.mode("overwrite").parquet(
-                os.path.join(self.path, "mh_sigs", f"v={version}")
+                _stage("mh_sigs", f"v={version}")
             )
-        # Re-read the pointer at swap time and merge against the CURRENT
-        # batch list, not the one captured at ingest start: a compaction
-        # finishing during this ingest replaced the batch list (same
-        # version), and swapping the stale list back would resurrect
-        # batch dirs the compaction just deleted — every pre-compaction
-        # document would vanish.  A VERSION drift, by contrast, means a
-        # concurrent INGEST committed (two ingest writers are a contract
-        # violation — same single-writer rule as ParquetMergeStore), so
-        # abort instead of silently dropping its documents.
+        # Version-drift check, then a jobs-free publish window (renames
+        # + pointer write only; best-effort like the MERGE store — the
+        # contract is single-ingest-writer).  The batch list merges
+        # against the CURRENT pointer, not the one captured at ingest
+        # start: a compaction finishing during this ingest replaced the
+        # list (same version), and swapping the stale list back would
+        # resurrect batch dirs the compaction just deleted.  A VERSION
+        # drift, by contrast, means a concurrent INGEST committed — a
+        # contract violation — so abort cleanly, final dirs untouched.
         cur = self._pointer()
         if cur["version"] != ptr["version"]:
             from timesearch_spark.streaming.store import ConcurrentWriteError
 
+            for stg, _final in publishes:
+                self._fs.delete(stg)
             raise ConcurrentWriteError(
                 f"corpus pointer moved from v{ptr['version']} to "
                 f"v{cur['version']} during ingest — a concurrent ingest "
                 "committed; this store is single-ingest-writer"
             )
+        for stg, final in publishes:
+            if self._fs.is_dir(final):
+                self._fs.delete(final)  # crashed earlier attempt's residue
+            self._fs.rename(stg, final)
         self._swap_pointer(
             {
                 "version": version,
                 "batches": cur["batches"] + ([version] if n_new else []),
             }
         )
-        # every artifact is written: drop the per-batch signature caches
-        # (ingest runs in a loop — without this, CacheManager entries
-        # accumulate for the session lifetime)
-        release_pins(*pinned)
         return {"seen": n_seen, "new": n_new}
 
     def compact_batches(self, target_mb: int = 128) -> dict:
@@ -235,29 +263,39 @@ class CorpusStore:
         'files_after'}."""
         ptr = self._pointer()
 
-        # reclaim orphans first: batch dirs the pointer doesn't list are
-        # residue of a crash — either a consolidated dir written before
-        # its pointer swap, or old dirs whose post-swap removal was
-        # interrupted (vacuum deliberately never touches the corpus
-        # subtree, so this is the only reclaim point).  Same reader
-        # caveat as vacuum: call when no reader holds an old pointer.
-        # A dir whose numeric version EXCEEDS the pointer is NOT an
-        # orphan — ingest_batch writes its batch=N dir before swapping
-        # the pointer, so a higher-versioned dir is an in-flight ingest
-        # and must be left alone (the store is single-writer per
-        # operation, but compaction and ingest may overlap in time).
+        # Reclaim orphans first: unlisted batch dirs are crash residue
+        # (vacuum deliberately never touches the corpus subtree, so this
+        # is the only reclaim point).  Same reader caveat as vacuum.
+        # A dir is SPARED when it could belong to a live concurrent
+        # operation (ingest+compaction overlap is supported; the
+        # pointer-swap races are guarded best-effort by the version
+        # checks at each swap, same contract as ParquetMergeStore):
+        #
+        # - batch=<int> / batch=<int>.staging-*: spared while
+        #   int > pointer version (an in-flight or just-crashed ingest —
+        #   the next committed ingest at that version moves the pointer
+        #   past it and makes the residue reclaimable);
+        # - batch=<int>compacted*: spared while int == pointer version
+        #   (a possibly in-flight compaction — compaction keeps the
+        #   version, so residue becomes reclaimable after the next
+        #   ingest bumps it).
+        import re as _re
+
         croot = os.path.join(self.path, "corpus")
         live = {f"batch={b}" for b in ptr["batches"]}
 
-        def _in_flight(name: str) -> bool:
-            try:
-                return int(name.split("=", 1)[1]) > ptr["version"]
-            except ValueError:
-                return False
+        def _reclaimable(name: str) -> bool:
+            m = _re.match(r"batch=(\d+)(.*)", name)
+            if not m:
+                return True  # unparseable residue: never produced live
+            ver, suffix = int(m.group(1)), m.group(2)
+            if "compacted" in suffix:
+                return ver < ptr["version"]
+            return ver <= ptr["version"]
 
         if self._fs.is_dir(croot):
             for d in self._fs.ls(croot):
-                if d.startswith("batch=") and d not in live and not _in_flight(d):
+                if d.startswith("batch=") and d not in live and _reclaimable(d):
                     self._fs.delete(os.path.join(croot, d))
 
         def _files(batches):
@@ -284,7 +322,12 @@ class CorpusStore:
             }
         total = sum(self._fs.size(f) for f in before)
         n = max(1, -(-total // (target_mb << 20)))
-        label = f"{ptr['version']}compacted"  # never collides with int versions
+        import uuid as _uuid
+
+        # version-prefixed (drives the reclaim rule above) + unique
+        # token (two overlapping compactions never write the same dir —
+        # the later pointer swap wins; both consolidated the same list)
+        label = f"{ptr['version']}compacted-{_uuid.uuid4().hex[:8]}"
         (
             self.corpus()
             .repartitionByRange(n, "doc_id")
