@@ -242,3 +242,25 @@ def test_ingest_committing_mid_compaction_aborts_compaction(spark, tmp_path):
     s = store.compact_batches()
     assert s["batches_after"] == 1
     assert store.corpus().count() == 3
+
+
+def test_vacuum_handles_staging_residue(spark, tmp_path):
+    # a crashed ingest leaves index/v=N.staging-* dirs; vacuum must
+    # reclaim those at/below the live version (not crash on int parse)
+    # and spare higher-versioned ones as possibly in-flight
+    import os
+
+    root = str(tmp_path / "corpus")
+    store = CorpusStore(spark, root)
+    store.ingest_batch(_b(spark, [(1, "w", "en", "one doc")]))
+    store.ingest_batch(_b(spark, [(2, "w", "en", "two doc")]))
+    ver = store.version()
+    stale = os.path.join(root, "index", f"v={ver}.staging-dead")
+    inflight = os.path.join(root, "index", f"v={ver + 1}.staging-live")
+    os.makedirs(stale)
+    os.makedirs(inflight)
+    removed = store.vacuum()
+    assert any("staging-dead" in r for r in removed)
+    assert not os.path.isdir(stale)
+    assert os.path.isdir(inflight)
+    assert store.index().count() == 2  # live index untouched

@@ -362,10 +362,15 @@ class CorpusStore:
         }
 
     def vacuum(self) -> list[str]:
-        """Delete index/minhash versions older than the live pointer
+        """Delete index/minhash versions older than the live pointer,
+        plus ``.staging-`` residue of crashed ingests at or below it
         (corpus batch dirs are all live by construction — the pointer
-        lists them — so only superseded index versions accumulate).
-        Returns the removed paths."""
+        lists them — so only superseded index versions accumulate;
+        higher-versioned staging dirs are spared as possibly in-flight,
+        same rule as compact_batches' reclaim).  Returns the removed
+        paths."""
+        import re as _re
+
         live = self._pointer()["version"]
         removed = []
         for sub in ("index", "mh_buckets", "mh_sigs"):
@@ -373,7 +378,15 @@ class CorpusStore:
             if not self._fs.is_dir(root):
                 continue
             for d in sorted(self._fs.ls(root)):
-                if d.startswith("v=") and int(d[2:]) < live:
+                m = _re.match(r"v=(\d+)(.*)", d)
+                if not m:
+                    continue
+                ver, suffix = int(m.group(1)), m.group(2)
+                reclaim = (
+                    ver <= live if ".staging-" in suffix
+                    else ver < live and not suffix
+                )
+                if reclaim:
                     full = os.path.join(root, d)
                     self._fs.delete(full)
                     removed.append(full)
