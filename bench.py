@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_minhash_lsh",  # md5 oracle-parity family: xx64 twin is the default
     "dedup_ngram_jaccard",
     "dedup_paragraphs",
+    "dedup_spans",
     "dedup_incremental_minhash",
     "similarity_topk",
     "similarity_topk_lsh",

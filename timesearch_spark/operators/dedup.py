@@ -973,6 +973,114 @@ def remove_repeated_paragraphs(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    stride: int | None = None,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Repeated-span removal at token-window granularity — the
+    practical Spark approximation of exact-substring dedup ("one in
+    every epoch" duplication, Lee et al. 2021): any ``n``-token window
+    whose normalized fingerprint occurs ``min_occurrences``+ times in
+    the corpus is removed from every occurrence EXCEPT one winner (the
+    lowest (doc, position) — content survives exactly once), and each
+    document's remaining tokens are reassembled in order.
+
+    This is window-fingerprint granularity, not a suffix array: windows
+    start every ``stride`` tokens (default ``n`` — non-overlapping
+    tiles), so duplicated runs shorter than ``n`` or misaligned by less
+    than a stride survive.  That is the standard cost of making the
+    operator one explode + one hash aggregate instead of a distributed
+    suffix-array build; pick ``stride < n`` for more recall at
+    proportionally more window rows.  Distinct from
+    :func:`remove_repeated_paragraphs`: that rung needs paragraph
+    boundaries and drops EVERY occurrence of frequent boilerplate,
+    this one is structure-free and keeps one copy.
+
+    Output: (id, text, n_removed_tokens) with the input's exact id set
+    (row-preserving, composable like the paragraph rung).  Documents
+    with no removed span keep their text byte-identical; a modified
+    document is rebuilt with single-space joins (token-level surgery
+    can't preserve the original inter-token whitespace).
+
+    Scale shape: ~len/stride window rows per doc, each an (id, start,
+    16-byte md5) triple — text never rides the window explode; the
+    frequency pass is one partial-agg'd groupBy on the fingerprint; the
+    drop set joins back on the fingerprint and reduces to (id, start)
+    pairs; the rebuild is an expression-only token filter keyed by id.
+    md5 (not xxhash64) so the fingerprints are reproducible by any
+    engine with md5 + substring (same choice as the paragraph rung).
+    """
+    stride = n if stride is None else stride
+    if n < 1 or stride < 1:
+        raise ValueError(f"n and stride must be >= 1: n={n} stride={stride}")
+    raw = F.filter(
+        F.split(F.trim(F.coalesce(_c(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = spread(df).select(
+        _c(id_col).alias(id_col),
+        _c(text_col).alias("__orig"),
+        raw.alias("__toks"),
+    )
+    n_win = F.floor((F.size("__toks") - n) / stride).cast("int") + 1
+    # sequence(0, -1) DESCENDS in Spark — a doc shorter than n tokens
+    # must yield an empty window list, not phantom negative starts
+    win_idx = F.when(
+        n_win > 0, F.sequence(F.lit(0), n_win - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    win_fps = F.transform(
+        win_idx,
+        lambda w: F.md5(
+            F.lower(F.array_join(F.slice("__toks", w * stride + 1, n), " "))
+        ),
+    )
+    occ = base.select(
+        id_col, F.posexplode(win_fps).alias("__w", "__fp")
+    ).select(id_col, (F.col("__w") * stride).alias("__start"), "__fp")
+    winners = (
+        occ.groupBy("__fp")
+        .agg(
+            F.count("*").alias("__n_occ"),
+            F.min(F.struct(id_col, "__start")).alias("__win"),
+        )
+        .filter(F.col("__n_occ") >= min_occurrences)
+        .select("__fp", "__win")
+    )
+    drop = (
+        occ.join(winners, "__fp")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"__win.{id_col}"))
+                & (F.col("__start") == F.col("__win.__start"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("__start").alias("__spans"))
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: ~F.exists(
+            F.col("__spans"), lambda s: (i >= s) & (i < s + n)
+        ),
+    )
+    return base.join(drop, id_col, "left").select(
+        id_col,
+        F.when(F.col("__spans").isNull(), F.col("__orig"))
+        .otherwise(F.array_join(kept, " "))
+        .alias(text_col),
+        F.when(
+            F.col("__spans").isNull(), F.lit(0)
+        )
+        .otherwise(F.size("__toks") - F.size(kept))
+        .cast("long")
+        .alias("n_removed_tokens"),
+    )
+
+
 # --- incremental near-dup dedup (batch vs persisted minhash index) ------------
 
 def release_pins(*dfs) -> None:

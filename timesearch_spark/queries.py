@@ -2159,6 +2159,23 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_paragraphs(load(spark, sf_dir, "documents"))
 
 
+@q("dedup_spans")  # repeated token-window removal — rows-only + pytest
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span removal (dedup.remove_repeated_spans): any
+    20-token window (stride 10) whose normalized fingerprint recurs in
+    the corpus is removed from every occurrence except the lowest
+    (doc, position) winner — the window-fingerprint approximation of
+    exact-substring dedup (Lee et al. 2021), structure-free where the
+    paragraph rung needs newlines.  Row count is input-preserving;
+    exactness vs a pure-Python reference is pinned in
+    tests/test_dedup.py."""
+    from timesearch_spark.operators.dedup import remove_repeated_spans
+
+    return remove_repeated_spans(
+        load(spark, sf_dir, "documents"), n=20, stride=10
+    )
+
+
 @q("table_quality")  # one-pass per-column profile — rows-only + pytest
 def table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of lineitem (quality.table_profile): null
