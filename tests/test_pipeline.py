@@ -358,3 +358,30 @@ def test_budget_sample_fills_to_token_budget(spark):
     # stable under rerun
     again = budget_sample(docs, token_budget=55).collect()
     assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+
+
+def test_curate_span_rung_composes(spark):
+    """curate_corpus(span_n=...) runs the repeated-span rung before the
+    profile: a doc whose only quality problem was a giant duplicated
+    span can pass the gate once the span is stripped, and the surviving
+    docs' text is the de-spanned text."""
+    from timesearch_spark.operators.pipeline import curate_corpus
+
+    filler = " ".join(f"w{i}" for i in range(6))
+    spam = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"the and is of {filler} {spam}"),
+            (2, f"the of and to {filler.upper()} unique tail {spam}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in curate_corpus(
+            docs, min_tokens=3, neardup_threshold=0.99, span_n=8, span_stride=1,
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert spam in out[1]          # winner keeps the span
+    assert spam not in out[2]      # duplicate occurrence stripped

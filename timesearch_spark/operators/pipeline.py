@@ -436,6 +436,8 @@ def curate_corpus(
     max_top_bigram_frac: float = 0.5,
     neardup_threshold: float = 0.7,
     paragraph_max_df: int | None = None,
+    span_n: int | None = None,
+    span_stride: int | None = None,
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_min_frac: float | None = 0.1,
@@ -444,7 +446,9 @@ def curate_corpus(
 ) -> DataFrame:
     """The full curation ladder a pretraining pipeline runs, as ONE
     composed plan: optional paragraph-boilerplate removal
-    (``paragraph_max_df``) → quality signals → language/quality gate →
+    (``paragraph_max_df``) → optional repeated-span removal
+    (``span_n`` — the windowed exact-substring rung, one surviving
+    winner per span) → quality signals → language/quality gate →
     exact dedup → minhash near-dup removal (transitively closed) →
     optional benchmark decontamination (``benchmark``, fraction-gated) →
     deterministic split.  Output: the surviving docs with
@@ -463,6 +467,7 @@ def curate_corpus(
         exact_dedup_groups,
         minhash_near_dups,
         remove_repeated_paragraphs,
+        remove_repeated_spans,
     )
     from timesearch_spark.operators.textstats import text_profile_table
 
@@ -472,6 +477,12 @@ def curate_corpus(
         docs = remove_repeated_paragraphs(
             docs, text_col, id_col, max_df=paragraph_max_df
         )
+    if span_n is not None:
+        # span rung after paragraphs (coarse structure first), before
+        # the profile: downstream signals see the deduplicated text
+        docs = remove_repeated_spans(
+            docs, text_col, id_col, n=span_n, stride=span_stride
+        ).drop("n_removed_tokens")
 
     prof = text_profile_table(docs, text_col=text_col, id_col=id_col)
     keep_quality = (
