@@ -419,14 +419,22 @@ def test_release_pins_unpersists_shared_passes(spark):
 
 def _spans_reference(rows, n, stride, min_occ):
     """Pure-Python reimplementation of remove_repeated_spans for the
-    oracle comparison: same window fingerprints (md5 of the lowercased
-    space-joined slice), same single-winner rule (min (id, start)),
-    same token-filter rebuild."""
+    oracle comparison: same ASCII whitespace tokenization (re.ASCII —
+    Java's \\s is ASCII-only), same window fingerprints (md5 of the
+    lowercased space-joined slice), same single-winner rule
+    (min (id, start)), same trailing-separator-preserving rebuild."""
     import hashlib
+    import re
 
-    toks = {i: [t for t in (txt or "").split() if t] for i, txt in rows}
+    parsed = {}
+    for i, txt in rows:
+        t = (txt or "").strip()
+        parsed[i] = (
+            re.findall(r"\S+", t, flags=re.ASCII),
+            re.findall(r"\s+", t, flags=re.ASCII),
+        )
     occ = []
-    for i, ts in toks.items():
+    for i, (ts, _seps) in parsed.items():
         w = 0
         while w * stride + n <= len(ts):
             s = w * stride
@@ -447,16 +455,18 @@ def _spans_reference(rows, n, stride, min_occ):
                     drop.setdefault(i, []).append(s)
     out = {}
     for i, txt in rows:
-        ts = toks[i]
+        ts, seps = parsed[i]
         spans = drop.get(i)
         if not spans:
             out[i] = (txt, 0)
             continue
-        kept = [
-            t for idx, t in enumerate(ts)
-            if not any(s <= idx < s + n for s in spans)
-        ]
-        out[i] = (" ".join(kept), len(ts) - len(kept))
+        pieces, kept = [], 0
+        for idx, t in enumerate(ts):
+            if any(s <= idx < s + n for s in spans):
+                continue
+            kept += 1
+            pieces.append(t + (seps[idx] if idx < len(seps) else ""))
+        out[i] = ("".join(pieces).rstrip(), len(ts) - kept)
     return out
 
 
@@ -465,8 +475,14 @@ def test_repeated_spans_matches_reference_on_documents(spark):
     from timesearch_spark.operators.dedup import remove_repeated_spans
     from timesearch_spark.tables import load
 
-    d = load(spark, SF_SMALL, "documents").limit(300).select("doc_id", "text")
-    rows = [(r["doc_id"], r["text"]) for r in d.collect()]
+    # pin the row set: limit() without ordering may pick different rows
+    # per action, so collect once and rebuild the input from those rows
+    rows = [
+        (r["doc_id"], r["text"])
+        for r in load(spark, SF_SMALL, "documents")
+        .select("doc_id", "text").limit(300).collect()
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
     for n, stride in [(8, 8), (6, 3)]:
         exp = _spans_reference(rows, n, stride, 2)
         got = {
@@ -519,3 +535,26 @@ def test_repeated_spans_within_one_document(spark):
     r = remove_repeated_spans(docs, n=4, stride=1).first()
     assert r["text"] == "a b c d MID TAIL end pad pad2"
     assert r["n_removed_tokens"] == 4
+
+
+def test_repeated_spans_preserves_line_structure(spark):
+    # the rebuild carries each kept token's ORIGINAL trailing
+    # whitespace: removing a span must not flatten the doc to one line
+    # (dup_line_frac downstream depends on surviving newlines)
+    from timesearch_spark.operators.dedup import (
+        release_pins, remove_repeated_spans,
+    )
+
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail"),
+            (2, f"line one here\nline two there\n{shared} X\nlast line four"),
+        ],
+        "doc_id long, text string",
+    )
+    out = remove_repeated_spans(docs, n=4, stride=1)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[2].count("\n") == 3  # all newlines survive the removal
+    assert got[2] == "line one here\nline two there\nX\nlast line four"
+    release_pins(out)

@@ -995,7 +995,10 @@ def remove_repeated_spans(
     than a stride survive.  That is the standard cost of making the
     operator one explode + one hash aggregate instead of a distributed
     suffix-array build; pick ``stride < n`` for more recall at
-    proportionally more window rows.  Distinct from
+    proportionally more window rows — noting that with OVERLAPPING
+    windows a winner's tokens can be deleted by a different dropped
+    span covering them, so the one-surviving-copy guarantee is exact
+    only for ``stride >= n``.  Distinct from
     :func:`remove_repeated_paragraphs`: that rung needs paragraph
     boundaries and drops EVERY occurrence of frequent boilerplate,
     this one is structure-free and keeps one copy.
@@ -1003,8 +1006,10 @@ def remove_repeated_spans(
     Output: (id, text, n_removed_tokens) with the input's exact id set
     (row-preserving, composable like the paragraph rung).  Documents
     with no removed span keep their text byte-identical; a modified
-    document is rebuilt with single-space joins (token-level surgery
-    can't preserve the original inter-token whitespace).
+    document keeps each surviving token's ORIGINAL trailing whitespace
+    (leading/trailing document whitespace is trimmed), so line
+    structure — and downstream signals like dup_line_frac — survive
+    the surgery.
 
     Scale shape: ~len/stride window rows per doc, each an (id, start,
     16-byte md5) triple — text never rides the window explode; the
@@ -1017,14 +1022,17 @@ def remove_repeated_spans(
     stride = n if stride is None else stride
     if n < 1 or stride < 1:
         raise ValueError(f"n and stride must be >= 1: n={n} stride={stride}")
-    raw = F.filter(
-        F.split(F.trim(F.coalesce(_c(text_col), F.lit(""))), r"\s+"),
-        lambda x: x != "",
-    )
+    trimmed = F.trim(F.coalesce(_c(text_col), F.lit("")))
+    # tokens + the separator FOLLOWING each token, extracted from the
+    # same trimmed text: the rebuild re-emits each kept token with its
+    # original trailing whitespace, preserving newlines/indentation for
+    # the surviving regions (token-level surgery must not flatten line
+    # structure — dup_line_frac downstream depends on it)
     base = spread(df).select(
         _c(id_col).alias(id_col),
         _c(text_col).alias("__orig"),
-        raw.alias("__toks"),
+        F.regexp_extract_all(trimmed, F.lit(r"\S+"), 0).alias("__toks"),
+        F.regexp_extract_all(trimmed, F.lit(r"\s+"), 0).alias("__seps"),
     )
     n_win = F.floor((F.size("__toks") - n) / stride).cast("int") + 1
     # sequence(0, -1) DESCENDS in Spark — a doc shorter than n tokens
@@ -1038,9 +1046,17 @@ def remove_repeated_spans(
             F.lower(F.array_join(F.slice("__toks", w * stride + 1, n), " "))
         ),
     )
-    occ = base.select(
-        id_col, F.posexplode(win_fps).alias("__w", "__fp")
-    ).select(id_col, (F.col("__w") * stride).alias("__start"), "__fp")
+    # base feeds the window explode AND the rebuild; occ feeds the
+    # winner aggregate AND the drop probe — persist both so one action
+    # evaluates the tokenize/md5 map stage once, not 3× (same pattern
+    # as minhash_index; handles ride on the result as _pinned for
+    # release_pins by loop callers)
+    base = base.persist()
+    occ = (
+        base.select(id_col, F.posexplode(win_fps).alias("__w", "__fp"))
+        .select(id_col, (F.col("__w") * stride).alias("__start"), "__fp")
+        .persist()
+    )
     winners = (
         occ.groupBy("__fp")
         .agg(
@@ -1061,24 +1077,40 @@ def remove_repeated_spans(
         .groupBy(id_col)
         .agg(F.collect_list("__start").alias("__spans"))
     )
-    kept = F.filter(
+    def _covered(i):
+        return F.exists(F.col("__spans"), lambda s: (i >= s) & (i < s + n))
+
+    # kept token i re-emits with its original trailing separator
+    # (element i+1 of the 1-indexed seps array; the last token has
+    # none); dropped tokens contribute nothing, so the separator that
+    # preceded a removed run is the one carried by the previous kept
+    # token — interior newlines survive wherever their token does
+    pieces = F.transform(
         F.col("__toks"),
-        lambda x, i: ~F.exists(
-            F.col("__spans"), lambda s: (i >= s) & (i < s + n)
+        lambda x, i: F.when(
+            _covered(i), F.lit("")
+        ).otherwise(
+            F.concat(
+                x,
+                F.coalesce(
+                    F.try_element_at("__seps", (i + 1).cast("int")), F.lit("")
+                ),
+            )
         ),
     )
-    return base.join(drop, id_col, "left").select(
+    n_kept = F.size(F.filter(F.col("__toks"), lambda x, i: ~_covered(i)))
+    out = base.join(drop, id_col, "left").select(
         id_col,
         F.when(F.col("__spans").isNull(), F.col("__orig"))
-        .otherwise(F.array_join(kept, " "))
+        .otherwise(F.rtrim(F.array_join(pieces, "")))
         .alias(text_col),
-        F.when(
-            F.col("__spans").isNull(), F.lit(0)
-        )
-        .otherwise(F.size("__toks") - F.size(kept))
+        F.when(F.col("__spans").isNull(), F.lit(0))
+        .otherwise(F.size("__toks") - n_kept)
         .cast("long")
         .alias("n_removed_tokens"),
     )
+    out._pinned = [base, occ]
+    return out
 
 
 # --- incremental near-dup dedup (batch vs persisted minhash index) ------------

@@ -325,8 +325,12 @@ class CorpusStore:
         import uuid as _uuid
 
         # version-prefixed (drives the reclaim rule above) + unique
-        # token (two overlapping compactions never write the same dir —
-        # the later pointer swap wins; both consolidated the same list)
+        # token: two overlapping compactions never write the same dir.
+        # Overlap is still OUTSIDE the contract — the first to commit
+        # deletes the old batch dirs the second is mid-scan on, so the
+        # second fails with a read error (loud, no data loss; its
+        # partial consolidated dir is reclaimed after the next ingest
+        # bumps the version) — but never silent corruption.
         label = f"{ptr['version']}compacted-{_uuid.uuid4().hex[:8]}"
         (
             self.corpus()
