@@ -416,3 +416,24 @@ def test_full_reference_workflow_chained(spark, tmp_path, capsys):
     assert len(threads) >= 1
     html = open(os.path.join(adir, "offline_reading", threads[0])).read()
     assert "reply" in html or "post" in html
+
+
+def test_curate_subcommand_span_flags(spark, tmp_path, capsys):
+    shared = " ".join(f"tok{i}" for i in range(8))
+    docs = [
+        {"doc_id": 1, "source": "w", "lang": "en",
+         "text": f"the cat is on a mat {shared}"},
+        {"doc_id": 2, "source": "w", "lang": "en",
+         "text": f"a dog and the bird fly {shared} plus an extra tail here"},
+    ]
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    outdir = str(tmp_path / "curated_spans")
+    assert cli.main([
+        "curate", "--input", str(src), "--output", outdir,
+        "--span-n", "8", "--span-stride", "1", "--neardup", "0.99",
+    ]) == 0
+    texts = {r["doc_id"]: r["text"]
+             for r in spark.read.parquet(outdir).collect()}
+    assert shared in texts[1]      # winner keeps the span
+    assert shared not in texts[2]  # duplicate occurrence stripped

@@ -298,3 +298,13 @@ def test_no_unbounded_cross_join_in_any_query(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_BOUNDED:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert offenders == []
+
+
+def test_dedup_spans_plan_shape(spark):
+    # window-frequency pass must partial-aggregate (map-side combine on
+    # the 16-byte fingerprints) and nothing may degenerate to a
+    # cartesian/nested-loop join
+    df = _q(spark, "dedup_spans")
+    plan = plans.executed_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert plans.has_partial_aggregate(df)

@@ -313,6 +313,8 @@ def cmd_curate(args):
     out = curate_corpus(
         docs, benchmark=bench,
         paragraph_max_df=args.paragraph_max_df,
+        span_n=args.span_n,
+        span_stride=args.span_stride,
         neardup_threshold=args.neardup,
     )
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
@@ -446,6 +448,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--neardup", dest="neardup", type=float, default=0.7)
     p.add_argument("--paragraph-max-df", dest="paragraph_max_df",
                    type=int, default=None)
+    p.add_argument("--span-n", dest="span_n", type=int, default=None,
+                   help="repeated-span removal window (tokens); off when "
+                        "unset")
+    p.add_argument("--span-stride", dest="span_stride", type=int,
+                   default=None, help="window stride (default: span-n)")
     p.set_defaults(func=cmd_curate)
 
     p = sub.add_parser(
