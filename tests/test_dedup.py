@@ -558,3 +558,54 @@ def test_repeated_spans_preserves_line_structure(spark):
     assert got[2].count("\n") == 3  # all newlines survive the removal
     assert got[2] == "line one here\nline two there\nX\nlast line four"
     release_pins(out)
+
+
+def test_repeated_spans_fuzz_adversarial_whitespace(spark):
+    """Seeded adversarial corpus — mixed tabs/newlines/CRs, case
+    variants, planted shared runs, tiny docs — compared against the
+    pure-Python reference in one Spark pass (hypothesis-style coverage
+    without a per-example Spark roundtrip)."""
+    import random
+
+    from timesearch_spark.operators.dedup import (
+        release_pins, remove_repeated_spans,
+    )
+
+    rng = random.Random(1234)
+    words = [f"w{i}" for i in range(30)] + ["The", "the", "THE", "a", "A"]
+    seps = [" ", "  ", "\t", "\n", "\n\n", " \n ", "\r\n"]
+    shared_runs = [
+        [rng.choice(words) for _ in range(rng.randint(4, 9))]
+        for _ in range(5)
+    ]
+    rows = []
+    for i in range(80):
+        toks = [rng.choice(words) for _ in range(rng.randint(0, 25))]
+        if rng.random() < 0.5:
+            run = rng.choice(shared_runs)
+            pos = rng.randint(0, len(toks))
+            toks = toks[:pos] + run + toks[pos:]
+        pieces = []
+        for t in toks:
+            pieces.append(t)
+            pieces.append(rng.choice(seps))
+        text = "".join(pieces)
+        if rng.random() < 0.1:
+            text = rng.choice(seps) + text  # leading whitespace
+        rows.append((i, text if rng.random() > 0.05 else None))
+
+    for n, stride in [(4, 4), (4, 1), (6, 3)]:
+        exp = _spans_reference(rows, n, stride, 2)
+        out = remove_repeated_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            n=n, stride=stride,
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_removed_tokens"])
+            for r in out.collect()
+        }
+        release_pins(out)
+        bad = {k for k in exp if got[k] != exp[k]}
+        assert not bad, (n, stride, sorted(bad)[:3],
+                         [(got[k], exp[k]) for k in sorted(bad)[:1]])
+        assert any(v[1] > 0 for v in exp.values()), (n, stride)

@@ -1022,7 +1022,12 @@ def remove_repeated_spans(
     stride = n if stride is None else stride
     if n < 1 or stride < 1:
         raise ValueError(f"n and stride must be >= 1: n={n} stride={stride}")
-    trimmed = F.trim(F.coalesce(_c(text_col), F.lit("")))
+    # regex trim, NOT F.trim: trim() strips only 0x20 spaces, and a
+    # leading tab/newline would put a separator at index 0 of __seps,
+    # shifting every token's trailing-separator lookup by one
+    trimmed = F.regexp_replace(
+        F.coalesce(_c(text_col), F.lit("")), r"^\s+|\s+$", ""
+    )
     # tokens + the separator FOLLOWING each token, extracted from the
     # same trimmed text: the rebuild re-emits each kept token with its
     # original trailing whitespace, preserving newlines/indentation for
@@ -1102,7 +1107,12 @@ def remove_repeated_spans(
     out = base.join(drop, id_col, "left").select(
         id_col,
         F.when(F.col("__spans").isNull(), F.col("__orig"))
-        .otherwise(F.rtrim(F.array_join(pieces, "")))
+        # regex rstrip (rtrim strips only 0x20): the last kept token's
+        # dangling separator may be a tab/newline when the removed run
+        # sat at the end of the document
+        .otherwise(
+            F.regexp_replace(F.array_join(pieces, ""), r"\s+$", "")
+        )
         .alias(text_col),
         F.when(F.col("__spans").isNull(), F.lit(0))
         .otherwise(F.size("__toks") - n_kept)
