@@ -437,3 +437,30 @@ def test_curate_subcommand_span_flags(spark, tmp_path, capsys):
              for r in spark.read.parquet(outdir).collect()}
     assert shared in texts[1]      # winner keeps the span
     assert shared not in texts[2]  # duplicate occurrence stripped
+
+
+def test_full_workflow_on_file_scheme_root(spark, tmp_path, capsys):
+    """The chained reference workflow against a file:// archive root:
+    every store (MERGE stores, pointers) and every driver-side sink
+    (breakdown JSON, listing) runs through the Hadoop-FS shim; the
+    executor-side thread-HTML sink maps file:// back to the local path."""
+    dump = _write_jsonl(
+        tmp_path / "dump.jsonl",
+        [_sub(i) for i in range(3)] + [_com(i) for i in range(4)],
+    )
+    rootdir = f"file://{tmp_path}/scheme_archives"
+    assert cli.main(["--archive-root", rootdir, "ingest_jsonfile", dump,
+                     "-r", "t"]) == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts["new_submissions"] == 3 and counts["new_comments"] == 4
+
+    assert cli.main(["--archive-root", rootdir, "breakdown", "-r", "t"]) == 0
+    local_adir = str(tmp_path / "scheme_archives" / "subreddits" / "t")
+    data = json.loads(open(os.path.join(local_adir, "t_breakdown.json")).read())
+    assert sum(v["submissions"] for v in data.values()) == 3
+
+    assert cli.main(["--archive-root", rootdir, "index", "-r", "t"]) == 0
+    assert cli.main(["--archive-root", rootdir, "offline_reading",
+                     "-r", "t"]) == 0
+    threads = os.listdir(os.path.join(local_adir, "offline_reading"))
+    assert len(threads) >= 1

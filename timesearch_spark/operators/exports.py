@@ -203,7 +203,22 @@ def write_thread_html(rendered: DataFrame, out_dir: str) -> int:
     story.  ``out_dir`` must be reachable from executors (local mode:
     trivially; cluster: shared FS / fuse-mounted object store — the same
     contract any foreachPartition file sink has).  Re-runs are idempotent:
-    file-per-key overwrite, no partial-append state."""
+    file-per-key overwrite, no partial-append state.
+
+    ``file://`` URIs are accepted and mapped to the local path (python
+    workers have no JVM gateway, so the executor writer uses plain
+    ``open``); any other scheme raises up front — a remote-object-store
+    thread export should go through a fuse mount or a Spark writer."""
+    from timesearch_spark.fs import has_scheme
+
+    if out_dir.startswith("file://"):
+        out_dir = out_dir[len("file://"):]
+    elif has_scheme(out_dir):
+        raise ValueError(
+            f"write_thread_html writes executor-side with plain open(); "
+            f"scheme {out_dir.split('://', 1)[0]}:// is not reachable "
+            "there — use a fuse mount or a local/file:// path"
+        )
     os.makedirs(out_dir, exist_ok=True)
     # collect_list order is not stable under shuffle: gather (position,
     # html) structs and sort inside the group instead.
