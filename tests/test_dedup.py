@@ -609,3 +609,80 @@ def test_repeated_spans_fuzz_adversarial_whitespace(spark):
         assert not bad, (n, stride, sorted(bad)[:3],
                          [(got[k], exp[k]) for k in sorted(bad)[:1]])
         assert any(v[1] > 0 for v in exp.values()), (n, stride)
+
+
+def test_repeated_paragraphs_fuzz_vs_reference(spark):
+    """Seeded adversarial fuzz for remove_repeated_paragraphs against a
+    pure-Python mirror of its exact semantics: Java-regex paragraph
+    split (\\n\\s*\\n+), space-only TRIM (Spark trim semantics),
+    ASCII \\s+ normalization, df > max_df over DISTINCT docs of LONG
+    paragraphs only, rebuild joined with blank lines in position
+    order."""
+    import hashlib
+    import random
+    import re
+
+    from timesearch_spark.operators.dedup import remove_repeated_paragraphs
+
+    rng = random.Random(99)
+    boiler = [
+        "subscribe to our newsletter for more cat content today",
+        "copyright two thousand twenty four all rights reserved here",
+        "hi",  # short: never removable
+    ]
+    fillers = [f"filler{i}" for i in range(40)]
+
+    def make_doc():
+        paras = []
+        for _ in range(rng.randint(0, 6)):
+            if rng.random() < 0.5:
+                p = rng.choice(boiler)
+                if rng.random() < 0.3:
+                    p = p.upper() if rng.random() < 0.5 else f"  {p}\t"
+            else:
+                p = " ".join(rng.choice(fillers)
+                             for _ in range(rng.randint(1, 12)))
+            paras.append(p)
+        sep = lambda: rng.choice(["\n\n", "\n \n", "\n\n\n", "\n\t\n"])
+        out = ""
+        for i, p in enumerate(paras):
+            out += p + (sep() if i < len(paras) - 1 else "")
+        return out
+
+    rows = [(i, make_doc() if rng.random() > 0.05 else None)
+            for i in range(60)]
+    max_df, min_chars = 2, 20
+
+    def ref():
+        split = lambda t: re.split(r"\n\s*\n+", t, flags=re.ASCII)
+        trim = lambda p: p.strip(" ")  # Spark trim: 0x20 only
+        norm = lambda p: re.sub(r"\s+", " ", trim(p).lower(), flags=re.ASCII)
+        fp = lambda p: hashlib.md5(norm(p).encode()).hexdigest()
+        docs_of = {}
+        for i, txt in rows:
+            for p in split(txt or ""):
+                if len(trim(p)) >= min_chars:
+                    docs_of.setdefault(fp(p), set()).add(i)
+        bad = {f for f, ds in docs_of.items() if len(ds) > max_df}
+        out = {}
+        for i, txt in rows:
+            kept = [
+                p for p in split(txt or "")
+                if len(trim(p)) < min_chars or fp(p) not in bad
+            ]
+            out[i] = "\n\n".join(kept)
+        return out
+
+    exp = ref()
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_paragraphs(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            max_df=max_df, min_chars=min_chars,
+        ).collect()
+    }
+    bad_ids = {k for k in exp if got.get(k) != exp[k]}
+    assert not bad_ids, (sorted(bad_ids)[:3],
+                         [(got[k], exp[k]) for k in sorted(bad_ids)[:1]])
+    # the fuzz must exercise actual removal or it proves nothing
+    assert any(exp[i] != (t or "") for i, t in rows)
