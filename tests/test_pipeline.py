@@ -385,3 +385,39 @@ def test_curate_span_rung_composes(spark):
     assert set(out) == {1, 2}
     assert spam in out[1]          # winner keeps the span
     assert spam not in out[2]      # duplicate occurrence stripped
+
+
+def test_cluster_balanced_sample(spark):
+    """Per-cluster quotas hold exactly, assignment is centroid-nearest,
+    and the sample is deterministic across runs (md5 order, no rand)."""
+    from tests.conftest import SF_SMALL
+    from timesearch_spark.operators.pipeline import cluster_balanced_sample
+    from timesearch_spark.operators.similarity import assign_cells, centroid_seeds
+    from timesearch_spark.tables import load
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    out = cluster_balanced_sample(emb, per_cluster=7, n_clusters=4)
+    rows = out.collect()
+    # quotas: min(7, cluster size) per cell, computed from the full
+    # assignment with the same codebook
+    seeds = centroid_seeds(emb, 4)
+    full = assign_cells(emb, seeds).groupBy("cell").count().collect()
+    expected = sum(min(7, r["count"]) for r in full)
+    assert len(rows) == expected
+    per_cell = {}
+    for r in rows:
+        per_cell[r["cell"]] = per_cell.get(r["cell"], 0) + 1
+    assert all(v <= 7 for v in per_cell.values())
+    assert len(per_cell) == len(full)  # every non-empty cluster represented
+    # deterministic
+    again = {(r["vec_id"], r["cell"]) for r in
+             cluster_balanced_sample(emb, per_cluster=7, n_clusters=4).collect()}
+    assert again == {(r["vec_id"], r["cell"]) for r in rows}
+    # a trained codebook slots in unchanged
+    from timesearch_spark.operators.similarity import train_codebook
+
+    trained = cluster_balanced_sample(
+        emb, per_cluster=7, n_clusters=4,
+        centroids=train_codebook(emb, 4),
+    )
+    assert trained.count() > 0

@@ -199,6 +199,41 @@ def quota_sample(
     )
 
 
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cluster: int,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Topic-balanced sampling: assign every row to its nearest-centroid
+    cluster, then keep a deterministic ``min(per_cluster, |cluster|)``
+    quota per cluster — the diversity-balancing step that stops one
+    dominant topic/domain from flooding a training mix, run on the
+    embedding column instead of a metadata stratum.
+
+    ``centroids`` is any ``[(cell_id, vector), ...]`` codebook —
+    ``similarity.train_codebook`` (k-means||) for production balance, or
+    the deterministic ``centroid_seeds`` default here.  Composition of
+    two existing scale-shaped pieces: ``assign_cells`` is a pure per-row
+    expression against the broadcast codebook (rides the scan, no
+    shuffle), and ``quota_sample`` shuffles once on the cluster id with
+    an md5-deterministic per-cluster order.  Output: the sampled rows +
+    their ``cell`` assignment."""
+    from timesearch_spark.operators.similarity import (
+        assign_cells,
+        centroid_seeds,
+    )
+
+    if centroids is None:
+        centroids = centroid_seeds(emb, n_clusters, id_col, vec_col)
+    assigned = assign_cells(emb, centroids, vec_col)
+    return quota_sample(
+        assigned, strata_col="cell", id_col=id_col, k=per_cluster
+    )
+
+
 # --- PII redaction ------------------------------------------------------------
 
 #: Deliberately RE2-compatible (no lookaround/backrefs) so the same

@@ -2176,6 +2176,19 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("pipeline_cluster_sample")  # topic-balanced quota — rows-only + pytest
+def pipeline_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced sampling (pipeline.cluster_balanced_sample):
+    embeddings assigned to 8 nearest-centroid clusters (deterministic
+    seed codebook), then an md5-deterministic quota of 25 per cluster —
+    the diversity-balancing rung of a training mix, composed from the
+    oracled IVF assignment and quota-sample primitives.  Exactness of
+    the quota/assignment contract is pinned in tests/test_pipeline.py."""
+    return pl.cluster_balanced_sample(
+        load(spark, sf_dir, "embeddings"), per_cluster=25, n_clusters=8
+    )
+
+
 @q("table_quality")  # one-pass per-column profile — rows-only + pytest
 def table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of lineitem (quality.table_profile): null
