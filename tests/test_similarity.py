@@ -325,3 +325,34 @@ def test_semantic_dedup_clusters_shared_vocabulary(spark):
     assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
     assert out[1]["is_keeper"] is True and out[2]["is_keeper"] is False
     assert out[3]["cluster_id"] == 3 and out[3]["is_keeper"] is True
+
+
+def test_semantic_decontaminate_flags_paraphrase_leaks(spark):
+    """A leaked benchmark doc (verbatim + word-order-shuffled paraphrase
+    — identical hashed-BoW, the miss case for n-gram decontamination)
+    must flag, clean docs must not, and a doc leaked twice flags both
+    copies (no top-k cap)."""
+    from timesearch_spark.operators.embed import semantic_decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy dog today"
+    shuffled = "dog lazy the over jumps fox brown quick the today"
+    docs = spark.createDataFrame(
+        [
+            (1, bench_text),                       # verbatim leak
+            (2, shuffled),                         # paraphrase-shaped leak
+            (3, bench_text),                       # second verbatim copy
+            (4, "completely unrelated words about spark and parquet files"),
+            (5, None),                             # null text: never flags
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    hits = semantic_decontaminate(docs, bench, threshold=0.95)
+    got = {(r["doc_id"], r["bench_id"]) for r in hits.collect()}
+    assert got == {(1, 100), (2, 100), (3, 100)}
+    # empty benchmark: stable empty schema
+    assert semantic_decontaminate(
+        docs, bench.limit(0), threshold=0.9
+    ).count() == 0

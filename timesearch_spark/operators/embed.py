@@ -97,3 +97,74 @@ def semantic_dedup(
     return out.select(
         F.col("vec_id").alias(id_col), "cluster_id", "is_keeper"
     )
+
+
+def semantic_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Embedding-space contamination check: every corpus document whose
+    cosine against ANY benchmark document reaches ``threshold`` — the
+    semantic sibling of ``pipeline.decontaminate`` (n-gram overlap
+    misses paraphrased leaks; embedding cosine catches them).
+
+    Plan shape mirrors the gram version's broadcast contract: the
+    benchmark embeds into one driver-side matrix (benchmarks are MBs,
+    corpora are TBs — the same boundedness assumption), every corpus
+    Arrow batch scores all benchmark rows with fold-order float64 math
+    (bit-identical to similarity's oracle arithmetic) and emits ONLY
+    the pairs at/above threshold.  One corpus scan, no shuffle, no
+    top-k cap — a benchmark doc leaked a thousand times flags all
+    thousand copies (cosine_topk_batch would cap at k).
+
+    Returns (``id_col``, bench_id, cos) hit pairs; anti-join the ids to
+    drop contaminated documents."""
+    import numpy as np
+
+    from timesearch_spark.operators.similarity import _fold_dot, _round6
+
+    bench_emb = embed_documents(benchmark, dim, text_col, id_col)
+    qrows = bench_emb.collect()
+    if not qrows:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, bench_id long, cos double"
+        )
+    Qm = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows])
+    qnorm = np.sqrt(
+        np.stack([_fold_dot(Qm[m:m + 1], Qm[m]) for m in range(len(qids))])
+        .ravel()
+    )
+    corpus_emb = embed_documents(docs, dim, text_col, id_col)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            vnorm = np.sqrt(_fold_dot(V * V, np.ones(V.shape[1])))
+            out_ids, out_bench, out_cos = [], [], []
+            for m in range(len(qids)):
+                dots = _fold_dot(V, Qm[m])
+                denom = vnorm * qnorm[m]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, dots / denom, np.nan)
+                hit = np.nan_to_num(cos, nan=-2.0) >= threshold - 1e-9
+                if hit.any():
+                    out_ids.extend(ids[hit])
+                    out_bench.extend([qids[m]] * int(hit.sum()))
+                    out_cos.extend(_round6(c) for c in cos[hit])
+            yield pd.DataFrame(
+                {id_col: out_ids, "bench_id": out_bench, "cos": out_cos}
+            )
+
+    return corpus_emb.mapInPandas(
+        score, f"{id_col} long, bench_id long, cos double"
+    )

@@ -2189,6 +2189,22 @@ def pipeline_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("decontaminate_semantic")  # embedding-cosine contamination — rows-only + pytest
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space contamination check (embed.semantic_decontaminate):
+    every 50th document stands in as the benchmark; corpus docs whose
+    hashed-BoW cosine vs any benchmark doc reaches 0.9 flag as leaks —
+    the paraphrase-shaped contamination the n-gram `decontaminate` rung
+    misses.  One corpus scan against the broadcast benchmark matrix, no
+    shuffle, no top-k cap.  Semantics pinned in tests/test_similarity.py."""
+    from timesearch_spark.operators.embed import semantic_decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    return semantic_decontaminate(
+        d, d.filter(F.col("doc_id") % 50 == 0), threshold=0.9
+    ).orderBy("doc_id", "bench_id")
+
+
 @q("table_quality")  # one-pass per-column profile — rows-only + pytest
 def table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of lineitem (quality.table_profile): null
