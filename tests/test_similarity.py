@@ -356,3 +356,22 @@ def test_semantic_decontaminate_flags_paraphrase_leaks(spark):
     assert semantic_decontaminate(
         docs, bench.limit(0), threshold=0.9
     ).count() == 0
+
+
+def test_ivf_survives_prior_topk_collect_in_same_session(spark):
+    """Regression: Spark 4.1's constraint propagation mis-binds the
+    in-query cell-assignment expression across the cells⋈probe join
+    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) — but only after certain
+    earlier queries executed in the same session, so single-query tests
+    never saw it.  _cell_join_barrier keeps the join key underived;
+    this pins the exact poisoning order: a full collect of the batched
+    brute-force top-k, then an IVF collect."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_ORACLE
+
+    qs = entrymod.queries()
+    assert len(qs["similarity_topk"](spark, SF_ORACLE).collect()) > 0
+    got = qs["similarity_topk_ivf"](spark, SF_ORACLE).collect()
+    assert len(got) == 10
+    got_b = qs["similarity_topk_ivf_batch"](spark, SF_ORACLE).collect()
+    assert len(got_b) > 0

@@ -125,19 +125,25 @@ def semantic_decontaminate(
     drop contaminated documents."""
     import numpy as np
 
-    from timesearch_spark.operators.similarity import _fold_dot, _round6
+    from timesearch_spark.operators.similarity import (
+        _fold_dot,
+        _round6,
+        batch_cosines,
+        query_matrix_state,
+    )
 
-    bench_emb = embed_documents(benchmark, dim, text_col, id_col)
-    qrows = bench_emb.collect()
-    if not qrows:
+    # the benchmark embeds DRIVER-side: it is being collected into the
+    # broadcast matrix anyway, so a Spark embed job just to collect its
+    # output would be pure overhead (the nested-job shape r5 removed
+    # from cosine_topk_lsh)
+    brows = benchmark.select(F.col(id_col), F.col(text_col)).collect()
+    if not brows:
         return docs.sparkSession.createDataFrame(
             [], f"{id_col} long, bench_id long, cos double"
         )
-    Qm = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
-    qids = np.array([r["vec_id"] for r in qrows])
-    qnorm = np.sqrt(
-        np.stack([_fold_dot(Qm[m:m + 1], Qm[m]) for m in range(len(qids))])
-        .ravel()
+    Bm = _hash_embed_matrix([r[text_col] for r in brows], dim)
+    Qm, qids, qnorm = query_matrix_state(
+        [(r[id_col], list(Bm[i])) for i, r in enumerate(brows)]
     )
     corpus_emb = embed_documents(docs, dim, text_col, id_col)
 
@@ -152,15 +158,12 @@ def semantic_decontaminate(
             vnorm = np.sqrt(_fold_dot(V * V, np.ones(V.shape[1])))
             out_ids, out_bench, out_cos = [], [], []
             for m in range(len(qids)):
-                dots = _fold_dot(V, Qm[m])
-                denom = vnorm * qnorm[m]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = np.where(denom > 0, dots / denom, np.nan)
+                cos = batch_cosines(V, vnorm, Qm, qnorm, m)
                 hit = np.nan_to_num(cos, nan=-2.0) >= threshold - 1e-9
                 if hit.any():
                     out_ids.extend(ids[hit])
                     out_bench.extend([qids[m]] * int(hit.sum()))
-                    out_cos.extend(_round6(c) for c in cos[hit])
+                    out_cos.extend(_round6(float(c)) for c in cos[hit])
             yield pd.DataFrame(
                 {id_col: out_ids, "bench_id": out_bench, "cos": out_cos}
             )

@@ -180,6 +180,35 @@ def _fold_dot(V, q):
     return acc
 
 
+def query_matrix_state(qrows):
+    """Collected query rows → the driver-side broadcast scoring state
+    ``(Qm, qids, qnorm)`` every batched scorer shares (cosine_topk_batch,
+    embed.semantic_decontaminate).  qnorm uses the same fold-order
+    ``_fold_dot`` as the per-batch scoring, so the whole cosine stays
+    bit-identical across call sites and to the oracle arithmetic."""
+    import numpy as np
+
+    Qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qids = [r[0] for r in qrows]
+    qnorm = np.sqrt(
+        np.stack([_fold_dot(Qm[m:m + 1], Qm[m]) for m in range(len(qids))])
+        .ravel()
+    )
+    return Qm, qids, qnorm
+
+
+def batch_cosines(V, vnorm, Qm, qnorm, m):
+    """Fold-order cosine of every row of ``V`` against query ``m`` —
+    NaN where either norm is zero (zero vectors never match).  The ONE
+    implementation all batched scorers call, so NaN/zero-denominator
+    conventions can't drift between them."""
+    import numpy as np
+
+    denom = vnorm * qnorm[m]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom != 0.0, _fold_dot(V, Qm[m]) / denom, np.nan)
+
+
 def cosine_topk_batch(
     emb: DataFrame,
     queries: DataFrame,
@@ -208,16 +237,17 @@ def cosine_topk_batch(
 
     from pyspark.sql import Window
 
-    qrows = queries.select(
-        F.col(qid_col).alias("qid"), as_double(qvec_col).alias("q")
-    ).collect()
+    qrows = [
+        (r["qid"], r["q"])
+        for r in queries.select(
+            F.col(qid_col).alias("qid"), as_double(qvec_col).alias("q")
+        ).collect()
+    ]
     if not qrows:
         return emb.sparkSession.createDataFrame(
             [], "qid long, vec_id long, cos double, rn int"
         )
-    Qm = np.array([list(r["q"]) for r in qrows], dtype=np.float64)
-    qids = [r["qid"] for r in qrows]
-    qnorm = np.sqrt(np.stack([_fold_dot(Qm[m : m + 1], Qm[m]) for m in range(len(qids))]).ravel())
+    Qm, qids, qnorm = query_matrix_state(qrows)
 
     out_schema = "qid long, vec_id long, cos double"
 
@@ -232,9 +262,7 @@ def cosine_topk_batch(
             vnorm = np.sqrt(_fold_dot(V * V, np.ones(V.shape[1])))
             o_qid, o_id, o_cos = [], [], []
             for m, qid in enumerate(qids):
-                denom = vnorm * qnorm[m]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = np.where(denom != 0.0, _fold_dot(V, Qm[m]) / denom, np.nan)
+                cos = batch_cosines(V, vnorm, Qm, qnorm, m)
                 ok = np.isfinite(cos)
                 idx = np.flatnonzero(ok)
                 # local top-k with the FINAL ordering (cos desc, id asc):
@@ -418,6 +446,28 @@ def assign_cells(
     return emb.withColumn("cell", -best["negcid"])
 
 
+def _cell_join_barrier(df: DataFrame) -> DataFrame:
+    """No-op rewrite of the ``cell`` column that stops the optimizer
+    deriving constraints through it: ``floor(rand(0) * 0)`` is always
+    exactly 0 (value-deterministic), but a nondeterministic
+    sub-expression makes Catalyst treat the column as underived.
+
+    Why this exists: Spark 4.1's constraint propagation mis-binds the
+    higher-order-function expression behind an in-query cell assignment
+    (transform/aggregate argmax over the vector column) when it infers
+    join-key filters across the cells⋈probed-cells equi-join — tasks
+    die with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND ("Could not find
+    embedding#N in [q#.., qc#..]").  The failure is order-dependent
+    (only after certain earlier queries ran in the session), so it
+    escapes single-query tests; ``spark.sql.constraintPropagation.
+    enabled=false`` also fixes it but would de-optimize the whole
+    session.  The pre-assigned-cell path (read from storage) has no
+    expression lineage and never needs this."""
+    return df.withColumn(
+        "cell", (F.col("cell") + F.floor(F.rand(0) * 0)).cast("int")
+    )
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     query: DataFrame,
@@ -450,7 +500,11 @@ def cosine_topk_ivf(
     # a pre-assigned cell column (the production case: the table is
     # written cell-partitioned at ingest, so the probe filter is pure
     # partition pruning) wins over re-deriving the assignment per query
-    cells = emb if "cell" in emb.columns else assign_cells(emb, centroids, vec_col)
+    cells = (
+        emb
+        if "cell" in emb.columns
+        else _cell_join_barrier(assign_cells(emb, centroids, vec_col))
+    )
 
     qcells = (
         query.select(
@@ -510,7 +564,11 @@ def cosine_topk_ivf_batch(
     # the probe filter is then partition pruning on the stored layout;
     # it must have been assigned from the SAME codebook (pass centroids
     # for a trained one — ids don't transfer across codebooks)
-    cells = emb if "cell" in emb.columns else assign_cells(emb, centroids, vec_col)
+    cells = (
+        emb
+        if "cell" in emb.columns
+        else _cell_join_barrier(assign_cells(emb, centroids, vec_col))
+    )
 
     qrows = queries.select(
         F.col(qid_col).alias("qid"), as_double(qvec_col).alias("q")

@@ -71,11 +71,17 @@ def num_shuffles(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.M))
 
 
-def wholestage_codegen_spans(df: DataFrame) -> int:
-    """Number of distinct WholeStageCodegen subtrees (wider = better).
-    Formatted explain marks membership as ``[codegen id : N]``."""
-    plan = formatted_plan(df)
+def count_codegen_spans(plan: str) -> int:
+    """Distinct ``[codegen id : N]`` markers in an explain string — the
+    ONE parser for the marker, shared by the DataFrame helper below and
+    tools/dump_plans.py (which feeds it a post-AQE final explain)."""
     ids = set()
     for token in plan.split("[codegen id : ")[1:]:
         ids.add(token.split("]")[0].strip())
     return len(ids)
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Number of distinct WholeStageCodegen subtrees (wider = better).
+    Formatted explain marks membership as ``[codegen id : N]``."""
+    return count_codegen_spans(formatted_plan(df))
