@@ -68,10 +68,19 @@ def main() -> None:
 
     qs = entrymod.queries()
 
+    from timesearch_spark.operators.dedup import release_pins
+
     def run(name: str) -> float:
         t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        # Operators that persist() shared sub-plans attach the handles as
+        # _pinned; without this, best-of-3 × 30 queries accumulates cache
+        # entries for the whole bench session (and mixes cached-rung reuse
+        # into later timings).
+        release_pins(df)
+        return dt
 
     load_before = os.getloadavg()
     # Warmup (JVM + codegen + parquet footer cache): never a single point

@@ -302,6 +302,24 @@ def test_interval_bucket_explosion_guard(spark):
     assert auto.count() == 1
 
 
+def test_interval_inverted_interval_guard(spark):
+    # an inverted interval (end < start) yields n_buckets < 1; Spark's
+    # sequence(start_b, end_b) would silently DESCEND and explode bogus
+    # bucket rows (none of which can match) — the guard must raise the
+    # same loud message as the too-many-buckets case
+    points = spark.createDataFrame([(1, 50)], "user_id long, ts_sec long")
+    inverted = spark.createDataFrame(
+        [(1, 1_000_000_000, 0)],
+        "user_id long, session_start long, session_end long",
+    )
+    bad = interval_join(
+        points, inverted, point_ts="ts_sec", start_col="session_start",
+        end_col="session_end", on=["user_id"], bucket_sec=3600,
+    )
+    with pytest.raises(Exception, match="interval_join: an interval spans"):
+        bad.collect()
+
+
 def test_asof_tie_break_on_right_order_cols(spark):
     # two right rows at the SAME timestamp: without right_order_cols the
     # winner is shuffle-order-dependent; with it, the greatest wins

@@ -82,6 +82,28 @@ def test_decontaminate_finds_planted_overlap(spark):
     assert flagged == {1}
 
 
+def test_decontaminate_broadcast_guard_fallback(spark):
+    """Past max_broadcast_grams the broadcast hint is dropped and the
+    join degrades to a shuffle join — identical rows, no executor-memory
+    blowup (and max_broadcast_grams=None skips the probe entirely)."""
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx alpha beta gamma delta epsilon zeta eta theta yy"),
+            (2, "totally different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = lambda df: {(r["doc_id"], r["n_shared"], r["n_total"])
+                       for r in df.collect()}
+    base = rows(pl.decontaminate(corpus, bench, n=8))
+    assert rows(pl.decontaminate(corpus, bench, n=8, max_broadcast_grams=1)) == base
+    assert rows(pl.decontaminate(corpus, bench, n=8, max_broadcast_grams=None)) == base
+
+
 def test_quota_sample_exact_and_deterministic(spark, docs):
     out = pl.quota_sample(docs, k=5).collect()
     per = {}
@@ -385,6 +407,34 @@ def test_curate_span_rung_composes(spark):
     assert set(out) == {1, 2}
     assert spam in out[1]          # winner keeps the span
     assert spam not in out[2]      # duplicate occurrence stripped
+
+
+def test_curate_span_rung_pins_propagate(spark):
+    """The span rung's persisted sub-plans must survive the
+    .drop("n_removed_tokens") and ride the result's _pinned list, so one
+    release_pins(result) call unpersists the WHOLE ladder (the drop()
+    previously orphaned the span pins in the CacheManager)."""
+    from timesearch_spark.operators.dedup import release_pins
+    from timesearch_spark.operators.pipeline import curate_corpus
+
+    spam = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, f"the and is of {spam}"), (2, f"the of and to tail {spam}")],
+        "doc_id long, text string",
+    )
+    no_span = curate_corpus(docs, min_tokens=3, neardup_threshold=0.99)
+    base_pins = len(getattr(no_span, "_pinned", []))
+    no_span.collect()
+    release_pins(no_span)
+    spanned = curate_corpus(
+        docs, min_tokens=3, neardup_threshold=0.99, span_n=8, span_stride=1,
+    )
+    pins = getattr(spanned, "_pinned", [])
+    assert len(pins) > base_pins          # span rung's pins are carried
+    spanned.collect()
+    assert any(p.storageLevel.useMemory for p in pins)
+    release_pins(spanned)
+    assert all(not p.storageLevel.useMemory for p in pins)
 
 
 def test_cluster_balanced_sample(spark):

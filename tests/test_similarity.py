@@ -358,6 +358,87 @@ def test_semantic_decontaminate_flags_paraphrase_leaks(spark):
     ).count() == 0
 
 
+def test_semantic_decontaminate_string_ids(spark):
+    """Output id columns must mirror the INPUT id types (a store with
+    string doc ids previously hit the hard-coded `long` schema)."""
+    from timesearch_spark.operators.embed import semantic_decontaminate
+
+    t = "the quick brown fox jumps over the lazy dog today"
+    docs = spark.createDataFrame(
+        [("d-1", t), ("d-2", "unrelated words about parquet files")],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame([("b-9", t)], "doc_id string, text string")
+    hits = semantic_decontaminate(docs, bench, threshold=0.95)
+    assert dict(hits.dtypes)["doc_id"] == "string"
+    assert dict(hits.dtypes)["bench_id"] == "string"
+    assert {(r["doc_id"], r["bench_id"]) for r in hits.collect()} == {
+        ("d-1", "b-9")
+    }
+    # empty benchmark keeps the derived schema too
+    empty = semantic_decontaminate(docs, bench.limit(0), threshold=0.9)
+    assert dict(empty.dtypes)["doc_id"] == "string" and empty.count() == 0
+
+
+def test_semantic_decontaminate_oversized_benchmark_raises(spark):
+    """The benchmark side is collected + broadcast; an oversized one must
+    raise the pointed swap-detection error BEFORE materializing anything,
+    not OOM the driver."""
+    import pytest
+
+    from timesearch_spark.operators.embed import semantic_decontaminate
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    big_bench = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("some text").alias("text")
+    )
+    with pytest.raises(ValueError, match="benchmark exceeds 10 rows"):
+        semantic_decontaminate(docs, big_bench, max_benchmark_rows=10)
+
+
+def test_pluggable_embedding_model(spark):
+    """`model` is the batch-inference seam: a caller-supplied
+    list[str] -> (n, dim) encoder must flow through embed_documents,
+    semantic_dedup, and semantic_decontaminate; the default (None)
+    stays the hashing stand-in; a wrong-width model fails loudly."""
+    import numpy as np
+    import pytest
+
+    from timesearch_spark.operators.embed import (
+        embed_documents,
+        semantic_decontaminate,
+        semantic_dedup,
+    )
+
+    def fake_model(texts):
+        # deterministic 4-dim encoder: one-hot-ish on first-char bucket
+        out = np.zeros((len(texts), 4))
+        for i, t in enumerate(texts):
+            out[i, (ord(t[0]) if t else 0) % 4] = 1.0
+        return out
+
+    docs = spark.createDataFrame(
+        [(1, "apple pie"), (2, "avocado toast"), (3, "banana bread")],
+        "doc_id long, text string",
+    )
+    rows = {r["vec_id"]: list(r["embedding"])
+            for r in embed_documents(docs, dim=4, model=fake_model).collect()}
+    assert rows[1] == rows[2] != rows[3]        # 'a'-docs collide by design
+    out = {r["doc_id"]: r for r in semantic_dedup(
+        docs, threshold=0.99, dim=4, method="exact", model=fake_model
+    ).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"]
+    assert out[3]["cluster_id"] != out[1]["cluster_id"]
+    bench = spark.createDataFrame([(9, "anything")], "doc_id long, text string")
+    hits = semantic_decontaminate(
+        docs, bench, threshold=0.99, dim=4, model=fake_model
+    )
+    assert {r["doc_id"] for r in hits.collect()} == {1, 2}
+    # wrong-width model: pointed shape error, not a downstream mismatch
+    with pytest.raises(Exception, match="expected"):
+        embed_documents(docs, dim=8, model=fake_model).collect()
+
+
 def test_ivf_survives_prior_topk_collect_in_same_session(spark):
     """Regression: Spark 4.1's constraint propagation mis-binds the
     in-query cell-assignment expression across the cells⋈probe join

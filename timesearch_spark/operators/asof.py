@@ -244,16 +244,22 @@ def interval_join(
     start_b = F.floor(F.col(start_col) / b).cast("long")
     end_b = F.floor(F.col(end_col) / b).cast("long")
     n_buckets = end_b - start_b + F.lit(1)
+    # n_buckets < 1 means an inverted interval (end < start): Spark's
+    # sequence(start_b, end_b) silently DESCENDS, exploding bogus bucket
+    # rows that can never satisfy the BETWEEN — fail as loudly as the
+    # too-many-buckets case instead.
     guarded_start = F.when(
-        n_buckets > max_buckets,
+        (n_buckets > max_buckets) | (n_buckets < 1),
         F.raise_error(
             F.concat(
                 F.lit("interval_join: an interval spans "),
                 n_buckets.cast("string"),
                 F.lit(
-                    f" buckets (> {max_buckets}) at bucket_sec="
-                    f"{int(bucket_sec)}; raise bucket_sec or pass "
-                    "bucket_sec=None to auto-derive it"
+                    f" buckets (allowed: 1..{max_buckets}) at bucket_sec="
+                    f"{int(bucket_sec)}; an inverted interval (end < "
+                    "start) or too-small bucket_sec — fix the data, "
+                    "raise bucket_sec, or pass bucket_sec=None to "
+                    "auto-derive it"
                 ),
             )
         ).cast("long"),

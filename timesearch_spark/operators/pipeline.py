@@ -133,6 +133,7 @@ def decontaminate(
     n: int = 8,
     min_shared: int = 1,
     min_frac: float | None = None,
+    max_broadcast_grams: int | None = 5_000_000,
 ) -> DataFrame:
     """Flag corpus documents whose word-``n``-grams overlap a
     benchmark/eval set (the standard contamination check run before
@@ -146,6 +147,12 @@ def decontaminate(
     map map-side, so nothing shuffles except the matching (doc, gram)
     pairs feeding the per-doc distinct count; the document's own total
     (``n_total``) is a per-row expression carried through the explode.
+    The "benchmarks are small" assumption is enforced, not assumed: a
+    bounded ``limit(max+1)`` probe counts the gram set first, and past
+    ``max_broadcast_grams`` the broadcast hint is DROPPED so the join
+    degrades to a shuffle join (same rows, no executor-memory blowup)
+    instead of forcing an oversized broadcast.  ``None`` skips the
+    probe and always broadcasts (the caller vouches for the size).
     Returns (``id_col``, n_shared, n_total) — integer-only, so the
     fraction never enters a cross-engine float comparison; the
     ``min_frac`` gate is the exact integer inequality
@@ -160,8 +167,14 @@ def decontaminate(
     bench_grams = benchmark.select(
         F.explode(F.array_distinct(shingles(text_col, n))).alias("gram")
     ).distinct()
+    bench_side = F.broadcast(bench_grams)
+    if max_broadcast_grams is not None:
+        # bounded probe: counts at most max+1 rows, never materializes
+        # the gram set anywhere — one small job over the benchmark only
+        if bench_grams.limit(max_broadcast_grams + 1).count() > max_broadcast_grams:
+            bench_side = bench_grams
     out = (
-        doc_grams.join(F.broadcast(bench_grams), on="gram")
+        doc_grams.join(bench_side, on="gram")
         .groupBy(id_col)
         .agg(
             F.count_distinct("gram").alias("n_shared"),
@@ -512,12 +525,18 @@ def curate_corpus(
         docs = remove_repeated_paragraphs(
             docs, text_col, id_col, max_df=paragraph_max_df
         )
+    span_pins: list = []
     if span_n is not None:
         # span rung after paragraphs (coarse structure first), before
-        # the profile: downstream signals see the deduplicated text
-        docs = remove_repeated_spans(
+        # the profile: downstream signals see the deduplicated text.
+        # .drop() returns a fresh DataFrame without the _pinned
+        # attribute — capture the pins first so release_pins(result)
+        # can reach the span rung's persisted sub-plans too.
+        spanned = remove_repeated_spans(
             docs, text_col, id_col, n=span_n, stride=span_stride
-        ).drop("n_removed_tokens")
+        )
+        span_pins = list(getattr(spanned, "_pinned", []))
+        docs = spanned.drop("n_removed_tokens")
 
     prof = text_profile_table(docs, text_col=text_col, id_col=id_col)
     keep_quality = (
@@ -580,7 +599,7 @@ def curate_corpus(
     out = train_val_test_split(surviving, id_col, train, val).select(
         id_col, text_col, "lang_guess", "n_ws", "split"
     )
-    out._pinned = [gated, exact, pairs]
+    out._pinned = [*span_pins, gated, exact, pairs]
     return out
 
 
