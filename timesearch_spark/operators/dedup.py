@@ -388,7 +388,14 @@ def _ngram_jaccard_prefix_filtered(
     counting verify (a) then (b, gram) — every key is fixed-width; gram
     ARRAYS are never shuffled (verification counts postings rows, so a
     KB-sized document's token set never rides along per candidate
-    pair)."""
+    pair).
+
+    The postings relation is deliberately NOT persisted even though it
+    feeds several consumers: regenerating it is one whole-stage-codegen
+    scan (tokenize → explode → xxhash64), measured CHEAPER than reading
+    it back from the block cache at both sf0.1 and sf1.  The deduped
+    candidate set IS persisted (see _jaccard_from_prefix) — it costs
+    two explosive join stages to rebuild and is consumed twice."""
     post, _ = _jaccard_postings(df, block_col, text_col, id_col, n)
     pref = _jaccard_prefix_postings(post, id_col, threshold)
     return _jaccard_from_prefix(post, pref, id_col, threshold)
@@ -434,8 +441,47 @@ def _jaccard_prefix_postings(post, id_col, threshold):
 
 
 def _jaccard_from_prefix(post, pref, id_col, threshold):
-    a = pref.select("block", "gh", F.col(id_col).alias("a"), F.col("sz").alias("na"))
-    b = pref.select("block", "gh", F.col(id_col).alias("b"), F.col("sz").alias("nb"))
+    # Pin parallelism at the two EXPLOSION boundaries.  AQE coalesces
+    # shuffle outputs by their byte size, and prefix postings are tiny
+    # (fixed-width longs) relative to what they expand into: the
+    # candidate self-join multiplies rows by per-gram posting frequency
+    # and the counting verify by per-doc size — measured 116k posting
+    # rows → 12.9M verify rows at sf0.1, which AQE happily coalesced
+    # into ONE task (a serial 10 s stage on a 32-core session; the same
+    # starvation scales to any cluster, since AQE sizes on shuffle
+    # bytes, not downstream expansion).  An explicit repartition-by-num
+    # is the one shuffle AQE never coalesces, so the explosive stages
+    # keep full width at every scale.
+    nparts = pref.sparkSession.sparkContext.defaultParallelism
+    pref = pref.repartition(nparts, "block", "gh")
+    a = pref.select(
+        "block", "gh", F.col(id_col).alias("a"),
+        F.col("sz").alias("na"), F.col("rn").alias("pa"),
+    )
+    b = pref.select(
+        "block", "gh", F.col(id_col).alias("b"),
+        F.col("sz").alias("nb"), F.col("rn").alias("pb"),
+    )
+    # Minimum intersection a qualifying pair must have:
+    # J ≥ t ⇔ |A∩B| ≥ t/(1+t)·(|A|+|B|); epsilon guards the float ceil.
+    req_inter = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("na") + F.col("nb")).cast("double")
+        - F.lit(1e-9)
+    )
+    # PPJoin positional filter: rn is the gram's rank in the doc's
+    # shared (block-df, gh) total order, so for the globally-FIRST
+    # common gram of a pair, every other common gram ranks after it in
+    # BOTH docs ⇒ |A∩B| ≤ 1 + min(na−pa, nb−pb).  Per-row pruning on
+    # that bound is exact: a qualifying pair's first common gram sits
+    # inside both prefixes (prefix-filter theorem) and its row always
+    # passes (bound ≥ |A∩B| ≥ req); rows for LATER common grams may be
+    # pruned, which only sheds duplicates the dropDuplicates would eat.
+    # This is the filter that keeps candidates tracking output instead
+    # of Σ per-gram posting² — the r6-measured 26×-at-10× superlinearity.
+    pos_bound = F.lit(1) + F.least(
+        F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+    )
     cand = (
         a.join(b, on=["block", "gh"])
         .filter(
@@ -448,25 +494,48 @@ def _jaccard_from_prefix(post, pref, id_col, threshold):
                 >= F.lit(threshold) * F.greatest("na", "nb").cast("double")
                 - F.lit(1e-9)
             )
+            & (pos_bound >= req_inter)
         )
-        .select("block", "a", "b", "na", "nb")
+        .select(
+            "block", "a", "b", "na", "nb",
+            F.when(F.col("na") <= F.col("nb"), F.col("a"))
+            .otherwise(F.col("b")).alias("s"),
+            F.when(F.col("na") <= F.col("nb"), F.col("b"))
+            .otherwise(F.col("a")).alias("l"),
+        )
         .dropDuplicates(["a", "b"])
+        # same AQE-starvation guard as above: deduped candidates are a
+        # few hundred KB but expand ×avg-doc-size in the verify join.
+        # Persisted: rebuilding them means re-running both explosive
+        # join stages, and they are consumed twice below (expansion +
+        # metadata join-back); narrow fixed-width rows, so the pin is
+        # ~40 B/candidate.  Handle rides on _pinned (release_pins).
+        .repartition(nparts, "s")
+        .persist()
     )
 
-    # Counting verify: expand each candidate pair by a's postings, hash-join
-    # against b's postings on (b, gh) — surviving rows ARE the intersection,
-    # so |A∩B| is a count, computed entirely in whole-stage codegen.  Every
-    # candidate shares ≥1 prefix gram, so inter ≥ 1 and no pair is lost.
-    pa = post.select(F.col(id_col).alias("a"), "gh")
-    pb = post.select(F.col(id_col).alias("b"), "gh")
+    # Counting verify: expand each candidate pair by the SMALLER doc's
+    # postings (s/l = small/large by distinct-gram count — Σ min(na,nb)
+    # probe rows instead of Σ na), hash-join against the larger doc's
+    # postings on (l, gh) — surviving rows ARE the intersection, so
+    # |A∩B| is a count, computed entirely in whole-stage codegen.  The
+    # aggregate keys are two longs: block/na/nb do NOT ride the
+    # expansion (a string key on 100M+ probe rows was ~30% of the
+    # verify stage's CPU) — they join back at candidate cardinality.
+    # Every candidate shares ≥1 prefix gram, so inter ≥ 1 and the
+    # metadata join loses no pair.
+    ps = post.select(F.col(id_col).alias("s"), "gh")
+    pl = post.select(F.col(id_col).alias("l"), "gh")
     inter = (
-        cand.join(pa, on="a")
-        .join(pb, on=["b", "gh"])
-        .groupBy("block", "a", "b", "na", "nb")
+        cand.select("a", "b", "s", "l")
+        .join(ps, on="s")
+        .join(pl, on=["l", "gh"])
+        .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
-        inter.select(
+    out = (
+        inter.join(cand.select("block", "a", "b", "na", "nb"), on=["a", "b"])
+        .select(
             "block", "a", "b",
             (
                 F.col("inter").cast("double")
@@ -475,6 +544,8 @@ def _jaccard_from_prefix(post, pref, id_col, threshold):
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    out._pinned = [cand]
+    return out
 
 
 # --- simhash -------------------------------------------------------------------
@@ -884,10 +955,11 @@ def dedup_cluster_assignments(
     deduplicated corpus with exactly one representative per near-dup
     cluster, transitively closed (a~b, b~c keeps one of {a,b,c} even when
     a!~c directly — pair-wise dedup alone cannot decide that case)."""
-    pairs = ngram_jaccard_pairs(
+    raw_pairs = ngram_jaccard_pairs(
         df, block_col=block_col, text_col=text_col, id_col=id_col,
         threshold=threshold, n=n,
-    ).select("a", "b")
+    )
+    pairs = raw_pairs.select("a", "b")
     # iterate ONLY the edge-touching subgraph: an isolated node's
     # hash-min label is trivially its own id, so propagating labels over
     # the (at scale, vastly larger) untouched corpus every round buys
@@ -900,11 +972,13 @@ def dedup_cluster_assignments(
     comp = connected_components(edge_nodes, pairs, id_col=id_col)
     labeled = df.select(_c(id_col).alias(id_col)).join(comp, id_col, "left")
     cluster = F.coalesce(F.col("component"), F.col(id_col))
-    return labeled.select(
+    out = labeled.select(
         id_col,
         cluster.alias("cluster_id"),
         (cluster == F.col(id_col)).alias("is_keeper"),
     )
+    out._pinned = list(getattr(raw_pairs, "_pinned", []))
+    return out
 
 
 # --- paragraph-level boilerplate removal -------------------------------------

@@ -932,8 +932,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(
         d, block_col="source", threshold=0.5, n=1
-    ).withColumn("jaccard", F.round("jaccard", 6))
-    return pairs.filter(F.col("jaccard") >= 0.5)
+    )
+    out = pairs.withColumn("jaccard", F.round("jaccard", 6)).filter(
+        F.col("jaccard") >= 0.5
+    )
+    out._pinned = list(getattr(pairs, "_pinned", []))
+    return out
 
 
 #: documents ∪ mutated copies (every 10th doc with tokens appended →
