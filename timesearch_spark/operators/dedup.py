@@ -384,21 +384,21 @@ def _ngram_jaccard_prefix_filtered(
 ) -> DataFrame:
     """Exact blocked Jaccard ≥ threshold via prefix filtering (see
     ``ngram_jaccard_pairs``).  Shuffle ledger: df-count (block, gram),
-    rank (id), candidate join (block, gram), pair dedup (a, b),
-    counting verify (a) then (b, gram) — every key is fixed-width; gram
-    ARRAYS are never shuffled (verification counts postings rows, so a
-    KB-sized document's token set never rides along per candidate
-    pair).
+    rank (id), candidate join (block, gram), pair dedup (a, b), then
+    two verify joins at CANDIDATE cardinality against the per-doc
+    gram-array relation — candidates never expand into posting rows
+    (the r7 counting verify shuffled Σ min(|A|,|B|) probe rows per
+    candidate — 140M rows at 10× sf0.1 — and was 70% of the wall;
+    the array verify shuffles one ~|doc| long-array per candidate and
+    computes |A∩B| with a codegen'd array_intersect instead of a
+    posting join + hash aggregate + metadata join-back: measured
+    26.9 s → 6.6 s at 10× data, sf0.1→sf1 ratio 17.4× → 3.5×).
 
-    The postings relation is deliberately NOT persisted even though it
-    feeds several consumers: regenerating it is one whole-stage-codegen
-    scan (tokenize → explode → xxhash64), measured CHEAPER than reading
-    it back from the block cache at both sf0.1 and sf1.  The deduped
-    candidate set IS persisted (see _jaccard_from_prefix) — it costs
-    two explosive join stages to rebuild and is consumed twice."""
-    post, _ = _jaccard_postings(df, block_col, text_col, id_col, n)
+    Nothing is persisted: every relation here is consumed exactly
+    once, so the result carries no ``_pinned`` handles."""
+    post, base = _jaccard_postings(df, block_col, text_col, id_col, n)
     pref = _jaccard_prefix_postings(post, id_col, threshold)
-    return _jaccard_from_prefix(post, pref, id_col, threshold)
+    return _jaccard_from_prefix(base, pref, id_col, threshold)
 
 
 def _jaccard_postings(df, block_col, text_col, id_col, n):
@@ -440,18 +440,17 @@ def _jaccard_prefix_postings(post, id_col, threshold):
     return ranked.filter(F.col("rn") <= prefix_len)
 
 
-def _jaccard_from_prefix(post, pref, id_col, threshold):
-    # Pin parallelism at the two EXPLOSION boundaries.  AQE coalesces
+def _jaccard_from_prefix(base, pref, id_col, threshold):
+    # Pin parallelism at the EXPANSION boundaries.  AQE coalesces
     # shuffle outputs by their byte size, and prefix postings are tiny
     # (fixed-width longs) relative to what they expand into: the
     # candidate self-join multiplies rows by per-gram posting frequency
-    # and the counting verify by per-doc size — measured 116k posting
-    # rows → 12.9M verify rows at sf0.1, which AQE happily coalesced
-    # into ONE task (a serial 10 s stage on a 32-core session; the same
-    # starvation scales to any cluster, since AQE sizes on shuffle
-    # bytes, not downstream expansion).  An explicit repartition-by-num
-    # is the one shuffle AQE never coalesces, so the explosive stages
-    # keep full width at every scale.
+    # (62k prefix rows → 5.5M candidate rows at sf0.1), which AQE
+    # happily coalesced into ONE task (a serial 10 s stage on a 32-core
+    # session; the same starvation scales to any cluster, since AQE
+    # sizes on shuffle bytes, not downstream expansion).  An explicit
+    # repartition-by-num is the one shuffle AQE never coalesces, so the
+    # explosive stages keep full width at every scale.
     nparts = pref.sparkSession.sparkContext.defaultParallelism
     pref = pref.repartition(nparts, "block", "gh")
     a = pref.select(
@@ -496,45 +495,36 @@ def _jaccard_from_prefix(post, pref, id_col, threshold):
             )
             & (pos_bound >= req_inter)
         )
-        .select(
-            "block", "a", "b", "na", "nb",
-            F.when(F.col("na") <= F.col("nb"), F.col("a"))
-            .otherwise(F.col("b")).alias("s"),
-            F.when(F.col("na") <= F.col("nb"), F.col("b"))
-            .otherwise(F.col("a")).alias("l"),
-        )
+        .select("block", "a", "b", "na", "nb")
         .dropDuplicates(["a", "b"])
-        # same AQE-starvation guard as above: deduped candidates are a
-        # few hundred KB but expand ×avg-doc-size in the verify join.
-        # Persisted: rebuilding them means re-running both explosive
-        # join stages, and they are consumed twice below (expansion +
-        # metadata join-back); narrow fixed-width rows, so the pin is
-        # ~40 B/candidate.  Handle rides on _pinned (release_pins).
-        .repartition(nparts, "s")
-        .persist()
+        # same AQE-starvation guard as above: deduped candidates are
+        # narrow (~40 B) but each verify-join output row carries two
+        # gram arrays and the per-row array_intersect work scales with
+        # doc size, neither of which AQE's byte-based coalescing sees.
+        .repartition(nparts, "a")
     )
 
-    # Counting verify: expand each candidate pair by the SMALLER doc's
-    # postings (s/l = small/large by distinct-gram count — Σ min(na,nb)
-    # probe rows instead of Σ na), hash-join against the larger doc's
-    # postings on (l, gh) — surviving rows ARE the intersection, so
-    # |A∩B| is a count, computed entirely in whole-stage codegen.  The
-    # aggregate keys are two longs: block/na/nb do NOT ride the
-    # expansion (a string key on 100M+ probe rows was ~30% of the
-    # verify stage's CPU) — they join back at candidate cardinality.
-    # Every candidate shares ≥1 prefix gram, so inter ≥ 1 and the
-    # metadata join loses no pair.
-    ps = post.select(F.col(id_col).alias("s"), "gh")
-    pl = post.select(F.col(id_col).alias("l"), "gh")
-    inter = (
-        cand.select("a", "b", "s", "l")
-        .join(ps, on="s")
-        .join(pl, on=["l", "gh"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
+    # Array verify: join each candidate (at candidate cardinality —
+    # no expansion into posting rows) against the per-doc distinct
+    # gram-hash arrays, built shuffle-free from the tokenize base, and
+    # count the exact intersection with a codegen'd array_intersect.
+    # The array relation is one row per document (~8·|grams| bytes),
+    # orders of magnitude smaller than the corpus text — AQE broadcasts
+    # it when it fits and falls back to a shuffle join at candidate
+    # cardinality when it doesn't; both are linear.  All candidate
+    # metadata (block/na/nb) stays on the row, so there is no
+    # join-back and nothing to persist: the result carries no pins.
+    arr = base.select(
+        _c(id_col),
+        F.transform("__g", lambda g: F.xxhash64(g)).alias("gs"),
     )
-    out = (
-        inter.join(cand.select("block", "a", "b", "na", "nb"), on=["a", "b"])
+    ga = arr.select(F.col(id_col).alias("a"), F.col("gs").alias("gs_a"))
+    gb = arr.select(F.col(id_col).alias("b"), F.col("gs").alias("gs_b"))
+    inter = F.size(F.array_intersect("gs_a", "gs_b"))
+    return (
+        cand.join(ga, on="a")
+        .join(gb, on="b")
+        .withColumn("inter", inter)
         .select(
             "block", "a", "b",
             (
@@ -544,8 +534,6 @@ def _jaccard_from_prefix(post, pref, id_col, threshold):
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    out._pinned = [cand]
-    return out
 
 
 # --- simhash -------------------------------------------------------------------
@@ -766,9 +754,9 @@ def ngram_jaccard_pairs(
     Inverted-index formulation: explode distinct grams, self-join on
     (block, gram) so only co-occurring pairs materialize, count shared
     grams per pair, then jaccard = inter / (|A| + |B| − inter).  Every
-    stage is codegen'd (no per-element array intersections), the shuffle
-    keys are (block, gram hash) and (a, b) — never the gram arrays.  Hash
-    the grams to fixed-width longs so wide shingles don't inflate the
+    stage is codegen'd; the candidate-generating shuffle keys are
+    (block, gram hash) and (a, b) — never the gram arrays.  Hash the
+    grams to fixed-width longs so wide shingles don't inflate the
     shuffle.
 
     Three methods, identical (exact) results:
@@ -785,7 +773,9 @@ def ngram_jaccard_pairs(
     - ``method="prefix"``: PPJoin-style prefix filtering — candidates
       must share a gram inside both docs' rarest-gram prefixes
       (epsilon-guarded so threshold-boundary pairs survive the float
-      ceil), verified by postings counting (arrays never shuffle).  The
+      ceil), verified by a per-candidate array_intersect against the
+      per-doc gram-hash arrays (two joins at candidate cardinality —
+      candidates never expand into posting rows).  The
       100 TB-safe plan for natural text, where Zipfian stop-grams make
       raw co-occurrence quadratic in document frequency while the
       prefix join stays proportional to output size.  Degenerate case:
@@ -809,7 +799,7 @@ def ngram_jaccard_pairs(
     df = spread(df)
     post, base = _jaccard_postings(df, block_col, text_col, id_col, n)
     if method == "auto":
-        # Probe gate: the Σdf² statistic costs two shuffled aggregates;
+        # Probe gate: the Σdf² statistic costs one shuffled aggregate;
         # on provably-small input (parquet-footer row-count ceiling, no
         # job — tables.row_count_bound) even a fully-degenerate corpus
         # where every document shares its stop-grams keeps the count
@@ -823,23 +813,27 @@ def ngram_jaccard_pairs(
         if ndocs is not None and ndocs <= 20_000:
             q = None  # take the count plan below
         else:
-            sq = lambda rel: rel.groupBy("block", "gh").agg(  # noqa: E731
-                F.count("*").alias("c")
-            ).agg(F.sum(F.col("c") * F.col("c"))).first()[0]
-            q = sq(post)
-        # Small-q fast path: below ~50M co-occurrence rows the count
-        # plan's quadratic term is a non-event on any cluster, so skip
-        # the prefix-side stats entirely (they cost a df-count plus a
-        # per-doc rank window — the most expensive part of the probe).
+            q = (
+                post.groupBy("block", "gh")
+                .agg(F.count("*").alias("c"))
+                .agg(F.sum(F.col("c") * F.col("c")))
+                .first()[0]
+            )
+        # Above ~50M co-occurrence rows, go prefix directly — no second
+        # stat.  Prefix postings are a subset of the postings (per-gram
+        # prefix-df ≤ df), so the prefix plan's candidate volume is
+        # bounded by q, and since the r8 array verify its constant
+        # overhead is two candidate-cardinality joins instead of a
+        # posting expansion + aggregate + join-back — the break-even
+        # against a ≥50M-row count aggregate sits far below any corpus
+        # that reaches this branch.  (r7 ran a second Σdf² over the
+        # prefix postings to pick; the stat paid the full df-rank
+        # window — 2.5 s of a 12 s query at 10× sf0.1 — to distinguish
+        # a case, degenerate tiny-vocabulary corpora, where the two
+        # plans are within ~2× of each other anyway.)
         if q is not None and q >= 50_000_000:
             pref = _jaccard_prefix_postings(post, id_col, threshold)
-            p = sq(pref)
-            # 4×: the prefix plan pays the df-rank window plus the
-            # per-pair dedup and counting-verify joins, so its candidate
-            # rows cost a small constant more than the count plan's
-            # co-occurrence rows.
-            if p is not None and 4 * p < q:
-                return _jaccard_from_prefix(post, pref, id_col, threshold)
+            return _jaccard_from_prefix(base, pref, id_col, threshold)
     a = post.select("block", "gh", F.col(id_col).alias("a"))
     b = post.select("block", "gh", F.col(id_col).alias("b"))
     inter = (
