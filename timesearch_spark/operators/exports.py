@@ -191,46 +191,64 @@ def write_breakdown(bd: DataFrame, out_dir: str, basename: str,
     return path
 
 
+def _threads_grouped(rendered: DataFrame) -> DataFrame:
+    """(submission, doc): one row per thread, comments joined in render
+    order.  collect_list order is not stable under shuffle, so gather
+    (position, html) structs and sort inside the group instead.  Orphan
+    comments (raw line without link_id → null submission) are dropped —
+    they have no thread to render into."""
+    return (
+        rendered.filter(F.col("submission").isNotNull())
+        .groupBy("submission")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("position", "html"))),
+                    lambda s: s["html"],
+                ),
+                "\n",
+            ).alias("doc")
+        )
+        .withColumn(
+            "submission",
+            F.when(
+                F.col("submission").startswith("t3_"), F.col("submission")
+            ).otherwise(F.concat(F.lit("t3_"), F.col("submission"))),
+        )
+    )
+
+
 def write_thread_html(rendered: DataFrame, out_dir: str) -> int:
     """A10: one ``<submission id>.html`` per thread from the rendered
     forest (columns: submission, position, html).  Returns file count.
+    Mirrors /root/reference/timesearch_modules/offline_reading.py:369-390
+    (one file per thread, named by submission fullname).
 
-    Files are written EXECUTOR-side (mapInPandas over the grouped
-    one-row-per-thread relation; the count aggregate drives the job), so
-    the sink parallelizes with the thread count — a driver
-    ``toLocalIterator`` loop would serialize every document through one
-    process, the one part of the r4 sink that didn't survive the 100×
-    story.  ``out_dir`` must be reachable from executors (local mode:
-    trivially; cluster: shared FS / fuse-mounted object store — the same
-    contract any foreachPartition file sink has).  Re-runs are idempotent:
-    file-per-key overwrite, no partial-append state.
+    Two physical sinks behind one contract, both executor-parallel:
 
-    ``file://`` URIs are accepted and mapped to the local path (python
-    workers have no JVM gateway, so the executor writer uses plain
-    ``open``); any other scheme raises up front — a remote-object-store
-    thread export should go through a fuse mount or a Spark writer."""
+    - plain local path: files stream from executors with ``open()``
+      inside ``mapInPandas`` (the count aggregate drives the job) — no
+      staging, no rename pass, the fastest shape when the target is a
+      POSIX directory every worker can see;
+    - any ``scheme://`` URI (file://, s3a://, hdfs://, gs://, ...):
+      Spark's own text writer emits the documents to a staging dataset
+      ``partitionBy(submission)`` — the data plane goes through whatever
+      FileSystem Spark itself can write, executors never need a posix
+      mount — and a driver pass through :mod:`timesearch_spark.fs`
+      renames each partition's single text part to ``<id>.html``.  The
+      rename pass is one control-plane call per THREAD (exactly the
+      per-thread metadata work the reference's one-file-per-thread
+      contract implies); the document bytes never touch the driver.
+
+    Re-runs are idempotent either way: file-per-key overwrite, no
+    partial-append state."""
     from timesearch_spark.fs import has_scheme
 
-    if out_dir.startswith("file://"):
-        out_dir = out_dir[len("file://"):]
-    elif has_scheme(out_dir):
-        raise ValueError(
-            f"write_thread_html writes executor-side with plain open(); "
-            f"scheme {out_dir.split('://', 1)[0]}:// is not reachable "
-            "there — use a fuse mount or a local/file:// path"
-        )
+    grouped = _threads_grouped(rendered)
+    if has_scheme(out_dir):
+        return _write_thread_html_staged(grouped, out_dir)
+
     os.makedirs(out_dir, exist_ok=True)
-    # collect_list order is not stable under shuffle: gather (position,
-    # html) structs and sort inside the group instead.
-    grouped = rendered.groupBy("submission").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("position", "html"))),
-                lambda s: s["html"],
-            ),
-            "\n",
-        ).alias("doc")
-    )
 
     def write_part(batches):
         import pandas as pd
@@ -239,11 +257,6 @@ def write_thread_html(rendered: DataFrame, out_dir: str) -> int:
         os.makedirs(out_dir, exist_ok=True)
         for pdf in batches:
             for name, doc in zip(pdf["submission"], pdf["doc"]):
-                if name is None:
-                    # orphan comments (raw line without link_id) have no
-                    # thread to render into — skip, don't kill the job
-                    continue
-                name = name if name.startswith("t3_") else "t3_" + name
                 path = os.path.join(out_dir, f"{name}.html")
                 with open(path, "w", encoding="utf-8") as f:
                     f.write(HTML_HEADER + doc + HTML_FOOTER)
@@ -253,3 +266,50 @@ def write_thread_html(rendered: DataFrame, out_dir: str) -> int:
     counts = grouped.mapInPandas(write_part, "n long")
     total = counts.agg(F.sum("n")).first()[0]
     return int(total or 0)
+
+
+def _write_thread_html_staged(grouped: DataFrame, out_dir: str) -> int:
+    """Schemed-URI sink: staged Spark text write + driver rename pass.
+
+    The text writer appends one ``\\n`` per row, so the footer's final
+    newline is left off the value to keep the bytes identical to the
+    local sink's.  Submission fullnames are ``t3_``-prefixed base36 —
+    safe under Hive partition-value escaping, so the directory name
+    round-trips verbatim."""
+    from timesearch_spark.fs import get_fs
+
+    spark = grouped.sparkSession
+    staging = out_dir.rstrip("/") + ".__stage__"
+    (
+        grouped.select(
+            "submission",
+            F.concat(
+                F.lit(HTML_HEADER), F.col("doc"), F.lit(HTML_FOOTER[:-1])
+            ).alias("value"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("submission")
+        .text(staging)
+    )
+    fs = get_fs(spark, out_dir)
+    fs.mkdirs(out_dir)
+    n = 0
+    for entry in fs.ls(staging):
+        if not entry.startswith("submission="):
+            continue
+        sid = entry.split("=", 1)[1]
+        part_dir = staging.rstrip("/") + "/" + entry
+        parts = [p for p in fs.ls(part_dir) if p.startswith("part-")]
+        if not parts:
+            continue
+        # exactly one part per partition dir: grouped has one row per
+        # submission, and one row lands in one task
+        dst = out_dir.rstrip("/") + f"/{sid}.html"
+        fs.delete(dst)
+        fs.rename(part_dir + "/" + parts[0], dst)
+        # ChecksumFileSystem (file://) renames the .crc sidecar along;
+        # real object stores have none — delete is missing-ok either way
+        fs.delete(out_dir.rstrip("/") + f"/.{sid}.html.crc")
+        n += 1
+    fs.delete(staging)
+    return n
