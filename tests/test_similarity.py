@@ -456,3 +456,36 @@ def test_ivf_survives_prior_topk_collect_in_same_session(spark):
     assert len(got) == 10
     got_b = qs["similarity_topk_ivf_batch"](spark, SF_ORACLE).collect()
     assert len(got_b) > 0
+
+
+def test_ivf_barrier_survives_the_optimizer(spark, monkeypatch):
+    """VERDICT r6 item 5: ``_cell_join_barrier``'s ``floor(rand(0)*0)``
+    no-op is load-bearing — it stops Catalyst propagating constraints
+    through the in-query cell assignment, which mis-binds the
+    higher-order-function expression behind the cells⋈probed-cells join
+    (order-dependent INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, see the
+    barrier's docstring).  A Spark upgrade that starts constant-folding
+    the expression would silently resurrect the crash; this canary
+    pins its presence in the OPTIMIZED plan, after every folding rule
+    has run."""
+    emb = _emb(spark, n=40, dim=16)
+    qv = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q"))
+
+    def optimized_plan():
+        out = sim.cosine_topk_ivf(emb, qv, k=5, n_cells=4, n_probe=2)
+        return out._jdf.queryExecution().optimizedPlan().toString()
+
+    assert "rand(" in optimized_plan(), (
+        "the IVF constraint barrier (similarity._cell_join_barrier, "
+        "floor(rand(0)*0)) was folded away by the optimizer — without a "
+        "nondeterministic marker Catalyst derives join-key constraints "
+        "through the cell column and the ATTRIBUTE_NOT_FOUND crash it "
+        "guards against comes back; re-establish a barrier the "
+        "optimizer cannot remove before trusting IVF queries"
+    )
+
+    # prove the canary detects removal: with the barrier patched out,
+    # the marker must vanish from the same plan (i.e. a deleted barrier
+    # line turns this test red, not silently green)
+    monkeypatch.setattr(sim, "_cell_join_barrier", lambda df: df)
+    assert "rand(" not in optimized_plan()
