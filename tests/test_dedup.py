@@ -422,7 +422,9 @@ def _spans_reference(rows, n, stride, min_occ):
     oracle comparison: same ASCII whitespace tokenization (re.ASCII —
     Java's \\s is ASCII-only), same window fingerprints (md5 of the
     lowercased space-joined slice), same single-winner rule
-    (min (id, start)), same trailing-separator-preserving rebuild."""
+    (min (id, start)), same winner-range protection (a token inside a
+    winner span is never removed, so the surviving copy stays intact
+    at stride < n), same trailing-separator-preserving rebuild."""
     import hashlib
     import re
 
@@ -446,13 +448,15 @@ def _spans_reference(rows, n, stride, min_occ):
     by_fp = {}
     for fp, i, s in occ:
         by_fp.setdefault(fp, []).append((i, s))
-    drop = {}
+    drop, wins = {}, {}
     for fp, os_ in by_fp.items():
         if len(os_) >= min_occ:
             winner = min(os_)
             for i, s in os_:
                 if (i, s) != winner:
                     drop.setdefault(i, []).append(s)
+                else:
+                    wins.setdefault(i, []).append(s)
     out = {}
     for i, txt in rows:
         ts, seps = parsed[i]
@@ -460,9 +464,12 @@ def _spans_reference(rows, n, stride, min_occ):
         if not spans:
             out[i] = (txt, 0)
             continue
+        protected = wins.get(i, [])
         pieces, kept = [], 0
         for idx, t in enumerate(ts):
-            if any(s <= idx < s + n for s in spans):
+            if any(s <= idx < s + n for s in spans) and not any(
+                s <= idx < s + n for s in protected
+            ):
                 continue
             kept += 1
             pieces.append(t + (seps[idx] if idx < len(seps) else ""))
@@ -558,6 +565,27 @@ def test_repeated_spans_preserves_line_structure(spark):
     assert got[2].count("\n") == 3  # all newlines survive the removal
     assert got[2] == "line one here\nline two there\nX\nlast line four"
     release_pins(out)
+
+
+def test_repeated_spans_winner_protected_at_overlapping_stride(spark):
+    """VERDICT r6 item 8: with stride < n a dropped span can cover the
+    winner's tokens; the surgery must protect the winner's range so one
+    intact copy survives at every stride.  'A B A B A B' with n=4,
+    stride=2 fingerprints the same window at starts 0 and 2; dropping
+    start 2 unprotected would delete tokens 2-5 and mutilate the
+    winner down to 'A B'."""
+    from timesearch_spark.operators.dedup import (
+        release_pins, remove_repeated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "A B A B A B")], "doc_id long, text string"
+    )
+    out = remove_repeated_spans(docs, n=4, stride=2)
+    r = out.first()
+    release_pins(out)
+    assert r["text"] == "A B A B"
+    assert r["n_removed_tokens"] == 2
 
 
 def test_repeated_spans_fuzz_adversarial_whitespace(spark):

@@ -1063,10 +1063,13 @@ def remove_repeated_spans(
     than a stride survive.  That is the standard cost of making the
     operator one explode + one hash aggregate instead of a distributed
     suffix-array build; pick ``stride < n`` for more recall at
-    proportionally more window rows — noting that with OVERLAPPING
-    windows a winner's tokens can be deleted by a different dropped
-    span covering them, so the one-surviving-copy guarantee is exact
-    only for ``stride >= n``.  Distinct from
+    proportionally more window rows.  Winner token ranges are PROTECTED
+    in the surgery pass, so the surviving copy stays intact at every
+    stride — with overlapping windows a dropped span may cover a
+    winner's tokens, and only its non-protected tokens are removed.
+    The dual consequence: a duplicate occurrence overlapping a
+    different fingerprint's winner can retain the overlapped tokens
+    (over-retention, never winner mutilation).  Distinct from
     :func:`remove_repeated_paragraphs`: that rung needs paragraph
     boundaries and drops EVERY occurrence of frequent boilerplate,
     this one is structure-free and keeps one copy.
@@ -1139,19 +1142,34 @@ def remove_repeated_spans(
         .filter(F.col("__n_occ") >= min_occurrences)
         .select("__fp", "__win")
     )
+    # One pass splits each repeated occurrence into dropped spans and
+    # winner spans per doc.  Winner spans PROTECT their token range in
+    # the surgery below: with overlapping windows (stride < n) a
+    # different dropped span can cover a winner's tokens, and without
+    # protection the "one surviving copy" would be silently mutilated
+    # (r6 item 8).  Docs whose only occurrences are winners drop out
+    # via the size filter, keeping their bytes untouched.
+    is_win = (F.col(id_col) == F.col(f"__win.{id_col}")) & (
+        F.col("__start") == F.col("__win.__start")
+    )
     drop = (
         occ.join(winners, "__fp")
-        .filter(
-            ~(
-                (F.col(id_col) == F.col(f"__win.{id_col}"))
-                & (F.col("__start") == F.col("__win.__start"))
-            )
-        )
         .groupBy(id_col)
-        .agg(F.collect_list("__start").alias("__spans"))
+        .agg(
+            F.collect_list(
+                F.when(~is_win, F.col("__start"))
+            ).alias("__spans"),
+            F.collect_list(
+                F.when(is_win, F.col("__start"))
+            ).alias("__wins"),
+        )
+        .filter(F.size("__spans") > 0)
     )
     def _covered(i):
-        return F.exists(F.col("__spans"), lambda s: (i >= s) & (i < s + n))
+        # removed = inside a dropped span AND outside every winner span
+        return F.exists(
+            F.col("__spans"), lambda s: (i >= s) & (i < s + n)
+        ) & ~F.exists(F.col("__wins"), lambda s: (i >= s) & (i < s + n))
 
     # kept token i re-emits with its original trailing separator
     # (element i+1 of the 1-indexed seps array; the last token has
