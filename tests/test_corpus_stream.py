@@ -264,3 +264,40 @@ def test_vacuum_handles_staging_residue(spark, tmp_path):
     assert not os.path.isdir(stale)
     assert os.path.isdir(inflight)
     assert store.index().count() == 2  # live index untouched
+
+
+def test_corpus_lease_serializes_concurrent_ingest(spark, tmp_path):
+    """Two lease-enabled ingest writers released into contention both
+    commit; the corpus holds all docs and the version advanced twice."""
+    import threading
+    import time as _time
+
+    from timesearch_spark.fs import WriterLease, get_fs
+
+    root = str(tmp_path / "corpus_lease")
+    a = CorpusStore(spark, root, lease_timeout_sec=60.0)
+    b = CorpusStore(spark, root, lease_timeout_sec=60.0)
+    a.ingest_batch(_b(spark, [(1, "w", "en", "seed doc")]))
+
+    gate = WriterLease(get_fs(spark, root), root).acquire()
+    errors = []
+
+    def run(store, doc_id, text):
+        try:
+            store.ingest_batch(_b(spark, [(doc_id, "w", "en", text)]))
+        except Exception as exc:  # pragma: no cover - failure reporting
+            errors.append(exc)
+
+    ta = threading.Thread(target=run, args=(a, 2, "doc two"))
+    tb = threading.Thread(target=run, args=(b, 3, "doc three"))
+    ta.start(); tb.start()
+    _time.sleep(1.0)
+    assert a.version() == 1  # both gated
+    gate.release()
+    ta.join(120); tb.join(120)
+
+    assert not errors, errors
+    assert a.version() == 3
+    assert sorted(r["text"] for r in a.corpus().collect()) == [
+        "doc three", "doc two", "seed doc",
+    ]

@@ -38,6 +38,8 @@ import json
 import os
 import re
 import shutil
+import time
+import uuid
 
 _SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
 
@@ -103,6 +105,17 @@ class LocalFS:
     def open_write(self, path: str):
         """Streaming text writer (driver-side export sinks)."""
         return open(path, "w", encoding="utf-8")
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Create-if-absent (the lease primitive): True when this call
+        created the file, False when it already existed.  POSIX O_EXCL —
+        atomic on local filesystems."""
+        try:
+            with open(path, "x", encoding="utf-8") as f:
+                f.write(text)
+            return True
+        except FileExistsError:
+            return False
 
 
 class HadoopFS:
@@ -215,6 +228,27 @@ class HadoopFS:
         p = self._path(path)
         return _JWriteStream(self._fs(p).create(p, True))
 
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Create-if-absent via ``FileSystem.create(overwrite=false)``:
+        atomic on HDFS and local file://.  On S3-style stores the
+        existence check and the PUT are separate operations — there the
+        lease is advisory (mirrors the rename caveat in the module
+        docstring); pair with a transactional catalog for hard
+        exclusion."""
+        p = self._path(path)
+        fs = self._fs(p)
+        try:
+            out = fs.create(p, False)
+        except Exception:
+            if fs.exists(p):
+                return False
+            raise
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
 
 class _JStreamFile:
     """Minimal seekable file-like over an FSDataInputStream — enough for
@@ -303,6 +337,89 @@ class _JWriteStream:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class LeaseTimeout(Exception):
+    """Raised when a writer could not acquire the lease inside its
+    bounded wait — the holder is alive (fresh heartbeat timestamp) and
+    slow, or the timeout is shorter than a realistic commit."""
+
+
+class WriterLease:
+    """Cooperative single-writer lease over a store directory, built on
+    the one conditional primitive every Hadoop-compatible FS offers:
+    create-if-absent of a small lock file.
+
+    Two well-behaved writers SERIALIZE instead of one aborting: the
+    loser of the create polls until the holder releases (bounded by
+    ``timeout_sec``), then acquires and proceeds against the winner's
+    committed state.  A lease older than its ``ttl_sec`` is presumed
+    crashed and broken by the next waiter — TTL breaking is best-effort
+    crash recovery (two simultaneous breakers can collide on the
+    non-atomic delete+create), which is why the stores KEEP their
+    version CAS as the correctness backstop; the lease exists so the
+    CAS never fires between live cooperating writers.
+
+    On S3-style object stores ``create_exclusive`` is advisory (see
+    HadoopFS.create_exclusive) — same story: liveness optimization
+    above, CAS below."""
+
+    def __init__(
+        self,
+        fs,
+        dir_path: str,
+        owner: str | None = None,
+        timeout_sec: float = 120.0,
+        ttl_sec: float = 600.0,
+        poll_sec: float = 0.25,
+    ):
+        self._fs = fs
+        self.path = dir_path.rstrip("/") + "/_writer.lease"
+        self.owner = owner or uuid.uuid4().hex
+        self.timeout_sec = timeout_sec
+        self.ttl_sec = ttl_sec
+        self.poll_sec = poll_sec
+
+    def acquire(self) -> "WriterLease":
+        deadline = time.monotonic() + self.timeout_sec
+        body = json.dumps(
+            {
+                "owner": self.owner,
+                "acquired_at": time.time(),
+                "ttl_sec": self.ttl_sec,
+            }
+        )
+        while True:
+            if self._fs.create_exclusive(self.path, body):
+                return self
+            held: dict = {}
+            try:
+                held = json.loads(self._fs.read_text(self.path))
+                age = time.time() - float(held.get("acquired_at", 0))
+                if age > float(held.get("ttl_sec", self.ttl_sec)):
+                    # holder presumed crashed: break and re-contend
+                    self._fs.delete(self.path)
+                    continue
+            except FileNotFoundError:
+                continue  # released between create and read: re-contend
+            except (ValueError, KeyError, TypeError):
+                pass  # unreadable lock: treat as held, keep waiting
+            if time.monotonic() >= deadline:
+                raise LeaseTimeout(
+                    f"could not acquire writer lease {self.path} within "
+                    f"{self.timeout_sec:g}s (holder "
+                    f"{held.get('owner', '?')} still live)"
+                )
+            time.sleep(self.poll_sec)
+
+    def release(self) -> None:
+        self._fs.delete(self.path)
+
+    def __enter__(self) -> "WriterLease":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
 def read_json(fs, path: str, default: dict | None = None) -> dict:

@@ -46,15 +46,23 @@ class CorpusStore:
     (atomic rename) naming the live batch list and index version."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 neardup_threshold: float | None = None):
+                 neardup_threshold: float | None = None,
+                 lease_timeout_sec: float | None = None):
         """``neardup_threshold``: when set, batches are ALSO tagged
         against the persisted minhash index (signature-estimated
         Jaccard >= threshold rejects) and batch-internal near-dups
         collapse to their min-id keeper — fuzzy dedup at ingest, not
-        just exact content identity."""
+        just exact content identity.
+
+        ``lease_timeout_sec``: when set, ingest_batch/compact_batches
+        run under a WriterLease on the store root so cooperating
+        writers serialize instead of the loser aborting with
+        ConcurrentWriteError (see ParquetMergeStore for the contract;
+        the version CAS stays armed as the backstop)."""
         self.spark = spark
         self.path = path
         self.neardup_threshold = neardup_threshold
+        self.lease_timeout_sec = lease_timeout_sec
         # metadata IO (pointer, listings, reclaim) through the fs shim:
         # object-store capable; data IO is Spark parquet either way
         self._fs = get_fs(spark, path)
@@ -73,6 +81,18 @@ class CorpusStore:
 
     def _swap_pointer(self, ptr: dict) -> None:
         write_json_atomic(self._fs, self._pointer_file(), ptr)
+
+    def _lease(self):
+        """Writer lease (no-op guard when leasing is off)."""
+        from contextlib import nullcontext
+
+        from timesearch_spark.fs import WriterLease
+
+        if self.lease_timeout_sec is None:
+            return nullcontext()
+        return WriterLease(
+            self._fs, self.path, timeout_sec=self.lease_timeout_sec
+        )
 
     def version(self) -> int:
         return self._pointer()["version"]
@@ -129,7 +149,8 @@ class CorpusStore:
         if n_seen == 0:
             return {"seen": 0, "new": 0}
         try:
-            return self._ingest_pinned(batch, n_seen, pinned)
+            with self._lease():
+                return self._ingest_pinned(batch, n_seen, pinned)
         finally:
             # drop the per-batch signature caches on EVERY exit path —
             # a loop that catches ConcurrentWriteError and retries must
@@ -261,6 +282,10 @@ class CorpusStore:
         doc ids, not batch paths, so dedup state is untouched.  Returns
         {'batches_before', 'batches_after', 'files_before',
         'files_after'}."""
+        with self._lease():
+            return self._compact_impl(target_mb)
+
+    def _compact_impl(self, target_mb: int) -> dict:
         ptr = self._pointer()
 
         # Reclaim orphans first: unlisted batch dirs are crash residue

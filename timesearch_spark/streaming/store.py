@@ -91,13 +91,24 @@ class ParquetMergeStore:
         text_col: str = "body",
         store_edits: bool = True,
         n_buckets: int = N_BUCKETS_DEFAULT,
+        lease_timeout_sec: float | None = None,
     ):
+        """``lease_timeout_sec``: when set, every write path (merge,
+        overwrite_snapshot) runs under a :class:`~timesearch_spark.fs.
+        WriterLease` on the store root — two cooperating writers
+        SERIALIZE (the later one blocks up to this many seconds, then
+        plans against the winner's committed snapshot) instead of the
+        loser aborting with ConcurrentWriteError.  None (default) keeps
+        the plain optimistic protocol; the version CAS stays armed
+        either way as the correctness backstop (the lease is advisory
+        on S3-style stores — see fs.HadoopFS.create_exclusive)."""
         self.spark = spark
         self.path = path
         self.schema = schema
         self.key = key
         self.text_col = text_col
         self.store_edits = store_edits
+        self.lease_timeout_sec = lease_timeout_sec
         # metadata IO routes through the fs shim, so the store works on
         # any Hadoop-compatible filesystem (s3a/hdfs/file), not just the
         # local disk the reference's SQLite assumed (tsdb.py:19-32)
@@ -107,6 +118,18 @@ class ParquetMergeStore:
         # were written with.
         self.n_buckets = int(self._pointer().get("n_buckets", n_buckets))
         self._fs.mkdirs(path)
+
+    def _lease(self):
+        """Writer lease (or a no-op guard when leasing is off)."""
+        from contextlib import nullcontext
+
+        from timesearch_spark.fs import WriterLease
+
+        if self.lease_timeout_sec is None:
+            return nullcontext()
+        return WriterLease(
+            self._fs, self.path, timeout_sec=self.lease_timeout_sec
+        )
 
     # -- bucket math ----------------------------------------------------------
 
@@ -323,7 +346,23 @@ class ParquetMergeStore:
         writes just those buckets at version N+1, and repoints them in
         the manifest — untouched buckets are never read or rewritten.
         ``stats`` carries TSDB.insert-style counters (tsdb.py:335-339).
-        """
+
+        With ``lease_timeout_sec`` set the whole merge — base-version
+        read through pointer commit — runs under the writer lease, so
+        concurrent cooperating writers queue instead of racing."""
+        with self._lease():
+            return self._merge_impl(
+                batch, observed_at, batch_order_col, compute_stats, mutable
+            )
+
+    def _merge_impl(
+        self,
+        batch: DataFrame,
+        observed_at: int | None = None,
+        batch_order_col: str | None = None,
+        compute_stats: bool = True,
+        mutable: list[str] | None = None,
+    ) -> UpsertResult:
         if observed_at is None:
             observed_at = int(time.time())
         if self._is_legacy_flat():
@@ -470,7 +509,12 @@ class ParquetMergeStore:
         self, df: DataFrame, schema_version: int = SCHEMA_VERSION
     ) -> int:
         """Full-table rewrite (migrations, merge_db): every bucket lands
-        at the new version.  Returns the new version."""
+        at the new version.  Returns the new version.  Runs under the
+        writer lease when ``lease_timeout_sec`` is set."""
+        with self._lease():
+            return self._overwrite_impl(df, schema_version)
+
+    def _overwrite_impl(self, df: DataFrame, schema_version: int) -> int:
         base_version = self.version()
         new_version = base_version + 1
         vdir = self._version_dir(new_version)
