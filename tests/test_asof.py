@@ -320,6 +320,23 @@ def test_interval_inverted_interval_guard(spark):
         bad.collect()
 
 
+def test_interval_same_bucket_inversion_also_raises(spark):
+    # end < start INSIDE one bucket gives n_buckets == 1, so the bucket
+    # arithmetic alone can't see the inversion — the raw-column guard
+    # must still fail loudly instead of silently matching nothing
+    points = spark.createDataFrame([(1, 75)], "user_id long, ts_sec long")
+    inverted = spark.createDataFrame(
+        [(1, 100, 50)],  # start_b == end_b == 0 at bucket_sec=3600
+        "user_id long, session_start long, session_end long",
+    )
+    bad = interval_join(
+        points, inverted, point_ts="ts_sec", start_col="session_start",
+        end_col="session_end", on=["user_id"], bucket_sec=3600,
+    )
+    with pytest.raises(Exception, match="interval_join: an interval spans"):
+        bad.collect()
+
+
 def test_asof_tie_break_on_right_order_cols(spark):
     # two right rows at the SAME timestamp: without right_order_cols the
     # winner is shuffle-order-dependent; with it, the greatest wins

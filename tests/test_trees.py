@@ -4,7 +4,12 @@ reachability, phantom parents, score-desc render order, preorder positions.
 
 from __future__ import annotations
 
-from timesearch_spark.operators.trees import comment_forest, render_comment_html
+from timesearch_spark.operators.trees import (
+    comment_forest,
+    comment_forest_auto,
+    comment_forest_big,
+    render_comment_html,
+)
 
 COLS = "idstr string, parent string, submission string, created long, score long"
 
@@ -90,3 +95,113 @@ def test_null_scores_sort_as_zero_not_nan(spark):
     for _ in range(3):
         out = sorted(_forest(spark, rows).collect(), key=lambda r: r["position"])
         assert [r["idstr"] for r in out] == ["t1_c", "t1_a", "t1_b"]
+
+
+# --- mega-thread (distributed walk) ------------------------------------------
+
+def _both(spark, rows, **big_kw):
+    """(sequential rows, distributed rows) as sorted comparable tuples."""
+    df = spark.createDataFrame(rows, COLS)
+    seq = sorted(map(tuple, comment_forest(df).collect()), key=lambda t: (t[0], t[4]))
+    big = sorted(map(tuple, comment_forest_big(df, **big_kw).collect()),
+                 key=lambda t: (t[0], t[4]))
+    return seq, big
+
+
+def test_big_walk_matches_sequential_goldens(spark):
+    """Every golden scenario — score order, phantoms, deep chains, multi
+    thread — produces byte-identical rows from the pointer-doubling walk."""
+    rows = [
+        # thread s1: score-desc siblings + grandchild
+        ("t1_a", "t3_s1", "s1", 1, 5),
+        ("t1_b", "t3_s1", "s1", 2, 9),
+        ("t1_c", "t1_a", "s1", 3, 1),
+        # thread s2: phantom parent + null score + tie broken by idstr
+        ("t1_d", "t3_s2", "s2", 1, None),
+        ("t1_e", "t1_missing", "s2", 2, 7),
+        ("t1_f", "t3_s2", "s2", 3, None),
+        # thread s3: 12-deep chain (multiple doubling rounds)
+        *[
+            (f"t1_g{i}", ("t3_s3" if i == 0 else f"t1_g{i-1}"), "s3", i, i)
+            for i in range(12)
+        ],
+    ]
+    seq, big = _both(spark, rows)
+    assert seq == big and len(seq) == len(rows) + 1  # +1 phantom
+
+
+def test_big_walk_drops_cycles_like_sequential(spark):
+    """Parent cycles are unreachable from the root: the reference's
+    root-anchored walk never emits them, and neither arm here does."""
+    rows = [
+        ("t1_a", "t3_s", "s", 1, 1),
+        ("t1_x", "t1_y", "s", 2, 5),   # cycle x <-> y
+        ("t1_y", "t1_x", "s", 3, 5),
+        ("t1_z", "t1_z", "s", 4, 2),   # self-parent
+    ]
+    seq, big = _both(spark, rows)
+    assert seq == big
+    assert [t[1] for t in seq] == ["t1_a"]
+
+
+def test_big_walk_randomized_forest(spark):
+    """Fuzz mirror: random forests (phantoms, ties, nulls, deep chains)
+    agree between the one-task walk and the distributed walk."""
+    import random
+
+    rng = random.Random(8)
+    rows = []
+    for s in range(6):
+        ids = []
+        for i in range(rng.randrange(1, 60)):
+            idstr = f"t1_s{s}n{i}"
+            r = rng.random()
+            if not ids or r < 0.2:
+                parent = f"t3_s{s}"
+            elif r < 0.3:
+                parent = f"t1_ghost{rng.randrange(3)}"  # phantom (shared)
+            else:
+                parent = rng.choice(ids)
+            score = rng.choice([None, 0, 1, 5, 5, -3, 100])
+            rows.append((idstr, parent, f"s{s}", i, score))
+            ids.append(idstr)
+    seq, big = _both(spark, rows)
+    assert seq == big
+
+
+def test_auto_routes_hot_thread_and_matches(spark):
+    """Fixture from the round brief: one thread ~100x the p99 size.  The
+    probe must route it to the distributed walk, and the union must equal
+    the plain walk's output exactly."""
+    rng_rows = []
+    for s in range(40):                      # p99-ish threads: 5 comments
+        for i in range(5):
+            rng_rows.append(
+                (f"t1_s{s}n{i}",
+                 (f"t3_s{s}" if i == 0 else f"t1_s{s}n{i-1}"),
+                 f"s{s}", i, i % 3)
+            )
+    mega = "smega"                           # one 500-comment mega thread
+    for i in range(500):
+        parent = f"t3_{mega}" if i % 10 == 0 else f"t1_m{i // 2}"
+        rng_rows.append((f"t1_m{i}", parent, mega, i, i % 11))
+    df = spark.createDataFrame(rng_rows, COLS)
+
+    plain = sorted(map(tuple, comment_forest(df).collect()))
+    auto = sorted(
+        map(
+            tuple,
+            comment_forest_auto(
+                df, share_threshold=0.05, min_rows=10, sample_fraction=1.0
+            ).collect(),
+        )
+    )
+    assert plain == auto and len(auto) >= 500
+
+    # and the probe really is load-bearing: the mega thread alone IS hot
+    from timesearch_spark.operators.skew import detect_hot_keys
+    hot = detect_hot_keys(
+        df, ["submission"], share_threshold=0.05, min_rows=10,
+        sample_fraction=1.0,
+    ).collect()
+    assert [r["submission"] for r in hot] == [mega]

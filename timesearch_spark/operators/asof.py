@@ -244,12 +244,17 @@ def interval_join(
     start_b = F.floor(F.col(start_col) / b).cast("long")
     end_b = F.floor(F.col(end_col) / b).cast("long")
     n_buckets = end_b - start_b + F.lit(1)
-    # n_buckets < 1 means an inverted interval (end < start): Spark's
-    # sequence(start_b, end_b) silently DESCENDS, exploding bogus bucket
-    # rows that can never satisfy the BETWEEN — fail as loudly as the
-    # too-many-buckets case instead.
+    # n_buckets < 1 means an inverted interval (end < start) crossing a
+    # bucket boundary: Spark's sequence(start_b, end_b) silently
+    # DESCENDS, exploding bogus bucket rows that can never satisfy the
+    # BETWEEN — fail as loudly as the too-many-buckets case instead.
+    # The raw-column test catches the SAME-bucket inversion too (e.g.
+    # start=100, end=50 under bucket_sec=3600 gives n_buckets=1), which
+    # would otherwise silently produce no matches.
     guarded_start = F.when(
-        (n_buckets > max_buckets) | (n_buckets < 1),
+        (n_buckets > max_buckets)
+        | (n_buckets < 1)
+        | (F.col(end_col) < F.col(start_col)),
         F.raise_error(
             F.concat(
                 F.lit("interval_join: an interval spans "),

@@ -169,10 +169,22 @@ def decontaminate(
     ).distinct()
     bench_side = F.broadcast(bench_grams)
     if max_broadcast_grams is not None:
-        # bounded probe: counts at most max+1 rows, never materializes
-        # the gram set anywhere — one small job over the benchmark only
-        if bench_grams.limit(max_broadcast_grams + 1).count() > max_broadcast_grams:
-            bench_side = bench_grams
+        # Footer ceiling first (no job): distinct word-n-grams can't
+        # outnumber the benchmark's words, and words can't outnumber its
+        # text bytes, so footer bytes × a 10× parquet-compression margin
+        # bounds the gram count — provably-small benchmarks broadcast
+        # without paying the probe job at plan-build time.
+        from timesearch_spark.tables import byte_size_bound
+
+        bb = byte_size_bound(benchmark)
+        if bb is None or bb * 10 > max_broadcast_grams:
+            # bounded probe: counts at most max+1 rows, never
+            # materializes the gram set — one small benchmark-only job
+            if (
+                bench_grams.limit(max_broadcast_grams + 1).count()
+                > max_broadcast_grams
+            ):
+                bench_side = bench_grams
     out = (
         doc_grams.join(bench_side, on="gram")
         .groupBy(id_col)

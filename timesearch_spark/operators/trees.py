@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TREE_SCHEMA = (
@@ -157,6 +157,220 @@ def comment_forest(comments: DataFrame, num_partitions: int | None = None) -> Da
             yield pd.DataFrame(out, columns=out_cols)
 
     return parted.mapInPandas(walk_partition, TREE_SCHEMA)
+
+
+def comment_forest_big(
+    comments: DataFrame, max_depth: int = 65536
+) -> DataFrame:
+    """:func:`comment_forest` for threads too large for one task.
+
+    The per-partition Python walk puts a whole thread on one task slot —
+    fine for the reference's domain (offline_reading.py:331-367 walks one
+    submission in one process precisely because threads are small), fatal
+    for the one mega-thread that serializes a stage.  This variant
+    computes the identical output with distributed relational passes:
+
+    1. one window ranks siblings under each parent by (score desc,
+       idstr asc) — the walk's visit order (offline_reading.py:211) — as
+       a zero-padded fixed-width path segment.  That parent-partitioned
+       window is the only per-key ordered stage left, and its groups are
+       single families, not whole threads;
+    2. pointer doubling builds every node's root path as the
+       concatenation of those segments: each round a node splices in its
+       known ancestor's (ancestor, path, hop count), so the known
+       ancestor jumps 1, 2, 4, ... levels per round — ``O(log depth)``
+       self-joins of the narrow per-node state, never depth-proportional
+       rounds, with per-round ``localCheckpoint`` to truncate lineage
+       (the :func:`~timesearch_spark.operators.dedup.
+       connected_components` recipe);
+    3. preorder position = rank of the path key within the thread: a
+       parent's path is a proper prefix of its descendants' paths and
+       siblings order by their rank segment, so lexicographic path order
+       IS the preorder walk.
+
+    Semantics parity with the sequential walk, including: phantom
+    parents for unknown ids materialized under the root with score 0
+    (offline_reading.py:360-366, one per missing id), top-level ``t3_``
+    parents remapped to the root, null/NaN scores ranked as 0, and
+    nodes unreachable from the root (parent cycles) silently dropped —
+    the reference's root-anchored walk never visits them either.
+    ``max_depth`` bounds the supported tree depth (rounds =
+    ``ceil(log2(max_depth)) + 1``); it also bounds per-row state, since
+    a cycle's hop count doubles every round and would otherwise grow
+    its path key without limit.  Nodes deeper than the bound are
+    dropped like unreachable ones.
+
+    Scale ledger: state is one narrow row per node; each round is one
+    equi-join on (submission, ancestor id) plus a LIMIT-1 convergence
+    probe — nothing super-linear in thread size ever materializes.
+    Path keys cost 8 bytes per ancestor level, so the final
+    position sort shuffles ~8·depth bytes per node."""
+    root = F.concat(F.lit("t3_"), F.regexp_replace("submission", "^t3_", ""))
+    base = comments.select(
+        F.col("submission").cast("string").alias("submission"),
+        F.col("idstr").cast("string").alias("idstr"),
+        F.col("parent").cast("string").alias("parent"),
+        F.coalesce(
+            F.nanvl(F.col("score").cast("double"), F.lit(0.0)), F.lit(0.0)
+        ).alias("__score"),
+        root.alias("__root"),
+    )
+    known = base.select(
+        F.col("submission").alias("__ksub"), F.col("idstr").alias("__kid")
+    ).distinct()
+    # Normalize parents (offline_reading.py:357-366): t3_* -> thread
+    # root; known comment id -> itself; unknown id -> phantom parent.
+    normed = (
+        base.join(
+            known,
+            (base["submission"] == known["__ksub"])
+            & (base["parent"] == known["__kid"]),
+            "left",
+        )
+        .select(
+            "submission",
+            "idstr",
+            F.when(F.col("parent").startswith("t3_"), F.col("__root"))
+            .otherwise(F.col("parent"))
+            .alias("parent"),
+            "__score",
+            "__root",
+            (
+                F.col("__kid").isNull()
+                & ~F.col("parent").startswith("t3_")
+            ).alias("__parent_missing"),
+        )
+    )
+    phantoms = (
+        normed.filter("__parent_missing")
+        .select("submission", F.col("parent").alias("idstr"), "__root")
+        .distinct()
+        .select(
+            "submission",
+            "idstr",
+            F.col("__root").alias("parent"),
+            F.lit(0.0).alias("__score"),
+            "__root",
+            F.lit(True).alias("phantom"),
+        )
+    )
+    nodes = (
+        normed.drop("__parent_missing")
+        .withColumn("phantom", F.lit(False))
+        .unionByName(phantoms)
+    )
+
+    # Sibling visit order as a fixed-width sortable segment (width 8 =
+    # up to 100M children per parent before overflow).
+    rank = F.row_number().over(
+        Window.partitionBy("submission", "parent").orderBy(
+            F.desc("__score"), F.asc("idstr")
+        )
+    )
+    # State invariant: ``path`` = rank segments for the chain from the
+    # child-of-anc down to this node; ``hops`` = edges from anc to node.
+    # A node is DONE when anc == its thread root.
+    state = nodes.select(
+        "submission",
+        "idstr",
+        "parent",
+        "phantom",
+        "__root",
+        F.col("parent").alias("anc"),
+        F.lpad(rank.cast("string"), 8, "0").alias("path"),
+        F.lit(1).alias("hops"),
+    ).localCheckpoint(eager=True)
+
+    rounds = max(1, (int(max_depth) - 1).bit_length() + 1)
+    for _ in range(rounds):
+        done = state.filter(F.col("anc") == F.col("__root"))
+        todo = state.filter(F.col("anc") != F.col("__root"))
+        if todo.limit(1).count() == 0:
+            break
+        anc_state = state.select(
+            F.col("submission").alias("__asub"),
+            F.col("idstr").alias("__aid"),
+            F.col("anc").alias("__aanc"),
+            F.col("path").alias("__apath"),
+            F.col("hops").alias("__ahops"),
+        )
+        advanced = (
+            todo.join(
+                anc_state,
+                (todo["submission"] == anc_state["__asub"])
+                & (todo["anc"] == anc_state["__aid"]),
+                "inner",  # every non-root anc is a known or phantom node
+            )
+            .select(
+                "submission",
+                "idstr",
+                "parent",
+                "phantom",
+                "__root",
+                F.col("__aanc").alias("anc"),
+                F.concat(F.col("__apath"), F.col("path")).alias("path"),
+                (F.col("hops") + F.col("__ahops")).alias("hops"),
+            )
+            # depth bound doubles as the cycle guard: a cycle member's
+            # hop count doubles every round and exits here in O(log)
+            # rounds instead of growing its path key forever
+            .filter(F.col("hops") <= F.lit(int(max_depth)))
+        )
+        state = done.unionByName(advanced).localCheckpoint(eager=True)
+
+    resolved = state.filter(F.col("anc") == F.col("__root"))
+    pos = F.row_number().over(Window.partitionBy("submission").orderBy("path"))
+    return resolved.select(
+        "submission",
+        "idstr",
+        "parent",
+        (F.col("hops") - F.lit(1)).cast("int").alias("depth"),
+        (pos - F.lit(1)).cast("int").alias("position"),
+        "phantom",
+    )
+
+
+def comment_forest_auto(
+    comments: DataFrame,
+    num_partitions: int | None = None,
+    share_threshold: float = 0.05,
+    min_rows: int = 500_000,
+    sample_fraction: float | None = None,
+    max_depth: int = 65536,
+) -> DataFrame:
+    """:func:`comment_forest` with mega-thread protection: a sampled
+    skew probe (:func:`~timesearch_spark.operators.skew.detect_hot_keys`)
+    finds submissions heavy enough to serialize a task slot, routes just
+    those through the distributed :func:`comment_forest_big` walk, and
+    everything else through the per-partition Python walk.  Both paths
+    produce identical rows, so the union is plan shape only.
+
+    Defaults fire on a thread holding >= 5% of all comments AND >=
+    500k rows — the regime where one task visibly outlasts the stage.
+    The probe costs two small driver jobs; use plain
+    :func:`comment_forest` when the corpus provably has no such threads
+    (the registry queries do — the bench corpus caps thread size)."""
+    from timesearch_spark.operators.skew import detect_hot_keys
+
+    hot = [
+        r["submission"]
+        for r in detect_hot_keys(
+            comments,
+            ["submission"],
+            share_threshold=share_threshold,
+            min_rows=min_rows,
+            sample_fraction=sample_fraction,
+        ).collect()
+    ]
+    if not hot:
+        return comment_forest(comments, num_partitions)
+    small = comment_forest(
+        comments.filter(~F.col("submission").isin(hot)), num_partitions
+    )
+    big = comment_forest_big(
+        comments.filter(F.col("submission").isin(hot)), max_depth=max_depth
+    )
+    return small.unionByName(big)
 
 
 def thread_stats(forest: DataFrame) -> DataFrame:

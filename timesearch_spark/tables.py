@@ -71,6 +71,21 @@ def row_count_bound(df: DataFrame) -> int | None:
         return None
 
 
+def byte_size_bound(df: DataFrame) -> int | None:
+    """Total on-disk bytes of ``df``'s parquet inputs from footer
+    metadata — no Spark job; None when no readable parquet backs the
+    plan.  A ceiling companion to :func:`row_count_bound` for gates
+    keyed on data VOLUME (e.g. word-gram counts, which are bounded by
+    text bytes, not row counts)."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        return sum(_file_meta(f)[1] for f in files)
+    except Exception:
+        return None
+
+
 def _scan_parallelism(
     files: list[str], default_parallelism: int,
     open_cost: int = 4 * 1024 * 1024, max_part: int = 128 * 1024 * 1024,
