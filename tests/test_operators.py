@@ -232,6 +232,52 @@ def test_funnel_progression(spark):
     assert out2 == {1: 1, 2: 1}
 
 
+def test_funnel_salted_matches_plain(spark):
+    """The chunk-transition salted funnel is EXACT: identical ladder to
+    the plain one-shuffle fold on golden and randomized inputs, with
+    bucket boundaries landing mid-progression."""
+    import random
+
+    from timesearch_spark.operators import windows as win
+
+    rng = random.Random(88)
+    rows = []
+    eid = 0
+    for u in range(12):
+        for _ in range(rng.randrange(1, 40)):
+            eid += 1
+            # spread over ~5 buckets at bucket_sec=100
+            rows.append(
+                (f"e{eid}", rng.randrange(0, 500) * 10**9, f"u{u}",
+                 rng.choice(["view", "click", "buy", "scroll"]), 0.0)
+            )
+    # one "bot" user with a dense burst crossing bucket boundaries
+    for ts in range(95, 305):
+        eid += 1
+        rows.append(
+            (f"e{eid}", ts * 10**9, "bot",
+             ["view", "click", "buy"][ts % 3], 0.0)
+        )
+    events = spark.createDataFrame(
+        rows,
+        "event_id string, ts long, user_id string, event_type string, value double",
+    )
+    steps = ["view", "click", "buy"]
+    plain = {r["stage"]: r["n_users"]
+             for r in win.funnel_progression(events, steps).collect()}
+    salted = {r["stage"]: r["n_users"]
+              for r in win.funnel_progression_salted(
+                  events, steps, bucket_sec=100).collect()}
+    assert plain == salted
+    # auto with a probe tuned to fire on the bot routes to the salted
+    # plan and still matches
+    auto = {r["stage"]: r["n_users"]
+            for r in win.funnel_progression_auto(
+                events, steps, bucket_sec=100, share_threshold=0.05,
+                min_rows=10, sample_fraction=1.0).collect()}
+    assert plain == auto
+
+
 def test_trending_topk(spark):
     from timesearch_spark.operators import windows as win
 

@@ -190,7 +190,9 @@ def funnel_progression(
     over the sorted array (whole-stage codegen'd, no Python); the stage
     rollup is a tiny second agg over one row per user.  Per-user state
     is bounded by that user's event count — the same bound sessionize
-    carries; salt the user key if one user dominates."""
+    carries; when one user CAN dominate a task, use
+    :func:`funnel_progression_salted` (exact chunk-transition form) or
+    :func:`funnel_progression_auto` (probe-chosen)."""
     ev = with_event_time(events)
     per_user = ev.groupBy(user_col).agg(
         F.array_sort(
@@ -201,6 +203,109 @@ def funnel_progression(
         F.col("stage") > 0
     )
     return _ladder(reached, len(steps))
+
+
+def funnel_progression_salted(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """:func:`funnel_progression` without the hot-user ceiling.
+
+    The plain funnel collects each user's whole event history into one
+    array on one task — a bot with 100M events serializes the stage.
+    The fold is COMPOSABLE, though: funnel state is just "steps
+    completed so far" (0..n), so any time-chunk of a user's events
+    defines a transition vector ``trans[k] = state after this chunk,
+    entering at state k``.  That makes the salted exact plan:
+
+    1. group by (user, ts-bucket): a hot user's events split across
+       time buckets, each task folding one bounded chunk;
+    2. per chunk, compute the full transition vector — n+1 codegen'd
+       folds over the sorted chunk (n = len(steps), so this is a
+       handful of array scans, not a blowup);
+    3. shuffle ONE tiny row per (user, bucket) — the vector, not the
+       events — and compose vectors in bucket order with a second
+       fold per user.
+
+    Within-chunk order is (ts_sec, type) and buckets compose in time
+    order, so the composition walks events in exactly the order the
+    plain funnel sorts them — results are identical for every input,
+    not just skewed ones (pinned by the fuzz test).  Per-task state is
+    bounded by events-per-(user, bucket); pick ``bucket_sec`` so a
+    pathological key's densest hour fits an executor.
+
+    ``session_funnel`` keeps the plain shape: its lag-window session
+    ids need the user's full ordered history in one pass, and chunked
+    session-boundary merging is not implemented."""
+    n = len(steps)
+    ev = with_event_time(events)
+    b = (F.floor(F.col("ts_sec") / bucket_sec)).alias("__bucket")
+    per_chunk = ev.groupBy(F.col(user_col), b).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts_sec"), F.col(type_col).alias("t")))
+        ).alias("seq")
+    )
+    steps_arr = F.lit(steps)
+
+    def fold_from(k: int):
+        return F.aggregate(
+            F.col("seq"),
+            F.lit(k),
+            lambda acc, e: F.when(
+                (acc < F.size(steps_arr))
+                & (e["t"] == F.element_at(steps_arr, acc + 1)),
+                acc + 1,
+            ).otherwise(acc),
+        )
+
+    # trans[k+1] = exit state entering at k (element_at is 1-based)
+    trans = per_chunk.select(
+        F.col(user_col),
+        F.col("__bucket"),
+        F.array(*[fold_from(k) for k in range(n + 1)]).alias("trans"),
+    )
+    composed = trans.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__bucket").alias("b"), F.col("trans")))
+        ).alias("chunks")
+    )
+    stage = F.aggregate(
+        F.col("chunks"),
+        F.lit(0),
+        lambda acc, c: F.element_at(c["trans"], acc + 1),
+    )
+    reached = composed.select(stage.alias("stage")).filter(F.col("stage") > 0)
+    return _ladder(reached, n)
+
+
+def funnel_progression_auto(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    bucket_sec: int = 3600,
+    share_threshold: float = 0.01,
+    min_rows: int = 100_000,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """:func:`funnel_progression` with the physical plan chosen by the
+    sampled skew probe (:func:`~timesearch_spark.operators.skew.
+    should_salt`): the one-shuffle plain fold when no user can dominate
+    a task, the chunk-transition :func:`funnel_progression_salted` form
+    when one can.  Identical output either way; the probe costs two
+    small driver jobs."""
+    from timesearch_spark.operators.skew import should_salt
+
+    if should_salt(
+        events, [user_col], share_threshold, min_rows, sample_fraction
+    ):
+        return funnel_progression_salted(
+            events, steps, user_col, type_col, bucket_sec
+        )
+    return funnel_progression(events, steps, user_col, type_col)
 
 
 def session_funnel(
