@@ -278,6 +278,44 @@ def test_funnel_salted_matches_plain(spark):
     assert plain == auto
 
 
+def test_session_funnel_salted_matches_plain(spark):
+    """Chunk-merged sessionization + composed per-session vectors give
+    the exact plain session_funnel ladder: seams that merge (dense
+    bursts crossing bucket edges), seams that don't, single-session
+    chunks, and interior sessions are all exercised by the fuzz loop."""
+    import random
+
+    from timesearch_spark.operators import windows as win
+
+    rng = random.Random(808)
+    steps = ["view", "click", "buy"]
+    for trial in range(3):
+        rows, eid = [], 0
+        for u in range(10):
+            t = rng.randrange(0, 50)
+            for _ in range(rng.randrange(1, 50)):
+                # mixed small and large gaps: some cross the gap_sec=40
+                # boundary (new session), some cross bucket_sec=100
+                # seams without a session break (merge path)
+                t += rng.choice([1, 2, 5, 45, 60, 120])
+                eid += 1
+                rows.append(
+                    (f"e{eid}", t * 10**9, f"u{u}",
+                     rng.choice(steps + ["scroll"]), 0.0)
+                )
+        events = spark.createDataFrame(
+            rows,
+            "event_id string, ts long, user_id string, "
+            "event_type string, value double",
+        )
+        plain = {r["stage"]: r["n_users"]
+                 for r in win.session_funnel(events, steps, gap_sec=40).collect()}
+        salted = {r["stage"]: r["n_users"]
+                  for r in win.session_funnel_salted(
+                      events, steps, gap_sec=40, bucket_sec=100).collect()}
+        assert plain == salted, f"trial {trial}: {plain} != {salted}"
+
+
 def test_trending_topk(spark):
     from timesearch_spark.operators import windows as win
 

@@ -205,6 +205,32 @@ def funnel_progression(
     return _ladder(reached, len(steps))
 
 
+def _trans_vector(steps: list[str]):
+    """Funnel transition vector over a sorted ``seq`` column:
+    ``trans[k+1]`` = funnel state after folding the chunk entering at
+    state ``k`` (element_at is 1-based).  n+1 codegen'd folds — n is
+    the step count, so a handful of array scans."""
+    steps_arr = F.lit(steps)
+
+    def fold_from(k: int):
+        return F.aggregate(
+            F.col("seq"),
+            F.lit(k),
+            lambda acc, e: F.when(
+                (acc < F.size(steps_arr))
+                & (e["t"] == F.element_at(steps_arr, acc + 1)),
+                acc + 1,
+            ).otherwise(acc),
+        )
+
+    return F.array(*[fold_from(k) for k in range(len(steps) + 1)])
+
+
+def _compose_trans(a, b):
+    """Composition of transition vectors: apply ``a`` then ``b``."""
+    return F.transform(a, lambda x: F.element_at(b, x + 1))
+
+
 def funnel_progression_salted(
     events: DataFrame,
     steps: list[str],
@@ -237,9 +263,7 @@ def funnel_progression_salted(
     bounded by events-per-(user, bucket); pick ``bucket_sec`` so a
     pathological key's densest hour fits an executor.
 
-    ``session_funnel`` keeps the plain shape: its lag-window session
-    ids need the user's full ordered history in one pass, and chunked
-    session-boundary merging is not implemented."""
+    The session-scoped analogue is :func:`session_funnel_salted`."""
     n = len(steps)
     ev = with_event_time(events)
     b = (F.floor(F.col("ts_sec") / bucket_sec)).alias("__bucket")
@@ -248,24 +272,11 @@ def funnel_progression_salted(
             F.collect_list(F.struct(F.col("ts_sec"), F.col(type_col).alias("t")))
         ).alias("seq")
     )
-    steps_arr = F.lit(steps)
-
-    def fold_from(k: int):
-        return F.aggregate(
-            F.col("seq"),
-            F.lit(k),
-            lambda acc, e: F.when(
-                (acc < F.size(steps_arr))
-                & (e["t"] == F.element_at(steps_arr, acc + 1)),
-                acc + 1,
-            ).otherwise(acc),
-        )
-
     # trans[k+1] = exit state entering at k (element_at is 1-based)
     trans = per_chunk.select(
         F.col(user_col),
         F.col("__bucket"),
-        F.array(*[fold_from(k) for k in range(n + 1)]).alias("trans"),
+        _trans_vector(steps).alias("trans"),
     )
     composed = trans.groupBy(user_col).agg(
         F.array_sort(
@@ -324,7 +335,9 @@ def session_funnel(
     Shape: the same single user-shuffle as sessionize (lag + running-sum
     session ids ride it), one codegen'd fold per (user, session) over the
     sorted per-session events, a per-user max, then the spine ladder.
-    Output: (stage, n_users)."""
+    Output: (stage, n_users).  When one user can dominate a task, use
+    :func:`session_funnel_salted` — identical results, chunk-merged
+    sessions."""
     flagged = _session_flags(events, gap_sec, user_col)
     per_session = flagged.groupBy(user_col, "session_seq").agg(
         F.array_sort(
@@ -338,6 +351,154 @@ def session_funnel(
     )
     reached = per_user.select("stage").filter(F.col("stage") > 0)
     return _ladder(reached, len(steps))
+
+
+def session_funnel_salted(
+    events: DataFrame,
+    steps: list[str],
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """:func:`session_funnel` without the hot-user ceiling.
+
+    Harder than the all-time funnel because session BOUNDARIES also
+    come from a per-user ordered pass (the lag window).  Both are
+    chunk-mergeable, though: the gap rule only compares consecutive
+    timestamps, so sessions computed inside a (user, time-bucket)
+    chunk are correct except at the seam — the chunk's first session
+    continues the previous chunk's last session iff the seam gap is
+    within ``gap_sec``.  And per-session funnel progressions are
+    transition vectors (:func:`funnel_progression_salted`), which
+    compose across a merged seam.  So the exact plan:
+
+    1. session-flag within (user, bucket) — the per-key window now
+       holds one bounded chunk, not the user's history;
+    2. fold each chunk-local session to a transition vector; keep per
+       chunk only (first_ts, last_ts, first/last session vectors, the
+       best stage among interior sessions, session count) — constant
+       size regardless of chunk volume;
+    3. one fold per user over the bucket-ordered chunk summaries,
+       carrying O(len(steps)) state: the still-open session's vector,
+       the last timestamp (for the seam test), and the best closed
+       stage.  Merged seams compose vectors; unmerged seams close the
+       open session.
+
+    A user's final stage = max(best closed, open session's stage),
+    identical to the plain :func:`session_funnel` on every input
+    (fuzz-pinned).  No stage ever materializes a hot user's events —
+    or even their session list — on one task."""
+    n = len(steps)
+    ev = with_event_time(events).withColumn(
+        "__bucket", F.floor(F.col("ts_sec") / bucket_sec)
+    )
+    # chunk-local session flags: same rule as _session_flags, window
+    # keyed by (user, bucket) so no task sees a whole hot user
+    w = Window.partitionBy(user_col, "__bucket").orderBy("ts_sec", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_sec") - F.lag("ts_sec").over(w) > gap_sec, 1
+        ).otherwise(F.when(F.lag("ts_sec").over(w).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = flagged.groupBy(user_col, "__bucket", "session_seq").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts_sec"), F.col(type_col).alias("t")))
+        ).alias("seq"),
+        F.min("ts_sec").alias("s_first"),
+        F.max("ts_sec").alias("s_last"),
+    )
+    per_sess = per_sess.select(
+        user_col,
+        "__bucket",
+        "session_seq",
+        "s_first",
+        "s_last",
+        _trans_vector(steps).alias("trans"),
+    )
+    sess_sorted = F.array_sort(
+        F.collect_list(F.struct(F.col("session_seq"), F.col("trans")))
+    )
+    per_chunk = (
+        per_sess.groupBy(user_col, "__bucket")
+        .agg(
+            F.min("s_first").alias("first_ts"),
+            F.max("s_last").alias("last_ts"),
+            sess_sorted.alias("ss"),
+        )
+        .select(
+            user_col,
+            "__bucket",
+            "first_ts",
+            "last_ts",
+            F.element_at("ss", 1)["trans"].alias("s_head"),
+            F.element_at("ss", -1)["trans"].alias("s_tail"),
+            F.size("ss").alias("m"),
+            # best stage among interior sessions (2..m-1): fully closed
+            # inside the chunk, can never merge across a seam
+            F.aggregate(
+                F.slice(
+                    "ss", F.lit(2), F.greatest(F.size("ss") - 2, F.lit(0))
+                ),
+                F.lit(0),
+                lambda a, s: F.greatest(a, F.element_at(s["trans"], 1)),
+            ).alias("inner_best"),
+        )
+    )
+    chunks_sorted = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__bucket").alias("b"),
+                F.col("first_ts"),
+                F.col("last_ts"),
+                F.col("s_head"),
+                F.col("s_tail"),
+                F.col("m"),
+                F.col("inner_best"),
+            )
+        )
+    )
+    per_user = per_chunk.groupBy(user_col).agg(chunks_sorted.alias("chunks"))
+
+    # Fold state: (last = last event ts so far, cur = open session's
+    # transition vector, best = best closed stage).  The identity
+    # vector makes the first chunk a plain "close nothing" step:
+    # element_at(identity, 1) == 0 and compose(identity, s) == s.
+    identity = F.array(*[F.lit(k) for k in range(n + 1)])
+    init = F.struct(
+        F.lit(None).cast("long").alias("last"),
+        identity.alias("cur"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, c):
+        merged = acc["last"].isNotNull() & (
+            (c["first_ts"] - acc["last"]) <= gap_sec
+        )
+        head = F.when(merged, _compose_trans(acc["cur"], c["s_head"])).otherwise(
+            c["s_head"]
+        )
+        single = c["m"] == 1
+        prev_closed = F.when(merged, F.lit(0)).otherwise(
+            F.element_at(acc["cur"], 1)
+        )
+        head_closed = F.when(single, F.lit(0)).otherwise(F.element_at(head, 1))
+        return F.struct(
+            c["last_ts"].alias("last"),
+            F.when(single, head).otherwise(c["s_tail"]).alias("cur"),
+            F.greatest(
+                acc["best"], prev_closed, head_closed, c["inner_best"]
+            ).alias("best"),
+        )
+
+    folded = F.aggregate(F.col("chunks"), init, step)
+    stage = F.greatest(folded["best"], F.element_at(folded["cur"], 1))
+    reached = per_user.select(stage.alias("stage")).filter(F.col("stage") > 0)
+    return _ladder(reached, n)
 
 
 def trending_topk(
