@@ -278,6 +278,50 @@ def test_funnel_salted_matches_plain(spark):
     assert plain == auto
 
 
+def test_sessionize_salted_matches_plain(spark):
+    """Exact parity including session ids: chunk-local sessions plus
+    calendar-bounded seam merging reproduce the plain per-user window
+    byte-for-byte — multi-chunk chains, interior sessions, single-event
+    users, and seams that do and don't merge."""
+    import random
+
+    from timesearch_spark.operators import windows as win
+
+    rng = random.Random(4040)
+    for trial in range(3):
+        rows, eid = [], 0
+        for u in range(12):
+            t = rng.randrange(0, 80)
+            for _ in range(rng.randrange(1, 60)):
+                t += rng.choice([1, 2, 5, 45, 60, 120, 250])
+                eid += 1
+                rows.append((f"e{eid}", t * 10**9, f"u{u}", "view", 0.0))
+        # a continuous "bot" stream: one session chaining through many
+        # bucket seams end-to-end
+        for t in range(500, 900, 10):
+            eid += 1
+            rows.append((f"e{eid}", t * 10**9, "bot", "view", 0.0))
+        events = spark.createDataFrame(
+            rows,
+            "event_id string, ts long, user_id string, "
+            "event_type string, value double",
+        )
+        plain = sorted(
+            map(tuple, win.sessionize(events, gap_sec=40).collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                win.sessionize_salted(
+                    events, gap_sec=40, bucket_sec=100
+                ).collect(),
+            )
+        )
+        assert plain == salted, f"trial {trial}"
+        bot = [r for r in plain if r[0] == "bot"]
+        assert len(bot) == 1 and bot[0][4] == 40  # one chained session
+
+
 def test_session_funnel_salted_matches_plain(spark):
     """Chunk-merged sessionization + composed per-session vectors give
     the exact plain session_funnel ladder: seams that merge (dense

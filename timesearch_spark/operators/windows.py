@@ -97,6 +97,128 @@ def sessionize(
     )
 
 
+def sessionize_salted(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """:func:`sessionize` without the hot-user ceiling — identical
+    output (ids included), no stage that passes one user's events, or
+    even their session list, through one task.
+
+    The plain form's exposure is the per-user lag window: all of a hot
+    key's events sort on one task.  Here the window runs per
+    (user, time-bucket) chunk instead, and the only cross-chunk
+    sequential question — does a chunk's first session continue the
+    previous chunk's last session? — is answered on the CHUNK summary
+    relation, whose per-user cardinality is bounded by the calendar
+    (time range / ``bucket_sec``), not by activity:
+
+    1. chunk-local sessionize: the gap rule inside each (user, bucket)
+       — correct everywhere except at chunk seams;
+    2. chunk summaries get seam-merge flags and, via one bounded
+       per-user window: the anchor chunk every merge chain roots at
+       (a chain passes only through single-session chunks), the count
+       of global sessions STARTING in each chunk, and its running
+       offset — which makes the final ``session_id`` pure arithmetic,
+       no rank over the session list;
+    3. sessions group by their chain label ((anchor, TAIL) for seam
+       chains, themselves otherwise) and aggregate (min start,
+       max end, sum n) — merged sessions combine, everything else
+       passes through 1:1.
+
+    Exact parity with :func:`sessionize` (fuzz-pinned), including the
+    1-based time-ordered ids."""
+    TAIL = 2**31  # > any chunk-local session_seq
+    ev = with_event_time(events).withColumn(
+        "__bucket", F.floor(F.col("ts_sec") / bucket_sec)
+    )
+    w = Window.partitionBy(user_col, "__bucket").orderBy("ts_sec", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_sec") - F.lag("ts_sec").over(w) > gap_sec, 1
+        ).otherwise(F.when(F.lag("ts_sec").over(w).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = flagged.groupBy(user_col, "__bucket", "session_seq").agg(
+        F.min("ts_sec").alias("s_start"),
+        F.max("ts_sec").alias("s_end"),
+        F.count("*").alias("s_n"),
+    )
+    chunks = per_sess.groupBy(user_col, "__bucket").agg(
+        F.min("s_start").alias("first_ts"),
+        F.max("s_end").alias("last_ts"),
+        F.max("session_seq").alias("m"),
+    )
+    cw = Window.partitionBy(user_col).orderBy("__bucket")
+    prev = cw.rowsBetween(Window.unboundedPreceding, -1)
+    chunks = (
+        chunks.withColumn(
+            # seam merge: this chunk's first event continues the
+            # previous chunk's last session (same strictness as the
+            # in-window gap rule)
+            "mrg",
+            F.coalesce(
+                F.col("first_ts") - F.lag("last_ts").over(cw) <= gap_sec,
+                F.lit(False),
+            ),
+        )
+        .withColumn("starts", F.col("m") - F.col("mrg").cast("long"))
+        .withColumn(
+            "offset",
+            F.coalesce(F.sum("starts").over(prev), F.lit(0)),
+        )
+        .withColumn(
+            # anchor of the merge chain through this seam: the nearest
+            # earlier chunk that is NOT a pass-through (pass-through =
+            # single session that itself merged backward)
+            "anchor",
+            F.max(
+                F.when(
+                    ~((F.col("m") == 1) & F.col("mrg")), F.col("__bucket")
+                )
+            ).over(prev),
+        )
+    )
+    s = per_sess.join(
+        chunks.select(
+            user_col, "__bucket", "m", "mrg", "starts", "offset", "anchor"
+        ),
+        [user_col, "__bucket"],
+    )
+    chained = (F.col("session_seq") == 1) & F.col("mrg")
+    is_tail = F.col("session_seq") == F.col("m")
+    lb = F.when(chained, F.col("anchor")).otherwise(F.col("__bucket"))
+    ls = F.when(chained | is_tail, F.lit(TAIL)).otherwise(F.col("session_seq"))
+    # the session_id of a chain is carried by its start constituent —
+    # the one group member that is not chained backward
+    cand = F.when(
+        chained, F.lit(None).cast("long")
+    ).otherwise(
+        F.col("offset")
+        + F.when(is_tail, F.col("starts")).otherwise(
+            F.col("session_seq") - F.col("mrg").cast("long")
+        )
+    )
+    s = s.withColumn("cand_id", cand)
+    return (
+        s.groupBy(F.col(user_col), lb.alias("__lb"), ls.alias("__ls"))
+        .agg(
+            F.min("cand_id").alias("session_id"),
+            F.min("s_start").alias("session_start"),
+            F.max("s_end").alias("session_end"),
+            F.sum("s_n").alias("n_events"),
+        )
+        .select(
+            user_col, "session_id", "session_start", "session_end", "n_events"
+        )
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     period_sec: int = 86400,
