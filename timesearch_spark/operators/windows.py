@@ -285,8 +285,14 @@ def _ladder(reached: DataFrame, n_steps: int) -> DataFrame:
         F.col("id").cast("int").alias("stage")
     )
     counts = spine.join(counts, "stage", "left").na.fill({"n_at_stage": 0})
-    # cumulative over <= n_steps rows: bounded by the step count
-    w = Window.orderBy(F.desc("stage")).rowsBetween(Window.unboundedPreceding, 0)
+    # cumulative over <= n_steps rows: bounded by the step count (the
+    # constant partition key only quiets WindowExec's unpartitioned-
+    # window warning — the data is a handful of rows either way)
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.desc("stage"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
         counts.withColumn("n_users", F.sum("n_at_stage").over(w))
         .select("stage", "n_users")

@@ -1792,6 +1792,43 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("events_session_funnel_salted")  # skew-immune twin — rows-only + pytest
+def events_session_funnel_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events_session_funnel` through the chunk-transition plan
+    (windows.session_funnel_salted): sessions computed per (user,
+    time-bucket), seams merged by composing per-session funnel
+    transition vectors in one bounded per-user fold.  Byte-identical
+    ladder to the plain query (exactness fuzz-pinned in
+    tests/test_operators.py); registered so the driver exercises the
+    hot-user-immune plan on real data."""
+    return win.session_funnel_salted(
+        load(spark, sf_dir, "events"),
+        ["view", "click", "signup", "purchase"], gap_sec=1800,
+    )
+
+
+@q("sessionize_salted")  # skew-immune twin — rows-only + pytest
+def sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sessionize` through the chunk-merged plan
+    (windows.sessionize_salted): the per-user ordered window is
+    replaced by (user, bucket) chunk windows plus a calendar-bounded
+    seam merge, ids reconstructed arithmetically.  Output (ids
+    included) byte-identical to the plain query — fuzz-pinned."""
+    return win.sessionize_salted(
+        load(spark, sf_dir, "events"), gap_sec=1800, bucket_sec=3600
+    )
+
+
+@q("tree_depth_dist")  # mega-thread-immune twin — rows-only + pytest
+def tree_depth_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`tree_depth` through the distributed pointer-doubling walk
+    (trees.comment_forest_big) instead of the per-partition Python
+    walk — the plan comment_forest_auto routes oversized threads to.
+    Same rows (parity fuzz-pinned in tests/test_trees.py)."""
+    forest = tr.comment_forest_big(_tree_comments(spark, sf_dir))
+    return forest.select("submission", "idstr", "depth")
+
+
 @q("events_trending")  # per-window top-k keys — rows-only + pytest
 def events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending rollup (windows.trending_topk): top-3 event types per
