@@ -55,6 +55,11 @@ HEADLINE = [
     "pipeline_curate",  # the five-rung curation ladder users actually run
     "tree_depth",
     "media_stats",
+    # skew-immune exact twins (round 8): same results as their plain
+    # forms, hot-key-proof plans — benched so the scaling probe covers
+    # the path a skewed corpus would actually take
+    "sessionize_salted",
+    "tree_depth_dist",
 ]
 
 
