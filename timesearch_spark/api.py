@@ -32,7 +32,10 @@ from timesearch_spark import schemas
 from timesearch_spark.operators import exports
 from timesearch_spark.operators.breakdown import breakdown as _breakdown
 from timesearch_spark.operators.merge import anti_join_merge
-from timesearch_spark.operators.trees import comment_forest, render_comment_html
+from timesearch_spark.operators.trees import (
+    comment_forest_auto,
+    render_comment_html,
+)
 from timesearch_spark.sources import ndjson as _ndjson
 from timesearch_spark.sources.paginated import (
     RateLimiter,
@@ -263,7 +266,10 @@ def offline_reading(archive: Archive, out_dir: str,
         from pyspark.sql import functions as F
 
         comments = comments.filter(F.col("submission") == sid)
-    forest = comment_forest(comments)
+    # auto: a sampled probe routes only mega-threads (>=5% share AND
+    # >=500k comments) through the distributed pointer-doubling walk —
+    # archives with bounded threads keep the cheap per-partition walk
+    forest = comment_forest_auto(comments)
     enriched = forest.join(
         comments.select("idstr", "body"), on="idstr", how="left"
     )
