@@ -220,3 +220,27 @@ def test_thread_html_on_file_scheme(spark, tmp_path):
 
     # idempotent re-run (file-per-key overwrite)
     assert write_thread_html(rendered, schemed_root) == 2
+
+
+def test_thread_html_raw_and_prefixed_names_are_one_thread(spark, tmp_path):
+    """Review r8: 'abc' and 't3_abc' are the SAME thread — grouping on
+    the raw key used to emit two rows with one output name, and the
+    staged sink would keep an arbitrary one of the two part files.
+    Both sinks must produce ONE file holding all comments, same bytes."""
+    from timesearch_spark.operators.exports import write_thread_html
+
+    rendered = spark.createDataFrame(
+        [("abc", 0, "<div>raw</div>"), ("t3_abc", 1, "<div>prefixed</div>")],
+        "submission string, position long, html string",
+    )
+    schemed_root = f"file://{tmp_path}/collide_schemed"
+    local_root = str(tmp_path / "collide_local")
+    assert write_thread_html(rendered, schemed_root) == 1
+    assert write_thread_html(rendered, local_root) == 1
+
+    schemed_local = str(tmp_path / "collide_schemed")
+    assert os.listdir(schemed_local) == ["t3_abc.html"]
+    a = open(os.path.join(schemed_local, "t3_abc.html")).read()
+    b = open(os.path.join(local_root, "t3_abc.html")).read()
+    assert a == b
+    assert "<div>raw</div>" in a and "<div>prefixed</div>" in a

@@ -629,3 +629,64 @@ def test_writer_lease_breaks_stale_holder(spark, tmp_path):
     )
     assert res.stats["inserted"] == 1
     assert store.version() == 1
+
+
+def test_writer_lease_acquired_at_reflects_acquisition_not_wait_start(
+    spark, tmp_path
+):
+    """Review r8: a lease acquired after polling must publish the time
+    it was ACQUIRED — stamping the wait start would erode (or instantly
+    exhaust) the published TTL and invite a spurious break."""
+    import json as _json
+    import threading
+    import time as _time
+
+    from timesearch_spark.fs import WriterLease, get_fs
+
+    path = str(tmp_path / "lease_fresh")
+    _os_makedirs = __import__("os").makedirs
+    _os_makedirs(path, exist_ok=True)
+    fs = get_fs(spark, path)
+    gate = WriterLease(fs, path).acquire()
+    got: dict = {}
+
+    def waiter():
+        lz = WriterLease(fs, path, poll_sec=0.05)
+        lz.acquire()
+        got["at"] = _time.time()
+        got["body"] = _json.loads(fs.read_text(lz.path))
+        lz.release()
+
+    t = threading.Thread(target=waiter)
+    t.start()
+    _time.sleep(1.5)  # waiter is polling the held lease the whole time
+    gate.release()
+    t.join(30)
+    assert got, "waiter never acquired"
+    # stamped at acquisition: the 1.5s spent waiting must NOT appear
+    assert got["at"] - got["body"]["acquired_at"] < 1.0
+
+
+def test_writer_lease_release_respects_ownership(spark, tmp_path):
+    """Review r8: a holder whose lease was TTL-broken must not delete
+    the breaker's live lease on release."""
+    from timesearch_spark.fs import WriterLease, get_fs
+
+    path = str(tmp_path / "lease_owner")
+    __import__("os").makedirs(path, exist_ok=True)
+    fs = get_fs(spark, path)
+    a = WriterLease(fs, path).acquire()
+    # simulate the TTL break: the lock vanishes and B takes it
+    fs.delete(a.path)
+    b = WriterLease(fs, path).acquire()
+    a.release()  # stalled holder exits late — must be a no-op
+    import json as _json
+
+    held = _json.loads(fs.read_text(b.path))
+    assert held["owner"] == b.owner  # B's live lease survived
+    b.release()
+    # and B's release really removes it
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        fs.read_text(b.path)

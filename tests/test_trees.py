@@ -205,3 +205,23 @@ def test_auto_routes_hot_thread_and_matches(spark):
         sample_fraction=1.0,
     ).collect()
     assert [r["submission"] for r in hot] == [mega]
+
+
+def test_auto_split_does_not_silently_drop_null_submissions(spark):
+    """Review r8: NULL submissions evaluate isin(hot) to NULL, so both
+    arms of the hot/cold split would silently drop them.  The auto path
+    must treat them exactly like the unsplit walk — which surfaces them
+    loudly — never make output depend on the probe outcome."""
+    import pytest
+
+    rows = [(f"t1_{i}", "t3_hot" if i == 0 else f"t1_{i-1}", "hot", i, 0)
+            for i in range(50)]
+    rows.append(("t1_orphan", "t3_x", None, 0, 0))
+    df = spark.createDataFrame(rows, COLS)
+
+    with pytest.raises(Exception):
+        comment_forest(df).collect()          # unsplit: loud
+    with pytest.raises(Exception):
+        comment_forest_auto(
+            df, share_threshold=0.5, min_rows=10, sample_fraction=1.0
+        ).collect()                           # split: must stay loud

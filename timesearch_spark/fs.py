@@ -229,12 +229,22 @@ class HadoopFS:
         return _JWriteStream(self._fs(p).create(p, True))
 
     def create_exclusive(self, path: str, text: str) -> bool:
-        """Create-if-absent via ``FileSystem.create(overwrite=false)``:
-        atomic on HDFS and local file://.  On S3-style stores the
-        existence check and the PUT are separate operations — there the
-        lease is advisory (mirrors the rename caveat in the module
-        docstring); pair with a transactional catalog for hard
-        exclusion."""
+        """Create-if-absent.  Atomicity depends on the store: HDFS's
+        namenode create is atomic; ``file://`` is special-cased below to
+        POSIX ``O_EXCL`` because Hadoop's RawLocalFileSystem implements
+        ``create(overwrite=false)`` as a non-atomic exists-then-create;
+        on S3-style stores the existence check and the PUT are separate
+        operations either way — there the lease is advisory (mirrors
+        the rename caveat in the module docstring); pair with a
+        transactional catalog for hard exclusion."""
+        if path.startswith("file:"):
+            local = re.sub(r"^file:(//)?", "", path)
+            try:
+                with open(local, "x", encoding="utf-8") as f:
+                    f.write(text)
+                return True
+            except FileExistsError:
+                return False
         p = self._path(path)
         fs = self._fs(p)
         try:
@@ -380,16 +390,32 @@ class WriterLease:
         self.ttl_sec = ttl_sec
         self.poll_sec = poll_sec
 
+    @classmethod
+    def maybe(cls, fs, dir_path: str, timeout_sec: float | None):
+        """The store-facing guard: a :class:`WriterLease` when
+        ``timeout_sec`` is set, an inert ``nullcontext`` when leasing is
+        off — so both stores share one construction point instead of
+        duplicating the branch."""
+        from contextlib import nullcontext
+
+        if timeout_sec is None:
+            return nullcontext()
+        return cls(fs, dir_path, timeout_sec=timeout_sec)
+
     def acquire(self) -> "WriterLease":
         deadline = time.monotonic() + self.timeout_sec
-        body = json.dumps(
-            {
-                "owner": self.owner,
-                "acquired_at": time.time(),
-                "ttl_sec": self.ttl_sec,
-            }
-        )
         while True:
+            # body is rebuilt per attempt: a lease acquired after a long
+            # poll must carry the acquisition time, not the time the
+            # wait STARTED — otherwise every second spent waiting erodes
+            # (or instantly exhausts) the published TTL
+            body = json.dumps(
+                {
+                    "owner": self.owner,
+                    "acquired_at": time.time(),
+                    "ttl_sec": self.ttl_sec,
+                }
+            )
             if self._fs.create_exclusive(self.path, body):
                 return self
             held: dict = {}
@@ -400,10 +426,16 @@ class WriterLease:
                     # holder presumed crashed: break and re-contend
                     self._fs.delete(self.path)
                     continue
-            except FileNotFoundError:
-                continue  # released between create and read: re-contend
             except (ValueError, KeyError, TypeError):
                 pass  # unreadable lock: treat as held, keep waiting
+            except Exception as exc:
+                # the holder can release between create and read: on
+                # LocalFS that is FileNotFoundError, through the JVM
+                # gateway a wrapped java FileNotFoundException — either
+                # way re-contend immediately; any other read failure is
+                # treated as held (the deadline still bounds the wait)
+                if "FileNotFound" in type(exc).__name__ or "FileNotFound" in str(exc):
+                    continue
             if time.monotonic() >= deadline:
                 raise LeaseTimeout(
                     f"could not acquire writer lease {self.path} within "
@@ -413,6 +445,18 @@ class WriterLease:
             time.sleep(self.poll_sec)
 
     def release(self) -> None:
+        """Delete the lock ONLY if this writer still owns it: a holder
+        whose lease was TTL-broken (stalled past ttl_sec, not crashed)
+        must not delete the breaker's live lease on the way out.  The
+        read-check-delete is not atomic — the narrow remaining race is
+        exactly the double-breaker window the class docstring assigns to
+        the version-CAS backstop."""
+        try:
+            held = json.loads(self._fs.read_text(self.path))
+            if held.get("owner") != self.owner:
+                return  # broken and re-acquired by someone else: not ours
+        except Exception:
+            return  # gone or unreadable: nothing of ours to release
         self._fs.delete(self.path)
 
     def __enter__(self) -> "WriterLease":

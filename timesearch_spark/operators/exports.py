@@ -197,8 +197,18 @@ def _threads_grouped(rendered: DataFrame) -> DataFrame:
     (position, html) structs and sort inside the group instead.  Orphan
     comments (raw line without link_id → null submission) are dropped —
     they have no thread to render into."""
+    # Normalize to the t3_ fullname BEFORE grouping: raw 'abc' and
+    # 't3_abc' are the SAME thread, and post-agg normalization would
+    # yield two rows with one output name — the staged sink would then
+    # find two part files for one partition and silently keep one.
     return (
         rendered.filter(F.col("submission").isNotNull())
+        .withColumn(
+            "submission",
+            F.when(
+                F.col("submission").startswith("t3_"), F.col("submission")
+            ).otherwise(F.concat(F.lit("t3_"), F.col("submission"))),
+        )
         .groupBy("submission")
         .agg(
             F.array_join(
@@ -208,12 +218,6 @@ def _threads_grouped(rendered: DataFrame) -> DataFrame:
                 ),
                 "\n",
             ).alias("doc")
-        )
-        .withColumn(
-            "submission",
-            F.when(
-                F.col("submission").startswith("t3_"), F.col("submission")
-            ).otherwise(F.concat(F.lit("t3_"), F.col("submission"))),
         )
     )
 

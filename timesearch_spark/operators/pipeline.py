@@ -170,14 +170,18 @@ def decontaminate(
     bench_side = F.broadcast(bench_grams)
     if max_broadcast_grams is not None:
         # Footer ceiling first (no job): distinct word-n-grams can't
-        # outnumber the benchmark's words, and words can't outnumber its
-        # text bytes, so footer bytes × a 10× parquet-compression margin
-        # bounds the gram count — provably-small benchmarks broadcast
-        # without paying the probe job at plan-build time.
+        # outnumber the benchmark's words, and words can't outnumber
+        # its encoded-uncompressed text bytes (byte_size_bound) under
+        # Spark's default string encodings; the 4× margin covers
+        # prefix-compressing encoders other writers may use.  This is a
+        # gate ORDERING optimization, not the guard itself — anything
+        # the ceiling can't clear still pays the bounded probe job, so
+        # a pathological encoder costs one small job, never an
+        # oversized broadcast.
         from timesearch_spark.tables import byte_size_bound
 
         bb = byte_size_bound(benchmark)
-        if bb is None or bb * 10 > max_broadcast_grams:
+        if bb is None or bb * 4 > max_broadcast_grams:
             # bounded probe: counts at most max+1 rows, never
             # materializes the gram set — one small benchmark-only job
             if (

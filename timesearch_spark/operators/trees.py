@@ -281,13 +281,20 @@ def comment_forest_big(
         F.lit(1).alias("hops"),
     ).localCheckpoint(eager=True)
 
+    # Only the advancing FRONTIER is ever re-materialized: done rows
+    # stay in the checkpointed piece that produced them (typically the
+    # bulk of the forest after 2-3 rounds), and each round's anc lookup
+    # reads those pieces back without recomputation.
+    from functools import reduce
+
+    done_parts = [state.filter(F.col("anc") == F.col("__root"))]
+    todo = state.filter(F.col("anc") != F.col("__root"))
     rounds = max(1, (int(max_depth) - 1).bit_length() + 1)
     for _ in range(rounds):
-        done = state.filter(F.col("anc") == F.col("__root"))
-        todo = state.filter(F.col("anc") != F.col("__root"))
         if todo.limit(1).count() == 0:
             break
-        anc_state = state.select(
+        full = reduce(lambda a, b: a.unionByName(b), done_parts + [todo])
+        anc_state = full.select(
             F.col("submission").alias("__asub"),
             F.col("idstr").alias("__aid"),
             F.col("anc").alias("__aanc"),
@@ -315,10 +322,12 @@ def comment_forest_big(
             # hop count doubles every round and exits here in O(log)
             # rounds instead of growing its path key forever
             .filter(F.col("hops") <= F.lit(int(max_depth)))
+            .localCheckpoint(eager=True)
         )
-        state = done.unionByName(advanced).localCheckpoint(eager=True)
+        done_parts.append(advanced.filter(F.col("anc") == F.col("__root")))
+        todo = advanced.filter(F.col("anc") != F.col("__root"))
 
-    resolved = state.filter(F.col("anc") == F.col("__root"))
+    resolved = reduce(lambda a, b: a.unionByName(b), done_parts)
     pos = F.row_number().over(Window.partitionBy("submission").orderBy("path"))
     return resolved.select(
         "submission",
@@ -364,8 +373,15 @@ def comment_forest_auto(
     ]
     if not hot:
         return comment_forest(comments, num_partitions)
+    # NULL submissions must not vanish in the split: isin(hot) is NULL
+    # (not false) for them under three-valued logic, so BOTH plain
+    # filters would drop such rows silently — route them with the small
+    # arm, where the walk surfaces them exactly like the unsplit path.
     small = comment_forest(
-        comments.filter(~F.col("submission").isin(hot)), num_partitions
+        comments.filter(
+            F.col("submission").isNull() | ~F.col("submission").isin(hot)
+        ),
+        num_partitions,
     )
     big = comment_forest_big(
         comments.filter(F.col("submission").isin(hot)), max_depth=max_depth

@@ -84,15 +84,9 @@ class CorpusStore:
 
     def _lease(self):
         """Writer lease (no-op guard when leasing is off)."""
-        from contextlib import nullcontext
-
         from timesearch_spark.fs import WriterLease
 
-        if self.lease_timeout_sec is None:
-            return nullcontext()
-        return WriterLease(
-            self._fs, self.path, timeout_sec=self.lease_timeout_sec
-        )
+        return WriterLease.maybe(self._fs, self.path, self.lease_timeout_sec)
 
     def version(self) -> int:
         return self._pointer()["version"]

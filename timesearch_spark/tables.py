@@ -72,16 +72,33 @@ def row_count_bound(df: DataFrame) -> int | None:
 
 
 def byte_size_bound(df: DataFrame) -> int | None:
-    """Total on-disk bytes of ``df``'s parquet inputs from footer
-    metadata — no Spark job; None when no readable parquet backs the
-    plan.  A ceiling companion to :func:`row_count_bound` for gates
-    keyed on data VOLUME (e.g. word-gram counts, which are bounded by
-    text bytes, not row counts)."""
+    """Total ENCODED-UNCOMPRESSED bytes of ``df``'s parquet inputs
+    (sum of row-group ``total_byte_size`` from the footers — the size
+    before the compression codec, after the column encodings); no Spark
+    job; None when no readable parquet backs the plan.  A ceiling
+    companion to :func:`row_count_bound` for gates keyed on data
+    VOLUME: under Spark's default string encodings (DICTIONARY with
+    PLAIN fallback) the encoded bytes are >= the unique value bytes, so
+    quantities bounded by text volume (words, word-n-grams) are bounded
+    by this number; prefix-compressing encoders (DELTA_BYTE_ARRAY) can
+    undercut raw bytes, which is why callers keep a safety margin."""
     try:
+        from urllib.parse import unquote, urlparse
+
+        import pyarrow.parquet as pq
+
         files = df.inputFiles()
         if not files:
             return None
-        return sum(_file_meta(f)[1] for f in files)
+        total = 0
+        for uri in files:
+            path = unquote(urlparse(uri).path) if "://" in uri else uri
+            meta = pq.ParquetFile(path).metadata
+            total += sum(
+                meta.row_group(i).total_byte_size
+                for i in range(meta.num_row_groups)
+            )
+        return total
     except Exception:
         return None
 
