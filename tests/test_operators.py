@@ -322,6 +322,49 @@ def test_sessionize_salted_matches_plain(spark):
         assert len(bot) == 1 and bot[0][4] == 40  # one chained session
 
 
+def test_sessionize_salted_adversarial_boundaries(spark):
+    """Seam edge cases, with gap_sec LARGER than bucket_sec so merge
+    chains must cross EMPTY buckets: events pinned to bucket
+    boundaries, deltas exactly == gap (merge) and gap+1 (break),
+    duplicate timestamps straddling a boundary, single-event users."""
+    from timesearch_spark.operators import windows as win
+
+    rows, eid = [], 0
+
+    def ev(u, t):
+        nonlocal eid
+        eid += 1
+        return (f"e{eid}", t * 10**9, u, "view", 0.0)
+
+    rows += [ev("bound", t) for t in (0, 10, 20, 30, 40)]     # on boundaries
+    rows += [ev("exact", t) for t in (5, 40, 75, 110)]        # delta == gap
+    rows += [ev("break", t) for t in (5, 41, 77)]             # delta == gap+1
+    rows += [ev("dup", t) for t in (9, 9, 10, 10, 10, 11)]    # duplicate ts
+    rows += [ev("solo", 3)]
+    rows += [ev("empty_gap", t) for t in (5, 38, 71, 140)]    # crosses empty
+    events = spark.createDataFrame(
+        rows,
+        "event_id string, ts long, user_id string, "
+        "event_type string, value double",
+    )
+    # gap 35 > bucket 10: chunk seams at every boundary, merges must
+    # chain across buckets with no events at all
+    plain = sorted(map(tuple, win.sessionize(events, gap_sec=35).collect()))
+    salted = sorted(
+        map(
+            tuple,
+            win.sessionize_salted(events, gap_sec=35, bucket_sec=10).collect(),
+        )
+    )
+    assert plain == salted
+    # sanity: 'exact' chained into ONE session, 'break' into three
+    by_user = {}
+    for r in plain:
+        by_user.setdefault(r[0], []).append(r)
+    assert len(by_user["exact"]) == 1 and by_user["exact"][0][4] == 4
+    assert len(by_user["break"]) == 3
+
+
 def test_session_funnel_salted_matches_plain(spark):
     """Chunk-merged sessionization + composed per-session vectors give
     the exact plain session_funnel ladder: seams that merge (dense

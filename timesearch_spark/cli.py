@@ -267,6 +267,7 @@ def cmd_ingest_corpus(args):
     store = CorpusStore(
         get_spark("timesearch-cli"), args.corpus,
         neardup_threshold=args.neardup,
+        lease_timeout_sec=args.lease_timeout,
     )
     q = store.ingest_stream(args.source, once=args.once,
                             poll_seconds=args.sleepy)
@@ -437,6 +438,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--neardup", dest="neardup", type=float, default=None)
     p.add_argument("-1", "--once", dest="once", action="store_true")
     p.add_argument("-w", "--wait", dest="sleepy", type=int, default=30)
+    p.add_argument("--lease-timeout", dest="lease_timeout", type=float,
+                   default=None, metavar="SEC",
+                   help="serialize concurrent writers on this corpus via "
+                        "a store lease (seconds to wait for the current "
+                        "holder; default: optimistic CAS only)")
     p.set_defaults(func=cmd_ingest_corpus)
 
     p = sub.add_parser("curate",
