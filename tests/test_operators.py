@@ -603,3 +603,34 @@ def test_trending_topk_auto_skew_matches_plain(spark):
         for r in win.trending_topk(ev, "1 hour", k=2, auto_skew=True).collect()
     }
     assert plain == auto and len(plain) > 0
+
+
+def test_sessionize_salted_keeps_null_user(spark):
+    """Review r8 follow-up: a NULL user_id is one group to the plain
+    window (nulls partition together); the chunk join must be
+    null-safe, not silently drop the group."""
+    from timesearch_spark.operators import windows as win
+
+    rows = [
+        ("e1", 10 * 10**9, None, "view", 0.0),
+        ("e2", 20 * 10**9, None, "view", 0.0),
+        ("e3", 300 * 10**9, None, "view", 0.0),   # second session
+        ("e4", 10 * 10**9, "u1", "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id string, ts long, user_id string, "
+        "event_type string, value double",
+    )
+    plain = sorted(
+        map(tuple, win.sessionize(ev, gap_sec=40).collect()), key=str
+    )
+    salted = sorted(
+        map(
+            tuple,
+            win.sessionize_salted(ev, gap_sec=40, bucket_sec=100).collect(),
+        ),
+        key=str,
+    )
+    assert plain == salted
+    assert sum(1 for r in plain if r[0] is None) == 2

@@ -206,10 +206,26 @@ def comment_forest_big(
     Path keys cost 8 bytes per ancestor level, so the final
     position sort shuffles ~8·depth bytes per node."""
     root = F.concat(F.lit("t3_"), F.regexp_replace("submission", "^t3_", ""))
+
+    def _required(name: str):
+        # nulls here are data errors: the sequential walk degrades into
+        # Python str(None) phantoms for them, and the relational walk
+        # would silently drop the row at the anc join — fail loudly
+        # instead of picking either wrong answer
+        return F.when(
+            F.col(name).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"comment_forest_big: null {name} — clean the input "
+                    "(orphan rows without a thread cannot be walked)"
+                )
+            ),
+        ).otherwise(F.col(name).cast("string"))
+
     base = comments.select(
-        F.col("submission").cast("string").alias("submission"),
-        F.col("idstr").cast("string").alias("idstr"),
-        F.col("parent").cast("string").alias("parent"),
+        _required("submission").alias("submission"),
+        _required("idstr").alias("idstr"),
+        _required("parent").alias("parent"),
         F.coalesce(
             F.nanvl(F.col("score").cast("double"), F.lit(0.0)), F.lit(0.0)
         ).alias("__score"),

@@ -184,12 +184,19 @@ def sessionize_salted(
             ).over(prev),
         )
     )
-    s = per_sess.join(
-        chunks.select(
-            user_col, "__bucket", "m", "mrg", "starts", "offset", "anchor"
-        ),
-        [user_col, "__bucket"],
+    # null-SAFE join keys: a NULL user_id is one group to the plain
+    # window (nulls partition together), so the chunk join must not
+    # drop it under null != null equi-join semantics
+    cs = chunks.select(
+        F.col(user_col).alias("__cu"),
+        F.col("__bucket").alias("__cb"),
+        "m", "mrg", "starts", "offset", "anchor",
     )
+    s = per_sess.join(
+        cs,
+        F.col(user_col).eqNullSafe(F.col("__cu"))
+        & F.col("__bucket").eqNullSafe(F.col("__cb")),
+    ).drop("__cu", "__cb")
     chained = (F.col("session_seq") == 1) & F.col("mrg")
     is_tail = F.col("session_seq") == F.col("m")
     lb = F.when(chained, F.col("anchor")).otherwise(F.col("__bucket"))
