@@ -278,6 +278,37 @@ def test_curate_corpus_ladder(spark):
     assert again == {k: v["split"] for k, v in out.items()}
 
 
+def test_curate_corpus_metrics_rung_counts(spark):
+    """metrics={} records each rung boundary; rung_counts turns them
+    into row counts in one cache-local job — values must equal what
+    the rungs actually kept (checked against the known ladder
+    fixture)."""
+    from timesearch_spark.operators.dedup import release_pins
+    from timesearch_spark.operators.pipeline import curate_corpus, rung_counts
+
+    rows = [
+        (1, "the cat sat on the mat and it is a fine day for cats to sit"),
+        (2, "THE CAT SAT ON THE MAT AND IT IS A FINE DAY FOR CATS TO SIT"),
+        (3, "the cat sat on the mat and it is a fine day for cats to nap"),
+        (4, "le chat et la table de les chats en un salon du jour que oui"),
+        (5, ""),
+        (6, "spam spam\nspam spam\nspam spam\nspam spam"),
+        (7, "a completely different english document with the many words"
+            " of it and more then"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    metrics: dict = {}
+    out = curate_corpus(
+        docs, min_tokens=5, neardup_threshold=0.5, metrics=metrics
+    )
+    survivors = sorted(r["doc_id"] for r in out.collect())
+    release_pins(out)
+    assert survivors == [1, 7]
+    got = rung_counts(metrics)
+    # 7 in; 4 pass the gate (4=lang, 5=short, 6=repetitive dropped);
+    # exact dedup removes 2; near-dup removes 3
+    assert got == {"input": 7, "gated": 4, "exact": 3, "neardup": 2}
+
 def test_curate_corpus_paragraph_rung(spark):
     """With paragraph_max_df set, boilerplate is stripped BEFORE the
     quality gate and dedup fingerprints, so two docs that differ only by

@@ -311,16 +311,22 @@ def cmd_curate(args):
 
     docs = read_docs(args.input)
     bench = read_docs(args.benchmark) if args.benchmark else None
+    metrics: dict = {}
     out = curate_corpus(
         docs, benchmark=bench,
         paragraph_max_df=args.paragraph_max_df,
         span_n=args.span_n,
         span_stride=args.span_stride,
         neardup_threshold=args.neardup,
+        metrics=metrics,
     )
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
     kept = spark.read.parquet(args.output).count()
-    print(json.dumps({"kept": kept, "output": args.output}))
+    # per-rung audit: one cache-local count job over the pinned rungs
+    from timesearch_spark.operators.pipeline import rung_counts
+
+    rungs = rung_counts(metrics)
+    print(json.dumps({"kept": kept, "output": args.output, "rungs": rungs}))
     return 0
 
 

@@ -490,6 +490,33 @@ def deterministic_shuffle(
 
 # --- end-to-end corpus curation ----------------------------------------------
 
+def rung_counts(metrics: dict) -> dict[str, int]:
+    """Row count per recorded curate rung, as ONE Spark job (a union of
+    per-rung count aggregates).  Call AFTER consuming the ladder's
+    result and BEFORE ``release_pins``: the heavy boundaries (gated,
+    exact) are persisted by the ladder and the near-dup component state
+    is checkpointed, so these counts are cache-local scans, not
+    re-executions of the ladder.
+
+    (An earlier design observed the counts inside the main action with
+    :class:`pyspark.sql.Observation`; observed nodes BELOW a persist
+    boundary get their metrics swallowed by the cache-materialization
+    execution — Spark hands back an empty row — so the post-hoc count
+    over the pinned rungs is the reliable shape.)"""
+    from functools import reduce
+
+    if not metrics:
+        return {}
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("rows")).select(
+            F.lit(k).alias("rung"), "rows"
+        )
+        for k, df in metrics.items()
+    ]
+    one = reduce(lambda a, b: a.unionByName(b), parts)
+    return {r["rung"]: int(r["rows"]) for r in one.collect()}
+
+
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -507,6 +534,7 @@ def curate_corpus(
     decontam_min_frac: float | None = 0.1,
     train: float = 0.9,
     val: float = 0.05,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """The full curation ladder a pretraining pipeline runs, as ONE
     composed plan: optional paragraph-boilerplate removal
@@ -525,6 +553,13 @@ def curate_corpus(
     100 TB story; Catalyst pipelines the gates into the scans.  Order
     matters for cost: the quality gate runs FIRST so dedup's shuffles
     only carry documents that could survive.
+
+    ``metrics``: pass an empty dict and each rung-boundary DataFrame is
+    recorded under its name (``input``, ``gated``, ``exact``,
+    ``neardup``, ``decontaminated``) — the audit a production curation
+    run logs.  After consuming the result (and before
+    ``release_pins``), :func:`rung_counts` turns the dict into row
+    counts with one cache-local job over the pinned boundaries.
     """
     from timesearch_spark.operators.dedup import (
         connected_components,
@@ -534,6 +569,11 @@ def curate_corpus(
         remove_repeated_spans,
     )
     from timesearch_spark.operators.textstats import text_profile_table
+
+    def obs(df: DataFrame, rung: str) -> DataFrame:
+        if metrics is not None:
+            metrics[rung] = df
+        return df
 
     if paragraph_max_df is not None:
         # boilerplate rung FIRST: quality signals and dedup fingerprints
@@ -554,6 +594,7 @@ def curate_corpus(
         span_pins = list(getattr(spanned, "_pinned", []))
         docs = spanned.drop("n_removed_tokens")
 
+    docs = obs(docs, "input")
     prof = text_profile_table(docs, text_col=text_col, id_col=id_col)
     keep_quality = (
         prof.filter(
@@ -576,13 +617,13 @@ def curate_corpus(
     # returned DataFrame as ``_pinned``: a caller running the ladder in
     # a loop should dedup.release_pins(result) after consuming it, or
     # the cache entries live for the session.
-    gated = docs.join(keep_quality, id_col).persist()
+    gated = obs(docs.join(keep_quality, id_col), "gated").persist()
 
     # exact dedup: keep the lowest id of each identical-text group
     exact_keep = exact_dedup_groups(gated, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    exact = gated.join(exact_keep, id_col).persist()
+    exact = obs(gated.join(exact_keep, id_col), "exact").persist()
 
     # near-dup removal, transitively closed: pairs → components → keeper.
     # Components iterate ONLY over edge-touching nodes — at corpus scale
@@ -601,7 +642,7 @@ def curate_corpus(
     )
     comp = connected_components(edge_nodes, pairs, id_col=id_col)
     non_keepers = comp.filter(F.col("component") != F.col(id_col)).select(id_col)
-    surviving = exact.join(non_keepers, id_col, "left_anti")
+    surviving = obs(exact.join(non_keepers, id_col, "left_anti"), "neardup")
 
     if benchmark is not None:
         # decontaminate LAST: the broadcast-probe runs over the smallest
@@ -610,7 +651,9 @@ def curate_corpus(
             surviving, benchmark, text_col, id_col,
             n=decontam_n, min_frac=decontam_min_frac,
         ).select(id_col)
-        surviving = surviving.join(hits, id_col, "left_anti")
+        surviving = obs(
+            surviving.join(hits, id_col, "left_anti"), "decontaminated"
+        )
 
     out = train_val_test_split(surviving, id_col, train, val).select(
         id_col, text_col, "lang_guess", "n_ws", "split"
