@@ -238,7 +238,13 @@ class HadoopFS:
         the rename caveat in the module docstring); pair with a
         transactional catalog for hard exclusion."""
         if path.startswith("file:"):
-            local = re.sub(r"^file:(//)?", "", path)
+            from urllib.parse import unquote, urlparse
+
+            # proper URI parsing: 'file://localhost/data' has an
+            # authority component and '%20' escapes — a bare prefix
+            # strip would yield a wrong (cwd-relative / literal-%20)
+            # path and the lock would land outside the store
+            local = unquote(urlparse(path).path)
             try:
                 with open(local, "x", encoding="utf-8") as f:
                     f.write(text)
@@ -419,45 +425,62 @@ class WriterLease:
             if self._fs.create_exclusive(self.path, body):
                 return self
             held: dict = {}
+            recontend = False
             try:
                 held = json.loads(self._fs.read_text(self.path))
                 age = time.time() - float(held.get("acquired_at", 0))
                 if age > float(held.get("ttl_sec", self.ttl_sec)):
                     # holder presumed crashed: break and re-contend
                     self._fs.delete(self.path)
-                    continue
+                    recontend = True
             except (ValueError, KeyError, TypeError):
                 pass  # unreadable lock: treat as held, keep waiting
             except Exception as exc:
                 # the holder can release between create and read: on
                 # LocalFS that is FileNotFoundError, through the JVM
                 # gateway a wrapped java FileNotFoundException — either
-                # way re-contend immediately; any other read failure is
-                # treated as held (the deadline still bounds the wait)
-                if "FileNotFound" in type(exc).__name__ or "FileNotFound" in str(exc):
-                    continue
+                # way retry the create; any other read failure counts
+                # as held and waits
+                if (
+                    "FileNotFound" in type(exc).__name__
+                    or "FileNotFound" in str(exc)
+                ):
+                    recontend = True
+            # EVERY path re-checks the deadline — including re-contend,
+            # so a persistently erroring read (e.g. a py4j failure whose
+            # cause chain happens to mention FileNotFoundException) can
+            # never busy-spin past the timeout
             if time.monotonic() >= deadline:
                 raise LeaseTimeout(
                     f"could not acquire writer lease {self.path} within "
                     f"{self.timeout_sec:g}s (holder "
                     f"{held.get('owner', '?')} still live)"
                 )
-            time.sleep(self.poll_sec)
+            if not recontend:
+                time.sleep(self.poll_sec)
 
     def release(self) -> None:
-        """Delete the lock ONLY if this writer still owns it: a holder
-        whose lease was TTL-broken (stalled past ttl_sec, not crashed)
-        must not delete the breaker's live lease on the way out.  The
-        read-check-delete is not atomic — the narrow remaining race is
-        exactly the double-breaker window the class docstring assigns to
-        the version-CAS backstop."""
+        """Delete the lock ONLY if a verifiably different owner holds it
+        now: a holder whose lease was TTL-broken (stalled past ttl_sec,
+        not crashed) must not delete the breaker's live lease on the way
+        out.  When the ownership read FAILS (transient FS error) the
+        delete proceeds anyway — the likely owner is us, a leaked lock
+        stalls every writer until TTL, and the rare wrong delete lands
+        in the double-breaker window the class docstring already assigns
+        to the version-CAS backstop.  The read-check-delete is not
+        atomic for the same reason."""
         try:
             held = json.loads(self._fs.read_text(self.path))
             if held.get("owner") != self.owner:
                 return  # broken and re-acquired by someone else: not ours
+        except FileNotFoundError:
+            return  # already gone: nothing to release
         except Exception:
-            return  # gone or unreadable: nothing of ours to release
-        self._fs.delete(self.path)
+            pass  # can't verify: prefer liveness, fall through to delete
+        try:
+            self._fs.delete(self.path)
+        except FileNotFoundError:
+            pass
 
     def __enter__(self) -> "WriterLease":
         return self.acquire()

@@ -197,19 +197,22 @@ def _threads_grouped(rendered: DataFrame) -> DataFrame:
     (position, html) structs and sort inside the group instead.  Orphan
     comments (raw line without link_id → null submission) are dropped —
     they have no thread to render into."""
-    # Normalize to the t3_ fullname BEFORE grouping: raw 'abc' and
-    # 't3_abc' are the SAME thread, and post-agg normalization would
-    # yield two rows with one output name — the staged sink would then
-    # find two part files for one partition and silently keep one.
-    return (
+    # Raw 'abc' and 't3_abc' are the SAME thread (one output name), but
+    # each arrived with its own preorder position sequence from its own
+    # walk — so merge at FRAGMENT grain: first assemble each raw key's
+    # document in its walk order, then concatenate colliding fragments
+    # in raw-key order.  Interleaving the two position sequences would
+    # produce an order matching neither walk; post-agg normalization
+    # would hand the staged sink two part files for one output name and
+    # silently keep one.  (The collision path is degenerate input — the
+    # common case is one fragment per thread and the second agg is 1:1.)
+    norm = F.when(
+        F.col("submission").startswith("t3_"), F.col("submission")
+    ).otherwise(F.concat(F.lit("t3_"), F.col("submission")))
+    fragments = (
         rendered.filter(F.col("submission").isNotNull())
-        .withColumn(
-            "submission",
-            F.when(
-                F.col("submission").startswith("t3_"), F.col("submission")
-            ).otherwise(F.concat(F.lit("t3_"), F.col("submission"))),
-        )
-        .groupBy("submission")
+        .withColumn("__norm", norm)
+        .groupBy("__norm", "submission")
         .agg(
             F.array_join(
                 F.transform(
@@ -219,6 +222,19 @@ def _threads_grouped(rendered: DataFrame) -> DataFrame:
                 "\n",
             ).alias("doc")
         )
+    )
+    return (
+        fragments.groupBy("__norm")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("submission", "doc"))),
+                    lambda s: s["doc"],
+                ),
+                "\n",
+            ).alias("doc")
+        )
+        .withColumnRenamed("__norm", "submission")
     )
 
 

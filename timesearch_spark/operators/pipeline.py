@@ -493,10 +493,13 @@ def deterministic_shuffle(
 def rung_counts(metrics: dict) -> dict[str, int]:
     """Row count per recorded curate rung, as ONE Spark job (a union of
     per-rung count aggregates).  Call AFTER consuming the ladder's
-    result and BEFORE ``release_pins``: the heavy boundaries (gated,
-    exact) are persisted by the ladder and the near-dup component state
-    is checkpointed, so these counts are cache-local scans, not
-    re-executions of the ladder.
+    result and BEFORE ``release_pins``: gated/exact are persisted by
+    the ladder itself, neardup/decontaminated are pinned extra while an
+    audit dict is passed, and the near-dup component state is
+    checkpointed — so those counts are cache-local scans.  The one
+    exception is ``input``, which re-runs the scan plus any
+    paragraph-boilerplate rung (persisting the full input corpus just
+    to count it would cost more than the recount at every scale).
 
     (An earlier design observed the counts inside the main action with
     :class:`pyspark.sql.Observation`; observed nodes BELOW a persist
@@ -570,9 +573,20 @@ def curate_corpus(
     )
     from timesearch_spark.operators.textstats import text_profile_table
 
+    audit_pins: list = []
+
     def obs(df: DataFrame, rung: str) -> DataFrame:
-        if metrics is not None:
-            metrics[rung] = df
+        if metrics is None:
+            return df
+        if rung in ("neardup", "decontaminated"):
+            # these boundaries are not otherwise persisted (consumed
+            # once by the main plan); pin them while an audit is
+            # requested so rung_counts stays cache-local instead of
+            # re-running the component/decontamination passes.  The
+            # handles ride on _pinned like every other rung.
+            df = df.persist()
+            audit_pins.append(df)
+        metrics[rung] = df
         return df
 
     if paragraph_max_df is not None:
@@ -658,7 +672,7 @@ def curate_corpus(
     out = train_val_test_split(surviving, id_col, train, val).select(
         id_col, text_col, "lang_guess", "n_ws", "split"
     )
-    out._pinned = [*span_pins, gated, exact, pairs]
+    out._pinned = [*span_pins, gated, exact, pairs, *audit_pins]
     return out
 
 

@@ -208,10 +208,15 @@ def comment_forest_big(
     root = F.concat(F.lit("t3_"), F.regexp_replace("submission", "^t3_", ""))
 
     def _required(name: str):
-        # nulls here are data errors: the sequential walk degrades into
-        # Python str(None) phantoms for them, and the relational walk
-        # would silently drop the row at the anc join — fail loudly
-        # instead of picking either wrong answer
+        # nulls here are data errors, and BOTH walks fail loudly on
+        # them — the sequential walk crashes too (a None parent becomes
+        # a None phantom child of the root, and the sibling sort's
+        # (score, idstr) tie-break can't compare None to str), just
+        # with an unhelpful TypeError from inside the Arrow iterator.
+        # The relational walk would otherwise silently drop the row at
+        # the anc join; raise the pointed error instead of picking
+        # either wrong answer, so comment_forest_auto is loud on this
+        # input whichever arm the skew probe routes it to.
         return F.when(
             F.col(name).isNull(),
             F.raise_error(

@@ -38,12 +38,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-#: Memoized (row_groups, bytes, rows) per parquet file path (footer-only
-#: reads).
-_FILE_META: dict[str, tuple[int, int, int]] = {}
+#: Memoized (row_groups, file_bytes, rows, encoded_uncompressed_bytes)
+#: per parquet file path (footer-only reads).
+_FILE_META: dict[str, tuple[int, int, int, int]] = {}
 
 
-def _file_meta(uri: str) -> tuple[int, int, int]:
+def _file_meta(uri: str) -> tuple[int, int, int, int]:
+    """(row_groups, file_bytes, rows, encoded_uncompressed_bytes) from
+    the parquet footer, memoized per URI."""
     if uri not in _FILE_META:
         from urllib.parse import unquote, urlparse
 
@@ -51,7 +53,15 @@ def _file_meta(uri: str) -> tuple[int, int, int]:
 
         path = unquote(urlparse(uri).path) if "://" in uri else uri
         meta = pq.ParquetFile(path).metadata
-        _FILE_META[uri] = (meta.num_row_groups, os.path.getsize(path), meta.num_rows)
+        _FILE_META[uri] = (
+            meta.num_row_groups,
+            os.path.getsize(path),
+            meta.num_rows,
+            sum(
+                meta.row_group(i).total_byte_size
+                for i in range(meta.num_row_groups)
+            ),
+        )
     return _FILE_META[uri]
 
 
@@ -83,22 +93,10 @@ def byte_size_bound(df: DataFrame) -> int | None:
     by this number; prefix-compressing encoders (DELTA_BYTE_ARRAY) can
     undercut raw bytes, which is why callers keep a safety margin."""
     try:
-        from urllib.parse import unquote, urlparse
-
-        import pyarrow.parquet as pq
-
         files = df.inputFiles()
         if not files:
             return None
-        total = 0
-        for uri in files:
-            path = unquote(urlparse(uri).path) if "://" in uri else uri
-            meta = pq.ParquetFile(path).metadata
-            total += sum(
-                meta.row_group(i).total_byte_size
-                for i in range(meta.num_row_groups)
-            )
-        return total
+        return sum(_file_meta(f)[3] for f in files)
     except Exception:
         return None
 
@@ -113,10 +111,10 @@ def _scan_parallelism(
     Callers with a live session pass the session's actual split configs
     (spread does); the defaults match Spark's."""
     metas = [_file_meta(f) for f in files]
-    total = sum(sz for _, sz, _ in metas)
+    total = sum(m[1] for m in metas)
     max_split = min(max_part, max(open_cost, total // max(default_parallelism, 1)))
     return sum(
-        min(rg, -(-sz // max_split)) if sz else 1 for rg, sz, _ in metas
+        min(m[0], -(-m[1] // max_split)) if m[1] else 1 for m in metas
     )
 
 
