@@ -690,3 +690,35 @@ def test_writer_lease_release_respects_ownership(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         fs.read_text(b.path)
+
+
+def test_writer_lease_erroring_reads_still_time_out(spark, tmp_path):
+    """Review r8: a lock read that persistently fails with an error
+    whose text mentions FileNotFoundException (a nested Java cause, not
+    a vanished file) must not busy-spin forever — the deadline bounds
+    every path through the acquire loop."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from timesearch_spark.fs import LeaseTimeout, WriterLease
+
+    class BrokenFS:
+        def create_exclusive(self, path, text):
+            return False  # always contended
+
+        def read_text(self, path):
+            raise RuntimeError(
+                "py4j: java.io.IOException caused by "
+                "java.io.FileNotFoundException: /etc/hadoop/creds"
+            )
+
+        def delete(self, path):
+            pass
+
+    lz = WriterLease(BrokenFS(), str(tmp_path / "b"), timeout_sec=1.0,
+                     poll_sec=0.01)
+    t0 = _time.monotonic()
+    with _pytest.raises(LeaseTimeout):
+        lz.acquire()
+    assert _time.monotonic() - t0 < 10  # bounded, not a spin-forever
