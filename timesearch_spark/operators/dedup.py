@@ -913,22 +913,22 @@ def connected_components(
             .agg(F.min("label").alias("nbmin"))
             .withColumnRenamed("src", "id")
         )
+        # Carry the per-row changed flag THROUGH the checkpoint: the
+        # convergence probe then filters the already-materialized
+        # narrow rows (no job re-runs the join — an earlier form
+        # re-joined new against lbl on id, paying one extra shuffle
+        # join per round just to ask "did anything move").
         new = (
             lbl.join(nb, "id", "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbmin", "label")).alias("label"),
+                (F.col("nbmin") < F.col("label")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.withColumnRenamed("label", "new_label")
-            .join(lbl, "id")
-            .filter(F.col("new_label") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        lbl = new
+        changed = new.filter(F.col("__chg")).limit(1).count()
+        lbl = new.drop("__chg")
         if changed == 0:
             break
     return lbl.select(F.col("id").alias(id_col), F.col("label").alias("component"))
