@@ -246,6 +246,35 @@ def test_connected_components_transitive_chain(spark):
     assert comp[4] == 4 and comp[7] == 7  # singletons keep their own id
 
 
+def test_connected_components_small_graph_gate_parity(spark):
+    """The driver union-find (small-graph gate) and the distributed
+    hash-min loop are the same operator: identical labels on a graph
+    mixing a long chain (diameter > 1 round), a clique, singletons, and
+    string ids."""
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    ids = [f"d{i:03d}" for i in range(n)]
+    chain = [(ids[i], ids[i + 1]) for i in range(0, 20)]  # diameter 20
+    clique = [(ids[a], ids[b]) for a in range(30, 36) for b in range(a + 1, 36)]
+    stray = [(ids[rng.randrange(40, 50)], ids[rng.randrange(40, 50)])
+             for _ in range(10)]
+    edges = spark.createDataFrame(
+        [e for e in chain + clique + stray if e[0] != e[1]], "a string, b string"
+    )
+    nodes = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    small = {r["doc_id"]: r["component"]
+             for r in dd.connected_components(nodes, edges).collect()}
+    big = {r["doc_id"]: r["component"]
+           for r in dd.connected_components(
+               nodes, edges, small_graph_max_edges=0).collect()}
+    assert small == big
+    assert small[ids[20]] == ids[0]          # chain collapses to its min
+    assert small[ids[35]] == ids[30]         # clique keeper
+    assert small[ids[55]] == ids[55]         # singleton
+
+
 def test_dedup_cluster_keeper_is_min_id(spark):
     d = _docs(spark).withColumn("source", F.lit("s"))
     copies = d.filter(F.col("doc_id") % 4 == 0).select(

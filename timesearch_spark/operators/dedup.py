@@ -868,19 +868,35 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 25,
+    small_graph_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """(id, component): connected components over an undirected pair list
-    by iterative hash-min label propagation — component = min id reachable.
+    — component = min id reachable.  ``nodes`` must contain every edge
+    endpoint (every caller derives it from the pair list); ids absent
+    from ``nodes`` emit no output row.
 
-    Each round every node takes the min of its own label and its
-    neighbors' labels (one shuffle join + one partial-agg'd min per
-    round); rounds needed = graph diameter.  Near-dup graphs are
-    clique-like (every member pairs with most others), so diameter is
-    2-3 and the loop converges in a handful of rounds; ``max_iter``
-    guards pathological chains.  Labels are ``localCheckpoint``ed per
-    round to truncate the growing join lineage (on a cluster, checkpoint
-    to durable storage instead).  Convergence is detected with a
-    LIMIT 1 existence probe on changed labels, not a full count.
+    Two physical plans behind one contract, picked by a LIMIT probe on
+    the materialized edge list (the same size-gate shape as the
+    all-pairs similarity ops):
+
+    - **small graph** (≤ ``small_graph_max_edges`` symmetric edges,
+      the overwhelmingly common case — near-dup edges are a sliver of
+      any curated corpus): union-find on the driver over the narrow
+      (src, dst) pairs, labels re-broadcast as one map-side join.  The
+      iterative plan below costs ~2 barrier jobs PER ROUND in driver
+      round-trips alone; at ≤1M edges (≲16 MB) the driver fold is
+      microseconds and the whole step collapses to probe + one
+      broadcast join.  Pass ``small_graph_max_edges=0`` to force the
+      distributed loop.
+    - **iterative hash-min label propagation** above the gate: each
+      round every node takes the min of its own label and its
+      neighbors' (one shuffle join + one partial-agg'd min per round);
+      rounds needed = graph diameter.  Near-dup graphs are clique-like,
+      so the loop converges in a handful of rounds; ``max_iter`` guards
+      pathological chains.  Labels are ``localCheckpoint``ed per round
+      to truncate the growing join lineage (on a cluster, checkpoint to
+      durable storage instead).  Convergence is a filter + LIMIT 1 over
+      the checkpointed rows — no extra join, no full count.
 
     Scale: state is one (id, label) row per node and the edge list —
     both narrow; nothing quadratic materializes.  For graphs with large
@@ -888,22 +904,60 @@ def connected_components(
     converges in O(log n) rounds at the cost of rewriting edges; hash-min
     is the right trade for clustered duplicate graphs.
     """
-    lbl = (
-        nodes.select(_c(id_col).alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
-    # Pin the edge list before iterating: ``edges`` is typically the
+    # Pin the edge list before ANY probe: ``edges`` is typically the
     # OUTPUT of an expensive candidate pipeline (minhash banding + exact
-    # verify), and every loop round references it twice (neighbor join +
-    # convergence probe) — without the checkpoint that whole upstream
-    # plan re-executes ~2× per round.  The pinned state is the narrow
-    # (src, dst) pair list only.
+    # verify); the probe and every loop round read the pinned narrow
+    # (src, dst) pairs, never the upstream plan.
     sym = (
         edges.select(_c(a_col).alias("src"), _c(b_col).alias("dst"))
         .unionByName(edges.select(_c(b_col).alias("src"), _c(a_col).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
+    )
+    node_ids = nodes.select(_c(id_col).alias("id")).distinct()
+    if small_graph_max_edges and small_graph_max_edges > 0:
+        pdf = sym.limit(small_graph_max_edges + 1).toPandas()
+        if len(pdf) <= small_graph_max_edges:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for u, v in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[rv] = ru
+            comp_min: dict = {}
+            for x in parent:
+                r = find(x)
+                if r not in comp_min or x < comp_min[r]:
+                    comp_min[r] = x
+            rows = [(x, comp_min[find(x)]) for x in parent]
+            id_type = sym.schema["src"].dataType
+            from pyspark.sql import types as T
+
+            label_map = nodes.sparkSession.createDataFrame(
+                rows,
+                T.StructType(
+                    [
+                        T.StructField("id", id_type),
+                        T.StructField("__cc", id_type),
+                    ]
+                ),
+            )
+            return node_ids.join(F.broadcast(label_map), "id", "left").select(
+                F.col("id").alias(id_col),
+                F.coalesce("__cc", "id").alias("component"),
+            )
+    lbl = (
+        node_ids.withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
