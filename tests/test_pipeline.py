@@ -502,3 +502,99 @@ def test_cluster_balanced_sample(spark):
         centroids=train_codebook(emb, 4),
     )
     assert trained.count() > 0
+
+
+# --- rung-checkpointed (resumable) curation ------------------------------------
+
+_LADDER_ROWS = [
+    (1, "the cat sat on the mat and it is a fine day for cats to sit"),
+    (2, "THE CAT SAT ON THE MAT AND IT IS A FINE DAY FOR CATS TO SIT"),
+    (3, "the cat sat on the mat and it is a fine day for cats to nap"),
+    (4, "le chat et la table de les chats en un salon du jour que oui"),
+    (5, ""),
+    (6, "spam spam\nspam spam\nspam spam\nspam spam"),
+    (7, "a completely different english document with the many words"
+        " of it and more then"),
+]
+
+
+def test_curate_staged_parity_and_resume(spark, tmp_path, monkeypatch):
+    """The staged ladder returns row-identical output to the one-shot
+    ladder; a second call resumes from the committed final rung without
+    recomputing anything; resuming with different parameters is loud."""
+    from timesearch_spark.operators import textstats
+    from timesearch_spark.operators.pipeline import (
+        curate_corpus, curate_corpus_staged,
+    )
+
+    docs = spark.createDataFrame(_LADDER_ROWS, "doc_id long, text string")
+    expected = sorted(
+        (r["doc_id"], r["lang_guess"], r["n_ws"], r["split"])
+        for r in curate_corpus(
+            docs, min_tokens=5, neardup_threshold=0.5
+        ).collect()
+    )
+    store = str(tmp_path / "store")
+    got = sorted(
+        (r["doc_id"], r["lang_guess"], r["n_ws"], r["split"])
+        for r in curate_corpus_staged(
+            docs, store, min_tokens=5, neardup_threshold=0.5
+        ).collect()
+    )
+    assert got == expected
+
+    # resume: every rung is committed, so NO rung recomputes — the
+    # profile pass would be the first thing a recompute touches
+    def boom(*a, **k):
+        raise AssertionError("profile recomputed on a fully-committed store")
+
+    monkeypatch.setattr(textstats, "text_profile_table", boom)
+    again = sorted(
+        (r["doc_id"], r["lang_guess"], r["n_ws"], r["split"])
+        for r in curate_corpus_staged(
+            docs, store, min_tokens=5, neardup_threshold=0.5
+        ).collect()
+    )
+    assert again == expected
+
+    # parameter drift is an error naming the changed knob, not a mix
+    with pytest.raises(ValueError, match="min_tokens"):
+        curate_corpus_staged(docs, store, min_tokens=6, neardup_threshold=0.5)
+
+
+def test_curate_staged_crash_resume(spark, tmp_path, monkeypatch):
+    """A run killed after the exact rung (stop_after crash injection)
+    resumes: completed rungs are read back (the gate is never
+    recomputed), the remaining rungs run, and the final table matches
+    the one-shot ladder."""
+    from timesearch_spark.operators import textstats
+    from timesearch_spark.operators.pipeline import (
+        curate_corpus, curate_corpus_staged,
+    )
+
+    docs = spark.createDataFrame(_LADDER_ROWS, "doc_id long, text string")
+    store = str(tmp_path / "store")
+    partial = curate_corpus_staged(
+        docs, store, min_tokens=5, neardup_threshold=0.5, stop_after="exact"
+    )
+    assert sorted(r["doc_id"] for r in partial.collect()) == [1, 3, 7]
+    assert not (tmp_path / "store" / "final").exists()
+
+    expected = sorted(
+        (r["doc_id"], r["split"])
+        for r in curate_corpus(
+            docs, min_tokens=5, neardup_threshold=0.5
+        ).collect()
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("gated rung recomputed on resume")
+
+    monkeypatch.setattr(textstats, "text_profile_table", boom)
+    got = sorted(
+        (r["doc_id"], r["split"])
+        for r in curate_corpus_staged(
+            docs, store, min_tokens=5, neardup_threshold=0.5
+        ).collect()
+    )
+    assert got == expected

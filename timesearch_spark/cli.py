@@ -311,6 +311,36 @@ def cmd_curate(args):
 
     docs = read_docs(args.input)
     bench = read_docs(args.benchmark) if args.benchmark else None
+    if args.stage_dir:
+        # rung-checkpointed run: a killed job restarts from its last
+        # committed rung; the committed rungs double as the audit
+        from timesearch_spark.operators.pipeline import (
+            STAGED_RUNGS, curate_corpus_staged,
+        )
+
+        out = curate_corpus_staged(
+            docs, args.stage_dir, benchmark=bench,
+            paragraph_max_df=args.paragraph_max_df,
+            span_n=args.span_n,
+            span_stride=args.span_stride,
+            neardup_threshold=args.neardup,
+            resume=not args.no_resume,
+            lease_timeout_sec=args.lease_timeout,
+        )
+        out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+        kept = spark.read.parquet(args.output).count()
+        from timesearch_spark import fs as fsmod
+
+        fs = fsmod.get_fs(spark, args.stage_dir)
+        root = args.stage_dir.rstrip("/")
+        rungs = {
+            r: spark.read.parquet(f"{root}/{r}").count()
+            for r in STAGED_RUNGS
+            if fs.exists(f"{root}/{r}/_SUCCESS")
+        }
+        print(json.dumps({"kept": kept, "output": args.output,
+                          "rungs": rungs, "stage_dir": args.stage_dir}))
+        return 0
     metrics: dict = {}
     out = curate_corpus(
         docs, benchmark=bench,
@@ -465,6 +495,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "unset")
     p.add_argument("--span-stride", dest="span_stride", type=int,
                    default=None, help="window stride (default: span-n)")
+    p.add_argument("--stage-dir", dest="stage_dir", default=None,
+                   help="checkpoint each rung here; a killed run resumes "
+                        "from its last committed rung")
+    p.add_argument("--no-resume", dest="no_resume", action="store_true",
+                   help="with --stage-dir: wipe committed rungs and rerun")
+    p.add_argument("--lease-timeout", dest="lease_timeout", type=float,
+                   default=None,
+                   help="with --stage-dir: serialize concurrent runners "
+                        "via a writer lease (seconds to wait)")
     p.set_defaults(func=cmd_curate)
 
     p = sub.add_parser(
