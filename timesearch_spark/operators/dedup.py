@@ -862,7 +862,7 @@ def ngram_jaccard_pairs(
 # --- near-dup clustering (connected components) --------------------------------
 
 def connected_components(
-    nodes: DataFrame,
+    nodes: DataFrame | None,
     edges: DataFrame,
     id_col: str = "doc_id",
     a_col: str = "a",
@@ -871,9 +871,15 @@ def connected_components(
     small_graph_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """(id, component): connected components over an undirected pair list
-    — component = min id reachable.  ``nodes`` must contain every edge
-    endpoint (every caller derives it from the pair list); ids absent
-    from ``nodes`` emit no output row.
+    — component = min id reachable.  ``nodes = None`` (what every
+    internal consumer passes) means "the edge endpoints": the node
+    universe then derives from the CHECKPOINTED edge list, so the
+    returned labels carry no trace of the (typically expensive)
+    candidate pipeline that produced ``edges`` — consumers handle
+    isolated ids themselves via a left join + coalesce.  An explicit
+    ``nodes`` frame adds a row for every listed id (isolated ids label
+    themselves); it must contain every edge endpoint, and its plan
+    becomes part of the output's lineage.
 
     Two physical plans behind one contract, picked by a LIMIT probe on
     the materialized edge list (the same size-gate shape as the
@@ -908,13 +914,31 @@ def connected_components(
     # OUTPUT of an expensive candidate pipeline (minhash banding + exact
     # verify); the probe and every loop round read the pinned narrow
     # (src, dst) pairs, never the upstream plan.
+    # One explode, not a self-union: a union would reference the edges
+    # plan twice, and only its shuffle stages would be deduplicated by
+    # ReusedExchange — the post-shuffle verify work would run twice
+    # inside the checkpoint job.
     sym = (
-        edges.select(_c(a_col).alias("src"), _c(b_col).alias("dst"))
-        .unionByName(edges.select(_c(b_col).alias("src"), _c(a_col).alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(_c(a_col).alias("src"), _c(b_col).alias("dst")),
+                    F.struct(_c(b_col).alias("src"), _c(a_col).alias("dst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    node_ids = nodes.select(_c(id_col).alias("id")).distinct()
+    # nodes=None: the universe is the endpoints, derived from the
+    # checkpoint — the output's lineage then starts at sym, never at
+    # the caller's candidate pipeline
+    node_ids = (
+        sym.select(F.col("src").alias("id")).distinct()
+        if nodes is None
+        else nodes.select(_c(id_col).alias("id")).distinct()
+    )
     if small_graph_max_edges and small_graph_max_edges > 0:
         pdf = sym.limit(small_graph_max_edges + 1).toPandas()
         if len(pdf) <= small_graph_max_edges:
@@ -943,7 +967,7 @@ def connected_components(
             id_type = sym.schema["src"].dataType
             from pyspark.sql import types as T
 
-            label_map = nodes.sparkSession.createDataFrame(
+            label_map = edges.sparkSession.createDataFrame(
                 rows,
                 T.StructType(
                     [
@@ -952,6 +976,12 @@ def connected_components(
                     ]
                 ),
             )
+            if nodes is None:
+                # the driver map already covers every endpoint — emit it
+                # directly (a LocalTableScan: no join, no caller lineage)
+                return label_map.select(
+                    F.col("id").alias(id_col), F.col("__cc").alias("component")
+                )
             return node_ids.join(F.broadcast(label_map), "id", "left").select(
                 F.col("id").alias(id_col),
                 F.coalesce("__cc", "id").alias("component"),
@@ -1008,16 +1038,11 @@ def dedup_cluster_assignments(
         threshold=threshold, n=n,
     )
     pairs = raw_pairs.select("a", "b")
-    # iterate ONLY the edge-touching subgraph: an isolated node's
-    # hash-min label is trivially its own id, so propagating labels over
-    # the (at scale, vastly larger) untouched corpus every round buys
+    # label ONLY the edge-touching subgraph (nodes=None): an isolated
+    # node's hash-min label is trivially its own id, so propagating
+    # labels over the (at scale, vastly larger) untouched corpus buys
     # nothing — join the subgraph's labels back and default the rest
-    edge_nodes = (
-        pairs.select(F.col("a").alias(id_col))
-        .unionByName(pairs.select(F.col("b").alias(id_col)))
-        .distinct()
-    )
-    comp = connected_components(edge_nodes, pairs, id_col=id_col)
+    comp = connected_components(None, pairs, id_col=id_col)
     labeled = df.select(_c(id_col).alias(id_col)).join(comp, id_col, "left")
     cluster = F.coalesce(F.col("component"), F.col(id_col))
     out = labeled.select(

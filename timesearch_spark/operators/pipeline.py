@@ -640,21 +640,18 @@ def curate_corpus(
     exact = obs(gated.join(exact_keep, id_col), "exact").persist()
 
     # near-dup removal, transitively closed: pairs → components → keeper.
-    # Components iterate ONLY over edge-touching nodes — at corpus scale
-    # near-dup pairs are a sliver of the data, and label-propagating over
-    # every untouched document would make the iterative loop scan the
-    # whole corpus per round for nothing.  Untouched docs are trivially
-    # their own keepers; the non-keeper set subtracts via left_anti.
+    # Components label ONLY edge-touching nodes (nodes=None) — at corpus
+    # scale near-dup pairs are a sliver of the data, and label-propagating
+    # over every untouched document would scan the whole corpus for
+    # nothing.  Untouched docs are trivially their own keepers; the
+    # non-keeper set subtracts via left_anti.  No persist on pairs:
+    # connected_components consumes the pair plan exactly once, into its
+    # own checkpoint.
     pairs = minhash_near_dups(
         exact, text_col, id_col, threshold=neardup_threshold,
         hash_family="xxhash64",
-    ).select("a", "b").persist()
-    edge_nodes = (
-        pairs.select(F.col("a").alias(id_col))
-        .unionByName(pairs.select(F.col("b").alias(id_col)))
-        .distinct()
-    )
-    comp = connected_components(edge_nodes, pairs, id_col=id_col)
+    ).select("a", "b")
+    comp = connected_components(None, pairs, id_col=id_col)
     non_keepers = comp.filter(F.col("component") != F.col(id_col)).select(id_col)
     surviving = obs(exact.join(non_keepers, id_col, "left_anti"), "neardup")
 
@@ -672,7 +669,7 @@ def curate_corpus(
     out = train_val_test_split(surviving, id_col, train, val).select(
         id_col, text_col, "lang_guess", "n_ws", "split"
     )
-    out._pinned = [*span_pins, gated, exact, pairs, *audit_pins]
+    out._pinned = [*span_pins, gated, exact, *audit_pins]
     return out
 
 
@@ -855,12 +852,7 @@ def curate_corpus_staged(
                 cur, text_col, id_col, threshold=neardup_threshold,
                 hash_family="xxhash64",
             ).select("a", "b")
-            edge_nodes = (
-                pairs.select(F.col("a").alias(id_col))
-                .unionByName(pairs.select(F.col("b").alias(id_col)))
-                .distinct()
-            )
-            comp = connected_components(edge_nodes, pairs, id_col=id_col)
+            comp = connected_components(None, pairs, id_col=id_col)
             non_keepers = comp.filter(
                 F.col("component") != F.col(id_col)
             ).select(id_col)

@@ -874,14 +874,10 @@ def embedding_dedup_clusters(
     }[method]
     pairs = fn(emb, threshold=threshold, id_col=id_col, vec_col=vec_col, **kwargs)
     pairs = pairs.select("a", "b")
-    # iterate only the edge-touching subgraph (see dedup_cluster_assignments):
-    # isolated vectors are their own keepers without label propagation
-    edge_nodes = (
-        pairs.select(F.col("a").alias(id_col))
-        .unionByName(pairs.select(F.col("b").alias(id_col)))
-        .distinct()
-    )
-    comp = connected_components(edge_nodes, pairs, id_col=id_col)
+    # label only the edge-touching subgraph (nodes=None — see
+    # connected_components): isolated vectors are their own keepers via
+    # the left-join coalesce below, without label propagation
+    comp = connected_components(None, pairs, id_col=id_col)
     labeled = emb.select(_col_pair(id_col)).join(comp, id_col, "left")
     cluster = F.coalesce(F.col("component"), F.col(id_col))
     return labeled.select(
