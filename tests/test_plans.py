@@ -308,3 +308,16 @@ def test_dedup_spans_plan_shape(spark):
     plan = plans.executed_plan(df)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert plans.has_partial_aggregate(df)
+
+
+def test_composed_ladders_stay_inside_shuffle_budget(spark):
+    """Lineage-regression canary: the curate ladder and near-dup
+    clustering once silently re-embedded their whole candidate pipeline
+    into the final plan (components labels derived the node universe
+    from the caller's pair plan — plan audit showed curate jumping
+    14 → 30 shuffles with no functional change).  Pin a generous
+    ceiling so any future re-embedding fails CI instead of waiting for
+    a human to diff PLANS_r{N}.md.  The budget is a CEILING (audited
+    values +~30% headroom), not a target."""
+    assert plans.num_shuffles(_q(spark, "pipeline_curate")) <= 18
+    assert plans.num_shuffles(_q(spark, "dedup_cluster")) <= 10
