@@ -634,3 +634,49 @@ def test_sessionize_salted_keeps_null_user(spark):
     )
     assert plain == salted
     assert sum(1 for r in plain if r[0] is None) == 2
+
+
+def test_sessionize_and_session_funnel_auto_route_and_match(spark):
+    """The auto routers pick a plan from the sampled skew probe and the
+    output is identical on BOTH routes: a probe tuned to fire (tiny
+    min_rows, full sample) exercises the salted arm, the default probe
+    (min_rows 100k) the plain arm."""
+    import random
+
+    from timesearch_spark.operators import windows as win
+
+    rng = random.Random(77)
+    rows, eid = [], 0
+    for u in range(10):
+        t = rng.randrange(0, 50)
+        for _ in range(rng.randrange(2, 30)):
+            t += rng.choice([1, 5, 45, 120])
+            eid += 1
+            rows.append((f"e{eid}", t * 10**9, f"u{u}",
+                         rng.choice(["view", "click", "buy"]), 0.0))
+    for t in range(300, 700, 5):  # hot bot: dominates the row share
+        eid += 1
+        rows.append((f"e{eid}", t * 10**9, "bot", "view", 0.0))
+    events = spark.createDataFrame(
+        rows,
+        "event_id string, ts long, user_id string, "
+        "event_type string, value double",
+    )
+    hot = dict(share_threshold=0.05, min_rows=10, sample_fraction=1.0)
+
+    plain_s = sorted(map(tuple, win.sessionize(events, gap_sec=40).collect()))
+    assert plain_s == sorted(map(tuple, win.sessionize_auto(
+        events, gap_sec=40, bucket_sec=100, **hot).collect()))
+    assert plain_s == sorted(map(tuple, win.sessionize_auto(
+        events, gap_sec=40).collect()))  # default probe: plain arm
+
+    steps = ["view", "click", "buy"]
+    plain_f = {r["stage"]: r["n_users"]
+               for r in win.session_funnel(events, steps, gap_sec=40).collect()}
+    assert plain_f == {r["stage"]: r["n_users"]
+                       for r in win.session_funnel_auto(
+                           events, steps, gap_sec=40, bucket_sec=100,
+                           **hot).collect()}
+    assert plain_f == {r["stage"]: r["n_users"]
+                       for r in win.session_funnel_auto(
+                           events, steps, gap_sec=40).collect()}

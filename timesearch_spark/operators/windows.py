@@ -226,6 +226,31 @@ def sessionize_salted(
     )
 
 
+def sessionize_auto(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    bucket_sec: int = 3600,
+    share_threshold: float = 0.01,
+    min_rows: int = 100_000,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """:func:`sessionize` with the physical plan chosen by the sampled
+    skew probe (:func:`~timesearch_spark.operators.skew.should_salt`):
+    the one-window plain form when no user can dominate a task, the
+    calendar-chunked :func:`sessionize_salted` form when one can.
+    Identical output (ids included) either way; the probe costs two
+    small driver jobs — same contract as :func:`funnel_progression_auto`
+    and ``comment_forest_auto``."""
+    from timesearch_spark.operators.skew import should_salt
+
+    if should_salt(
+        events, [user_col], share_threshold, min_rows, sample_fraction
+    ):
+        return sessionize_salted(events, gap_sec, user_col, bucket_sec)
+    return sessionize(events, gap_sec, user_col)
+
+
 def retention_cohorts(
     events: DataFrame,
     period_sec: int = 86400,
@@ -634,6 +659,33 @@ def session_funnel_salted(
     stage = F.greatest(folded["best"], F.element_at(folded["cur"], 1))
     reached = per_user.select(stage.alias("stage")).filter(F.col("stage") > 0)
     return _ladder(reached, n)
+
+
+def session_funnel_auto(
+    events: DataFrame,
+    steps: list[str],
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    bucket_sec: int = 3600,
+    share_threshold: float = 0.01,
+    min_rows: int = 100_000,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """:func:`session_funnel` with the physical plan chosen by the
+    sampled skew probe: the one-shuffle plain form when no user can
+    dominate a task, the chunk-merged :func:`session_funnel_salted`
+    form when one can.  Identical output either way; same probe
+    contract as :func:`funnel_progression_auto` / :func:`sessionize_auto`."""
+    from timesearch_spark.operators.skew import should_salt
+
+    if should_salt(
+        events, [user_col], share_threshold, min_rows, sample_fraction
+    ):
+        return session_funnel_salted(
+            events, steps, gap_sec, user_col, type_col, bucket_sec
+        )
+    return session_funnel(events, steps, gap_sec, user_col, type_col)
 
 
 def trending_topk(
