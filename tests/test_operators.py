@@ -680,3 +680,26 @@ def test_sessionize_and_session_funnel_auto_route_and_match(spark):
     assert plain_f == {r["stage"]: r["n_users"]
                        for r in win.session_funnel_auto(
                            events, steps, gap_sec=40).collect()}
+
+
+def test_should_salt_footer_shortcut(spark, tmp_path, monkeypatch):
+    """A parquet table whose footer row bound is under min_rows can't
+    contain a hot key, so should_salt answers False with ZERO Spark
+    jobs (the probe is never invoked); past the bound the sampled probe
+    still runs and fires on a genuinely hot key."""
+    from timesearch_spark.operators import skew
+
+    rows = [(f"e{i}", "hot" if i < 90 else f"u{i}") for i in range(100)]
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(rows, "event_id string, g string").write.parquet(p)
+    d = spark.read.parquet(p)
+
+    def boom(*a, **k):
+        raise AssertionError("probe ran despite a footer bound under min_rows")
+
+    monkeypatch.setattr(skew, "detect_hot_keys", boom)
+    assert skew.should_salt(d, ["g"], min_rows=1000) is False
+    monkeypatch.undo()
+    assert skew.should_salt(
+        d, ["g"], share_threshold=0.5, min_rows=50, sample_fraction=1.0
+    ) is True

@@ -86,7 +86,18 @@ def should_salt(
 ) -> bool:
     """True when :func:`detect_hot_keys` finds at least one key heavy
     enough to hotspot a per-group ordered stage.  One sampled probe +
-    a LIMIT-1 existence check — two small driver jobs, no full scan."""
+    a LIMIT-1 existence check — two small driver jobs, no full scan.
+
+    Zero jobs on provably-small input: a hot key needs >= ``min_rows``
+    rows of its own, so when the parquet footers bound the WHOLE table
+    under ``min_rows`` (``tables.row_count_bound`` — no Spark job) the
+    answer is False without running the probe.  That makes the auto
+    routers free for the small tables that dominate interactive use."""
+    from timesearch_spark.tables import row_count_bound
+
+    bound = row_count_bound(df)
+    if bound is not None and bound < min_rows:
+        return False
     hot = detect_hot_keys(
         df, group_cols, share_threshold, min_rows, sample_fraction, seed
     )
