@@ -486,7 +486,10 @@ def test_curate_subcommand_staged(spark, tmp_path, capsys):
     assert cli.main(args) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["kept"] == 1
-    assert res["rungs"]["input"] == 3 and res["rungs"]["final"] == 1
+    # no paragraph/span flags -> the identity input rung is NOT written
+    # (it would be a full corpus copy); the audit starts at the gate
+    assert "input" not in res["rungs"]
+    assert res["rungs"]["gated"] == 2 and res["rungs"]["final"] == 1
     # resume: every rung already committed — same report, no rewrite of
     # the rung store (mtime of the final rung unchanged)
     import os

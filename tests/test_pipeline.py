@@ -598,3 +598,23 @@ def test_curate_staged_crash_resume(spark, tmp_path, monkeypatch):
         ).collect()
     )
     assert got == expected
+
+
+def test_curate_staged_input_rung_only_when_surgery(spark, tmp_path):
+    """The input rung is committed only when paragraph/span surgery is
+    configured — otherwise it would be a byte-identical copy of the
+    source corpus (a pointless full write at scale)."""
+    import os
+
+    from timesearch_spark.operators.pipeline import curate_corpus_staged
+
+    docs = spark.createDataFrame(_LADDER_ROWS, "doc_id long, text string")
+    plain = str(tmp_path / "plain")
+    curate_corpus_staged(docs, plain, min_tokens=5,
+                         neardup_threshold=0.5).collect()
+    assert not os.path.exists(os.path.join(plain, "input"))
+
+    surg = str(tmp_path / "surg")
+    curate_corpus_staged(docs, surg, min_tokens=5, neardup_threshold=0.5,
+                         paragraph_max_df=2).collect()
+    assert os.path.exists(os.path.join(surg, "input", "_SUCCESS"))

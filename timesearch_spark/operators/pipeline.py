@@ -812,7 +812,16 @@ def curate_corpus_staged(
                 ).drop("n_removed_tokens")
             return d
 
-        cur = stage("input", build_input)
+        # The input rung exists to checkpoint the paragraph/span surgery;
+        # with neither configured it would be a byte-identical full copy
+        # of the (at scale, 100 TB) source corpus — skip the write and
+        # let the gate read the source directly.  Resume is unaffected:
+        # the resume contract already requires the caller to pass the
+        # same docs, which IS the identity rung.
+        if paragraph_max_df is not None or span_n is not None:
+            cur = stage("input", build_input)
+        else:
+            cur = docs
         if stop_after == "input":
             return cur
 
