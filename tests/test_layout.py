@@ -114,3 +114,39 @@ def test_compact_repairs_crash_residue_and_rejects_partitioned(
     ev.withColumn("b", F.col("user_id") % 2).write.partitionBy("b").parquet(pp)
     with pytest.raises(ValueError, match="partitioned"):
         layout.compact(spark, pp)
+
+
+def test_bucket_write_joins_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key by bucket_write join with
+    ZERO Exchange in the physical plan (the write-side shuffle is
+    amortized across every downstream join), and the results match the
+    plain join exactly."""
+    from timesearch_spark import plans
+
+    orders = spark.createDataFrame(
+        [(i, f"c{i % 7}") for i in range(200)], "o_key long, cust string"
+    )
+    items = spark.createDataFrame(
+        [(i % 150, i, float(i)) for i in range(600)],
+        "o_key long, item long, amt double",
+    )
+    layout.bucket_write(orders, "t_orders_b", ["o_key"], 8,
+                        sort_cols=["o_key"], path=str(tmp_path / "o"))
+    layout.bucket_write(items, "t_items_b", ["o_key"], 8,
+                        sort_cols=["o_key"], path=str(tmp_path / "i"))
+    try:
+        bo, bi = spark.table("t_orders_b"), spark.table("t_items_b")
+        joined = bo.join(bi, "o_key").select("o_key", "cust", "item", "amt")
+        # the whole point: co-located scan, no Exchange anywhere
+        assert plans.num_shuffles(joined) == 0
+        expected = sorted(
+            map(tuple, orders.join(items, "o_key")
+                .select("o_key", "cust", "item", "amt").collect())
+        )
+        assert sorted(map(tuple, joined.collect())) == expected
+        # aggregation on the bucket key skips its shuffle too
+        agg = bi.groupBy("o_key").count()
+        assert plans.num_shuffles(agg) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_items_b")

@@ -233,3 +233,51 @@ def compact(
     fs.rename(tmp, path)
     fs.delete(old)
     return sum(1 for f in fs.ls(path) if f.endswith(".parquet"))
+
+
+# --- bucketed tables: co-located joins without a shuffle -----------------------
+
+def bucket_write(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a BUCKETED parquet table (Spark's Hive-style
+    bucketing): rows are hash-distributed into ``n_buckets`` file
+    groups by ``bucket_cols`` at WRITE time and the bucket spec is
+    recorded in the catalog — so equi-joins and aggregations on the
+    bucket keys read both sides already co-located and skip their
+    shuffle entirely (the physical plan of a bucketed-bucketed join on
+    the keys has ZERO Exchange; test-pinned).  This is the repeated-join
+    answer at 100 TB: `repartition()` co-locates for ONE query and is
+    forgotten on write, a bucketed warehouse table amortizes the one
+    write-side shuffle across every downstream join/agg on that key —
+    the fact-table layout (orders ⋈ lineitem every day) where paying
+    the shuffle once is the whole point.
+
+    ``sort_cols`` additionally sorts within each bucket file (Spark can
+    then sort-merge without a sort).  ``path`` makes it an external
+    table at that location; default is the session warehouse dir.
+    Both join sides must use the same ``n_buckets`` (or a multiple, with
+    ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``) for the
+    shuffle-free plan.  Read it back with ``spark.table(table)`` —
+    ``spark.read.parquet(path)`` sees only bare files and loses the
+    bucket spec.
+    """
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
