@@ -520,6 +520,97 @@ def rung_counts(metrics: dict) -> dict[str, int]:
     return {r["rung"]: int(r["rows"]) for r in one.collect()}
 
 
+# --- shared rung builders ------------------------------------------------------
+# Both ladder forms (the one-shot composed plan and the rung-checkpointed
+# staged runner) compose exactly these builders, so "row-identical output"
+# is structural, not a discipline of keeping two copies in sync.
+
+def _rung_surgery(docs, text_col, id_col, paragraph_max_df, span_n, span_stride):
+    """Optional text surgery (boilerplate paragraphs FIRST — coarse
+    structure — then repeated spans), BEFORE the profile: quality
+    signals and dedup fingerprints must see the text that would
+    actually train.  Returns (df, pins): the span rung persists its
+    tokenize/window sub-plans and ``.drop()`` discards the ``_pinned``
+    attribute, so the handles are captured here for the caller's
+    release contract."""
+    from timesearch_spark.operators.dedup import (
+        remove_repeated_paragraphs,
+        remove_repeated_spans,
+    )
+
+    pins: list = []
+    if paragraph_max_df is not None:
+        docs = remove_repeated_paragraphs(
+            docs, text_col, id_col, max_df=paragraph_max_df
+        )
+    if span_n is not None:
+        spanned = remove_repeated_spans(
+            docs, text_col, id_col, n=span_n, stride=span_stride
+        )
+        pins = list(getattr(spanned, "_pinned", []))
+        docs = spanned.drop("n_removed_tokens")
+    return docs, pins
+
+
+def _rung_quality_keep(
+    docs, text_col, id_col, langs, min_tokens,
+    max_dup_line_frac, max_top_bigram_frac,
+):
+    """(id, lang_guess, n_ws) of documents passing the language /
+    length / repetition gate — one profile pass, filtered."""
+    from timesearch_spark.operators.textstats import text_profile_table
+
+    prof = text_profile_table(docs, text_col=text_col, id_col=id_col)
+    return (
+        prof.filter(
+            F.col("lang_guess").isin(*langs)
+            & (F.col("n_ws") >= min_tokens)
+            & (F.coalesce(F.col("dup_line_frac"), F.lit(0.0))
+               <= max_dup_line_frac)
+            & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+               <= max_top_bigram_frac)
+        )
+        .select(id_col, "lang_guess", "n_ws")
+    )
+
+
+def _rung_exact_keepers(docs, text_col, id_col):
+    """One keeper id per identical-text group (the lowest)."""
+    from timesearch_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(docs, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+
+
+def _rung_neardup_non_keepers(docs, text_col, id_col, threshold):
+    """Ids to DROP for transitive near-dup closure: minhash-LSH pairs →
+    hash-min components → everything but each component's min id.
+    Components label ONLY edge-touching nodes (nodes=None) — at corpus
+    scale near-dup pairs are a sliver of the data, and label-propagating
+    over every untouched document would scan the whole corpus for
+    nothing; untouched docs are trivially their own keepers.  No persist
+    on pairs: connected_components consumes the pair plan exactly once,
+    into its own checkpoint."""
+    from timesearch_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dups,
+    )
+
+    pairs = minhash_near_dups(
+        docs, text_col, id_col, threshold=threshold, hash_family="xxhash64"
+    ).select("a", "b")
+    comp = connected_components(None, pairs, id_col=id_col)
+    return comp.filter(F.col("component") != F.col(id_col)).select(id_col)
+
+
+def _rung_decontam_hits(docs, benchmark, text_col, id_col, n, min_frac):
+    """Ids of documents contaminated by the benchmark."""
+    return decontaminate(
+        docs, benchmark, text_col, id_col, n=n, min_frac=min_frac
+    ).select(id_col)
+
+
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -564,15 +655,6 @@ def curate_corpus(
     ``release_pins``), :func:`rung_counts` turns the dict into row
     counts with one cache-local job over the pinned boundaries.
     """
-    from timesearch_spark.operators.dedup import (
-        connected_components,
-        exact_dedup_groups,
-        minhash_near_dups,
-        remove_repeated_paragraphs,
-        remove_repeated_spans,
-    )
-    from timesearch_spark.operators.textstats import text_profile_table
-
     audit_pins: list = []
 
     def obs(df: DataFrame, rung: str) -> DataFrame:
@@ -589,36 +671,13 @@ def curate_corpus(
         metrics[rung] = df
         return df
 
-    if paragraph_max_df is not None:
-        # boilerplate rung FIRST: quality signals and dedup fingerprints
-        # must see the text that would actually train
-        docs = remove_repeated_paragraphs(
-            docs, text_col, id_col, max_df=paragraph_max_df
-        )
-    span_pins: list = []
-    if span_n is not None:
-        # span rung after paragraphs (coarse structure first), before
-        # the profile: downstream signals see the deduplicated text.
-        # .drop() returns a fresh DataFrame without the _pinned
-        # attribute — capture the pins first so release_pins(result)
-        # can reach the span rung's persisted sub-plans too.
-        spanned = remove_repeated_spans(
-            docs, text_col, id_col, n=span_n, stride=span_stride
-        )
-        span_pins = list(getattr(spanned, "_pinned", []))
-        docs = spanned.drop("n_removed_tokens")
-
+    docs, span_pins = _rung_surgery(
+        docs, text_col, id_col, paragraph_max_df, span_n, span_stride
+    )
     docs = obs(docs, "input")
-    prof = text_profile_table(docs, text_col=text_col, id_col=id_col)
-    keep_quality = (
-        prof.filter(
-            F.col("lang_guess").isin(*langs)
-            & (F.col("n_ws") >= min_tokens)
-            & (F.coalesce(F.col("dup_line_frac"), F.lit(0.0)) <= max_dup_line_frac)
-            & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
-               <= max_top_bigram_frac)
-        )
-        .select(id_col, "lang_guess", "n_ws")
+    keep_quality = _rung_quality_keep(
+        docs, text_col, id_col, langs, min_tokens,
+        max_dup_line_frac, max_top_bigram_frac,
     )
     # Each rung boundary below is consumed by 2-3 downstream branches
     # (gated → exact agg + join; exact → minhash twice + the left_anti;
@@ -634,34 +693,31 @@ def curate_corpus(
     gated = obs(docs.join(keep_quality, id_col), "gated").persist()
 
     # exact dedup: keep the lowest id of each identical-text group
-    exact_keep = exact_dedup_groups(gated, text_col, id_col).select(
-        F.col("keeper_id").alias(id_col)
-    )
-    exact = obs(gated.join(exact_keep, id_col), "exact").persist()
+    exact = obs(
+        gated.join(_rung_exact_keepers(gated, text_col, id_col), id_col),
+        "exact",
+    ).persist()
 
-    # near-dup removal, transitively closed: pairs → components → keeper.
-    # Components label ONLY edge-touching nodes (nodes=None) — at corpus
-    # scale near-dup pairs are a sliver of the data, and label-propagating
-    # over every untouched document would scan the whole corpus for
-    # nothing.  Untouched docs are trivially their own keepers; the
-    # non-keeper set subtracts via left_anti.  No persist on pairs:
-    # connected_components consumes the pair plan exactly once, into its
-    # own checkpoint.
-    pairs = minhash_near_dups(
-        exact, text_col, id_col, threshold=neardup_threshold,
-        hash_family="xxhash64",
-    ).select("a", "b")
-    comp = connected_components(None, pairs, id_col=id_col)
-    non_keepers = comp.filter(F.col("component") != F.col(id_col)).select(id_col)
-    surviving = obs(exact.join(non_keepers, id_col, "left_anti"), "neardup")
+    # near-dup removal, transitively closed: pairs → components → keeper
+    # (shared builder; see _rung_neardup_non_keepers for the plan notes)
+    surviving = obs(
+        exact.join(
+            _rung_neardup_non_keepers(
+                exact, text_col, id_col, neardup_threshold
+            ),
+            id_col,
+            "left_anti",
+        ),
+        "neardup",
+    )
 
     if benchmark is not None:
         # decontaminate LAST: the broadcast-probe runs over the smallest
         # surviving set, and near-dups of a leaked doc are already gone
-        hits = decontaminate(
+        hits = _rung_decontam_hits(
             surviving, benchmark, text_col, id_col,
-            n=decontam_n, min_frac=decontam_min_frac,
-        ).select(id_col)
+            decontam_n, decontam_min_frac,
+        )
         surviving = obs(
             surviving.join(hits, id_col, "left_anti"), "decontaminated"
         )
@@ -728,19 +784,12 @@ def curate_corpus_staged(
     the ops hook for staged/priority scheduling, and the crash injection
     point for the resume tests.
 
-    Unlike :func:`curate_corpus`, nothing is persist()ed and nothing
-    rides on ``_pinned`` — the parquet rungs ARE the pins; there is no
-    release contract.
+    Unlike :func:`curate_corpus`, nothing stays persist()ed and nothing
+    rides on ``_pinned`` — the parquet rungs ARE the pins (the span
+    rung's transient caches are released the moment its parquet
+    commits); there is no release contract.
     """
     from timesearch_spark import fs as fsmod
-    from timesearch_spark.operators.dedup import (
-        connected_components,
-        exact_dedup_groups,
-        minhash_near_dups,
-        remove_repeated_paragraphs,
-        remove_repeated_spans,
-    )
-    from timesearch_spark.operators.textstats import text_profile_table
 
     if stop_after is not None and stop_after not in STAGED_RUNGS:
         raise ValueError(
@@ -750,6 +799,12 @@ def curate_corpus_staged(
         raise ValueError(
             "stop_after='decontaminated' needs a benchmark — without one "
             "that rung does not exist"
+        )
+    if stop_after == "input" and paragraph_max_df is None and span_n is None:
+        raise ValueError(
+            "stop_after='input' needs paragraph_max_df or span_n — with "
+            "neither configured the input rung is the identity and is "
+            "never committed"
         )
     spark = docs.sparkSession
     fs = fsmod.get_fs(spark, store_dir)
@@ -800,86 +855,79 @@ def curate_corpus_staged(
             fs.rename(tmp, final)
             return spark.read.parquet(final)
 
-        def build_input():
-            d = docs
-            if paragraph_max_df is not None:
-                d = remove_repeated_paragraphs(
-                    d, text_col, id_col, max_df=paragraph_max_df
-                )
-            if span_n is not None:
-                d = remove_repeated_spans(
-                    d, text_col, id_col, n=span_n, stride=span_stride
-                ).drop("n_removed_tokens")
-            return d
-
         # The input rung exists to checkpoint the paragraph/span surgery;
         # with neither configured it would be a byte-identical full copy
         # of the (at scale, 100 TB) source corpus — skip the write and
         # let the gate read the source directly.  Resume is unaffected:
         # the resume contract already requires the caller to pass the
-        # same docs, which IS the identity rung.
+        # same docs, which IS the identity rung.  The span rung's
+        # persisted sub-plans (captured by _rung_surgery) are released
+        # as soon as the rung parquet is committed — the parquet IS the
+        # pin from then on, unlike the one-shot ladder where the handles
+        # must outlive the returned plan.
+        surgery_pins: list = []
+
+        def build_input():
+            d, pins = _rung_surgery(
+                docs, text_col, id_col, paragraph_max_df, span_n, span_stride
+            )
+            surgery_pins.extend(pins)
+            return d
+
         if paragraph_max_df is not None or span_n is not None:
             cur = stage("input", build_input)
+            for p in surgery_pins:
+                p.unpersist()
         else:
             cur = docs
         if stop_after == "input":
             return cur
 
-        def build_gated():
-            prof = text_profile_table(cur, text_col=text_col, id_col=id_col)
-            keep = (
-                prof.filter(
-                    F.col("lang_guess").isin(*langs)
-                    & (F.col("n_ws") >= min_tokens)
-                    & (F.coalesce(F.col("dup_line_frac"), F.lit(0.0))
-                       <= max_dup_line_frac)
-                    & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
-                       <= max_top_bigram_frac)
-                )
-                .select(id_col, "lang_guess", "n_ws")
-            )
-            return cur.join(keep, id_col)
-
-        cur = stage("gated", build_gated)
+        cur = stage(
+            "gated",
+            lambda: cur.join(
+                _rung_quality_keep(
+                    cur, text_col, id_col, langs, min_tokens,
+                    max_dup_line_frac, max_top_bigram_frac,
+                ),
+                id_col,
+            ),
+        )
         if stop_after == "gated":
             return cur
 
         cur = stage(
             "exact",
-            lambda: cur.join(
-                exact_dedup_groups(cur, text_col, id_col).select(
-                    F.col("keeper_id").alias(id_col)
-                ),
-                id_col,
-            ),
+            lambda: cur.join(_rung_exact_keepers(cur, text_col, id_col), id_col),
         )
         if stop_after == "exact":
             return cur
 
-        def build_neardup():
-            pairs = minhash_near_dups(
-                cur, text_col, id_col, threshold=neardup_threshold,
-                hash_family="xxhash64",
-            ).select("a", "b")
-            comp = connected_components(None, pairs, id_col=id_col)
-            non_keepers = comp.filter(
-                F.col("component") != F.col(id_col)
-            ).select(id_col)
-            return cur.join(non_keepers, id_col, "left_anti")
-
-        cur = stage("neardup", build_neardup)
+        cur = stage(
+            "neardup",
+            lambda: cur.join(
+                _rung_neardup_non_keepers(
+                    cur, text_col, id_col, neardup_threshold
+                ),
+                id_col,
+                "left_anti",
+            ),
+        )
         if stop_after == "neardup":
             return cur
 
         if benchmark is not None:
-            def build_decontaminated():
-                hits = decontaminate(
-                    cur, benchmark, text_col, id_col,
-                    n=decontam_n, min_frac=decontam_min_frac,
-                ).select(id_col)
-                return cur.join(hits, id_col, "left_anti")
-
-            cur = stage("decontaminated", build_decontaminated)
+            cur = stage(
+                "decontaminated",
+                lambda: cur.join(
+                    _rung_decontam_hits(
+                        cur, benchmark, text_col, id_col,
+                        decontam_n, decontam_min_frac,
+                    ),
+                    id_col,
+                    "left_anti",
+                ),
+            )
             if stop_after == "decontaminated":
                 return cur
 

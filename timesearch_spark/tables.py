@@ -65,16 +65,52 @@ def _file_meta(uri: str) -> tuple[int, int, int, int]:
     return _FILE_META[uri]
 
 
+#: Analyzed-plan node names that can never INCREASE the row count of
+#: their input.  The footer bounds below are only valid when every node
+#: above the scan is on this list — a join, explode/Generate, or union
+#: can multiply rows far past what the source footers say, so any plan
+#: containing a node NOT listed here gets ``None`` (probe runs instead).
+#: Whitelist, not blacklist: an unknown/new node name fails safe.
+_ROW_NONINCREASING_NODES = frozenset({
+    "Relation", "LogicalRelation", "Project", "Filter", "SubqueryAlias",
+    "GlobalLimit", "LocalLimit", "Limit", "Sort", "Repartition",
+    "RepartitionByExpression", "Rebalance", "Sample", "Deduplicate",
+    "Distinct", "ResolvedHint", "UnresolvedHint", "Aggregate", "Window",
+})
+# (Aggregate groups rows — output <= input; Window is 1:1.)
+
+
+def _plan_row_nonincreasing(df: DataFrame) -> bool:
+    """True when every node of ``df``'s analyzed logical plan is
+    row-non-increasing, i.e. the parquet footer totals are a valid row
+    ceiling.  Conservative: any parse failure or unknown node → False."""
+    import re
+
+    try:
+        tree = df._jdf.queryExecution().analyzed().treeString()
+    except Exception:
+        return False
+    for line in tree.splitlines():
+        m = re.match(r"^[\s:+\-]*'?([A-Za-z]+)", line)
+        if not m:
+            continue
+        if m.group(1) not in _ROW_NONINCREASING_NODES:
+            return False
+    return True
+
+
 def row_count_bound(df: DataFrame) -> int | None:
     """Upper bound on ``df``'s row count from parquet footer metadata —
-    no Spark job.  Filters/limits above the scan only shrink the result,
-    so the footer total is a valid ceiling; None when the plan has no
+    no Spark job.  Valid only when the plan above the scan is
+    row-non-increasing (filters/limits/projections — checked against
+    the analyzed plan, since a join or explode can multiply rows past
+    any footer total); None when it isn't, or when the plan has no
     readable parquet files (in-memory DFs, remote FS without local
     access).  Used for cost-based plan gates where a cheap over-estimate
     is enough (e.g. skipping a probe aggregate on provably-small input)."""
     try:
         files = df.inputFiles()
-        if not files:
+        if not files or not _plan_row_nonincreasing(df):
             return None
         return sum(_file_meta(f)[2] for f in files)
     except Exception:
@@ -91,10 +127,12 @@ def byte_size_bound(df: DataFrame) -> int | None:
     PLAIN fallback) the encoded bytes are >= the unique value bytes, so
     quantities bounded by text volume (words, word-n-grams) are bounded
     by this number; prefix-compressing encoders (DELTA_BYTE_ARRAY) can
-    undercut raw bytes, which is why callers keep a safety margin."""
+    undercut raw bytes, which is why callers keep a safety margin.
+    Same plan-shape guard as :func:`row_count_bound`: a join or explode
+    above the scan voids the ceiling, so such plans return None."""
     try:
         files = df.inputFiles()
-        if not files:
+        if not files or not _plan_row_nonincreasing(df):
             return None
         return sum(_file_meta(f)[3] for f in files)
     except Exception:
