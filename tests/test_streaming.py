@@ -631,6 +631,72 @@ def test_writer_lease_breaks_stale_holder(spark, tmp_path):
     assert store.version() == 1
 
 
+def test_writer_lease_concurrent_breakers_both_commit(spark, tmp_path):
+    """Round 9: TTL breaking is rename-to-unique, so two waiters that
+    both observe the same expired lease can no longer collide on a
+    delete+create pair — exactly one break wins, the other re-contends,
+    and BOTH writers eventually acquire (serially) and commit."""
+    import json as _json
+    import os as _os
+    import threading
+
+    from timesearch_spark.fs import WriterLease, get_fs
+
+    path = str(tmp_path / "lease_breakers")
+    _os.makedirs(path, exist_ok=True)
+    fs = get_fs(spark, path)
+    with open(_os.path.join(path, "_writer.lease"), "w") as f:
+        f.write(_json.dumps(
+            {"owner": "crashed", "acquired_at": 1.0, "ttl_sec": 1.0}
+        ))
+    start = threading.Barrier(2)
+    committed: list[str] = []
+    errors: list[BaseException] = []
+
+    def breaker(tag: str):
+        try:
+            lz = WriterLease(fs, path, timeout_sec=30.0, poll_sec=0.01)
+            start.wait()  # maximize the break collision window
+            with lz:
+                held = _json.loads(fs.read_text(lz.path))
+                assert held["owner"] == lz.owner  # really ours, not shared
+                committed.append(tag)
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errors.append(exc)
+
+    ts = [threading.Thread(target=breaker, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(60)
+    assert not errors, errors
+    assert sorted(committed) == ["a", "b"]
+    # no lock (or tombstone) left behind
+    leftovers = [e for e in _os.listdir(path) if e.startswith("_writer")]
+    assert leftovers == []
+
+
+def test_writer_lease_break_restores_stolen_live_lease(spark, tmp_path):
+    """The break verifies the tombstone's content: a lease that was
+    re-acquired by someone else between our expiry read and our rename
+    (now LIVE) is renamed straight back, not destroyed."""
+    import json as _json
+    import os as _os
+
+    from timesearch_spark.fs import WriterLease, get_fs
+
+    path = str(tmp_path / "lease_restore")
+    _os.makedirs(path, exist_ok=True)
+    fs = get_fs(spark, path)
+    live = WriterLease(fs, path).acquire()  # someone else's fresh lease
+    stale = {"owner": "crashed", "acquired_at": 1.0, "ttl_sec": 1.0}
+    breaker = WriterLease(fs, path)
+    breaker._try_break(stale)  # judged THE STALE body, grabs the live one
+    held = _json.loads(fs.read_text(live.path))
+    assert held["owner"] == live.owner  # restored, not deleted
+    live.release()
+
+
 def test_writer_lease_acquired_at_reflects_acquisition_not_wait_start(
     spark, tmp_path
 ):

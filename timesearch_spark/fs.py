@@ -370,11 +370,21 @@ class WriterLease:
     loser of the create polls until the holder releases (bounded by
     ``timeout_sec``), then acquires and proceeds against the winner's
     committed state.  A lease older than its ``ttl_sec`` is presumed
-    crashed and broken by the next waiter — TTL breaking is best-effort
-    crash recovery (two simultaneous breakers can collide on the
-    non-atomic delete+create), which is why the stores KEEP their
-    version CAS as the correctness backstop; the lease exists so the
-    CAS never fires between live cooperating writers.
+    crashed and broken by the next waiter.  Breaking is
+    rename-to-unique, not delete+create: each breaker renames the lock
+    to a tombstone name only it knows, so of N waiters observing the
+    same expired lease exactly ONE rename succeeds (the source vanishes
+    for the rest) — the losers just re-contend on the now-absent lock
+    and every writer eventually commits.  The winner verifies the
+    tombstone's content is the expired lease it judged (a concurrent
+    breaker may have already broken + re-acquired between our read and
+    our rename — POSIX rename replaces, so we could have grabbed a
+    LIVE lease); a stolen live lease is renamed straight back.  The restore itself has a third-party window (a writer that
+    created a fresh lock while we held the tombstone would be clobbered
+    by the rename-back) — that residual, plus object stores whose
+    rename is copy+delete, is why the stores KEEP their version CAS as
+    the correctness backstop; the lease exists so the CAS never fires
+    between live cooperating writers.
 
     On S3-style object stores ``create_exclusive`` is advisory (see
     HadoopFS.create_exclusive) — same story: liveness optimization
@@ -431,7 +441,7 @@ class WriterLease:
                 age = time.time() - float(held.get("acquired_at", 0))
                 if age > float(held.get("ttl_sec", self.ttl_sec)):
                     # holder presumed crashed: break and re-contend
-                    self._fs.delete(self.path)
+                    self._try_break(held)
                     recontend = True
             except (ValueError, KeyError, TypeError):
                 pass  # unreadable lock: treat as held, keep waiting
@@ -458,6 +468,36 @@ class WriterLease:
                 )
             if not recontend:
                 time.sleep(self.poll_sec)
+
+    def _try_break(self, expired: dict) -> None:
+        """Break an expired lease via rename-to-unique (class docstring):
+        rename the lock to a tombstone only we know, verify the
+        tombstone really holds the ``expired`` body we judged, delete
+        it.  Of N concurrent breakers exactly one rename succeeds; the
+        rest raise (source already gone) and simply re-contend.  A
+        tombstone that turns out to be someone else's LIVE lease (they
+        broke + re-acquired inside our read→rename window) is renamed
+        straight back — we stole it for microseconds, they never
+        notice."""
+        tomb = f"{self.path}.breaking.{uuid.uuid4().hex}"
+        try:
+            self._fs.rename(self.path, tomb)
+        except Exception:
+            return  # lost the break race (or holder released): re-contend
+        try:
+            grabbed = json.loads(self._fs.read_text(tomb))
+        except Exception:
+            grabbed = None
+        if grabbed is not None and grabbed.get("owner") not in (
+            None, expired.get("owner"),
+        ):
+            # not the lease we judged expired: restore and keep waiting
+            try:
+                self._fs.rename(tomb, self.path)
+            except Exception:
+                self._fs.delete(tomb)  # restore lost its own race
+            return
+        self._fs.delete(tomb)
 
     def release(self) -> None:
         """Delete the lock ONLY if a verifiably different owner holds it
