@@ -129,3 +129,46 @@ def test_spread_treats_sort_within_partitions_as_non_shuffle(spark):
         "doc_id"
     ).sortWithinPartitions("doc_id")
     assert tables.spread(d, min_parts=32) is not d
+
+
+def test_footer_bounds_reject_sample_with_replacement(spark, tmp_path):
+    """ADVICE r8: sample(withReplacement=True) draws Poisson counts per
+    row (fraction may exceed 1), so it can emit MORE rows than the scan
+    — the footer ceiling must refuse it while plain sampling passes."""
+    from timesearch_spark.tables import row_count_bound
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).selectExpr("id", "repeat('x', 10) AS text") \
+        .write.parquet(p)
+    d = spark.read.parquet(p)
+    assert row_count_bound(d) == 100
+    assert row_count_bound(d.sample(False, 0.5, seed=1)) == 100
+    assert row_count_bound(d.sample(True, 2.0, seed=1)) is None
+
+
+def test_byte_size_bound_rejects_value_synthesizing_plans(spark, tmp_path):
+    """ADVICE r8: a Project/Aggregate/Window that synthesizes values
+    (concat(text, text), collect_list) keeps row counts but can exceed
+    the footers' byte totals — the BYTE ceiling must return None for
+    those while attribute-only shapes keep it."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from timesearch_spark.tables import byte_size_bound
+
+    p = str(tmp_path / "b.parquet")
+    spark.range(100).selectExpr(
+        "id", "repeat('x', 10) AS text", "id % 3 AS g"
+    ).write.parquet(p)
+    d = spark.read.parquet(p)
+    bb = byte_size_bound(d)
+    assert bb is not None and bb > 0
+    # attribute-only projection and filter keep the ceiling
+    assert byte_size_bound(d.select("id", "text")) == bb
+    assert byte_size_bound(d.filter(F.col("id") > 10)) == bb
+    # value synthesis voids it
+    assert byte_size_bound(
+        d.select(F.concat("text", "text").alias("t"))
+    ) is None
+    assert byte_size_bound(
+        d.groupBy("g").agg(F.collect_list("text").alias("xs"))
+    ) is None

@@ -77,13 +77,30 @@ _ROW_NONINCREASING_NODES = frozenset({
     "RepartitionByExpression", "Rebalance", "Sample", "Deduplicate",
     "Distinct", "ResolvedHint", "UnresolvedHint", "Aggregate", "Window",
 })
-# (Aggregate groups rows — output <= input; Window is 1:1.)
+# (Aggregate groups rows — output <= input; Window is 1:1.  Sample is
+# accepted only without replacement — checked per-line below, since
+# sample(withReplacement=True) replicates rows via Poisson draws and a
+# fraction > 1 emits MORE rows than the scan.)
+
+#: The subset additionally safe for BYTE ceilings: nodes that cannot
+#: synthesize new values.  Aggregate and Window are row-non-increasing
+#: but can EXPAND bytes (collect_list, concat aggregations, windowed
+#: arrays); Project is handled per-line — attribute-only projections
+#: pass, computed ones (concat(text, text), repeat(...)) fail safe.
+_BYTE_NONINCREASING_NODES = _ROW_NONINCREASING_NODES - {
+    "Aggregate", "Window",
+}
 
 
-def _plan_row_nonincreasing(df: DataFrame) -> bool:
-    """True when every node of ``df``'s analyzed logical plan is
-    row-non-increasing, i.e. the parquet footer totals are a valid row
-    ceiling.  Conservative: any parse failure or unknown node → False."""
+def _plan_nonincreasing(
+    df: DataFrame, nodes: frozenset, bytes_safe: bool = False
+) -> bool:
+    """True when every node of ``df``'s analyzed logical plan is on the
+    ``nodes`` whitelist (and per-node flags hold), i.e. the parquet
+    footer totals are a valid ceiling.  ``bytes_safe`` additionally
+    rejects value-synthesizing Projects, keeping the BYTE ceiling sound
+    (a computed column can exceed the scan's bytes while row counts
+    hold).  Conservative: any parse failure or unknown node → False."""
     import re
 
     try:
@@ -94,9 +111,22 @@ def _plan_row_nonincreasing(df: DataFrame) -> bool:
         m = re.match(r"^[\s:+\-]*'?([A-Za-z]+)", line)
         if not m:
             continue
-        if m.group(1) not in _ROW_NONINCREASING_NODES:
+        name = m.group(1)
+        if name not in nodes:
+            return False
+        if name == "Sample" and re.search(r"\btrue\b", line):
+            return False  # withReplacement=true: rows can multiply
+        if bytes_safe and name == "Project" and re.search(r"[(]| AS ", line):
+            # any function call / alias in the projection may synthesize
+            # bytes the footers never saw; plain attribute lists (the
+            # common `select(cols)` shape) are the only byte-safe form
             return False
     return True
+
+
+def _plan_row_nonincreasing(df: DataFrame) -> bool:
+    """True when the footer totals are a valid ROW ceiling for ``df``."""
+    return _plan_nonincreasing(df, _ROW_NONINCREASING_NODES)
 
 
 def row_count_bound(df: DataFrame) -> int | None:
@@ -128,11 +158,16 @@ def byte_size_bound(df: DataFrame) -> int | None:
     quantities bounded by text volume (words, word-n-grams) are bounded
     by this number; prefix-compressing encoders (DELTA_BYTE_ARRAY) can
     undercut raw bytes, which is why callers keep a safety margin.
-    Same plan-shape guard as :func:`row_count_bound`: a join or explode
-    above the scan voids the ceiling, so such plans return None."""
+    Stricter plan-shape guard than :func:`row_count_bound`: besides
+    joins/explodes, any node that can SYNTHESIZE value bytes — an
+    Aggregate or Window, or a Project computing expressions (e.g.
+    ``concat(text, text)``) — also voids the ceiling, since those keep
+    row counts but not byte totals."""
     try:
         files = df.inputFiles()
-        if not files or not _plan_row_nonincreasing(df):
+        if not files or not _plan_nonincreasing(
+            df, _BYTE_NONINCREASING_NODES, bytes_safe=True
+        ):
             return None
         return sum(_file_meta(f)[3] for f in files)
     except Exception:
