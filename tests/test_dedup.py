@@ -275,6 +275,26 @@ def test_connected_components_small_graph_gate_parity(spark):
     assert small[ids[55]] == ids[55]         # singleton
 
 
+def test_connected_components_byte_gate_forces_distributed(spark):
+    """ADVICE r8: the small-graph gate bounds BYTES as well as edges —
+    few edges with long string ids must route to the distributed loop
+    instead of collecting an oversized pandas frame, with identical
+    labels either way."""
+    long_ids = [f"{'x' * 120}{i:03d}" for i in range(8)]
+    edges = spark.createDataFrame(
+        [(long_ids[i], long_ids[i + 1]) for i in range(7)],
+        "a string, b string",
+    )
+    via_driver = {r["doc_id"]: r["component"]
+                  for r in dd.connected_components(None, edges).collect()}
+    gated = dd.connected_components(None, edges, small_graph_max_bytes=100)
+    # the driver arm (nodes=None) is a LocalTableScan of the fold's
+    # output; the byte-gated plan must NOT be that arm
+    assert "LocalTableScan" not in gated._jdf.queryExecution() \
+        .analyzed().treeString()
+    assert {r["doc_id"]: r["component"] for r in gated.collect()} == via_driver
+
+
 def test_dedup_cluster_keeper_is_min_id(spark):
     d = _docs(spark).withColumn("source", F.lit("s"))
     copies = d.filter(F.col("doc_id") % 4 == 0).select(

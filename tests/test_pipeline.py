@@ -562,6 +562,43 @@ def test_curate_staged_parity_and_resume(spark, tmp_path, monkeypatch):
         curate_corpus_staged(docs, store, min_tokens=6, neardup_threshold=0.5)
 
 
+def test_curate_staged_input_identity_pinned(spark, tmp_path):
+    """ADVICE r8: the manifest pins the INPUT identity, not just the
+    parameters — resuming the same store against different parquet
+    inputs is a loud error (old rungs came from the old files), while
+    in-memory inputs degrade to a warning, never a silent mix."""
+    import warnings as _warnings
+
+    from timesearch_spark.operators.pipeline import curate_corpus_staged
+
+    src_a = str(tmp_path / "docs_a.parquet")
+    src_b = str(tmp_path / "docs_b.parquet")
+    docs = spark.createDataFrame(_LADDER_ROWS, "doc_id long, text string")
+    docs.write.parquet(src_a)
+    docs.write.parquet(src_b)  # same rows, different files = different data
+    store = str(tmp_path / "store_ident")
+
+    a = spark.read.parquet(src_a)
+    first = curate_corpus_staged(a, store, min_tokens=5,
+                                 neardup_threshold=0.5).count()
+    # same files: clean resume, no warning
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        again = curate_corpus_staged(
+            spark.read.parquet(src_a), store, min_tokens=5,
+            neardup_threshold=0.5,
+        ).count()
+    assert again == first
+    # different files: loud
+    with pytest.raises(ValueError, match="input data"):
+        curate_corpus_staged(spark.read.parquet(src_b), store,
+                             min_tokens=5, neardup_threshold=0.5)
+    # in-memory docs: unverifiable -> warning, not an error
+    with pytest.warns(UserWarning, match="input identity"):
+        curate_corpus_staged(docs, store, min_tokens=5,
+                             neardup_threshold=0.5).count()
+
+
 def test_curate_staged_crash_resume(spark, tmp_path, monkeypatch):
     """A run killed after the exact rung (stop_after crash injection)
     resumes: completed rungs are read back (the gate is never

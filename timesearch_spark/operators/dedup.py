@@ -869,6 +869,7 @@ def connected_components(
     b_col: str = "b",
     max_iter: int = 25,
     small_graph_max_edges: int = 1_000_000,
+    small_graph_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """(id, component): connected components over an undirected pair list
     — component = min id reachable.  ``nodes = None`` (what every
@@ -890,10 +891,17 @@ def connected_components(
       any curated corpus): union-find on the driver over the narrow
       (src, dst) pairs, labels re-broadcast as one map-side join.  The
       iterative plan below costs ~2 barrier jobs PER ROUND in driver
-      round-trips alone; at ≤1M edges (≲16 MB) the driver fold is
+      round-trips alone; at the default gate the driver fold is
       microseconds and the whole step collapses to probe + one
-      broadcast join.  Pass ``small_graph_max_edges=0`` to force the
-      distributed loop.
+      broadcast join.  The gate is TWO-dimensional (ADVICE r8): edge
+      COUNT alone underestimates transfer when ids are long strings
+      (50-200 byte doc ids × 1M edges is hundreds of driver MB), so a
+      bounded aggregate first sums the stringified id bytes of the
+      would-be collect and anything past ``small_graph_max_bytes``
+      (default 64 MB) takes the distributed loop no matter how few
+      edges it has.  The driver arm needs pandas/pyarrow (toPandas);
+      the distributed arm is pure Spark.  Pass
+      ``small_graph_max_edges=0`` to force the distributed loop.
     - **iterative hash-min label propagation** above the gate: each
       round every node takes the min of its own label and its
       neighbors' (one shuffle join + one partial-agg'd min per round);
@@ -940,8 +948,26 @@ def connected_components(
         else nodes.select(_c(id_col).alias("id")).distinct()
     )
     if small_graph_max_edges and small_graph_max_edges > 0:
-        pdf = sym.limit(small_graph_max_edges + 1).toPandas()
-        if len(pdf) <= small_graph_max_edges:
+        # bounded probe BEFORE the collect: count and (stringified) id
+        # bytes of at most max+1 checkpointed rows — the driver never
+        # pulls a row until both ceilings clear, so long string doc_ids
+        # can't balloon driver memory past small_graph_max_bytes
+        probe = (
+            sym.limit(small_graph_max_edges + 1)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.length(F.col("src").cast("string"))
+                    + F.length(F.col("dst").cast("string"))
+                ).alias("b"),
+            )
+            .first()
+        )
+        if (
+            probe["n"] <= small_graph_max_edges
+            and int(probe["b"] or 0) <= small_graph_max_bytes
+        ):
+            pdf = sym.limit(small_graph_max_edges + 1).toPandas()
             parent: dict = {}
 
             def find(x):

@@ -736,6 +736,24 @@ def curate_corpus(
 STAGED_RUNGS = ("input", "gated", "exact", "neardup", "decontaminated", "final")
 
 
+def _input_identity(df) -> str | None:
+    """Stable identity of a DataFrame's file-backed inputs: sha256 over
+    the sorted ``inputFiles`` list (paths, which for immutable parquet
+    layouts identify the bytes).  None for in-memory / non-file plans —
+    those cannot be identified and the caller falls back to a warning."""
+    if df is None:
+        return None
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return None
+    if not files:
+        return None
+    import hashlib
+
+    return hashlib.sha256("\n".join(files).encode("utf-8")).hexdigest()
+
+
 def curate_corpus_staged(
     docs: DataFrame,
     store_dir: str,
@@ -769,8 +787,13 @@ def curate_corpus_staged(
     place — readers and resumers only ever see complete rungs (Spark's
     ``_SUCCESS`` marker is checked too, guarding a crash between write
     and rename).  A ``curation.json`` manifest pins the ladder
-    parameters: resuming with DIFFERENT parameters is a loud error, not
-    a silently mixed corpus.  ``resume=False`` wipes the store and
+    parameters AND the input identity (a digest of the docs' and
+    benchmark's sorted parquet ``inputFiles``): resuming with DIFFERENT
+    parameters or against DIFFERENT input data is a loud error, not a
+    silently mixed corpus — the committed rungs came from the old
+    files.  In-memory inputs (no file lineage) cannot be identified;
+    those resume with a ``UserWarning`` and the same-docs contract
+    falls back to the caller.  ``resume=False`` wipes the store and
     recomputes everything.  ``lease_timeout_sec`` serializes two
     concurrent runners over the same store via :class:`~timesearch_spark.
     fs.WriterLease` (same contract as the ingest stores).
@@ -821,6 +844,10 @@ def curate_corpus_staged(
         "decontam_n": decontam_n, "decontam_min_frac": decontam_min_frac,
         "train": train, "val": val,
     }
+    inputs = {
+        "docs": _input_identity(docs),
+        "benchmark": _input_identity(benchmark),
+    }
 
     with fsmod.WriterLease.maybe(fs, root, lease_timeout_sec):
         manifest_path = f"{root}/curation.json"
@@ -829,7 +856,9 @@ def curate_corpus_staged(
             for rung in STAGED_RUNGS:
                 fs.delete(f"{root}/{rung}")
                 fs.delete(f"{root}/_tmp_{rung}")
-            fsmod.write_json_atomic(fs, manifest_path, {"params": params})
+            fsmod.write_json_atomic(
+                fs, manifest_path, {"params": params, "inputs": inputs}
+            )
         elif prev.get("params") != params:
             changed = sorted(
                 k for k in params
@@ -840,6 +869,41 @@ def curate_corpus_staged(
                 f"than the manifest at {manifest_path} (changed: {changed}); "
                 "pass resume=False to discard the stored rungs and rerun"
             )
+        else:
+            # input-identity drift is the same class of error as a
+            # parameter change: committed rungs were computed from the
+            # OLD files, and mixing them with new-data rungs is the
+            # silently-mixed corpus the manifest exists to prevent
+            prev_inputs = prev.get("inputs", {})
+            drifted = sorted(
+                k for k in inputs
+                if inputs[k] is not None
+                and prev_inputs.get(k) is not None
+                and inputs[k] != prev_inputs[k]
+            )
+            if drifted:
+                raise ValueError(
+                    "curate_corpus_staged: resuming against different "
+                    f"input data than the manifest at {manifest_path} "
+                    f"(drifted: {drifted}); pass resume=False to discard "
+                    "the stored rungs and rerun"
+                )
+            unverifiable = sorted(
+                k for k in inputs
+                if (k == "docs" or benchmark is not None)
+                and (inputs[k] is None or prev_inputs.get(k) is None)
+            )
+            if unverifiable:
+                import warnings
+
+                warnings.warn(
+                    "curate_corpus_staged: cannot verify input identity "
+                    f"for {unverifiable} (in-memory input or pre-r9 "
+                    "manifest) — the resume assumes the same inputs as "
+                    "the committed rungs",
+                    UserWarning,
+                    stacklevel=2,
+                )
 
         def stage(rung: str, compute):
             """Return the rung's DataFrame, computing + committing it only
