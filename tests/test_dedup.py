@@ -763,3 +763,30 @@ def test_repeated_paragraphs_fuzz_vs_reference(spark):
                          [(got[k], exp[k]) for k in sorted(bad_ids)[:1]])
     # the fuzz must exercise actual removal or it proves nothing
     assert any(exp[i] != (t or "") for i, t in rows)
+
+
+def test_connected_components_durable_checkpoint_identical(spark, tmp_path):
+    """Round 9: checkpoint_dir routes the hash-min loop's per-round
+    truncation through a RELIABLE checkpoint (file:// here) instead of
+    localCheckpoint — identical labels, durable state on disk."""
+    import os
+
+    n = 40
+    ids = [f"d{i:03d}" for i in range(n)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(0, 25)]  # diameter > 1 round
+        + [(ids[30], ids[31]), (ids[31], ids[32])],
+        "a string, b string",
+    )
+    nodes = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    base = {r["doc_id"]: r["component"]
+            for r in dd.connected_components(
+                nodes, edges, small_graph_max_edges=0).collect()}
+    ck = f"file://{tmp_path}/ck_cc"
+    durable = {r["doc_id"]: r["component"]
+               for r in dd.connected_components(
+                   nodes, edges, small_graph_max_edges=0,
+                   checkpoint_dir=ck).collect()}
+    assert durable == base
+    local = tmp_path / "ck_cc"
+    assert local.is_dir() and any(os.scandir(local))

@@ -225,3 +225,25 @@ def test_auto_split_does_not_silently_drop_null_submissions(spark):
         comment_forest_auto(
             df, share_threshold=0.5, min_rows=10, sample_fraction=1.0
         ).collect()                           # split: must stay loud
+
+
+def test_big_walk_durable_checkpoint_identical(spark, tmp_path):
+    """Round 9: checkpoint_dir switches the pointer-doubling walk's
+    lineage truncation from localCheckpoint to a RELIABLE checkpoint
+    (file:// here) — identical rows, and the checkpoint dir actually
+    receives RDD state."""
+    import os
+
+    rows = [
+        ("t1_a", "t3_s1", "s1", 1, 5),
+        ("t1_b", "t3_s1", "s1", 2, 9),
+        *[
+            (f"t1_g{i}", ("t3_s1" if i == 0 else f"t1_g{i-1}"), "s1", i + 3, i)
+            for i in range(10)
+        ],
+    ]
+    ck = f"file://{tmp_path}/ck_trees"
+    seq, big = _both(spark, rows, checkpoint_dir=ck)
+    assert seq == big
+    local = tmp_path / "ck_trees"
+    assert local.is_dir() and any(os.scandir(local))  # state landed durably

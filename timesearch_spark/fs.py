@@ -529,6 +529,34 @@ class WriterLease:
         self.release()
 
 
+def checkpointer(spark, checkpoint_dir: str | None):
+    """The lineage-truncation strategy for iterative operators
+    (connected_components' hash-min loop, comment_forest_big's pointer
+    doubling): returns ``df -> materialized df``.
+
+    - ``checkpoint_dir=None`` (default): ``localCheckpoint(eager=True)``
+      — executor-local block storage, no durable write, the fastest
+      truncation.  The trade: blocks die with their executor, so on a
+      real cluster an executor loss MID-LOOP fails the query instead of
+      recomputing (localCheckpoint severs the lineage it would need).
+    - a directory (plain path or any ``scheme://`` URI Spark can
+      write): reliable ``checkpoint(eager=True)`` into it — each round
+      persists to durable storage and an executor loss just re-reads.
+      Costs one write+read of the (narrow) loop state per round; at
+      100 TB that is the correct default for multi-hour graph loops.
+
+    ``setCheckpointDir`` is GLOBAL per SparkContext (last caller wins),
+    but Spark segregates the actual files per RDD id under it, so
+    pointing every operator at one shared dir is safe.  Checkpoint
+    files are NOT auto-deleted unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — the
+    caller owns eventual cleanup of ``checkpoint_dir``."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
+
+
 def read_json(fs, path: str, default: dict | None = None) -> dict:
     """Pointer-file helper: parsed JSON, or ``default`` when absent."""
     try:

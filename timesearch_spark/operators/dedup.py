@@ -870,6 +870,7 @@ def connected_components(
     max_iter: int = 25,
     small_graph_max_edges: int = 1_000_000,
     small_graph_max_bytes: int = 64 << 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component): connected components over an undirected pair list
     — component = min id reachable.  ``nodes = None`` (what every
@@ -907,9 +908,13 @@ def connected_components(
       neighbors' (one shuffle join + one partial-agg'd min per round);
       rounds needed = graph diameter.  Near-dup graphs are clique-like,
       so the loop converges in a handful of rounds; ``max_iter`` guards
-      pathological chains.  Labels are ``localCheckpoint``ed per round
-      to truncate the growing join lineage (on a cluster, checkpoint to
-      durable storage instead).  Convergence is a filter + LIMIT 1 over
+      pathological chains.  Labels are checkpointed per round to
+      truncate the growing join lineage — ``localCheckpoint`` by
+      default, or a RELIABLE checkpoint into ``checkpoint_dir`` (any
+      path/URI Spark can write; see
+      :func:`timesearch_spark.fs.checkpointer`), which is what a real
+      cluster run should pass so an executor loss mid-loop recomputes
+      instead of failing.  Convergence is a filter + LIMIT 1 over
       the checkpointed rows — no extra join, no full count.
 
     Scale: state is one (id, label) row per node and the edge list —
@@ -926,7 +931,10 @@ def connected_components(
     # plan twice, and only its shuffle stages would be deduplicated by
     # ReusedExchange — the post-shuffle verify work would run twice
     # inside the checkpoint job.
-    sym = (
+    from timesearch_spark.fs import checkpointer
+
+    ckpt = checkpointer(edges.sparkSession, checkpoint_dir)
+    sym = ckpt(
         edges.select(
             F.explode(
                 F.array(
@@ -937,7 +945,6 @@ def connected_components(
         )
         .select("__e.src", "__e.dst")
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # nodes=None: the universe is the endpoints, derived from the
     # checkpoint — the output's lineage then starts at sym, never at
@@ -1012,10 +1019,7 @@ def connected_components(
                 F.col("id").alias(id_col),
                 F.coalesce("__cc", "id").alias("component"),
             )
-    lbl = (
-        node_ids.withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
+    lbl = ckpt(node_ids.withColumn("label", F.col("id")))
     for _ in range(max_iter):
         nb = (
             sym.join(lbl.withColumnRenamed("id", "dst"), "dst")
@@ -1028,14 +1032,13 @@ def connected_components(
         # narrow rows (no job re-runs the join — an earlier form
         # re-joined new against lbl on id, paying one extra shuffle
         # join per round just to ask "did anything move").
-        new = (
+        new = ckpt(
             lbl.join(nb, "id", "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbmin", "label")).alias("label"),
                 (F.col("nbmin") < F.col("label")).alias("__chg"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = new.filter(F.col("__chg")).limit(1).count()
         lbl = new.drop("__chg")
@@ -1051,6 +1054,7 @@ def dedup_cluster_assignments(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     n: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, cluster_id, is_keeper): end-to-end near-dup clustering — the
     top rung of the dedup ladder.  Pairs from blocked exact n-gram
@@ -1068,7 +1072,9 @@ def dedup_cluster_assignments(
     # node's hash-min label is trivially its own id, so propagating
     # labels over the (at scale, vastly larger) untouched corpus buys
     # nothing — join the subgraph's labels back and default the rest
-    comp = connected_components(None, pairs, id_col=id_col)
+    comp = connected_components(
+        None, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir
+    )
     labeled = df.select(_c(id_col).alias(id_col)).join(comp, id_col, "left")
     cluster = F.coalesce(F.col("component"), F.col(id_col))
     out = labeled.select(

@@ -160,7 +160,9 @@ def comment_forest(comments: DataFrame, num_partitions: int | None = None) -> Da
 
 
 def comment_forest_big(
-    comments: DataFrame, max_depth: int = 65536
+    comments: DataFrame,
+    max_depth: int = 65536,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """:func:`comment_forest` for threads too large for one task.
 
@@ -180,9 +182,12 @@ def comment_forest_big(
        known ancestor's (ancestor, path, hop count), so the known
        ancestor jumps 1, 2, 4, ... levels per round — ``O(log depth)``
        self-joins of the narrow per-node state, never depth-proportional
-       rounds, with per-round ``localCheckpoint`` to truncate lineage
-       (the :func:`~timesearch_spark.operators.dedup.
-       connected_components` recipe);
+       rounds, with a per-round checkpoint to truncate lineage (the
+       :func:`~timesearch_spark.operators.dedup.connected_components`
+       recipe) — ``localCheckpoint`` by default, or a RELIABLE
+       checkpoint into ``checkpoint_dir`` (see
+       :func:`timesearch_spark.fs.checkpointer`) so a cluster run
+       survives executor loss mid-walk;
     3. preorder position = rank of the path key within the thread: a
        parent's path is a proper prefix of its descendants' paths and
        siblings order by their rank segment, so lexicographic path order
@@ -300,7 +305,11 @@ def comment_forest_big(
         F.col("parent").alias("anc"),
         F.lpad(rank.cast("string"), 8, "0").alias("path"),
         F.lit(1).alias("hops"),
-    ).localCheckpoint(eager=True)
+    )
+    from timesearch_spark.fs import checkpointer
+
+    ckpt = checkpointer(comments.sparkSession, checkpoint_dir)
+    state = ckpt(state)
 
     # Only the advancing FRONTIER is ever re-materialized: done rows
     # stay in the checkpointed piece that produced them (typically the
@@ -343,8 +352,8 @@ def comment_forest_big(
             # hop count doubles every round and exits here in O(log)
             # rounds instead of growing its path key forever
             .filter(F.col("hops") <= F.lit(int(max_depth)))
-            .localCheckpoint(eager=True)
         )
+        advanced = ckpt(advanced)
         done_parts.append(advanced.filter(F.col("anc") == F.col("__root")))
         todo = advanced.filter(F.col("anc") != F.col("__root"))
 
@@ -367,6 +376,7 @@ def comment_forest_auto(
     min_rows: int = 500_000,
     sample_fraction: float | None = None,
     max_depth: int = 65536,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """:func:`comment_forest` with mega-thread protection: a sampled
     skew probe (:func:`~timesearch_spark.operators.skew.detect_hot_keys`)
@@ -405,7 +415,9 @@ def comment_forest_auto(
         num_partitions,
     )
     big = comment_forest_big(
-        comments.filter(F.col("submission").isin(hot)), max_depth=max_depth
+        comments.filter(F.col("submission").isin(hot)),
+        max_depth=max_depth,
+        checkpoint_dir=checkpoint_dir,
     )
     return small.unionByName(big)
 
