@@ -790,3 +790,43 @@ def test_connected_components_durable_checkpoint_identical(spark, tmp_path):
     assert durable == base
     local = tmp_path / "ck_cc"
     assert local.is_dir() and any(os.scandir(local))
+
+
+def test_repeated_spans_pathological_mostly_duplicated_doc(spark):
+    """Round 9: the surgery is an interval sweep (O(tokens + spans log
+    spans) per doc), so a document that is almost entirely duplicated
+    spans — the shape that made the r8 per-token F.exists form do
+    ~tokens²/stride work — completes fast with the exact expected
+    arithmetic: one winner window survives per duplicated region."""
+    import time
+
+    from timesearch_spark.operators.dedup import (
+        release_pins, remove_repeated_spans,
+    )
+
+    n_toks = 20_000
+    # two docs sharing one giant run => every window fingerprint is
+    # duplicated; doc 1 holds every winner (lowest doc id)
+    body = " ".join("dup" for _ in range(n_toks))
+    df = spark.createDataFrame(
+        [(1, body), (2, body), (3, "unique words only here")],
+        "doc_id long, text string",
+    )
+    t0 = time.time()
+    out = remove_repeated_spans(df, n=50)
+    got = {r["doc_id"]: r for r in out.collect()}
+    wall = time.time() - t0
+    release_pins(out)
+    # doc 1: winner of window 0, but every LATER window of doc 1 is a
+    # dropped occurrence (the winner is the global (doc,pos) minimum),
+    # so doc 1 keeps exactly its first n tokens
+    assert got[1]["n_removed_tokens"] == n_toks - 50
+    assert got[1]["text"] == " ".join("dup" for _ in range(50))
+    # doc 2: every window dropped, nothing protected
+    assert got[2]["n_removed_tokens"] == n_toks
+    assert got[2]["text"] == ""
+    assert got[3]["text"] == "unique words only here"
+    # generous ceiling (shared host): the r8 quadratic form measured
+    # 13.5s at 4x these tokens and grows with tokens x spans; the sweep
+    # stays flat (~2s, fixed overhead)
+    assert wall < 120, f"pathological doc took {wall:.1f}s"

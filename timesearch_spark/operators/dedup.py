@@ -1197,7 +1197,9 @@ def remove_repeated_spans(
     16-byte md5) triple — text never rides the window explode; the
     frequency pass is one partial-agg'd groupBy on the fingerprint; the
     drop set joins back on the fingerprint and reduces to (id, start)
-    pairs; the rebuild is an expression-only token filter keyed by id.
+    pairs; the rebuild is an expression-only interval sweep keyed by id
+    — O(tokens + spans log spans) per doc, so a pathological document
+    that is mostly duplicated spans costs linear work, not tokens².
     md5 (not xxhash64) so the fingerprints are reproducible by any
     engine with md5 + substring (same choice as the paragraph rung).
     """
@@ -1276,43 +1278,115 @@ def remove_repeated_spans(
         )
         .filter(F.size("__spans") > 0)
     )
-    def _covered(i):
-        # removed = inside a dropped span AND outside every winner span
-        return F.exists(
-            F.col("__spans"), lambda s: (i >= s) & (i < s + n)
-        ) & ~F.exists(F.col("__wins"), lambda s: (i >= s) & (i < s + n))
-
-    # kept token i re-emits with its original trailing separator
-    # (element i+1 of the 1-indexed seps array; the last token has
-    # none); dropped tokens contribute nothing, so the separator that
-    # preceded a removed run is the one carried by the previous kept
-    # token — interior newlines survive wherever their token does
-    pieces = F.transform(
-        F.col("__toks"),
-        lambda x, i: F.when(
-            _covered(i), F.lit("")
-        ).otherwise(
-            F.concat(
-                x,
-                F.coalesce(
-                    F.try_element_at("__seps", (i + 1).cast("int")), F.lit("")
-                ),
-            )
+    # The surgery is an interval sweep, O(tokens + spans log spans) per
+    # doc — NOT a per-token F.exists over the span arrays (the r8 form,
+    # O(tokens × spans): a pathological mostly-duplicated document did
+    # ~tokens²/stride work).  Every span is n tokens long, so dropped
+    # and winner spans become ±1 boundary events; one ordered aggregate
+    # over the sorted events emits the disjoint REMOVED intervals
+    # (drop-covered AND winner-free regions — winner protection is the
+    # `w == 0` term); the kept complement then reassembles the text as
+    # one slice+join per kept interval.
+    events = F.array_sort(
+        F.concat(
+            F.transform("__spans", lambda s: F.struct(
+                s.cast("int").alias("pos"),
+                F.lit(1).alias("d"), F.lit(0).alias("w"))),
+            F.transform("__spans", lambda s: F.struct(
+                (s + n).cast("int").alias("pos"),
+                F.lit(-1).alias("d"), F.lit(0).alias("w"))),
+            F.transform("__wins", lambda s: F.struct(
+                s.cast("int").alias("pos"),
+                F.lit(0).alias("d"), F.lit(1).alias("w"))),
+            F.transform("__wins", lambda s: F.struct(
+                (s + n).cast("int").alias("pos"),
+                F.lit(0).alias("d"), F.lit(-1).alias("w"))),
+        )
+    )
+    swept = F.aggregate(
+        events,
+        F.struct(
+            F.lit(0).alias("prev"), F.lit(0).alias("d"),
+            F.lit(0).alias("w"),
+            F.array().cast("array<struct<a:int,b:int>>").alias("iv"),
+        ),
+        # between consecutive event positions the counters are constant:
+        # a gap with drops active and no winner is a removed interval
+        # (adjacent intervals need no merging — the kept complement
+        # filters zero-length gaps)
+        lambda acc, e: F.struct(
+            e["pos"].alias("prev"),
+            (acc["d"] + e["d"]).alias("d"),
+            (acc["w"] + e["w"]).alias("w"),
+            F.when(
+                (acc["d"] > 0) & (acc["w"] == 0) & (e["pos"] > acc["prev"]),
+                F.concat(acc["iv"], F.array(F.struct(
+                    acc["prev"].alias("a"), e["pos"].alias("b")))),
+            ).otherwise(acc["iv"]).alias("iv"),
         ),
     )
-    n_kept = F.size(F.filter(F.col("__toks"), lambda x, i: ~_covered(i)))
-    out = base.join(drop, id_col, "left").select(
+    # __iv is multi-use and not `isCheap`, so CollapseProject keeps it a
+    # materialized column (one sweep per row) instead of inlining one
+    # sweep per consumer; for untouched docs the arrays are null and
+    # the sweep short-circuits to null
+    joined = base.join(drop, id_col, "left").withColumn("__iv", swept["iv"])
+    kept = F.filter(
+        F.zip_with(
+            F.concat(F.array(F.lit(0)), F.transform("__iv", lambda x: x["b"])),
+            F.concat(
+                F.transform("__iv", lambda x: x["a"]),
+                F.array(F.size("__toks").cast("int")),
+            ),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+        lambda k: k["b"] > k["a"],
+    )
+    # kept token i re-emits with its original trailing separator
+    # (element i+1 of the 1-indexed seps array; the last token has
+    # none); the separator that preceded a removed run is the one
+    # carried by the previous kept token — interior newlines survive
+    # wherever their token does
+    tokseps = F.transform(
+        "__toks",
+        lambda x, i: F.concat(
+            x,
+            F.coalesce(
+                F.try_element_at("__seps", (i + 1).cast("int")), F.lit("")
+            ),
+        ),
+    )
+    # tokseps rides in the aggregate's INITIAL accumulator, which Spark
+    # evaluates once per row — a plain column reference would be inlined
+    # by CollapseProject into the merge lambda and re-derived once per
+    # kept interval (O(intervals × tokens), the very shape this sweep
+    # exists to kill); the merge step only re-wraps the array reference
+    rebuilt = F.aggregate(
+        kept,
+        F.struct(F.lit("").alias("s"), tokseps.alias("ts")),
+        lambda acc, k: F.struct(
+            F.concat(
+                acc["s"],
+                F.array_join(
+                    F.slice(acc["ts"], k["a"] + 1, k["b"] - k["a"]), ""
+                ),
+            ).alias("s"),
+            acc["ts"].alias("ts"),
+        ),
+        lambda acc: acc["s"],
+    )
+    n_removed = F.aggregate(
+        F.col("__iv"), F.lit(0), lambda acc, x: acc + (x["b"] - x["a"])
+    )
+    out = joined.select(
         id_col,
         F.when(F.col("__spans").isNull(), F.col("__orig"))
         # regex rstrip (rtrim strips only 0x20): the last kept token's
         # dangling separator may be a tab/newline when the removed run
         # sat at the end of the document
-        .otherwise(
-            F.regexp_replace(F.array_join(pieces, ""), r"\s+$", "")
-        )
+        .otherwise(F.regexp_replace(rebuilt, r"\s+$", ""))
         .alias(text_col),
         F.when(F.col("__spans").isNull(), F.lit(0))
-        .otherwise(F.size("__toks") - n_kept)
+        .otherwise(n_removed)
         .cast("long")
         .alias("n_removed_tokens"),
     )
