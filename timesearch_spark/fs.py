@@ -529,6 +529,18 @@ class WriterLease:
         self.release()
 
 
+def pyarrow_fs_uri(uri: str) -> str:
+    """The pyarrow.fs spelling of a Hadoop-style URI: Hadoop's s3a/s3n
+    connectors are plain ``s3`` to pyarrow; everything else passes
+    through.  Used by executor-side metadata work (the staged HTML
+    sink's rename pass), where py4j is unavailable and pyarrow's
+    ``FileSystem.from_uri`` is the portable resolver."""
+    for h in ("s3a://", "s3n://"):
+        if uri.startswith(h):
+            return "s3://" + uri[len(h):]
+    return uri
+
+
 def checkpointer(spark, checkpoint_dir: str | None):
     """The lineage-truncation strategy for iterative operators
     (connected_components' hash-min loop, comment_forest_big's pointer
