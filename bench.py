@@ -107,12 +107,23 @@ def main() -> None:
     # raises records "err" instead of killing the run.
     times: dict[str, float] = {}
     raw: dict[str, object] = {}
+    loads: dict[str, list] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         if name in qs:
             try:
-                raw[name] = [round(run(name), 3) for _ in range(3)]
-                times[name] = min(raw[name])
+                samples, lds = [], []
+                for _ in range(3):
+                    # 1-min loadavg AT each sample: a regression claim
+                    # read off a sample taken at loadavg 8 on this
+                    # shared host is mush (r8's cold-run comparison) —
+                    # the reader needs per-sample evidence, not the
+                    # global before/after pair
+                    lds.append(round(os.getloadavg()[0], 2))
+                    samples.append(round(run(name), 3))
+                raw[name] = samples
+                loads[name] = lds
+                times[name] = min(samples)
             except Exception as exc:  # record, keep benching the rest
                 raw[name] = "err"
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -126,6 +137,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "runs": raw,
+                "load": loads,
                 "errors": errors,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],

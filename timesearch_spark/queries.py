@@ -1016,7 +1016,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     <100%, so a brute-force oracle would not match).  The production
     default stays xxhash64 (``dedup_minhash_xx64`` below, same plan
     shape); pytest asserts planted-pair recall for both families
-    (test_dedup.py)."""
+    (test_dedup.py).
+
+    ORACLE-REPLAY ONLY — do not recommend this entry for production
+    corpora: md5 is the steepest 100× scaler left in SCALING_r08
+    (12.7× vs the xx64 twin's 5.7×, the 128-bit hash paying ~2× per
+    gram plus wider shuffle rows).  Production users run
+    ``dedup_minhash_xx64`` (or ``dd.minhash_near_dups`` with its
+    default family)."""
     u = _docs_with_mutations(spark, sf_dir, " zzq wwx vvy")
     return dd.minhash_near_dups(u, threshold=0.7, hash_family="md5").withColumn(
         "jaccard", F.round("jaccard", 6)
