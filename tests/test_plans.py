@@ -321,3 +321,34 @@ def test_composed_ladders_stay_inside_shuffle_budget(spark):
     values +~30% headroom), not a target."""
     assert plans.num_shuffles(_q(spark, "pipeline_curate")) <= 18
     assert plans.num_shuffles(_q(spark, "dedup_cluster")) <= 10
+
+
+def test_decontaminate_construction_runs_no_job_for_parquet_benchmark(
+    spark, tmp_path
+):
+    """r8 ADVICE item 3: the broadcast-size gate must answer from the
+    parquet footers (byte_size_bound — no Spark job) when the benchmark
+    is file-backed; the bounded limit().count() probe is the fallback,
+    not the default.  Pinned via a job group: DataFrame CONSTRUCTION
+    must submit zero jobs."""
+    from timesearch_spark.operators import pipeline as pl
+
+    docs = spark.range(50).selectExpr(
+        "id AS doc_id",
+        "concat('alpha bravo charlie delta echo foxtrot golf hotel ', id) "
+        "AS text",
+    )
+    dp, bp = str(tmp_path / "d.parquet"), str(tmp_path / "b.parquet")
+    docs.write.parquet(dp)
+    docs.limit(5).write.parquet(bp)
+    d, b = spark.read.parquet(dp), spark.read.parquet(bp)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("decontam-construct", "construction-only")
+    try:
+        df = pl.decontaminate(d, b, n=4, max_broadcast_grams=1_000_000)
+        ids = sc.statusTracker().getJobIdsForGroup("decontam-construct")
+    finally:
+        sc.setJobGroup("decontam-construct-done", "")
+    assert list(ids) == [], f"construction submitted jobs: {ids}"
+    assert df.count() >= 0  # the plan still executes fine
