@@ -489,3 +489,54 @@ def test_ivf_barrier_survives_the_optimizer(spark, monkeypatch):
     # line turns this test red, not silently green)
     monkeypatch.setattr(sim, "_cell_join_barrier", lambda df: df)
     assert "rand(" not in optimized_plan()
+
+
+def test_blas_guard_footer_precheck_skips_probe(spark, tmp_path):
+    """Round 9: a parquet-backed input whose row-preserving plan proves
+    (exactly, from footers) it exceeds max_broadcast_rows must route to
+    LSH WITHOUT the bounded Arrow probe — no toPandas of probe size at
+    all, just a 1-row dim peek.  A filtered (unprovable) small input
+    still takes the probe and the BLAS arm."""
+    p = str(tmp_path / "emb.parquet")
+    _emb(spark, n=60, dim=16).write.parquet(p)
+    emb = spark.read.parquet(p)  # 66 rows, exact from footers
+
+    cls = type(emb)
+    sizes = []
+    real_topandas = cls.toPandas
+
+    def spy(self):
+        out = real_topandas(self)
+        sizes.append(len(out))
+        return out
+
+    cls.toPandas = spy
+    try:
+        routed = sim.embedding_near_dups_blas(
+            emb, threshold=0.999, max_broadcast_rows=10
+        )
+        probe_sizes = list(sizes)  # gate-time toPandas calls only
+        got = {(r["a"], r["b"]) for r in routed.collect()}
+    finally:
+        cls.toPandas = real_topandas
+    assert probe_sizes == [], f"probe ran despite exact footer count: {probe_sizes}"
+    planted = {(i, i + 1000) for i in range(10, 61, 10)}
+    assert planted <= got
+
+    # filtered input: footer count is only a ceiling -> probe runs,
+    # BLAS arm keeps exact semantics
+    # 13 rows <= gate (the planted near-dup 1010 must survive the filter)
+    small = emb.filter((F.col("vec_id") <= 12) | (F.col("vec_id") == 1010))
+    cls.toPandas = spy
+    sizes.clear()
+    try:
+        exact_pairs = {
+            (r["a"], r["b"])
+            for r in sim.embedding_near_dups_blas(
+                small, threshold=0.999, max_broadcast_rows=20
+            ).collect()
+        }
+    finally:
+        cls.toPandas = real_topandas
+    assert sizes and max(sizes) <= 21  # bounded probe, BLAS arm
+    assert exact_pairs == {(10, 1010)}

@@ -788,3 +788,28 @@ def test_writer_lease_erroring_reads_still_time_out(spark, tmp_path):
     with _pytest.raises(LeaseTimeout):
         lz.acquire()
     assert _time.monotonic() - t0 < 10  # bounded, not a spin-forever
+
+
+def test_writer_lease_ttl_break_over_hadoopfs_root(spark, tmp_path):
+    """The rename-to-unique break must work through the Hadoop FS shim
+    too (schemed roots use HadoopFS.rename, not os.rename): an expired
+    lease on a file:// root is broken and re-acquired."""
+    import json as _json
+    import os as _os
+
+    from timesearch_spark.fs import WriterLease, get_fs
+
+    local = tmp_path / "lease_hfs"
+    _os.makedirs(local, exist_ok=True)
+    with open(local / "_writer.lease", "w") as f:
+        f.write(_json.dumps(
+            {"owner": "crashed", "acquired_at": 1.0, "ttl_sec": 1.0}
+        ))
+    root = f"file://{local}"
+    fs = get_fs(spark, root)
+    lz = WriterLease(fs, root, timeout_sec=30.0, poll_sec=0.05).acquire()
+    held = _json.loads(fs.read_text(lz.path))
+    assert held["owner"] == lz.owner
+    lz.release()
+    leftovers = [e for e in _os.listdir(local) if e.startswith("_writer")]
+    assert leftovers == []

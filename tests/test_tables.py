@@ -172,3 +172,23 @@ def test_byte_size_bound_rejects_value_synthesizing_plans(spark, tmp_path):
     assert byte_size_bound(
         d.groupBy("g").agg(F.collect_list("text").alias("xs"))
     ) is None
+
+
+def test_row_count_exact_only_for_row_preserving_plans(spark, tmp_path):
+    """row_count_exact: exact from footers for projection/sort-only
+    plans, None the moment a row-SHRINKING node (filter/limit/sample)
+    appears — a mere ceiling must never drive gates whose big branch
+    changes semantics."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from timesearch_spark.tables import row_count_exact
+
+    p = str(tmp_path / "e.parquet")
+    spark.range(123).selectExpr("id", "id * 2 AS v").write.parquet(p)
+    d = spark.read.parquet(p)
+    assert row_count_exact(d) == 123
+    assert row_count_exact(d.select("id")) == 123
+    assert row_count_exact(d.orderBy("v")) == 123
+    assert row_count_exact(d.filter(F.col("id") > 5)) is None
+    assert row_count_exact(d.limit(5)) is None
+    assert row_count_exact(d.sample(False, 0.5, seed=1)) is None

@@ -688,6 +688,26 @@ def embedding_near_dups_blas(
 
     spark = emb.sparkSession
     narrow = emb.select(_col_pair(id_col), _col_pair(vec_col))
+    # Footer pre-check (no job): when the plan is row-PRESERVING the
+    # parquet footers give the EXACT row count, so a provably-too-big
+    # input skips the bounded Arrow probe entirely — at the default
+    # gate that probe is ~200k × dim float64s of driver traffic spent
+    # only to learn "too big".  row_count_exact (not the _bound
+    # ceiling): the big branch changes semantics (approximate LSH), so
+    # an over-estimate must never route a small-after-filter input
+    # there.  dim comes from a 1-row peek instead of the 100 MB probe.
+    from timesearch_spark.tables import row_count_exact
+
+    exact = row_count_exact(narrow)
+    if exact is not None and exact > max_broadcast_rows:
+        peek = narrow.select(F.size(F.col(vec_col)).alias("d")).first()
+        return embedding_near_dups_lsh(
+            emb,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=int(peek["d"]),
+        )
     # limit(max+1).toPandas(): a bounded Arrow transfer that doubles as
     # the size probe AND the broadcast payload — never materializes more
     # than max_broadcast_rows+1 rows on the driver (unlike a

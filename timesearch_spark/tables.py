@@ -129,6 +129,35 @@ def _plan_row_nonincreasing(df: DataFrame) -> bool:
     return _plan_nonincreasing(df, _ROW_NONINCREASING_NODES)
 
 
+#: Nodes that PRESERVE the row count exactly (1:1): when every node is
+#: on this list the footer total is not just a ceiling but the exact
+#: count — a Filter/Limit/Sample/Aggregate can shrink rows, so none of
+#: those qualify.
+_ROW_PRESERVING_NODES = frozenset({
+    "Relation", "LogicalRelation", "Project", "SubqueryAlias", "Sort",
+    "Repartition", "RepartitionByExpression", "Rebalance",
+    "ResolvedHint", "UnresolvedHint", "Window",
+})
+
+
+def row_count_exact(df: DataFrame) -> int | None:
+    """EXACT row count of ``df`` from parquet footer metadata — no Spark
+    job; None unless every plan node above the scan is row-PRESERVING
+    (projections/sorts/repartitions only).  Distinct from
+    :func:`row_count_bound`: a too-big verdict from a mere ceiling
+    would mis-route provably-small-after-filter inputs, so gates whose
+    BIG branch changes semantics (e.g. the BLAS near-dup broadcast
+    delegating to approximate LSH) may only pre-empt their probe on an
+    exact count."""
+    try:
+        files = df.inputFiles()
+        if not files or not _plan_nonincreasing(df, _ROW_PRESERVING_NODES):
+            return None
+        return sum(_file_meta(f)[2] for f in files)
+    except Exception:
+        return None
+
+
 def row_count_bound(df: DataFrame) -> int | None:
     """Upper bound on ``df``'s row count from parquet footer metadata —
     no Spark job.  Valid only when the plan above the scan is
