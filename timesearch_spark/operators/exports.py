@@ -333,8 +333,23 @@ def _write_thread_html_staged(grouped: DataFrame, out_dir: str) -> int:
     )
     fs = get_fs(spark, out_dir)
     fs.mkdirs(out_dir)
-    entries = [e for e in fs.ls(staging) if e.startswith("submission=")]
-    if _pyarrow_can_open(pyarrow_fs_uri(staging)) and entries:
+    use_pyarrow = _pyarrow_can_open(pyarrow_fs_uri(staging))
+    if use_pyarrow:
+        # the one driver listing goes through pyarrow's C++ lister, not
+        # the Hadoop shim: HadoopFS.ls pays one py4j round trip PER
+        # entry (a million threads = a million gateway hops before any
+        # rename), pyarrow returns the whole listing in one call
+        import pyarrow.fs as pafs
+
+        fss, stage_path = pafs.FileSystem.from_uri(pyarrow_fs_uri(staging))
+        entries = [
+            i.base_name
+            for i in fss.get_file_info(pafs.FileSelector(stage_path))
+            if i.base_name.startswith("submission=")
+        ]
+    else:
+        entries = [e for e in fs.ls(staging) if e.startswith("submission=")]
+    if use_pyarrow and entries:
         n = _rename_pass_distributed(spark, staging, out_dir, entries)
     else:
         n = _rename_pass_driver_pool(fs, staging, out_dir, entries)
