@@ -253,12 +253,16 @@ def index(archive: Archive, out_dir: str, orderby: str = "date",
 
 
 def offline_reading(archive: Archive, out_dir: str,
-                    specific_submission: str | None = None) -> int:
+                    specific_submission: str | None = None,
+                    checkpoint_dir: str | None = None) -> int:
     """Thread HTML export (§3.3): forest walk → render → one file per
     submission; returns the file count.  ``specific_submission`` renders
     one thread only (the reference's -s, offline_reading.py:393-416) —
     the filter lands BEFORE the forest walk, so the shuffle carries one
-    thread, not the archive."""
+    thread, not the archive.  ``checkpoint_dir`` makes a mega-thread
+    walk's per-round state durable (:func:`timesearch_spark.fs.
+    checkpointer`) — pass it on a real cluster so an executor loss
+    mid-walk recomputes instead of failing the export."""
     comments = archive.comments.snapshot()
     if specific_submission is not None:
         sid = specific_submission if specific_submission.startswith("t3_") \
@@ -269,7 +273,7 @@ def offline_reading(archive: Archive, out_dir: str,
     # auto: a sampled probe routes only mega-threads (>=5% share AND
     # >=500k comments) through the distributed pointer-doubling walk —
     # archives with bounded threads keep the cheap per-partition walk
-    forest = comment_forest_auto(comments)
+    forest = comment_forest_auto(comments, checkpoint_dir=checkpoint_dir)
     enriched = forest.join(
         comments.select("idstr", "body"), on="idstr", how="left"
     )

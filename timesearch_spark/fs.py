@@ -379,9 +379,10 @@ class WriterLease:
     tombstone's content is the expired lease it judged (a concurrent
     breaker may have already broken + re-acquired between our read and
     our rename — POSIX rename replaces, so we could have grabbed a
-    LIVE lease); a stolen live lease is renamed straight back.  The restore itself has a third-party window (a writer that
-    created a fresh lock while we held the tombstone would be clobbered
-    by the rename-back) — that residual, plus object stores whose
+    LIVE lease); a stolen live lease is renamed straight back.  The
+    restore itself has a third-party window (a writer that created a
+    fresh lock while we held the tombstone would be clobbered by the
+    rename-back) — that residual, plus object stores whose
     rename is copy+delete, is why the stores KEEP their version CAS as
     the correctness backstop; the lease exists so the CAS never fires
     between live cooperating writers.
