@@ -202,6 +202,7 @@ def cmd_offline_reading(args):
     n = api.offline_reading(
         archive, os.path.join(archive.path, "offline_reading"),
         specific_submission=args.specific_submission,
+        checkpoint_dir=args.checkpoint_dir,
     )
     print(f"offline_reading: {n} threads")
     return 0
@@ -442,6 +443,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("offline_reading", help="thread HTML export")
     _add_entity_args(p)
     p.add_argument("-s", "--specific", dest="specific_submission", default=None)
+    p.add_argument("--checkpoint-dir", dest="checkpoint_dir", default=None,
+                   help="durable checkpoint dir for mega-thread walks "
+                        "(cluster runs: survives executor loss)")
     p.set_defaults(func=cmd_offline_reading)
 
     p = sub.add_parser("merge_db", help="insert-only archive merge")
