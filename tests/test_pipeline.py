@@ -655,3 +655,29 @@ def test_curate_staged_input_rung_only_when_surgery(spark, tmp_path):
     curate_corpus_staged(docs, surg, min_tokens=5, neardup_threshold=0.5,
                          paragraph_max_df=2).collect()
     assert os.path.exists(os.path.join(surg, "input", "_SUCCESS"))
+
+
+def test_curate_staged_benchmark_identity_pinned(spark, tmp_path):
+    """The input-identity pin covers the BENCHMARK side too: same docs,
+    different benchmark parquet on resume is the same loud error."""
+    from timesearch_spark.operators.pipeline import curate_corpus_staged
+
+    docs = spark.createDataFrame(_LADDER_ROWS, "doc_id long, text string")
+    dp = str(tmp_path / "docs.parquet")
+    b1 = str(tmp_path / "bench1.parquet")
+    b2 = str(tmp_path / "bench2.parquet")
+    docs.write.parquet(dp)
+    docs.limit(2).write.parquet(b1)
+    docs.limit(2).write.parquet(b2)
+    store = str(tmp_path / "store_bench_ident")
+
+    d = spark.read.parquet(dp)
+    curate_corpus_staged(
+        d, store, min_tokens=5, neardup_threshold=0.5,
+        benchmark=spark.read.parquet(b1),
+    ).count()
+    with pytest.raises(ValueError, match="input data"):
+        curate_corpus_staged(
+            d, store, min_tokens=5, neardup_threshold=0.5,
+            benchmark=spark.read.parquet(b2),
+        )
