@@ -128,22 +128,55 @@ def main() -> None:
                 raw[name] = "err"
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "runs": raw,
-                "load": loads,
-                "errors": errors,
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
+    # The grading driver captures only the LAST ~2000 chars of stdout, so
+    # the machine-readable record must be (a) the final line and (b)
+    # compact.  Round 9 lost its official bench record because one fat
+    # line (summary + runs + per-sample loads, 3.6 KB) pushed the leading
+    # fields past the tail window and the driver recorded parsed:null.
+    # Detail (raw samples, per-sample loadavg) goes to a sidecar file and
+    # an EARLIER stdout line; the summary prints last and is size-checked.
+    detail = {
+        "runs": raw,
+        "load": loads,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(detail, fh)
+    except OSError:
+        pass  # read-only checkout: the stdout detail line still carries it
+    print(json.dumps({"detail": detail}))
+
+    summary = compact_summary(times, sf, errors)
+    print(summary)
+
+
+def compact_summary(times: dict, sf, errors: dict) -> str:
+    """The one line the driver parses. Kept deliberately small: per-query
+    bests only, errors truncated hard, and a guard that drops the
+    per-query map's long tail before ever exceeding the driver's capture
+    window (should never trigger at 32 headliners — test-pinned)."""
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "errors": {k: v[:80] for k, v in errors.items()},
+    }
+    line = json.dumps(payload)
+    if len(line) > 1900:  # hard ceiling under the driver's 2000-char tail
+        payload["queries_truncated"] = True
+        qitems = sorted(times.items(), key=lambda kv: -kv[1])
+        while len(line) > 1900 and qitems:
+            qitems.pop()
+            payload["queries"] = dict(qitems)
+            line = json.dumps(payload)
+    return line
 
 
 if __name__ == "__main__":

@@ -19,16 +19,20 @@ def _run_main(monkeypatch, headline):
     with redirect_stdout(buf):
         bench.main()
     lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
-    assert len(lines) == 1, "bench must print exactly ONE JSON line"
-    return json.loads(lines[0])
+    # detail line(s) first, compact summary LAST — the driver tails stdout
+    assert len(lines) == 2, "bench must print detail then ONE summary line"
+    detail = json.loads(lines[0])["detail"]
+    summary = json.loads(lines[-1])
+    return summary, detail
 
 
-def test_bench_emits_one_json_line(spark, monkeypatch):
-    out = _run_main(monkeypatch, ["dedup_ids", "media_stats"])
+def test_bench_emits_summary_last(spark, monkeypatch):
+    out, detail = _run_main(monkeypatch, ["dedup_ids", "media_stats"])
     assert out["metric"] == "headline_queries_total"
     assert out["unit"] == "sec" and out["sf"] == 0.001
     assert set(out["queries"]) == {"dedup_ids", "media_stats"}
-    assert all(len(out["runs"][q]) == 3 for q in out["queries"])
+    assert all(len(detail["runs"][q]) == 3 for q in out["queries"])
+    assert all(len(detail["load"][q]) == 3 for q in out["queries"])
     assert out["value"] > 0 and out["errors"] == {}
 
 
@@ -41,11 +45,35 @@ def test_bench_isolates_a_broken_query(spark, monkeypatch):
         raise RuntimeError("synthetic breakage")
 
     monkeypatch.setitem(tsq.QUERIES, "__boom", boom)
-    out = _run_main(monkeypatch, ["__boom", "media_stats"])
+    out, detail = _run_main(monkeypatch, ["__boom", "media_stats"])
     assert "__boom" in out["errors"]
     assert "synthetic breakage" in out["errors"]["__boom"]
-    assert out["runs"]["__boom"] == "err"
+    assert detail["runs"]["__boom"] == "err"
     assert "media_stats" in out["queries"]  # the rest still benched
+
+
+def test_summary_line_fits_driver_tail_window():
+    """r9's official bench record was LOST because the one JSON line grew
+    to 3.6 KB and the driver keeps only the last 2,000 chars of stdout.
+    Pin: at the full 32-query headline set with realistic names/values,
+    the final summary line stays comfortably inside the window."""
+    times = {name: 12.345 for name in bench.HEADLINE}
+    line = bench.compact_summary(times, 0.1, {})
+    assert len(line) < 1500, f"summary line {len(line)} chars — too fat"
+    out = json.loads(line)
+    assert out["queries"] == times and "runs" not in out
+
+
+def test_summary_line_truncates_rather_than_overflow():
+    """Even a pathological registry (hundreds of queries, long names)
+    must never push the summary past the 2,000-char capture: the guard
+    drops the cheapest queries first and flags the truncation."""
+    times = {f"extremely_long_query_name_variant_{i:04d}": 1.0 for i in range(200)}
+    line = bench.compact_summary(times, 0.1, {})
+    assert len(line) <= 1900
+    out = json.loads(line)
+    assert out.get("queries_truncated") is True
+    assert out["value"] == round(sum(times.values()), 3)  # total still exact
 
 
 def test_headline_names_all_registered():
