@@ -74,13 +74,19 @@ def breakdown_sorted(
 ) -> DataFrame:
     """Reference's comparator sorts (breakdown.py:55-82): by name (lower),
     or by -submissions / -comments / -total with lower(name) tiebreak."""
-    lower_key = F.lower(F.col(key_name).cast("string"))
+    # exact-key final tiebreak: the reference's comparator ends at
+    # lower(name) and leans on Python's stable sort for case-colliding
+    # names; Spark's orderBy is nondeterministic on full ties, so the
+    # tie is refined deterministically — this also keeps the collect
+    # and sharded export forms byte-identical on such names
+    exact_key = F.col(key_name).cast("string")
+    lower_key = F.lower(exact_key)
     if sort == "name":
-        return bd.orderBy(lower_key.asc())
+        return bd.orderBy(lower_key.asc(), exact_key.asc())
     cols = {"submissions": left_name, "comments": right_name,
             "total_posts": "total_posts"}
     if sort not in cols:
         raise ValueError(
             f"unknown sort {sort!r}: use name|{'|'.join(cols)}"
         )
-    return bd.orderBy(F.col(cols[sort]).desc(), lower_key.asc())
+    return bd.orderBy(F.col(cols[sort]).desc(), lower_key.asc(), exact_key.asc())
