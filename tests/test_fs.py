@@ -282,9 +282,11 @@ def test_thread_html_staged_rename_pass_at_1k_threads(spark, tmp_path):
 
 
 def test_thread_html_driver_pool_arm_matches(spark, tmp_path, monkeypatch):
-    """The driver thread-pool fallback (schemes pyarrow cannot open)
-    produces the same files as the executor arm — forced here by
-    making the pyarrow probe fail."""
+    """The driver thread-pool fallback (schemes NEITHER pyarrow nor
+    fsspec can open) produces the same files as the executor arm —
+    forced here by making the store-open probe raise (the probe is a
+    real listing since r10, so a raise is exactly what an
+    unauthenticated s3a store produces)."""
     from timesearch_spark.operators import exports
 
     rendered = spark.createDataFrame(
@@ -292,13 +294,181 @@ def test_thread_html_driver_pool_arm_matches(spark, tmp_path, monkeypatch):
         "submission string, position long, html string",
     )
 
-    def no_pyarrow(spark_, staging, out_dir, entries):
+    def no_dist(spark_, staging, out_dir, entries):
         raise AssertionError("distributed arm must not run")
 
-    monkeypatch.setattr(exports, "_rename_pass_distributed", no_pyarrow)
-    monkeypatch.setattr(exports, "_pyarrow_can_open", lambda uri: False)
+    def no_open(uri):
+        raise RuntimeError("scheme not openable without Hadoop conf")
+
+    monkeypatch.setattr(exports, "_rename_pass_distributed", no_dist)
+    monkeypatch.setattr(exports, "_open_fs", no_open)
     root = f"file://{tmp_path}/pool_schemed"
     assert exports.write_thread_html(rendered, root) == 2
     local = str(tmp_path / "pool_schemed")
     assert sorted(os.listdir(local)) == ["t3_a.html", "t3_b.html"]
     assert "<div>x</div>" in open(os.path.join(local, "t3_a.html")).read()
+
+
+def test_thread_html_distributed_failure_falls_back_to_pool(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9 (medium): a scheme the driver CAN list but executors
+    cannot write (creds in the Hadoop conf only) must not kill the
+    export — the staged sink falls back to the driver pool at runtime
+    and still reports the exact file count."""
+    import warnings
+
+    from timesearch_spark.operators import exports
+
+    rendered = spark.createDataFrame(
+        [("t3_a", 0, "<div>x</div>"), ("t3_b", 0, "<div>y</div>")],
+        "submission string, position long, html string",
+    )
+
+    def dist_dies(spark_, staging, out_dir, entries):
+        raise RuntimeError("executor-side auth failure")
+
+    monkeypatch.setattr(exports, "_rename_pass_distributed", dist_dies)
+    root = f"file://{tmp_path}/fb_schemed"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert exports.write_thread_html(rendered, root) == 2
+    assert any("falling back to the driver thread pool" in str(x.message)
+               for x in w)
+    local = str(tmp_path / "fb_schemed")
+    assert sorted(os.listdir(local)) == ["t3_a.html", "t3_b.html"]
+    assert "<div>y</div>" in open(os.path.join(local, "t3_b.html")).read()
+
+
+def test_finalize_one_counts_already_finalized_threads(tmp_path):
+    """ADVICE r9: a retried task (or the pool fallback after a partial
+    distributed pass) finds the part file already moved — the thread
+    was written, so it must count 1 (dst presence), not 0."""
+    from timesearch_spark.operators.exports import _finalize_one
+
+    staging = tmp_path / "stage"
+    out = tmp_path / "out"
+    (staging / "submission=t3_a").mkdir(parents=True)
+    out.mkdir()
+    (out / "t3_a.html").write_text("<html>done</html>")  # already moved
+
+    def ls(p):
+        return os.listdir(p)
+
+    def noop(*a):
+        return None
+
+    def exists(p):
+        return os.path.exists(p)
+
+    n = _finalize_one(ls, noop, noop, exists, str(staging), str(out),
+                      "submission=t3_a")
+    assert n == 1
+    # and a genuinely-empty partition with no dst still counts 0
+    (staging / "submission=t3_b").mkdir()
+    assert _finalize_one(ls, noop, noop, exists, str(staging), str(out),
+                         "submission=t3_b") == 0
+
+
+_FSSPEC_SHIM = '''\
+"""Minimal fsspec stand-in: a mockfs:// filesystem over local paths.
+
+Implements exactly the AbstractFileSystem surface pyarrow's
+FSSpecHandler calls for the rename pass (info/isdir/exists/find/mv/rm).
+Registered via sc.addPyFile so EXECUTOR workers import it too — the
+container has no real fsspec, which is the point: the bridge must be
+import-gated and the test proves the whole executor-side path."""
+import os
+import shutil
+
+
+class _MockFS:
+    protocol = "mockfs"
+    sep = "/"
+
+    def _strip_protocol(self, path):
+        if path.startswith("mockfs://"):
+            path = path[len("mockfs://"):]
+            if not path.startswith("/"):
+                path = "/" + path
+        return path
+
+    def _info(self, p):
+        is_dir = os.path.isdir(p)
+        return {"name": p, "type": "directory" if is_dir else "file",
+                "size": 0 if is_dir else os.path.getsize(p)}
+
+    def info(self, path):
+        p = self._strip_protocol(path)
+        if not os.path.exists(p):
+            raise FileNotFoundError(p)
+        return self._info(p)
+
+    def isdir(self, path):
+        return os.path.isdir(self._strip_protocol(path))
+
+    def exists(self, path):
+        return os.path.exists(self._strip_protocol(path))
+
+    def find(self, path, maxdepth=None, withdirs=False, detail=False):
+        base = self._strip_protocol(path)
+        out = {}
+        for name in os.listdir(base):
+            p = os.path.join(base, name)
+            if withdirs or os.path.isfile(p):
+                out[p] = self._info(p)
+        return out
+
+    def mv(self, src, dst, recursive=False):
+        shutil.move(self._strip_protocol(src), self._strip_protocol(dst))
+
+    def rm(self, path, recursive=False):
+        p = self._strip_protocol(path)
+        if os.path.isdir(p):
+            raise IsADirectoryError(p)
+        os.remove(p)
+
+
+def filesystem(scheme, **kwargs):
+    if scheme != "mockfs":
+        raise ValueError(scheme)
+    return _MockFS()
+'''
+
+
+def test_distributed_rename_arm_via_fsspec_bridge(spark, tmp_path, monkeypatch):
+    """r9 verdict item 3: schemes pyarrow has no native binding for must
+    still use the EXECUTOR-parallel rename arm via the
+    PyFileSystem(FSSpecHandler(...)) bridge, not the driver pool.  A
+    mock fsspec scheme (mockfs://) is registered on driver and executors
+    (addPyFile); the rename pass runs end-to-end through the bridge with
+    byte-identity preserved."""
+    import sys
+
+    from timesearch_spark.operators.exports import _rename_pass_distributed
+
+    shim = tmp_path / "fsspec.py"
+    shim.write_text(_FSSPEC_SHIM)
+    spark.sparkContext.addPyFile(str(shim))  # executors import this
+    monkeypatch.syspath_prepend(str(tmp_path))  # driver imports it too
+    sys.modules.pop("fsspec", None)
+    try:
+        stage = tmp_path / "stage"
+        out = tmp_path / "out"
+        out.mkdir()
+        n = 25
+        for i in range(n):
+            d = stage / f"submission=t3_{i}"
+            d.mkdir(parents=True)
+            (d / "part-00000-deadbeef.txt").write_text(f"<html>doc {i}</html>")
+
+        moved = _rename_pass_distributed(
+            spark, f"mockfs://{stage}", f"mockfs://{out}",
+            [f"submission=t3_{i}" for i in range(n)],
+        )
+        assert moved == n
+        names = sorted(os.listdir(out))
+        assert names == sorted(f"t3_{i}.html" for i in range(n))
+        assert open(out / "t3_7.html").read() == "<html>doc 7</html>"
+    finally:
+        sys.modules.pop("fsspec", None)

@@ -48,7 +48,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     real_dist = exports._rename_pass_distributed
     real_pool = exports._rename_pass_driver_pool
-    real_can = exports._pyarrow_can_open
+    real_open = exports._open_fs
 
     def timed(tag, fn):
         def wrap(*a, **k):
@@ -63,14 +63,18 @@ def main() -> None:
         assert exports.write_thread_html(rendered, f"file://{base}/dist") == n
         exports._rename_pass_distributed = real_dist
 
-        exports._pyarrow_can_open = lambda uri: False
+        def no_open(uri):
+            raise RuntimeError("forced driver-pool arm")
+
+        exports._open_fs = no_open
         exports._rename_pass_driver_pool = timed("pool16", real_pool)
         assert exports.write_thread_html(rendered, f"file://{base}/pool") == n
 
         def serial(fs, staging, out_dir, entries):
             return sum(
                 exports._finalize_one(
-                    fs.ls, fs.rename, fs.delete, staging, out_dir, e
+                    fs.ls, fs.rename, fs.delete, fs.exists, staging,
+                    out_dir, e
                 )
                 for e in entries
             )
@@ -82,7 +86,7 @@ def main() -> None:
     finally:
         exports._rename_pass_distributed = real_dist
         exports._rename_pass_driver_pool = real_pool
-        exports._pyarrow_can_open = real_can
+        exports._open_fs = real_open
         shutil.rmtree(base, ignore_errors=True)
 
     import json
