@@ -127,6 +127,41 @@ def test_offline_reading_writes_thread_files(spark, tmp_path):
     assert doc.count('<div class="comment"') == 3
 
 
+def test_offline_reading_auto_derives_durable_checkpoint(spark, tmp_path,
+                                                         monkeypatch):
+    """r9 verdict item 4: a scheme:// archive auto-routes the mega-thread
+    walk's lineage truncation to a RELIABLE checkpoint next to the store
+    (localCheckpoint is cluster-unsafe: executor loss mid-loop fails the
+    query); a plain local archive keeps the cheap localCheckpoint.
+    Output identity between the two checkpoint modes is pinned
+    separately (test_trees/test_dedup durable-checkpoint tests)."""
+    captured = {}
+    real = api.comment_forest_auto
+
+    def capture(comments, checkpoint_dir=None, **kw):
+        captured["ck"] = checkpoint_dir
+        return real(comments, checkpoint_dir=checkpoint_dir, **kw)
+
+    monkeypatch.setattr(api, "comment_forest_auto", capture)
+    p = tmp_path / "dump.jsonl"
+    objs = [_sub(0)] + [_com(i) for i in range(2)]
+    p.write_text("\n".join(json.dumps(o) for o in objs))
+
+    schemed = api.Archive(spark, f"file://{tmp_path}/ar_s")
+    api.ingest_jsonfile(schemed, str(p))
+    assert api.offline_reading(schemed, f"file://{tmp_path}/out_s") == 1
+    assert captured["ck"] == f"file://{tmp_path}/ar_s/_checkpoints"
+
+    local = api.Archive(spark, str(tmp_path / "ar_l"))
+    api.ingest_jsonfile(local, str(p))
+    assert api.offline_reading(local, str(tmp_path / "out_l")) == 1
+    assert captured["ck"] is None
+    # an explicit dir always wins over derivation
+    api.offline_reading(schemed, f"file://{tmp_path}/out_s2",
+                        checkpoint_dir=str(tmp_path / "ck"))
+    assert captured["ck"] == str(tmp_path / "ck")
+
+
 def test_thread_html_sink_never_iterates_on_driver(spark, tmp_path, monkeypatch):
     """VERDICT r4 item 6: write_thread_html must write from executors
     (mapInPandas), not serialize every document through a driver

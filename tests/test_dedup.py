@@ -295,6 +295,40 @@ def test_connected_components_byte_gate_forces_distributed(spark):
     assert {r["doc_id"]: r["component"] for r in gated.collect()} == via_driver
 
 
+def test_connected_components_byte_gate_measures_octets_and_nulls(spark):
+    """ADVICE r9: the gate bounds driver TRANSFER, so it must count
+    UTF-8 octets (multi-byte ids undercount up to 4x on characters) and
+    a null endpoint must still contribute its non-null side instead of
+    nulling the row's whole term out of the sum."""
+    # 2-byte chars: 100 chars = 200 octets per endpoint; 3 edges → sym 6
+    # rows → 1200 chars but 2400 octets.  A 1500-byte gate must reject.
+    wide = [("é" * 97) + f"{i:03d}" for i in range(4)]
+    edges = spark.createDataFrame(
+        [(wide[i], wide[i + 1]) for i in range(3)], "a string, b string"
+    )
+    # the driver arm is identifiable by its __cc label column (the
+    # union-find's LocalTableScan/LogicalRDD output); the distributed
+    # loop's output projects `label`
+    def is_driver_arm(df):
+        return "__cc" in df._jdf.queryExecution().analyzed().treeString()
+
+    gated = dd.connected_components(None, edges, small_graph_max_bytes=1500)
+    assert not is_driver_arm(gated)
+    # ...and a comfortable byte budget keeps the driver arm
+    driver = dd.connected_components(None, edges, small_graph_max_bytes=64 << 20)
+    assert is_driver_arm(driver)
+
+    # null endpoints: (long_id, null) rows used to contribute ZERO bytes
+    # (null term) while still counting toward the row gate — the octet
+    # sum must see the non-null side and trip the gate
+    long_id = "x" * 1000
+    nulled = spark.createDataFrame(
+        [(long_id + str(i), None) for i in range(3)], "a string, b string"
+    )
+    gated2 = dd.connected_components(None, nulled, small_graph_max_bytes=1500)
+    assert not is_driver_arm(gated2)
+
+
 def test_dedup_cluster_keeper_is_min_id(spark):
     d = _docs(spark).withColumn("source", F.lit("s"))
     copies = d.filter(F.col("doc_id") % 4 == 0).select(

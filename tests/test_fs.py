@@ -25,6 +25,17 @@ def test_get_fs_routing(spark):
         get_fs(None, "s3a://bucket/x")
 
 
+def test_derive_checkpoint_dir_scheme_routing():
+    """r9 verdict item 4: scheme:// stores auto-derive a store-adjacent
+    durable checkpoint root; plain local paths keep localCheckpoint."""
+    from timesearch_spark.fs import derive_checkpoint_dir
+
+    assert derive_checkpoint_dir("file:///x/store") == "file:///x/store/_checkpoints"
+    assert derive_checkpoint_dir("s3a://b/store/") == "s3a://b/store/_checkpoints"
+    assert derive_checkpoint_dir("/plain/path") is None
+    assert derive_checkpoint_dir(None) is None
+
+
 def test_stdlib_cannot_touch_schemed_paths(tmp_path):
     # the premise the end-to-end tests below rest on: if any store still
     # used os.* on a schemed path, it would blow up, not silently work

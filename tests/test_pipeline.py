@@ -518,6 +518,39 @@ _LADDER_ROWS = [
 ]
 
 
+def test_curate_staged_scheme_store_uses_durable_checkpoint(spark, tmp_path):
+    """r9 verdict item 4: a scheme:// stage store means cluster storage,
+    so the neardup rung's hash-min loop must checkpoint DURABLY into a
+    store-adjacent _checkpoints/ (localCheckpoint's executor-local
+    blocks die with their executor mid-loop) — with output row-identical
+    to the plain-local staged run."""
+    from timesearch_spark.operators.pipeline import curate_corpus_staged
+
+    docs = spark.createDataFrame(_LADDER_ROWS, "doc_id long, text string")
+    plain = sorted(
+        (r["doc_id"], r["lang_guess"], r["n_ws"], r["split"])
+        for r in curate_corpus_staged(
+            docs, str(tmp_path / "local_store"), min_tokens=5,
+            neardup_threshold=0.5,
+        ).collect()
+    )
+    schemed_root = f"file://{tmp_path}/schemed_store"
+    schemed = sorted(
+        (r["doc_id"], r["lang_guess"], r["n_ws"], r["split"])
+        for r in curate_corpus_staged(
+            docs, schemed_root, min_tokens=5, neardup_threshold=0.5,
+        ).collect()
+    )
+    assert schemed == plain
+    # the loop's reliable checkpoint landed next to the rungs: the
+    # context points at the derived dir and Spark materialized rdd
+    # checkpoint files under it
+    # (Spark nests a UUID subdir under the configured root)
+    assert "schemed_store/_checkpoints" in spark.sparkContext.getCheckpointDir()
+    ck_local = tmp_path / "schemed_store" / "_checkpoints"
+    assert ck_local.is_dir() and any(ck_local.rglob("part-*"))
+
+
 def test_curate_staged_parity_and_resume(spark, tmp_path, monkeypatch):
     """The staged ladder returns row-identical output to the one-shot
     ladder; a second call resumes from the committed final rung without
@@ -597,6 +630,24 @@ def test_curate_staged_input_identity_pinned(spark, tmp_path):
     with pytest.warns(UserWarning, match="input identity"):
         curate_corpus_staged(docs, store, min_tokens=5,
                              neardup_threshold=0.5).count()
+
+    # ADVICE r9: dropping the benchmark on resume (built WITH one, now
+    # benchmark=None) must be loud — the committed rungs are
+    # decontaminated against a benchmark the caller no longer asks for.
+    # Pinned here: has_benchmark rides in the params manifest, so the
+    # None<->non-None transition is parameter drift in BOTH directions.
+    store2 = str(tmp_path / "store_bench")
+    curate_corpus_staged(spark.read.parquet(src_a), store2, min_tokens=5,
+                         neardup_threshold=0.5,
+                         benchmark=spark.read.parquet(src_b)).count()
+    with pytest.raises(ValueError, match="has_benchmark"):
+        curate_corpus_staged(spark.read.parquet(src_a), store2,
+                             min_tokens=5, neardup_threshold=0.5,
+                             benchmark=None)
+    with pytest.raises(ValueError, match="has_benchmark"):
+        curate_corpus_staged(spark.read.parquet(src_a), store,
+                             min_tokens=5, neardup_threshold=0.5,
+                             benchmark=spark.read.parquet(src_b))
 
 
 def test_curate_staged_crash_resume(spark, tmp_path, monkeypatch):

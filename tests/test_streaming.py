@@ -697,6 +697,72 @@ def test_writer_lease_break_restores_stolen_live_lease(spark, tmp_path):
     live.release()
 
 
+def test_writer_lease_break_restores_same_owner_reacquired_lease(
+    spark, tmp_path
+):
+    """ADVICE r9: the tombstone verify must match acquired_at as well as
+    owner — a lease RE-acquired by the same owner instance (fresh
+    timestamp, live) is someone's valid mutual exclusion, not the
+    expired body we judged, and must be restored."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from timesearch_spark.fs import WriterLease, get_fs
+
+    path = str(tmp_path / "lease_reacq")
+    _os.makedirs(path, exist_ok=True)
+    fs = get_fs(spark, path)
+    # the judged-expired body: same owner as the live lease below
+    stale = {"owner": "holder-1", "acquired_at": 1.0, "ttl_sec": 1.0}
+    live_body = {"owner": "holder-1", "acquired_at": _time.time(),
+                 "ttl_sec": 600.0}
+    lease_path = _os.path.join(path, "_writer.lease")
+    with open(lease_path, "w") as f:
+        f.write(_json.dumps(live_body))
+    WriterLease(fs, path)._try_break(stale)
+    held = _json.loads(open(lease_path).read())
+    assert held == live_body  # restored intact, not deleted
+
+
+def test_writer_lease_break_restores_unreadable_tombstone(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: when the tombstone's content cannot be read (transient
+    FS error in the grab window) the breaker cannot prove it grabbed the
+    expired lease — it must restore, not delete; the expired case just
+    gets re-judged on the next poll."""
+    import json as _json
+    import os as _os
+
+    from timesearch_spark.fs import WriterLease, get_fs
+
+    path = str(tmp_path / "lease_unreadable")
+    _os.makedirs(path, exist_ok=True)
+    fs = get_fs(spark, path)
+    body = {"owner": "crashed", "acquired_at": 1.0, "ttl_sec": 1.0}
+    lease_path = _os.path.join(path, "_writer.lease")
+    with open(lease_path, "w") as f:
+        f.write(_json.dumps(body))
+    lz = WriterLease(fs, path)
+    real_read = type(fs).read_text
+
+    def flaky_read(self, p):
+        if ".breaking." in p:
+            raise OSError("transient read failure")
+        return real_read(self, p)
+
+    monkeypatch.setattr(type(fs), "read_text", flaky_read)
+    lz._try_break(body)
+    monkeypatch.undo()
+    assert _json.loads(open(lease_path).read()) == body  # restored
+    assert [e for e in _os.listdir(path) if ".breaking." in e] == []
+
+    # ...and with a readable tombstone the same judged lease IS broken
+    lz._try_break(body)
+    assert not _os.path.exists(lease_path)
+
+
 def test_writer_lease_acquired_at_reflects_acquisition_not_wait_start(
     spark, tmp_path
 ):

@@ -226,17 +226,26 @@ def livestream(archive: Archive, drop_dir: str, once: bool = False,
 # --- analytics (timesearch.py breakdown / index / offline_reading) -----------
 
 def breakdown(archive: Archive, sort: str | None = None,
-              out_dir: str | None = None, key: str = "author") -> DataFrame | str:
+              out_dir: str | None = None, key: str = "author",
+              sharded: bool = False) -> DataFrame | str:
     """D1 flagship: zero-filled dual counts; writes JSON when out_dir
     given.  ``key`` follows breakdown.py:29-34 — 'author' for a
     subreddit archive, 'subreddit' for a user archive (which subreddits
-    the user posts to)."""
+    the user posts to).  ``sharded=True`` (requires ``sort``) writes
+    the executor-parallel shard form instead of the single driver file
+    — the 100× path when distinct keys run to millions; the shard dir's
+    content files concatenate in filename order into the identical
+    JSON."""
     bd = _breakdown(
         archive.submissions.snapshot(), archive.comments.snapshot(),
         key=key, key_name=key,
     )
     if out_dir is None:
         return bd
+    if sharded:
+        return exports.write_breakdown_sharded(
+            bd, out_dir, archive.basename, sort=sort, key_name=key
+        )
     return exports.write_breakdown(bd, out_dir, archive.basename, sort=sort,
                                    key_name=key)
 
@@ -261,8 +270,16 @@ def offline_reading(archive: Archive, out_dir: str,
     the filter lands BEFORE the forest walk, so the shuffle carries one
     thread, not the archive.  ``checkpoint_dir`` makes a mega-thread
     walk's per-round state durable (:func:`timesearch_spark.fs.
-    checkpointer`) — pass it on a real cluster so an executor loss
-    mid-walk recomputes instead of failing the export."""
+    checkpointer`); when left unset it is AUTO-derived for
+    ``scheme://`` archives (store-adjacent ``_checkpoints/``,
+    :func:`timesearch_spark.fs.derive_checkpoint_dir`) — on a real
+    cluster an executor loss mid-walk then recomputes instead of
+    failing the export, while plain local archives keep the cheap
+    ``localCheckpoint``."""
+    from timesearch_spark.fs import derive_checkpoint_dir
+
+    if checkpoint_dir is None:
+        checkpoint_dir = derive_checkpoint_dir(archive.path)
     comments = archive.comments.snapshot()
     if specific_submission is not None:
         sid = specific_submission if specific_submission.startswith("t3_") \

@@ -959,13 +959,22 @@ def connected_components(
         # bytes of at most max+1 checkpointed rows — the driver never
         # pulls a row until both ceilings clear, so long string doc_ids
         # can't balloon driver memory past small_graph_max_bytes
+        # octet_length, not length: the gate measures DRIVER TRANSFER,
+        # and multi-byte UTF-8 ids undercount by up to 4× on character
+        # count; each endpoint null-coalesces separately so a null src
+        # or dst still contributes its non-null side to the byte sum
+        # instead of nulling the whole row's term out of it (ADVICE r9)
         probe = (
             sym.limit(small_graph_max_edges + 1)
             .agg(
                 F.count("*").alias("n"),
                 F.sum(
-                    F.length(F.col("src").cast("string"))
-                    + F.length(F.col("dst").cast("string"))
+                    F.coalesce(
+                        F.octet_length(F.col("src").cast("string")), F.lit(0)
+                    )
+                    + F.coalesce(
+                        F.octet_length(F.col("dst").cast("string")), F.lit(0)
+                    )
                 ).alias("b"),
             )
             .first()

@@ -583,7 +583,8 @@ def _rung_exact_keepers(docs, text_col, id_col):
     )
 
 
-def _rung_neardup_non_keepers(docs, text_col, id_col, threshold):
+def _rung_neardup_non_keepers(docs, text_col, id_col, threshold,
+                              checkpoint_dir=None):
     """Ids to DROP for transitive near-dup closure: minhash-LSH pairs →
     hash-min components → everything but each component's min id.
     Components label ONLY edge-touching nodes (nodes=None) — at corpus
@@ -591,7 +592,8 @@ def _rung_neardup_non_keepers(docs, text_col, id_col, threshold):
     over every untouched document would scan the whole corpus for
     nothing; untouched docs are trivially their own keepers.  No persist
     on pairs: connected_components consumes the pair plan exactly once,
-    into its own checkpoint."""
+    into its own checkpoint (durable into ``checkpoint_dir`` when the
+    caller runs against a scheme:// store, localCheckpoint otherwise)."""
     from timesearch_spark.operators.dedup import (
         connected_components,
         minhash_near_dups,
@@ -600,7 +602,8 @@ def _rung_neardup_non_keepers(docs, text_col, id_col, threshold):
     pairs = minhash_near_dups(
         docs, text_col, id_col, threshold=threshold, hash_family="xxhash64"
     ).select("a", "b")
-    comp = connected_components(None, pairs, id_col=id_col)
+    comp = connected_components(None, pairs, id_col=id_col,
+                                checkpoint_dir=checkpoint_dir)
     return comp.filter(F.col("component") != F.col(id_col)).select(id_col)
 
 
@@ -629,6 +632,7 @@ def curate_corpus(
     train: float = 0.9,
     val: float = 0.05,
     metrics: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The full curation ladder a pretraining pipeline runs, as ONE
     composed plan: optional paragraph-boilerplate removal
@@ -703,7 +707,8 @@ def curate_corpus(
     surviving = obs(
         exact.join(
             _rung_neardup_non_keepers(
-                exact, text_col, id_col, neardup_threshold
+                exact, text_col, id_col, neardup_threshold,
+                checkpoint_dir=checkpoint_dir,
             ),
             id_col,
             "left_anti",
@@ -971,7 +976,11 @@ def curate_corpus_staged(
             "neardup",
             lambda: cur.join(
                 _rung_neardup_non_keepers(
-                    cur, text_col, id_col, neardup_threshold
+                    cur, text_col, id_col, neardup_threshold,
+                    # a scheme:// store means cluster storage: the
+                    # hash-min loop checkpoints durably next to the
+                    # rungs instead of into executor-local blocks
+                    checkpoint_dir=fsmod.derive_checkpoint_dir(root),
                 ),
                 id_col,
                 "left_anti",
