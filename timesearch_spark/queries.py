@@ -968,10 +968,12 @@ def _mutated_docs_sql(suffix: str) -> str:
     {_grams_sql(3, 'docs')},
     perm AS (
       -- permutation i = 4j+k: 8-hex-char slice k of md5("{{j}}:{{gram}}")
+      -- (32 permutations = 8 md5 calls per gram: the replay family is
+      -- bench drag, not a production path — r9 verdict item 5)
       SELECT doc_id, 4 * rj.j + rk.k AS i,
              MIN(substring(md5(CAST(rj.j AS VARCHAR) || ':' || gram),
                            1 + 8 * rk.k, 8)) AS mh
-      FROM dg CROSS JOIN range(0, 16) AS rj(j) CROSS JOIN range(0, 4) AS rk(k)
+      FROM dg CROSS JOIN range(0, 8) AS rj(j) CROSS JOIN range(0, 4) AS rk(k)
       GROUP BY 1, 2
     ),
     band AS (
@@ -1008,7 +1010,9 @@ def _mutated_docs_sql(suffix: str) -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dups over documents ∪ mutated copies (every 10th
     doc with 3 tokens appended → known jaccard≈0.9 pairs).  Candidates
-    from 16×4 banding, verified with exact shingle Jaccard ≥ 0.7.
+    from 8×4 banding (32 permutations — halved from 64 in r10 to cut the
+    replay family's bench drag; the xx64 production twin keeps 64),
+    verified with exact shingle Jaccard ≥ 0.7.
 
     Registered with ``hash_family="md5"`` so the DuckDB oracle replays
     the ENTIRE pipeline — permutation mins, band buckets, candidate
@@ -1025,9 +1029,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_xx64`` (or ``dd.minhash_near_dups`` with its
     default family)."""
     u = _docs_with_mutations(spark, sf_dir, " zzq wwx vvy")
-    return dd.minhash_near_dups(u, threshold=0.7, hash_family="md5").withColumn(
-        "jaccard", F.round("jaccard", 6)
-    )
+    return dd.minhash_near_dups(
+        u, threshold=0.7, hash_family="md5", num_hashes=32, bands=8
+    ).withColumn("jaccard", F.round("jaccard", 6))
 
 
 @q(
