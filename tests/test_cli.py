@@ -87,6 +87,15 @@ def test_breakdown_writes_json(spark, root):
     sdata = json.loads(open(sorted_out).read())
     counts = [v["comments"] for v in sdata.values()]
     assert counts == sorted(counts, reverse=True)
+    # --sharded: executor-parallel shard dir, concatenates to the same JSON
+    assert cli.main(["--archive-root", root, "breakdown", "-r", "t",
+                     "--sort", "comments", "--sharded"]) == 0
+    shard_dir = os.path.join(_archive_dir(root),
+                             "t_breakdown_comments_shards")
+    content = sorted(f for f in os.listdir(shard_dir)
+                     if f.startswith(("00_", "part-", "zz_")))
+    cat = "".join(open(os.path.join(shard_dir, f)).read() for f in content)
+    assert cat == open(sorted_out).read()
 
 
 def test_index_listing_flags(spark, root):

@@ -100,11 +100,16 @@ def test_sharded_breakdown_concatenates_to_collect_form(spark, tmp_path):
 def test_sharded_breakdown_plan_has_no_driver_iteration(spark):
     """The line DataFrame must be a range-partitioned global sort that
     write.text streams from executors — no collect in the data path."""
+    from timesearch_spark.operators.dedup import release_pins
     from timesearch_spark.operators.exports import breakdown_lines
 
     bd = _breakdown_fixture(spark)
-    plan = breakdown_lines(bd, sort="total_posts", key_name="author")._jdf.queryExecution().executedPlan().toString()
+    lines = breakdown_lines(bd, sort="total_posts", key_name="author")
+    plan = lines._jdf.queryExecution().executedPlan().toString()
+    release_pins(lines)
     assert "rangepartitioning" in plan.lower()  # global sort → ordered shards
+    # the double-consumed breakdown is pinned across probe + write
+    assert getattr(lines, "_pinned", []), "breakdown must ride _pinned"
 
 
 def test_breakdown_pretty_byte_parity_with_reference_formatter(spark):

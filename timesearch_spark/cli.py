@@ -159,7 +159,8 @@ def cmd_breakdown(args):
     # breakdown.py:29-34: subreddit archive → per-author counts; user
     # archive → per-subreddit counts
     key = "subreddit" if args.username is not None else "author"
-    out = api.breakdown(archive, sort=args.sort, out_dir=archive.path, key=key)
+    out = api.breakdown(archive, sort=args.sort, out_dir=archive.path, key=key,
+                        sharded=args.sharded)
     print(out)
     return 0
 
@@ -423,6 +424,11 @@ def build_parser() -> argparse.ArgumentParser:
     _add_entity_args(p)
     p.add_argument("--sort", dest="sort", default=None,
                    choices=["name", "submissions", "comments", "total_posts"])
+    p.add_argument("--sharded", action="store_true",
+                   help="executor-parallel shard form (requires --sort): "
+                        "content files concatenate in filename order into "
+                        "the identical JSON; use when distinct keys run to "
+                        "millions")
     p.set_defaults(func=cmd_breakdown)
 
     p = sub.add_parser("index", help="sorted listing export")

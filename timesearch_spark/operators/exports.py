@@ -203,8 +203,17 @@ def breakdown_lines(bd: DataFrame, sort: str, key_name: str = "author") -> DataF
     value alone, found with one tiny aggregate over the per-key counts
     (already |distinct keys| rows, not corpus rows).  The exact key is
     folded in as the ultimate sort tiebreak so the aggregate's answer
-    and the write's order can never disagree on case-colliding names."""
+    and the write's order can never disagree on case-colliding names.
+
+    The input is consumed TWICE (the last-key probe here, the write
+    later), so ``bd`` is persist()ed — without the pin the upstream
+    two-fact-table aggregation would execute once per consumer.  The
+    handle rides on the returned DataFrame as ``_pinned``
+    (:func:`~timesearch_spark.operators.dedup.release_pins` contract);
+    ``write_breakdown_sharded`` releases it after the write."""
     from timesearch_spark.operators.breakdown import breakdown_sorted
+
+    bd = bd.persist()
 
     key = F.col(key_name).cast("string")
     lower_key = F.lower(key)
@@ -231,7 +240,9 @@ def breakdown_lines(bd: DataFrame, sort: str, key_name: str = "author") -> DataF
         ),
         F.when(key.eqNullSafe(F.lit(last_key)), F.lit("")).otherwise(F.lit(",")),
     )
-    return bd.orderBy(*order).select(line.alias("line"))
+    out = bd.orderBy(*order).select(line.alias("line"))
+    out._pinned = [bd]
+    return out
 
 
 def write_breakdown_sharded(bd: DataFrame, out_dir: str, basename: str,
@@ -254,10 +265,12 @@ def write_breakdown_sharded(bd: DataFrame, out_dir: str, basename: str,
     if sort is None:
         raise ValueError("sharded breakdown requires a sort (the unsorted "
                          "contract is a one-line json.dumps — use write_breakdown)")
+    from timesearch_spark.operators.dedup import release_pins
+
     path = os.path.join(out_dir, f"{basename}_breakdown_{sort}_shards")
-    breakdown_lines(bd, sort=sort, key_name=key_name).write.mode(
-        "overwrite"
-    ).text(path)
+    lines = breakdown_lines(bd, sort=sort, key_name=key_name)
+    lines.write.mode("overwrite").text(path)
+    release_pins(lines)
     fs = get_fs(bd.sparkSession, out_dir)
     with fs.open_write(os.path.join(path, "00_open.json")) as f:
         f.write("{\n")

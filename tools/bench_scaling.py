@@ -62,15 +62,47 @@ def main() -> None:
         except Exception:
             pass
 
+    # Quiet-host gating (r9 verdict item 6): a ratio sampled while other
+    # tenants ramp this shared host is mush (r9's 22.94x "regression"
+    # was loadavg 9->25 during the sample; the quiet re-probe read
+    # 5.34x).  A row whose 1-min loadavg exceeds the gate at sample
+    # start OR end is re-measured after a cool-off, up to
+    # $SPARK_GRAFT_LOAD_RETRIES times; the QUIETEST attempt is kept and
+    # rows that never ran under the gate carry noisy=true — no silent
+    # loud samples, no manual re-probe section.
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "8"))
+    retries = int(os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "3"))
+    cooloff = float(os.environ.get("SPARK_GRAFT_LOAD_COOLOFF", "10"))
+
+    def measure(name: str) -> tuple[float, float, float]:
+        l0 = os.getloadavg()[0]
+        t_small = min(run(name, small) for _ in range(2))
+        t_big = min(run(name, big) for _ in range(2))
+        return t_small, t_big, round(max(l0, os.getloadavg()[0]), 2)
+
     rows = []
     errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         try:
-            load = round(os.getloadavg()[0], 2)  # host noise AT sample time
-            t_small = min(run(name, small) for _ in range(2))
-            t_big = min(run(name, big) for _ in range(2))
+            best = None
+            for attempt in range(retries + 1):
+                t_small, t_big, load = measure(name)
+                if best is None or load < best[2]:
+                    best = (t_small, t_big, load)
+                if load <= load_gate:
+                    break
+                if attempt < retries:
+                    print(
+                        f"  {name}: loadavg {load} > gate {load_gate:g}, "
+                        f"cooling off {cooloff:g}s (retry {attempt + 1}/"
+                        f"{retries})",
+                        file=sys.stderr,
+                    )
+                    time.sleep(cooloff)
+            t_small, t_big, load = best
+            noisy = load > load_gate
             rows.append(
                 {
                     "query": name,
@@ -78,11 +110,13 @@ def main() -> None:
                     "t_big": round(t_big, 3),
                     "ratio": round(t_big / t_small, 2),
                     "load": load,
+                    "noisy": noisy,
                 }
             )
             print(
                 f"  {name}: {t_small:.2f}s -> {t_big:.2f}s "
-                f"(x{t_big / t_small:.1f})",
+                f"(x{t_big / t_small:.1f})"
+                + (" NOISY" if noisy else ""),
                 file=sys.stderr,
             )
         except Exception as exc:
@@ -95,8 +129,10 @@ def main() -> None:
         "factor": factor,
         "small": small,
         "big": big,
+        "load_gate": load_gate,
         "queries": rows,
         "flagged_over_1p5x_factor": [r["query"] for r in flagged],
+        "noisy": [r["query"] for r in rows if r["noisy"]],
         "errors": errors,
     }
     print(json.dumps(result))
@@ -115,14 +151,19 @@ def main() -> None:
             "expected linear-plan ratio; materially above that = "
             "superlinear work, materially below = fixed overhead "
             "dominating the small run.\n\n"
+            f"Samples are quiet-host gated (1-min loadavg <= {load_gate:g} "
+            "at sample start and end, quietest of up to "
+            f"{retries + 1} attempts kept); rows that never ran under the "
+            "gate are marked NOISY and should be re-read, not trusted.\n\n"
             "| query | t_small (s) | t_big (s) | ratio | loadavg@sample |\n"
             "|---|---|---|---|---|\n"
         )
         for r in sorted(rows, key=lambda r: -r["ratio"]):
             flag = " **<-- investigate**" if r["ratio"] > 1.5 * factor else ""
+            noise = " **NOISY**" if r["noisy"] else ""
             f.write(
                 f"| {r['query']} | {r['t_small']} | {r['t_big']} | "
-                f"{r['ratio']}{flag} | {r.get('load', '?')} |\n"
+                f"{r['ratio']}{flag} | {r.get('load', '?')}{noise} |\n"
             )
         if errors:
             f.write("\n## Errors\n\n")
