@@ -112,6 +112,43 @@ def test_sharded_breakdown_plan_has_no_driver_iteration(spark):
     assert getattr(lines, "_pinned", []), "breakdown must ride _pinned"
 
 
+def test_sharded_breakdown_on_file_scheme_and_randomized_names(spark, tmp_path):
+    """The sharded sink must work where it matters — a scheme:// store
+    (data plane via Spark's text writer, bracket files via the fs shim)
+    — and stay byte-identical to the collect form on a seeded 200-name
+    fixture covering unicode, case collisions, and count ties."""
+    import os
+    import random
+
+    from timesearch_spark.operators.exports import (
+        breakdown_json, write_breakdown_sharded)
+
+    rng = random.Random(10)
+    pool = ["bob", "Bob", "BOB", "ümläut", "Ümläut", "名前", "mixedCase",
+            "MIXEDcase", "space name", "tab\tname", "z" * 40]
+    names = [rng.choice(pool) + str(rng.randrange(60)) for _ in range(200)]
+    subs = _subs(spark, [(f"t3_{i}", n, None, 1, i)
+                         for i, n in enumerate(names)])
+    comments = _comments(spark, [(f"t1_{i}", n, "x", 1, i)
+                                 for i, n in enumerate(rng.sample(names, 120))])
+    bd = breakdown(subs, comments, key="author", key_name="author")
+
+    out = f"file://{tmp_path}/exports"
+    for sort in ("name", "total_posts"):
+        single = breakdown_json(bd, sort=sort, key_name="author")
+        shard_dir = write_breakdown_sharded(bd, out, "r", sort=sort,
+                                            key_name="author")
+        assert shard_dir.startswith("file://")
+        local = shard_dir[len("file://"):]
+        content = sorted(
+            f for f in os.listdir(local)
+            if f.startswith(("00_", "part-", "zz_"))
+        )
+        cat = "".join(open(os.path.join(local, f), encoding="utf-8").read()
+                      for f in content)
+        assert cat == single, f"sort={sort} diverges on the fuzz fixture"
+
+
 def test_breakdown_pretty_byte_parity_with_reference_formatter(spark):
     """Stretch (r9 verdict #7): byte parity with the reference's own
     sorted pretty format — comparator + template reproduced verbatim
