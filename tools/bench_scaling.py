@@ -65,20 +65,24 @@ def main() -> None:
     # Quiet-host gating (r9 verdict item 6): a ratio sampled while other
     # tenants ramp this shared host is mush (r9's 22.94x "regression"
     # was loadavg 9->25 during the sample; the quiet re-probe read
-    # 5.34x).  A row whose 1-min loadavg exceeds the gate at sample
-    # start OR end is re-measured after a cool-off, up to
+    # 5.34x).  A row whose 1-min loadavg exceeds the gate AT SAMPLE
+    # START is re-measured after a cool-off, up to
     # $SPARK_GRAFT_LOAD_RETRIES times; the QUIETEST attempt is kept and
-    # rows that never ran under the gate carry noisy=true — no silent
-    # loud samples, no manual re-probe section.
+    # rows that never started under the gate carry noisy=true — no
+    # silent loud samples, no manual re-probe section.  Start-only on
+    # purpose: the probe ITSELF drives the post-run 1-min EMA well past
+    # any sane gate (a 30s 32-wide sf1 run is self-load, not tenant
+    # noise), so an end-of-run sample cannot distinguish the two; the
+    # cool-off both waits out tenants and lets our own EMA decay.
     load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "8"))
     retries = int(os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "3"))
-    cooloff = float(os.environ.get("SPARK_GRAFT_LOAD_COOLOFF", "10"))
+    cooloff = float(os.environ.get("SPARK_GRAFT_LOAD_COOLOFF", "25"))
 
     def measure(name: str) -> tuple[float, float, float]:
         l0 = os.getloadavg()[0]
         t_small = min(run(name, small) for _ in range(2))
         t_big = min(run(name, big) for _ in range(2))
-        return t_small, t_big, round(max(l0, os.getloadavg()[0]), 2)
+        return t_small, t_big, round(l0, 2)
 
     rows = []
     errors: dict[str, str] = {}
@@ -152,9 +156,12 @@ def main() -> None:
             "superlinear work, materially below = fixed overhead "
             "dominating the small run.\n\n"
             f"Samples are quiet-host gated (1-min loadavg <= {load_gate:g} "
-            "at sample start and end, quietest of up to "
-            f"{retries + 1} attempts kept); rows that never ran under the "
-            "gate are marked NOISY and should be re-read, not trusted.\n\n"
+            "at sample start, quietest of up to "
+            f"{retries + 1} attempts kept); rows that never STARTED under "
+            "the gate are marked NOISY and should be re-read, not "
+            "trusted.  (Start-only: the probe's own 32-wide run drives "
+            "the post-run 1-min EMA past any sane gate, so an end-of-run "
+            "sample cannot tell self-load from tenant noise.)\n\n"
             "| query | t_small (s) | t_big (s) | ratio | loadavg@sample |\n"
             "|---|---|---|---|---|\n"
         )
