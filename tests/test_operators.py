@@ -97,6 +97,32 @@ def test_sharded_breakdown_concatenates_to_collect_form(spark, tmp_path):
         assert cat == single, f"sort={sort} shards != collect form"
 
 
+def test_sharded_breakdown_null_key_parity(spark, tmp_path):
+    """A NULL grouping key (deleted authors) must survive the sharded
+    path: rendered as "None" (the collect form's str(None) spelling),
+    ordered nulls-first like breakdown_sorted, and the last-line
+    comma marking must not mistake it for (or miss) the final row."""
+    import os
+
+    from timesearch_spark.operators.exports import (
+        breakdown_json, write_breakdown_sharded)
+
+    subs = _subs(spark, [("t3_a", None, None, 1, 1), ("t3_b", None, None, 1, 2),
+                         ("t3_c", "amy", None, 1, 3)])
+    comments = _comments(spark, [("t1_a", "zed", "x", 1, 1)])
+    bd = breakdown(subs, comments, key="author", key_name="author")
+    for sort in ("name", "submissions"):
+        single = breakdown_json(bd, sort=sort, key_name="author")
+        assert '"None"' in single
+        shard_dir = write_breakdown_sharded(bd, str(tmp_path), "n",
+                                            sort=sort, key_name="author")
+        content = sorted(f for f in os.listdir(shard_dir)
+                         if f.startswith(("00_", "part-", "zz_")))
+        cat = "".join(open(os.path.join(shard_dir, f)).read()
+                      for f in content)
+        assert cat == single, f"sort={sort} null-key shards diverge"
+
+
 def test_sharded_breakdown_plan_has_no_driver_iteration(spark):
     """The line DataFrame must be a range-partitioned global sort that
     write.text streams from executors — no collect in the data path."""
