@@ -176,6 +176,9 @@ def compact_summary(times: dict, sf, errors: dict) -> str:
             qitems.pop()
             payload["queries"] = dict(qitems)
             line = json.dumps(payload)
+    if len(line) > 1900:  # still fat: a mass-error run — keep names only
+        payload["errors"] = sorted(errors)[:16]
+        line = json.dumps(payload)
     return line
 
 

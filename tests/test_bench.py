@@ -75,6 +75,12 @@ def test_summary_line_truncates_rather_than_overflow():
     assert out.get("queries_truncated") is True
     assert out["value"] == round(sum(times.values()), 3)  # total still exact
 
+    # a mass-error run (every query raising a long message) must also fit:
+    # error bodies degrade to a bounded name list before ever overflowing
+    errors = {f"q_{i:03d}": "SparkException: " + "x" * 300 for i in range(40)}
+    line = bench.compact_summary({}, 0.1, errors)
+    assert len(line) <= 1900 and json.loads(line)
+
 
 def test_headline_names_all_registered():
     """Every HEADLINE entry must exist in the registry — a renamed query
