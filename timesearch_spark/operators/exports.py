@@ -213,6 +213,8 @@ def breakdown_lines(bd: DataFrame, sort: str, key_name: str = "author") -> DataF
     ``write_breakdown_sharded`` releases it after the write."""
     from timesearch_spark.operators.breakdown import breakdown_sorted
 
+    if sort != "name":  # validate BEFORE pinning: a bad sort must not leak a cache entry
+        breakdown_sorted(bd.limit(0), sort=sort, key_name=key_name)
     bd = bd.persist()
 
     key = F.col(key_name).cast("string")
@@ -221,7 +223,6 @@ def breakdown_lines(bd: DataFrame, sort: str, key_name: str = "author") -> DataF
         sort_struct = F.struct(lower_key.alias("k1"), key.alias("k2"))
         order = [lower_key.asc(), key.asc()]
     else:
-        breakdown_sorted(bd.limit(0), sort=sort, key_name=key_name)  # validate sort
         count_col = {"submissions": "submissions", "comments": "comments",
                      "total_posts": "total_posts"}[sort]
         sort_struct = F.struct(
@@ -269,8 +270,10 @@ def write_breakdown_sharded(bd: DataFrame, out_dir: str, basename: str,
 
     path = os.path.join(out_dir, f"{basename}_breakdown_{sort}_shards")
     lines = breakdown_lines(bd, sort=sort, key_name=key_name)
-    lines.write.mode("overwrite").text(path)
-    release_pins(lines)
+    try:
+        lines.write.mode("overwrite").text(path)
+    finally:  # a failed write must not leak the pinned breakdown
+        release_pins(lines)
     fs = get_fs(bd.sparkSession, out_dir)
     with fs.open_write(os.path.join(path, "00_open.json")) as f:
         f.write("{\n")
