@@ -105,6 +105,43 @@ def test_index_listing_flags(spark, root):
     assert any("score" in f for f in files)
 
 
+def test_index_all_writes_subreddit_listing_for_user_archives_only(
+    spark, root, tmp_path
+):
+    """Reference gate (index.py:84-86): the 'subreddit ASC' listing is a
+    USER-archive property (which subreddit each post landed in).
+    `index --all` on a subreddit archive must not crash (r10 bug: the
+    ordering was missing from INDEX_ORDERINGS entirely) nor emit the
+    file; on a user archive it must emit it, subreddit-ordered."""
+    # subreddit archive: --all runs clean, no _subreddit file
+    assert cli.main(["--archive-root", root, "index", "-r", "t",
+                     "--all"]) == 0
+    files = os.listdir(_archive_dir(root))
+    assert not any("_subreddit" in f for f in files)
+    for o in ("_date", "_title", "_score", "_author", "_flair"):
+        assert any(o in f for f in files), f"missing {o} listing"
+
+    # user archive: --all includes the subreddit-ordered listing
+    subs = _write_jsonl(
+        tmp_path / "usubs.jsonl",
+        [_sub(0, subreddit="zzz", author="me"),
+         _sub(1, subreddit="aaa", author="me"),
+         _sub(2, subreddit="mmm", author="me")],
+    )
+    uroot = str(tmp_path / "uarch")
+    assert cli.main(["--archive-root", uroot, "get_submissions", "-u", "me",
+                     "--lower", "0", "--source", subs]) == 0
+    assert cli.main(["--archive-root", uroot, "index", "-u", "me",
+                     "--sub"]) == 0
+    udir = os.path.join(uroot, "users", "me")
+    listing = [f for f in os.listdir(udir) if "_subreddit" in f]
+    assert listing, "user archive --sub must write the subreddit listing"
+    lines = open(os.path.join(udir, listing[0])).read().splitlines()
+    # the three posts appear ordered by their subreddit (aaa, mmm, zzz)
+    assert [s for ln in lines for s in ("post 1", "post 2", "post 0")
+            if s in ln] == ["post 1", "post 2", "post 0"]
+
+
 def test_offline_reading_renders_threads(spark, root):
     assert cli.main(["--archive-root", root, "offline_reading",
                      "-r", "t"]) == 0

@@ -180,7 +180,10 @@ def cmd_index(args):
         orders.append("score")
     if args.do_all or args.do_author:
         orders.append("author")
-    if args.do_all or args.do_subreddit:
+    # reference gate (index.py:84): the subreddit listing exists for USER
+    # archives only — --all on a subreddit archive must not produce a
+    # single-valued (or crashing) listing
+    if args.username is not None and (args.do_all or args.do_subreddit):
         orders.append("subreddit")
     if args.do_all or args.do_flair:
         orders.append("flair")

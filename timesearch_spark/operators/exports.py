@@ -50,6 +50,9 @@ INDEX_ORDERINGS = {
     "title": (lambda: [F.asc("title")], "_title"),
     "score": (lambda: [F.desc("score")], "_score"),
     "author": (lambda: [F.asc("author")], "_author"),
+    "subreddit": (  # user archives: which subreddit each post landed in
+        lambda: [F.asc("subreddit")], "_subreddit",
+    ),  # index.py:84-86 ('subreddit ASC', username archives only)
     "flair": (  # F3: flaired first, each group time-ordered (index.py:89-92)
         lambda: [F.col("flair_text").isNull().cast("int").asc(), F.asc("created")],
         "_flair",
