@@ -187,6 +187,31 @@ def test_livestream_once(spark, root, tmp_path):
     assert ar.comments.snapshot().filter("idstr = 't1_c20'").count() == 1
 
 
+def test_livestream_kind_selection(spark, root, tmp_path):
+    """Reference -s/-c (timesearch.py:265-305): collect only the chosen
+    kind; neither flag = both (pinned by test_livestream_once above).
+    A comments-only cycle must leave the submissions store untouched."""
+    drop = tmp_path / "drop_c"
+    drop.mkdir()
+    _write_jsonl(drop / "b.jsonl", [_sub(30), _com(30)])
+    assert cli.main(["--archive-root", root, "livestream", "-r", "t",
+                     "--once", "-c", "--source", str(drop)]) == 0
+    from timesearch_spark.api import Archive
+
+    ar = Archive(spark, _archive_dir(root))
+    assert ar.comments.snapshot().filter("idstr = 't1_c30'").count() == 1
+    assert ar.submissions.snapshot().filter("idstr = 't3_s30'").count() == 0
+
+    # same drop dir: the archive's streaming checkpoint pins the source
+    # path, so the second cycle appends a new file there instead
+    _write_jsonl(drop / "b2.jsonl", [_sub(31), _com(31)])
+    assert cli.main(["--archive-root", root, "livestream", "-r", "t",
+                     "--once", "-s", "--source", str(drop)]) == 0
+    ar = Archive(spark, _archive_dir(root))
+    assert ar.submissions.snapshot().filter("idstr = 't3_s31'").count() == 1
+    assert ar.comments.snapshot().filter("idstr = 't1_c31'").count() == 0
+
+
 def test_get_wiki_and_styles(spark, root, tmp_path):
     pages = tmp_path / "pages.json"
     pages.write_text(json.dumps({"index": "# hello", "rules/one": "be nice"}))

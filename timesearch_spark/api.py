@@ -210,14 +210,21 @@ def ingest_jsonfile(archive: Archive, path: str) -> dict:
 # --- livestream (timesearch.py livestream) -----------------------------------
 
 def livestream(archive: Archive, drop_dir: str, once: bool = False,
-               poll_seconds: int = 30, limit: int | None = None):
+               poll_seconds: int = 30, limit: int | None = None,
+               submissions: bool = True, comments: bool = True):
     """Continuous ingest; returns the StreamingQuery (I1).  ``limit``
     maps the reference's -l per-cycle item cap (livestream.py:277-285)
-    to maxFilesPerTrigger — the micro-batch's unit of admission."""
+    to maxFilesPerTrigger — the micro-batch's unit of admission.
+    ``submissions``/``comments`` select which kinds are collected
+    (timesearch.py:265-305 -s/-c: both by default); a deselected kind's
+    rows pass through the stream unstored."""
+    if not (submissions or comments):
+        raise ValueError("livestream: at least one of submissions/comments")
     return _ls.livestream(
         _ls.read_ndjson_stream(archive.spark, drop_dir,
                                max_files_per_trigger=limit),
-        archive.submissions, archive.comments,
+        archive.submissions if submissions else None,
+        archive.comments if comments else None,
         checkpoint_dir=os.path.join(archive.path, "_checkpoint"),
         poll_seconds=poll_seconds, once=once,
     )

@@ -135,9 +135,14 @@ def cmd_get_comments(args):
 def cmd_livestream(args):
     from timesearch_spark import api
 
+    # reference rule (timesearch.py:265-305): -s/-c select kinds;
+    # NEITHER specified means BOTH are collected
+    want_subs = args.do_submissions or not (args.do_submissions or args.do_comments)
+    want_coms = args.do_comments or not (args.do_submissions or args.do_comments)
     query = api.livestream(
         _archive(args), args.source, once=args.once,
         poll_seconds=args.sleepy, limit=args.limit,
+        submissions=want_subs, comments=want_coms,
     )
     query.awaitTermination()
     print("livestream: done" if args.once else "livestream: stopped")
@@ -414,6 +419,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-1", "--once", dest="once", action="store_true")
     p.add_argument("-w", "--wait", "--sleepy", dest="sleepy", type=int, default=30)
     p.add_argument("-l", "--limit", dest="limit", type=int, default=None)
+    p.add_argument("-s", "--submissions", dest="do_submissions",
+                   action="store_true",
+                   help="collect submissions (default: both kinds when "
+                        "neither -s nor -c is given)")
+    p.add_argument("-c", "--comments", dest="do_comments",
+                   action="store_true",
+                   help="collect comments (default: both kinds when "
+                        "neither -s nor -c is given)")
     p.add_argument("--source", dest="source", required=True,
                    help="NDJSON drop directory (streaming source)")
     p.set_defaults(func=cmd_livestream)
