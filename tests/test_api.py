@@ -108,7 +108,9 @@ def test_index_export_formats(spark, tmp_path):
 
     html = api.index(ar, str(tmp_path / "idx"), orderby="date", html=True)
     content = open(html).read()
-    assert content.startswith("<html>") and content.rstrip().endswith("</html>")
+    # the reference's header begins with the triple-quote's newline —
+    # byte parity with index.py:22-36 includes it
+    assert content.startswith("\n<html>") and content.rstrip().endswith("</html>")
     assert 'href="https://reddit.com/u/user1"' in content
 
 

@@ -175,6 +175,33 @@ def test_sharded_breakdown_on_file_scheme_and_randomized_names(spark, tmp_path):
         assert cat == single, f"sort={sort} diverges on the fuzz fixture"
 
 
+def test_index_constants_byte_parity_with_reference():
+    """The listing templates must be byte-exact to the reference's
+    module constants (index.py:9-40), reproduced verbatim here —
+    including the HTML header/footer's leading newlines (triple-quote
+    artifacts the reference's files really contain) and the '%Y %b %d'
+    timestamp shape."""
+    from timesearch_spark.operators.exports import (
+        HTML_FOOTER, HTML_HEADER, LINE_FORMAT_HTML, LINE_FORMAT_TXT)
+
+    # index.py:9-11 / 13-15 (printf-style here, .format there — compare
+    # via a rendered sample)
+    sample_txt = LINE_FORMAT_TXT % ("2016 Aug 10", "t", "https://x", "u", 5)
+    assert sample_txt == "2016 Aug 10: [t](https://x) - /u/u (+5)"
+    sample_html = LINE_FORMAT_HTML % (
+        "2016 Aug 10", "https://x", "f", "t", "https://a", "u", 5)
+    assert sample_html == (
+        '<div>2016 Aug 10: <a href="https://x">[f] t</a> - '
+        '<a href="https://a">u</a> (+5)</div>'
+    )
+    # index.py:22-36 / 38-40, byte-exact
+    assert HTML_HEADER == (
+        '\n<html>\n<head>\n<meta charset="UTF-8">\n<style>\n    *\n    {\n'
+        '        font-family: Consolas;\n    }\n</style>\n</head>\n\n<body>\n'
+    )
+    assert HTML_FOOTER == "\n</body>\n</html>\n"
+
+
 def test_breakdown_pretty_byte_parity_with_reference_formatter(spark):
     """Stretch (r9 verdict #7): byte parity with the reference's own
     sorted pretty format — comparator + template reproduced verbatim

@@ -37,10 +37,10 @@ LINE_FORMAT_TXT = "%s: [%s](%s) - /u/%s (+%d)"  # index.py:9-11
 LINE_FORMAT_HTML = (
     '<div>%s: <a href="%s">[%s] %s</a> - <a href="%s">%s</a> (+%d)</div>'
 )  # index.py:13-15
-HTML_HEADER = (
-    "<html>\n<head>\n<meta charset=\"UTF-8\">\n<style>\n    *\n    {\n"
+HTML_HEADER = (  # byte-exact index.py:22-36 incl. the triple-quote's leading \n
+    "\n<html>\n<head>\n<meta charset=\"UTF-8\">\n<style>\n    *\n    {\n"
     "        font-family: Consolas;\n    }\n</style>\n</head>\n\n<body>\n"
-)  # index.py:22-36
+)
 HTML_FOOTER = "\n</body>\n</html>\n"  # index.py:38-40
 
 #: The five orderings of index.py:68-92 (F1/F3); each is (column factory,
