@@ -105,6 +105,24 @@ def test_index_listing_flags(spark, root):
     assert any("score" in f for f in files)
 
 
+def test_index_sharded_concatenates_to_single_file(spark, root):
+    """index --sharded writes the executor-parallel shard form whose
+    content files concatenate to the single-file listing byte-for-byte
+    (same contract the breakdown --sharded flag carries)."""
+    assert cli.main(["--archive-root", root, "index", "-r", "t",
+                     "--score"]) == 0
+    assert cli.main(["--archive-root", root, "index", "-r", "t",
+                     "--score", "--sharded"]) == 0
+    adir = _archive_dir(root)
+    single = [f for f in os.listdir(adir)
+              if f.endswith("_score.txt")][0]
+    shard_dir = os.path.join(adir, "listing_score_shards")
+    content = sorted(f for f in os.listdir(shard_dir)
+                     if f.startswith(("00_", "part-", "zz_")))
+    cat = "".join(open(os.path.join(shard_dir, f)).read() for f in content)
+    assert cat == open(os.path.join(adir, single)).read()
+
+
 def test_index_all_writes_subreddit_listing_for_user_archives_only(
     spark, root, tmp_path
 ):

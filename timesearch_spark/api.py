@@ -259,8 +259,17 @@ def breakdown(archive: Archive, sort: str | None = None,
 
 def index(archive: Archive, out_dir: str, orderby: str = "date",
           score_threshold: int = 0, html: bool = False,
-          offline: bool = False) -> str:
-    """Sorted listing export (index.py:100-167)."""
+          offline: bool = False, sharded: bool = False) -> str:
+    """Sorted listing export (index.py:100-167).  ``sharded=True``
+    writes the executor-parallel shard form instead of the single
+    driver-written file (millions of submissions); content files
+    concatenate in filename order into the identical listing."""
+    if sharded:
+        return exports.write_index_sharded(
+            archive.submissions.snapshot(), out_dir,
+            orderby=orderby, score_threshold=score_threshold, html=html,
+            offline=offline,
+        )
     return exports.write_index(
         archive.submissions.snapshot(), out_dir, archive.basename,
         orderby=orderby, score_threshold=score_threshold, html=html,

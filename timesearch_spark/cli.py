@@ -198,7 +198,7 @@ def cmd_index(args):
         out = api.index(
             archive, archive.path, orderby=orderby,
             score_threshold=args.score_threshold, html=args.html,
-            offline=args.offline,
+            offline=args.offline, sharded=args.sharded,
         )
         print(out)
     return 0
@@ -458,6 +458,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sub", dest="do_subreddit", action="store_true")
     p.add_argument("--title", dest="do_title", action="store_true")
     p.add_argument("--offline", dest="offline", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="executor-parallel shard form: content files "
+                        "concatenate in filename order into the identical "
+                        "listing; use at millions of submissions")
     p.add_argument("--score_threshold", "--score-threshold",
                    dest="score_threshold", type=int, default=0)
     p.set_defaults(func=cmd_index)
