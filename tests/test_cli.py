@@ -232,12 +232,21 @@ def test_livestream_kind_selection(spark, root, tmp_path):
 
 def test_get_wiki_and_styles(spark, root, tmp_path):
     pages = tmp_path / "pages.json"
-    pages.write_text(json.dumps({"index": "# hello", "rules/one": "be nice"}))
+    pages.write_text(json.dumps({
+        "index": "# hello <b>&</b>", "rules/one": "be nice",
+        "config/stylesheet": ".css {}",  # get_wiki.py:15-16: NOT a wiki page
+    }))
     assert cli.main(["--archive-root", root, "get_wiki", "-r", "t",
                      "--pages-json", str(pages)]) == 0
     wiki = os.path.join(_archive_dir(root), "wiki")
     assert os.path.exists(os.path.join(wiki, "index.md"))
     assert os.path.exists(os.path.join(wiki, "rules", "one.html"))
+    assert not os.path.exists(os.path.join(wiki, "config"))
+    # the md file is raw; the html file is escape-then-markdown
+    # (get_wiki.py:24-25, incl. the reference's '&rt;' [sic] escape)
+    assert open(os.path.join(wiki, "index.md")).read() == "# hello <b>&</b>"
+    html = open(os.path.join(wiki, "index.html")).read()
+    assert "<h1>" in html and "&lt;b&rt;" in html and "<b>" not in html
 
     css = tmp_path / "style.css"
     css.write_text("body { color: red }")

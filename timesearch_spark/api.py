@@ -335,19 +335,37 @@ def merge_db(to_archive: Archive, from_archive: Archive) -> dict:
 # --- document dumps (timesearch.py get_wiki / get_styles) --------------------
 
 def get_wiki(archive: Archive, pages: dict[str, str], out_dir: str) -> int:
-    """Wiki dump (get_wiki.py:8-26): markdown + rendered HTML per page.
-    Driver-side file export — not an analytic path."""
+    """Wiki dump (get_wiki.py:8-26): raw markdown + rendered HTML per
+    page, the reference's exact composition — escape ``<``/``>`` first
+    (including its '&rt;' [sic] typo, get_wiki.py:24) then render with
+    the ``markdown`` package (``output_format='html5'``) or the
+    deterministic subset renderer when the package is absent (the same
+    arm choice the thread renderer makes).  The ``config/stylesheet``
+    pseudo-page is skipped (get_wiki.py:15-16 — it belongs to
+    get_styles).  Driver-side file export — not an analytic path."""
     os.makedirs(out_dir, exist_ok=True)
-    from timesearch_spark.functions import html_escape_ref  # noqa: F401
+
+    def render_page(md_text: str) -> str:
+        escaped = md_text.replace("<", "&lt;").replace(">", "&rt;")
+        try:
+            import markdown as _markdown
+
+            return _markdown.markdown(escaped, output_format="html5")
+        except ImportError:
+            from timesearch_spark.functions.markdown_lite import render
+
+            return render(escaped)
 
     n = 0
     for name, md_text in pages.items():
+        if name == "config/stylesheet":
+            continue
         base = os.path.join(out_dir, name.replace("/", os.sep))
         os.makedirs(os.path.dirname(base) or out_dir, exist_ok=True)
         with open(base + ".md", "w", encoding="utf-8") as f:
             f.write(md_text)
         with open(base + ".html", "w", encoding="utf-8") as f:
-            f.write(f"<html><body><p>{md_text}</p></body></html>")
+            f.write(render_page(md_text))
         n += 1
     return n
 
