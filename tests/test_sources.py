@@ -60,6 +60,22 @@ def test_classify_by_structure_without_name(spark, tmp_path):
     assert kinds == {"s1": "submission", "c1": "comment"}
 
 
+def test_classify_requires_t3_prefix_on_parent_and_link(spark, tmp_path):
+    """r10 parity fix: the reference tests parent_id/link_id for the
+    't3_' PREFIX (ingest_jsonfile.py:19-23) — a present-but-wrong-kind
+    id is an object it rejects, so it must stay unclassifiable here
+    (kind null), never silently ingested as a comment."""
+    objs = [
+        {"id": "x1", "created_utc": 1, "parent_id": "t5_weird"},
+        {"id": "x2", "created_utc": 2, "link_id": "t1_notathread"},
+        {"id": "ok", "created_utc": 3, "parent_id": "t1_nested",
+         "link_id": "t3_thread"},  # nested comment: link_id carries t3_
+    ]
+    raw = ndjson.read_raw(spark, _write_ndjson(tmp_path, objs))
+    kinds = {r["id"]: r["kind"] for r in ndjson.classify(raw).collect()}
+    assert kinds == {"x1": None, "x2": None, "ok": "comment"}
+
+
 def test_submission_canonicalization(spark, tmp_path):
     raw = ndjson.read_raw(spark, _write_ndjson(tmp_path, [SUB, COM]))
     row = ndjson.submissions_from_raw(raw).first()

@@ -45,11 +45,14 @@ def is_submission_raw(df_or_cols=None) -> Column:
 
 
 def is_comment_raw(df_or_cols=None) -> Column:
-    """A3a discriminator (ingest_jsonfile.py:19-23)."""
+    """A3a discriminator — byte-exact ingest_jsonfile.py:19-23: the
+    parent/link ids must carry the ``t3_`` prefix, not merely exist (a
+    non-null ``parent_id`` of the wrong kind is an object the reference
+    REJECTS, and must stay unclassifiable here too)."""
     return (
         F.col("name").startswith("t1_")
-        | F.col("parent_id").isNotNull()
-        | F.col("link_id").isNotNull()
+        | F.col("parent_id").startswith("t3_")
+        | F.col("link_id").startswith("t3_")
     )
 
 
