@@ -12,7 +12,12 @@ def _one(spark, col):
 
 
 def test_base36_roundtrip(spark):
-    df = spark.createDataFrame([(i,) for i in [1, 35, 36, 12345, 2**40]], "n long")
+    # negatives included: the reference's encode carries a '-' sign
+    # (common.py:50-65) and int(x, 36) accepts '-zz'; F.conv alone would
+    # wrap them as unsigned 2^64 complements (r10 parity fix)
+    df = spark.createDataFrame(
+        [(i,) for i in [1, 35, 36, 12345, 2**40, 0, -1, -12345]], "n long"
+    )
     out = df.select(
         "n",
         tsf.base36_encode("n").alias("enc"),

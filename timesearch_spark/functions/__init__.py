@@ -16,13 +16,21 @@ from pyspark.sql import types as T
 # --- H1: base36 (common.py:43-65) -----------------------------------------
 
 def base36_decode(col) -> Column:
-    """base36 string → bigint (reference: int(x, 36))."""
-    return F.conv(F.lower(F.col(col) if isinstance(col, str) else col), 36, 10).cast("long")
+    """base36 string → bigint (reference: int(x, 36), SIGNED — Python's
+    int() accepts '-zz'; F.conv alone would wrap negatives as unsigned
+    64-bit)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    mag = F.conv(F.regexp_replace(c, "^-", ""), 36, 10).cast("long")
+    return F.when(c.startswith("-"), -mag).otherwise(mag)
 
 
 def base36_encode(col) -> Column:
-    """bigint → lowercase base36 string (reference emits lowercase)."""
-    return F.lower(F.conv((F.col(col) if isinstance(col, str) else col).cast("string"), 10, 36))
+    """bigint → lowercase base36 string (reference emits lowercase and a
+    '-' sign for negatives, common.py:50-65; F.conv alone would render a
+    negative as its unsigned 2^64 complement)."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
+    mag = F.lower(F.conv(F.abs(c).cast("string"), 10, 36))
+    return F.when(c < 0, F.concat(F.lit("-"), mag)).otherwise(mag)
 
 
 # --- H2: fullname prefixes (common.py:147-150) -----------------------------
