@@ -352,14 +352,19 @@ def test_help_never_starts_spark(monkeypatch):
 def test_get_comments_specific_submission_stamps_augmented(spark, root, tmp_path, capsys):
     """-s scans one thread regardless of age and stamps augmented_at
     (get_comments.py:92-100) so later general resumes don't skip history."""
+    # the dump holds TWO threads: -s must ingest only the stamped one
+    # (the reference's thread scan reads a thread-scoped endpoint,
+    # get_comments.py:70 — with an injected source the api enforces it)
     coms = _write_jsonl(tmp_path / "old.jsonl",
-                        [_com(50, created_utc=150, parent_id="t3_s1", link_id="t3_s1")])
+                        [_com(50, created_utc=150, parent_id="t3_s1", link_id="t3_s1"),
+                         _com(51, created_utc=151, parent_id="t3_s0", link_id="t3_s0")])
     assert cli.main(["--archive-root", root, "get_comments", "-r", "t",
                      "-s", "t3_s1", "--source", coms]) == 0
     from timesearch_spark.api import Archive
 
     ar = Archive(spark, _archive_dir(root))
     assert ar.comments.snapshot().filter("idstr = 't1_c50'").count() == 1
+    assert ar.comments.snapshot().filter("idstr = 't1_c51'").count() == 0
     aug = ar.submissions.snapshot().filter("idstr = 't3_s1'").first()
     assert aug["augmented_at"] is not None
 

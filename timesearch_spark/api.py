@@ -133,9 +133,26 @@ def get_comments(archive: Archive, fetch_page, lower="update",
     ``specific_submission``: scan one thread regardless of age, then
     stamp ``submissions.augmented_at`` (get_comments.py:92-100) so later
     general scans know this thread's comments don't bound the resume.
+    The reference's thread scan reads a THREAD-SCOPED endpoint
+    (get_comments.py:70 ``get_comments_from_submission``); with an
+    injected source that scoping is enforced here instead — fetched
+    rows outside the thread are dropped, so ``-s`` against a general
+    dump ingests exactly the thread it stamps.
     """
+    canonicalize = _ndjson.comments_from_raw
+    if specific_submission is not None:
+        from pyspark.sql import functions as F
+
+        sid = specific_submission if specific_submission.startswith("t3_") \
+            else "t3_" + specific_submission
+
+        def canonicalize(raw, **kw):  # noqa: F811 — thread-scoped source shim
+            return _ndjson.comments_from_raw(raw, **kw).filter(
+                F.col("submission") == sid
+            )
+
     n = _ingest_paginated(
-        archive, fetch_page, _ndjson.comments_from_raw,
+        archive, fetch_page, canonicalize,
         archive.comments,
         0 if specific_submission is not None else lower,
         page_size, limiter, lookup,
