@@ -98,6 +98,37 @@ def main() -> None:
         except Exception:
             continue
 
+    # Quiet-host gating (r10 verdict item 1, ported from
+    # tools/bench_scaling.py): on this shared host the official r10 run
+    # sampled at loadavg 3.5→9.2 and showed ±25% per-query swings against
+    # r9 with byte-identical physical plans — the scoreboard could not
+    # tell a real regression from tenant noise.  A query whose 1-min
+    # loadavg exceeds the gate AT the best-of-3 triple's START is
+    # re-measured after a cool-off (quietest attempt kept); queries that
+    # never started under the gate are listed in the summary's "noisy"
+    # field.  Start-only, like the scaling probe: our own 3×32-thread run
+    # drives the post-run EMA past any sane gate, so an end sample cannot
+    # distinguish self-load from tenants.  Total sleep is budget-capped so
+    # a persistently loud host degrades to the old ungated behaviour
+    # (flagged, not stalled).
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "8"))
+    retries = int(os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "2"))
+    cooloff = float(os.environ.get("SPARK_GRAFT_LOAD_COOLOFF", "20"))
+    sleep_budget = float(os.environ.get("SPARK_GRAFT_LOAD_BUDGET", "480"))
+    slept = 0.0
+
+    def triple(name: str) -> tuple[list, list, float]:
+        # 1-min loadavg AT each sample: a regression claim read off a
+        # sample taken at loadavg 8 on this shared host is mush (r8's
+        # cold-run comparison) — the reader needs per-sample evidence,
+        # not the global before/after pair
+        start_load = round(os.getloadavg()[0], 2)
+        samples, lds = [], []
+        for _ in range(3):
+            lds.append(round(os.getloadavg()[0], 2))
+            samples.append(round(run(name), 3))
+        return samples, lds, start_load
+
     # best-of-3 per query: later runs reuse the codegen cache, so the
     # number reflects the steady-state distributed plan (what scales to the
     # cluster) instead of one-off driver-side JIT/GC jitter.  All raw runs
@@ -108,21 +139,36 @@ def main() -> None:
     times: dict[str, float] = {}
     raw: dict[str, object] = {}
     loads: dict[str, list] = {}
+    start_loads: dict[str, float] = {}
+    noisy: list[str] = []
     errors: dict[str, str] = {}
     for name in HEADLINE:
         if name in qs:
             try:
-                samples, lds = [], []
-                for _ in range(3):
-                    # 1-min loadavg AT each sample: a regression claim
-                    # read off a sample taken at loadavg 8 on this
-                    # shared host is mush (r8's cold-run comparison) —
-                    # the reader needs per-sample evidence, not the
-                    # global before/after pair
-                    lds.append(round(os.getloadavg()[0], 2))
-                    samples.append(round(run(name), 3))
+                best = None
+                for attempt in range(retries + 1):
+                    samples, lds, l0 = triple(name)
+                    if best is None or l0 < best[2]:
+                        best = (samples, lds, l0)
+                    if l0 <= load_gate:
+                        break
+                    if attempt < retries and slept + cooloff <= sleep_budget:
+                        print(
+                            f"  {name}: loadavg {l0} > gate {load_gate:g}, "
+                            f"cooling off {cooloff:g}s "
+                            f"(retry {attempt + 1}/{retries})",
+                            file=sys.stderr,
+                        )
+                        time.sleep(cooloff)
+                        slept += cooloff
+                    else:
+                        break
+                samples, lds, l0 = best
                 raw[name] = samples
                 loads[name] = lds
+                start_loads[name] = l0
+                if l0 > load_gate:
+                    noisy.append(name)
                 times[name] = min(samples)
             except Exception as exc:  # record, keep benching the rest
                 raw[name] = "err"
@@ -138,6 +184,14 @@ def main() -> None:
     detail = {
         "runs": raw,
         "load": loads,
+        "start_load": start_loads,
+        "gate": {
+            "load_gate": load_gate,
+            "retries": retries,
+            "cooloff": cooloff,
+            "slept": round(slept, 1),
+        },
+        "noisy": sorted(noisy),
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
@@ -151,13 +205,14 @@ def main() -> None:
         pass  # read-only checkout: the stdout detail line still carries it
     print(json.dumps({"detail": detail}))
 
-    summary = compact_summary(times, sf, errors)
+    summary = compact_summary(times, sf, errors, noisy)
     print(summary)
 
 
-def compact_summary(times: dict, sf, errors: dict) -> str:
+def compact_summary(times: dict, sf, errors: dict, noisy=()) -> str:
     """The one line the driver parses. Kept deliberately small: per-query
-    bests only, errors truncated hard, and a guard that drops the
+    bests only, errors truncated hard, never-quiet queries named (so a
+    reader can discount their numbers), and a guard that drops the
     per-query map's long tail before ever exceeding the driver's capture
     window (should never trigger at 32 headliners — test-pinned)."""
     payload = {
@@ -168,7 +223,12 @@ def compact_summary(times: dict, sf, errors: dict) -> str:
         "sf": sf,
         "errors": {k: v[:80] for k, v in errors.items()},
     }
+    if noisy:
+        payload["noisy"] = sorted(noisy)
     line = json.dumps(payload)
+    if len(line) > 1900 and noisy:  # shrink the flag list before data
+        payload["noisy"] = len(noisy)
+        line = json.dumps(payload)
     if len(line) > 1900:  # hard ceiling under the driver's 2000-char tail
         payload["queries_truncated"] = True
         qitems = sorted(times.items(), key=lambda kv: -kv[1])
