@@ -28,6 +28,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from timesearch_spark import fs as _fs
 from timesearch_spark import schemas
 from timesearch_spark.operators import exports
 from timesearch_spark.operators.breakdown import breakdown as _breakdown
@@ -359,8 +360,12 @@ def get_wiki(archive: Archive, pages: dict[str, str], out_dir: str) -> int:
     deterministic subset renderer when the package is absent (the same
     arm choice the thread renderer makes).  The ``config/stylesheet``
     pseudo-page is skipped (get_wiki.py:15-16 — it belongs to
-    get_styles).  Driver-side file export — not an analytic path."""
-    os.makedirs(out_dir, exist_ok=True)
+    get_styles).  Driver-side file export — not an analytic path, but it
+    routes through the fs shim like every other sink, so an archive
+    rooted at a ``scheme://`` store gets its wiki dump ON the store
+    instead of silently on the driver's local disk."""
+    shim = _fs.get_fs(archive.spark if archive is not None else None, out_dir)
+    shim.mkdirs(out_dir)
 
     def render_page(md_text: str) -> str:
         escaped = md_text.replace("<", "&lt;").replace(">", "&rt;")
@@ -377,11 +382,15 @@ def get_wiki(archive: Archive, pages: dict[str, str], out_dir: str) -> int:
     for name, md_text in pages.items():
         if name == "config/stylesheet":
             continue
-        base = os.path.join(out_dir, name.replace("/", os.sep))
-        os.makedirs(os.path.dirname(base) or out_dir, exist_ok=True)
-        with open(base + ".md", "w", encoding="utf-8") as f:
+        # nested page names ('config/sidebar') keep '/' separators: local
+        # paths on posix and every Hadoop scheme agree on '/'
+        base = out_dir.rstrip("/") + "/" + name
+        parent = base.rsplit("/", 1)[0]
+        if parent != out_dir.rstrip("/"):
+            shim.mkdirs(parent)
+        with shim.open_write(base + ".md") as f:
             f.write(md_text)
-        with open(base + ".html", "w", encoding="utf-8") as f:
+        with shim.open_write(base + ".html") as f:
             f.write(render_page(md_text))
         n += 1
     return n
@@ -389,15 +398,18 @@ def get_wiki(archive: Archive, pages: dict[str, str], out_dir: str) -> int:
 
 def get_styles(archive: Archive, stylesheet: str | None, images: dict[str, bytes],
                out_dir: str) -> int:
-    """Stylesheet/image dump (get_styles.py:9-32)."""
-    os.makedirs(out_dir, exist_ok=True)
+    """Stylesheet/image dump (get_styles.py:9-32).  Routes through the
+    fs shim (same contract as :func:`get_wiki`) so ``scheme://`` archive
+    roots receive the stylesheet and images on the store."""
+    shim = _fs.get_fs(archive.spark if archive is not None else None, out_dir)
+    shim.mkdirs(out_dir)
+    root = out_dir.rstrip("/")
     n = 0
     if stylesheet is not None:
-        with open(os.path.join(out_dir, "stylesheet.css"), "w", encoding="utf-8") as f:
+        with shim.open_write(root + "/stylesheet.css") as f:
             f.write(stylesheet)
         n += 1
     for name, payload in images.items():
-        with open(os.path.join(out_dir, name), "wb") as f:
-            f.write(payload)
+        shim.write_bytes(root + "/" + name, payload)
         n += 1
     return n

@@ -106,6 +106,11 @@ class LocalFS:
         """Streaming text writer (driver-side export sinks)."""
         return open(path, "w", encoding="utf-8")
 
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """One-shot binary write (stylesheet images, small blobs)."""
+        with open(path, "wb") as f:
+            f.write(data)
+
     def create_exclusive(self, path: str, text: str) -> bool:
         """Create-if-absent (the lease primitive): True when this call
         created the file, False when it already existed.  POSIX O_EXCL —
@@ -227,6 +232,14 @@ class HadoopFS:
     def open_write(self, path: str):
         p = self._path(path)
         return _JWriteStream(self._fs(p).create(p, True))
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        p = self._path(path)
+        out = self._fs(p).create(p, True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
 
     def create_exclusive(self, path: str, text: str) -> bool:
         """Create-if-absent.  Atomicity depends on the store: HDFS's
