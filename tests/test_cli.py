@@ -98,6 +98,18 @@ def test_breakdown_writes_json(spark, root):
     assert cat == open(sorted_out).read()
 
 
+def test_breakdown_sharded_without_sort_is_a_usage_error(root, capsys):
+    """ADVICE r10: --sharded depends on --sort (the unsorted contract is
+    a single-line JSON dump that cannot shard); the CLI must surface
+    that as an argparse usage error, not a ValueError traceback from
+    deep inside the export layer."""
+    with pytest.raises(SystemExit) as exc:
+        cli.main(["--archive-root", root, "breakdown", "-r", "t",
+                  "--sharded"])
+    assert exc.value.code == 2  # argparse usage-error exit
+    assert "--sharded requires --sort" in capsys.readouterr().err
+
+
 def test_index_listing_flags(spark, root):
     assert cli.main(["--archive-root", root, "index", "-r", "t",
                      "--score", "--html"]) == 0
@@ -158,6 +170,16 @@ def test_index_all_writes_subreddit_listing_for_user_archives_only(
     # the three posts appear ordered by their subreddit (aaa, mmm, zzz)
     assert [s for ln in lines for s in ("post 1", "post 2", "post 0")
             if s in ln] == ["post 1", "post 2", "post 0"]
+
+    # twin gate (index.py:79-81): the AUTHOR listing is a subreddit-
+    # archive property — --all on a user archive must not emit one (it
+    # would be trivially single-valued: the archive's own user)
+    assert cli.main(["--archive-root", uroot, "index", "-u", "me",
+                     "--all"]) == 0
+    ufiles = os.listdir(udir)
+    assert not any("_author" in f for f in ufiles)
+    for o in ("_date", "_title", "_score", "_subreddit", "_flair"):
+        assert any(o in f for f in ufiles), f"missing {o} listing"
 
 
 def test_offline_reading_renders_threads(spark, root):

@@ -123,6 +123,56 @@ def test_sharded_breakdown_null_key_parity(spark, tmp_path):
         assert cat == single, f"sort={sort} null-key shards diverge"
 
 
+def test_sharded_breakdown_empty_archive_parity(spark, tmp_path):
+    """ADVICE r10: a zero-key breakdown's collect form is '{\\n' + ''
+    body + '\\n}\\n' (blank line between brackets) — the sharded
+    concatenation must reproduce that byte-for-byte even though there
+    are no part lines to carry the blank line."""
+    import os
+
+    from timesearch_spark.operators.exports import (
+        breakdown_json, write_breakdown_sharded)
+
+    subs = _subs(spark, [("t3_a", "amy", None, 1, 1)]).limit(0)
+    comments = _comments(spark, [("t1_a", "amy", "x", 1, 1)]).limit(0)
+    bd = breakdown(subs, comments, key="author", key_name="author")
+    for sort in ("name", "submissions"):
+        single = breakdown_json(bd, sort=sort, key_name="author")
+        assert single == "{\n\n}\n"
+        shard_dir = write_breakdown_sharded(bd, str(tmp_path), "e",
+                                            sort=sort, key_name="author")
+        content = sorted(f for f in os.listdir(shard_dir)
+                         if f.startswith(("00_", "part-", "zz_")))
+        cat = "".join(open(os.path.join(shard_dir, f)).read()
+                      for f in content)
+        assert cat == single, f"sort={sort} empty-archive shards diverge"
+
+
+def test_unsorted_breakdown_refuses_past_key_bound(spark, tmp_path):
+    """r10 verdict item 3: the unsorted contract is a single-line
+    json.dumps that cannot shard, so at millions of keys it must fail
+    loudly pointing at the sorted sharded form instead of silently
+    draining every key through collect()."""
+    import pytest
+
+    from timesearch_spark.operators.exports import (
+        breakdown_json, write_breakdown)
+
+    bd = _breakdown_fixture(spark)  # 5 distinct authors
+    with pytest.raises(ValueError, match="write_breakdown_sharded"):
+        breakdown_json(bd, sort=None, key_name="author",
+                       max_unsorted_keys=3)
+    with pytest.raises(ValueError, match="write_breakdown_sharded"):
+        write_breakdown(bd, str(tmp_path), "t", sort=None,
+                        key_name="author", max_unsorted_keys=3)
+    # at or under the bound the contract is unchanged
+    import json as _json
+
+    out = _json.loads(breakdown_json(bd, sort=None, key_name="author",
+                                     max_unsorted_keys=5))
+    assert sum(v["submissions"] for v in out.values()) == 5
+
+
 def test_sharded_breakdown_plan_has_no_driver_iteration(spark):
     """The line DataFrame must be a range-partitioned global sort that
     write.text streams from executors — no collect in the data path."""

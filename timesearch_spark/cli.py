@@ -160,6 +160,12 @@ def cmd_ingest_jsonfile(args):
 def cmd_breakdown(args):
     from timesearch_spark import api
 
+    if args.sharded and args.sort is None:
+        # surface the dependency as a usage error, not a ValueError
+        # traceback from deep inside the export layer
+        args.parser.error("--sharded requires --sort (the unsorted "
+                          "contract is a single-line JSON dump that "
+                          "cannot shard)")
     archive = _archive(args)
     # breakdown.py:29-34: subreddit archive → per-author counts; user
     # archive → per-subreddit counts
@@ -183,11 +189,12 @@ def cmd_index(args):
         orders.append("title")
     if args.do_all or args.do_score:
         orders.append("score")
-    if args.do_all or args.do_author:
+    # twin reference gates (index.py:79-86): the author listing exists
+    # for SUBREDDIT archives only (a user archive's author column is
+    # trivially the archive's own user), the subreddit listing for USER
+    # archives only
+    if args.username is None and (args.do_all or args.do_author):
         orders.append("author")
-    # reference gate (index.py:84): the subreddit listing exists for USER
-    # archives only — --all on a subreddit archive must not produce a
-    # single-valued (or crashing) listing
     if args.username is not None and (args.do_all or args.do_subreddit):
         orders.append("subreddit")
     if args.do_all or args.do_flair:
@@ -445,7 +452,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "content files concatenate in filename order into "
                         "the identical JSON; use when distinct keys run to "
                         "millions")
-    p.set_defaults(func=cmd_breakdown)
+    p.set_defaults(func=cmd_breakdown, parser=p)
 
     p = sub.add_parser("index", help="sorted listing export")
     _add_entity_args(p)

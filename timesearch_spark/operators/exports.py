@@ -159,12 +159,29 @@ def write_index_sharded(
 
 
 def breakdown_json(bd: DataFrame, sort: str | None = None,
-                   key_name: str = "author") -> str:
+                   key_name: str = "author",
+                   max_unsorted_keys: int = 1_000_000) -> str:
     """Serialize a breakdown DataFrame the reference's way
     (breakdown.py:83-88): plain dict dump unsorted, or the pretty
-    one-line-per-key format when sorted."""
+    one-line-per-key format when sorted.
+
+    The unsorted contract is a SINGLE-LINE ``json.dumps`` built on the
+    driver — a format no line-oriented shard concat can reproduce, so it
+    cannot scale past driver memory.  Rather than silently drain every
+    key through ``collect()`` at millions of authors, the fetch is
+    capped at ``max_unsorted_keys`` + 1 rows and fails loudly past the
+    bound, pointing at the sorted sharded form (which is executor-
+    parallel and byte-stable at any key count)."""
     if sort is None:
-        rows = bd.collect()
+        rows = bd.limit(max_unsorted_keys + 1).collect()
+        if len(rows) > max_unsorted_keys:
+            raise ValueError(
+                f"unsorted breakdown exceeds {max_unsorted_keys} distinct "
+                "keys; its single-line json.dumps contract is driver-bound "
+                "and cannot shard — use a sorted form "
+                "(write_breakdown_sharded) at this scale, or raise "
+                "max_unsorted_keys explicitly"
+            )
         return json.dumps(
             {
                 r[key_name]: {"submissions": r["submissions"], "comments": r["comments"]}
@@ -183,14 +200,17 @@ def breakdown_json(bd: DataFrame, sort: str | None = None,
 
 
 def write_breakdown(bd: DataFrame, out_dir: str, basename: str,
-                    sort: str | None = None, key_name: str = "author") -> str:
+                    sort: str | None = None, key_name: str = "author",
+                    max_unsorted_keys: int = 1_000_000) -> str:
     from timesearch_spark.fs import get_fs
 
     fs = get_fs(bd.sparkSession, out_dir)
     fs.mkdirs(out_dir)
     suffix = f"_breakdown_{sort}.json" if sort else "_breakdown.json"
     path = os.path.join(out_dir, basename + suffix)
-    fs.write_text_atomic(path, breakdown_json(bd, sort=sort, key_name=key_name))
+    fs.write_text_atomic(path, breakdown_json(
+        bd, sort=sort, key_name=key_name,
+        max_unsorted_keys=max_unsorted_keys))
     return path
 
 
@@ -246,6 +266,10 @@ def breakdown_lines(bd: DataFrame, sort: str, key_name: str = "author") -> DataF
     )
     out = bd.orderBy(*order).select(line.alias("line"))
     out._pinned = [bd]
+    # zero-key breakdowns write no part lines, but the collect form's
+    # "{\n" + "" + "\n}\n" still carries a blank line between the
+    # brackets — the sharded writer needs to know to reproduce it
+    out._empty = last is None
     return out
 
 
@@ -279,7 +303,10 @@ def write_breakdown_sharded(bd: DataFrame, out_dir: str, basename: str,
         release_pins(lines)
     fs = get_fs(bd.sparkSession, out_dir)
     with fs.open_write(os.path.join(path, "00_open.json")) as f:
-        f.write("{\n")
+        # empty breakdown: the collect form emits a blank line between
+        # the brackets ("{\n" + "" body + "\n}\n"); fold it into the
+        # open bracket so the concatenation stays byte-identical
+        f.write("{\n\n" if getattr(lines, "_empty", False) else "{\n")
     with fs.open_write(os.path.join(path, "zz_close.json")) as f:
         f.write("}\n")
     return path
