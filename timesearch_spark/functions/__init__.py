@@ -20,16 +20,22 @@ def base36_decode(col) -> Column:
     int() accepts '-zz'; F.conv alone would wrap negatives as unsigned
     64-bit)."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    mag = F.conv(F.regexp_replace(c, "^-", ""), 36, 10).cast("long")
-    return F.when(c.startswith("-"), -mag).otherwise(mag)
+    # negate in decimal BEFORE the long cast: the magnitude of
+    # Long.MIN_VALUE (2^63) doesn't fit a signed long on its own, so
+    # conv→long→negate would throw CAST_INVALID_INPUT under ANSI
+    mag = F.conv(F.regexp_replace(c, "^-", ""), 36, 10).cast("decimal(20,0)")
+    return F.when(c.startswith("-"), -mag).otherwise(mag).cast("long")
 
 
 def base36_encode(col) -> Column:
     """bigint → lowercase base36 string (reference emits lowercase and a
     '-' sign for negatives, common.py:50-65; F.conv alone would render a
-    negative as its unsigned 2^64 complement)."""
+    negative as its unsigned 2^64 complement).  The magnitude is taken
+    in decimal(20,0) because ``F.abs`` on a bare long throws
+    ARITHMETIC_OVERFLOW at Long.MIN_VALUE under ANSI — the reference's
+    arbitrary-precision int() has no such edge, so neither do we."""
     c = (F.col(col) if isinstance(col, str) else col).cast("long")
-    mag = F.lower(F.conv(F.abs(c).cast("string"), 10, 36))
+    mag = F.lower(F.conv(F.abs(c.cast("decimal(20,0)")).cast("string"), 10, 36))
     return F.when(c < 0, F.concat(F.lit("-"), mag)).otherwise(mag)
 
 
