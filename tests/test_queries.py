@@ -29,6 +29,27 @@ def test_all_queries_run(spark):
         df.limit(5).collect()
 
 
+def test_oracled_registry_exactly_fills_driver_window():
+    """HEADROOM POLICY (queries.py, next to the import-time assert): the
+    driver grades the FIRST 50 registered queries; the oracled set must
+    fill that window exactly — no oracled query outside it (it would
+    silently vanish from grading) and no rows-only query inside it (it
+    would burn a graded slot on a weaker rows-only check).  Adding a
+    51st oracled query must fail HERE, forcing an explicit consolidate-
+    or-demote decision, not a silent eviction.  Checked at the driver
+    surface (__spark_entry__), the registry the grader actually sees."""
+    names = list(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    assert len(oracled) == 50, (
+        f"{len(oracled)} oracled queries vs the 50-row window — "
+        "consolidate or demote (see HEADROOM POLICY in queries.py)"
+    )
+    assert set(names[:50]) == oracled, {
+        "oracled_outside_window": sorted(oracled - set(names[:50])),
+        "rows_only_inside_window": sorted(set(names[:50]) - oracled),
+    }
+
+
 def test_registry_invariants():
     """Driver-contract guards: every oracle has a query, every oracled
     query sits inside the driver's 50-row CORRECTNESS window (oracled
