@@ -1,8 +1,10 @@
 """Scaling probe: run every bench headliner at two scale factors and
 report the time ratio per query.
 
-``python tools/bench_scaling.py [SMALL_DIR] [BIG_DIR] [FACTOR]``
-(defaults: /root/testdata/sf0.1, .bench_data/sf1, 10).  The BIG dir is
+``python tools/bench_scaling.py [SMALL_DIR] [BIG_DIR] [FACTOR] [NAME...]``
+(defaults: /root/testdata/sf0.1, .bench_data/sf1, 10; trailing NAMEs
+restrict the probe to those headliners — re-probing one NOISY row
+doesn't cost a full sweep).  The BIG dir is
 produced by tools/gen_scale_data.py — FACTOR logical copies of SMALL
 with key offsets, so every per-key group size is preserved and an
 honest linear plan should land near ratio == FACTOR (local[32] is
@@ -37,6 +39,7 @@ def main() -> None:
         else os.path.join(REPO, ".bench_data", "sf1")
     )
     factor = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    only = set(sys.argv[4:])  # empty = all headliners
 
     spark = get_spark("bench-scaling")
     import __spark_entry__ as entrymod
@@ -87,7 +90,7 @@ def main() -> None:
     rows = []
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        if name not in qs:
+        if name not in qs or (only and name not in only):
             continue
         try:
             best = None
@@ -142,7 +145,10 @@ def main() -> None:
     print(json.dumps(result))
 
     rnd = os.environ.get("SPARK_GRAFT_ROUND", "")
-    out = os.path.join(REPO, f"SCALING_r{rnd}.md" if rnd else "SCALING.md")
+    stem = f"SCALING_r{rnd}" if rnd else "SCALING"
+    if only:  # a targeted re-probe must not clobber the full sweep
+        stem += "_" + "_".join(sorted(only))[:60]
+    out = os.path.join(REPO, stem + ".md")
     with open(out, "w") as f:
         f.write(
             f"# Scaling probe: {small} -> {big} ({factor:g}x rows)\n\n"
