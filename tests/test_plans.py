@@ -66,6 +66,37 @@ def test_minhash_signature_aggregates_map_side(spark):
     assert plans.has_partial_aggregate(df)
 
 
+def test_shingle_paths_tokenize_once_per_document(spark):
+    """HOF lambda-inlining guard (r11): shingling straight off a text
+    column captures the tokenizing split() inside the per-gram slice
+    lambda, and interpreted HOF lambdas re-evaluate captured subtrees
+    per element — O(tokens × grams) splits per document.  The hot paths
+    materialize the token array first (dedup.shingles_from) and pin the
+    verify filter above its projection (the pushed-down form inlined the
+    whole derivation into the join condition: split() appeared 40× in
+    the optimized plan).  Pin: bounded split() counts in the optimized
+    plans of the minhash banding + verify pipeline and the curate
+    ladder's neardup rung."""
+    from timesearch_spark.operators.dedup import (
+        minhash_band_buckets, minhash_near_dups, release_pins)
+
+    docs = load(spark, SF_SMALL, "documents")
+    banding = minhash_band_buckets(docs, "text", "doc_id")
+    plan = banding._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, "banding must tokenize once per doc"
+
+    nd = minhash_near_dups(docs, "text", "doc_id", threshold=0.7)
+    plan = nd._jdf.queryExecution().optimizedPlan().toString()
+    # 1 banding scan + 2 per-pair token materializations (a/b sides);
+    # anything more means an alias got re-inlined (the 40× regression)
+    assert plan.count("split(") <= 4, plan.count("split(")
+    # the verify threshold must sit ABOVE the join, not inside its
+    # condition: no split() may appear on a Join line
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert all("split(" not in ln for ln in join_lines)
+    release_pins(nd)
+
+
 def test_text_profile_is_shuffle_free(spark):
     # the profile expressions are a pure map stage: applied to an input
     # that's already well-split (the at-scale case, where spread() is a

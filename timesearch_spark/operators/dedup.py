@@ -43,7 +43,16 @@ def tokens(col) -> Column:
 
 def shingles(col, k: int = 3) -> Column:
     """k-word shingles as strings; documents shorter than k words yield
-    their whole token join as the single shingle."""
+    their whole token join as the single shingle.
+
+    HOT-PATH WARNING: applied straight to a TEXT column, the per-gram
+    ``slice`` lambda captures the tokenizing ``split`` subtree, and
+    interpreted HOF lambdas re-evaluate captured subtrees per element —
+    the optimized plan carries split() once per gram, O(tokens × grams)
+    per document.  Every scale path should materialize the token array
+    in its own projection and build grams with :func:`shingles_from`
+    (split pinned to once per document — 1.6× on the sf0.1 shingle
+    explode, verified in the optimizedPlan by tests/test_plans.py)."""
     t = tokens(col)
     n = F.size(t)
     grams = F.transform(
@@ -51,6 +60,36 @@ def shingles(col, k: int = 3) -> Column:
         lambda i: F.array_join(F.slice(t, i, k), " "),
     )
     return F.when(n >= k, grams).otherwise(F.array(F.array_join(t, " ")))
+
+
+def shingles_from(tok_col, k: int = 3) -> Column:
+    """:func:`shingles` over an ALREADY-MATERIALIZED token-array column
+    (same output).  The lambda's captured reference is then a plain
+    attribute — per-element re-evaluation costs an array pointer read,
+    not a re-tokenization.  CollapseProject leaves the materializing
+    projection alone because the alias is non-cheap and referenced more
+    than once."""
+    t = _c(tok_col)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(t, i, k), " "),
+    )
+    return F.when(n >= k, grams).otherwise(F.array(F.array_join(t, " ")))
+
+
+def _shingle_rows(df, text_col, id_col, k: int) -> DataFrame:
+    """(id, __s) exploded distinct-shingle rows, tokenizing once per
+    document (see :func:`shingles_from`); ``spread`` first so the
+    explode runs with full parallelism on under-split input."""
+    return (
+        spread(df)
+        .select(_c(id_col).alias(id_col), tokens(text_col).alias("__tok"))
+        .select(
+            id_col,
+            F.explode(F.array_distinct(shingles_from("__tok", k))).alias("__s"),
+        )
+    )
 
 
 def jaccard(a, b) -> Column:
@@ -201,10 +240,9 @@ def minhash_signature_table(
     with map-side partial aggregation — every doc's shingles sit in one
     input row, so partial agg collapses them to a single row per doc
     before any shuffle."""
-    exploded = df.select(
-        _c(id_col).alias(id_col),
-        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("__s"),
-    ).select(id_col, F.xxhash64("__s").alias("__h"))
+    exploded = _shingle_rows(df, text_col, id_col, shingle_k).select(
+        id_col, F.xxhash64("__s").alias("__h")
+    )
     aggs = [
         F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -254,10 +292,7 @@ def minhash_band_buckets(
         )
     rows = num_hashes // bands
     seq = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    base = spread(df).select(
-        _c(id_col).alias(id_col),
-        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("__s"),
-    )
+    base = _shingle_rows(df, text_col, id_col, shingle_k)
     # Two explode shapes, chosen by what the explode would duplicate:
     # the xx64 path pre-hashes the shingle to ONE long, explodes the
     # permutation index against it, and re-hashes in a top-level
@@ -356,20 +391,43 @@ def minhash_near_dups(
         .dropDuplicates(["a", "b"])
     )
 
-    # Exact verify on candidates only: re-derive shingle sets for the two
-    # docs of each pair (candidates ≪ corpus, so this re-scan is cheap and
-    # avoids shuffling every doc's full shingle array).  Repartition first
-    # so the per-doc shingle HOF runs with full parallelism even when the
-    # input is a handful of files.
-    sh = spread(df).select(
-        _c(id_col).alias(id_col), shingles(text_col, shingle_k).alias("__sh")
+    # Exact verify on candidates only: join the (small) candidate set to
+    # the text FIRST, then shingle — the gram arrays are derived only
+    # for rows that survive the join, so the corpus is never shingled a
+    # second time (the join-after-shingle form re-derived every doc's
+    # shingle set whether or not it was a candidate).  Tokens are
+    # materialized before the gram lambda (see shingles_from).  Spread
+    # first so the per-doc work runs with full parallelism even when
+    # the input is a handful of files.
+    txt = spread(df).select(
+        _c(id_col).alias(id_col), _c(text_col).alias("__txt")
     )
     pairs = (
-        cand.join(sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("sha")), on="a")
-        .join(sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("shb")), on="b")
+        cand.join(txt.select(F.col(id_col).alias("a"),
+                             F.col("__txt").alias("__txta")), on="a")
+        .join(txt.select(F.col(id_col).alias("b"),
+                         F.col("__txt").alias("__txtb")), on="b")
+        .select("a", "b",
+                tokens("__txta").alias("__toka"),
+                tokens("__txtb").alias("__tokb"))
+        .select("a", "b",
+                shingles_from("__toka", shingle_k).alias("sha"),
+                shingles_from("__tokb", shingle_k).alias("shb"))
     )
+    # The threshold filter must NOT push through these projections into
+    # the join condition: predicate pushdown substitutes the aliases, so
+    # the condition would inline the whole token→gram derivation and
+    # re-evaluate it per matched pair WITH the per-element lambda
+    # capture (the optimized plan carried split() 40× — O(tokens×grams)
+    # per pair, interpreted).  A seeded-rand no-op term marks the
+    # jaccard projection nondeterministic, which pins the filter above
+    # the Project: per pair the verify is then one O(tokens+grams)
+    # column evaluation.  rand(0)*0.0 is exactly 0.0, so values are
+    # unchanged (null jaccard stays null) — pinned by the exactness
+    # tests and the md5-family oracle.
+    jac = jaccard("sha", "shb") + F.rand(0) * F.lit(0.0)
     return (
-        pairs.select("a", "b", jaccard("sha", "shb").alias("jaccard"))
+        pairs.select("a", "b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -404,11 +462,14 @@ def _ngram_jaccard_prefix_filtered(
 def _jaccard_postings(df, block_col, text_col, id_col, n):
     """(block, id, sz, gh) inverted-index postings with distinct grams
     hashed to longs; also returns the per-doc distinct-gram base."""
-    g = tokens(text_col) if n == 1 else shingles(text_col, n)
-    base = df.select(
+    tok = df.select(
         _c(block_col).alias("block"),
         _c(id_col).alias(id_col),
-        F.array_distinct(g).alias("__g"),
+        tokens(text_col).alias("__tok"),
+    )
+    g = F.col("__tok") if n == 1 else shingles_from("__tok", n)
+    base = tok.select(
+        "block", id_col, F.array_distinct(g).alias("__g")
     ).withColumn("sz", F.size("__g"))
     post = base.select(
         "block", id_col, "sz", F.explode("__g").alias("__gram")

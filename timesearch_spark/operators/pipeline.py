@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from timesearch_spark.operators.dedup import shingles, tokens
+from timesearch_spark.operators.dedup import shingles_from, tokens
 
 
 def _c(col) -> Column:
@@ -158,15 +158,25 @@ def decontaminate(
     ``min_frac`` gate is the exact integer inequality
     n_shared * 10^6 >= round(min_frac * 10^6) * n_total.
     """
-    grams_arr = F.array_distinct(shingles(text_col, n))
-    doc_grams = docs.select(
-        _c(id_col).alias(id_col),
-        F.size(grams_arr).alias("__n_total"),
-        F.explode(grams_arr).alias("gram"),
+    # tokens then grams materialized in their own projections: shingling
+    # straight off the text re-runs the tokenizing split inside the
+    # per-gram lambda (see dedup.shingles_from)
+    doc_grams = (
+        docs.select(_c(id_col).alias(id_col), tokens(text_col).alias("__tok"))
+        .select(id_col,
+                F.array_distinct(shingles_from("__tok", n)).alias("__ga"))
+        .select(
+            id_col,
+            F.size("__ga").alias("__n_total"),
+            F.explode("__ga").alias("gram"),
+        )
     )
-    bench_grams = benchmark.select(
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("gram")
-    ).distinct()
+    bench_grams = (
+        benchmark.select(tokens(text_col).alias("__tok"))
+        .select(F.explode(
+            F.array_distinct(shingles_from("__tok", n))).alias("gram"))
+        .distinct()
+    )
     bench_side = F.broadcast(bench_grams)
     if max_broadcast_grams is not None:
         # Footer ceiling first (no job): distinct word-n-grams can't
@@ -298,9 +308,10 @@ def ngram_top(
     partial aggregation collapses each partition's counts before the
     single shuffle; TakeOrderedAndProject keeps the top-k selection
     driver-light."""
-    g = F.explode(F.array_distinct(shingles(text_col, n))).alias("gram")
+    g = F.explode(F.array_distinct(shingles_from("__tok", n))).alias("gram")
     return (
-        df.select(g)
+        df.select(tokens(text_col).alias("__tok"))
+        .select(g)
         .groupBy("gram")
         .agg(F.count("*").alias("df"))
         .orderBy(F.desc("df"), F.asc("gram"))
