@@ -117,6 +117,22 @@ def test_index_listing_flags(spark, root):
     assert any("score" in f for f in files)
 
 
+def test_index_no_sorts_selected_is_an_error(root, capsys):
+    """Reference parity (index.py:94-95): no sort flags — or only sorts
+    gated off for this archive kind — raises 'No sorts selected!'; the
+    old behaviour silently defaulted to a date listing the reference
+    never writes."""
+    with pytest.raises(SystemExit) as exc:
+        cli.main(["--archive-root", root, "index", "-r", "t"])
+    assert exc.value.code == 2
+    assert "No sorts selected" in capsys.readouterr().err
+
+    # user archive asking ONLY for the (subreddit-archive-only) author
+    # listing: everything gates off -> same error, not a date listing
+    with pytest.raises(SystemExit):
+        cli.main(["--archive-root", root, "index", "-u", "me", "--author"])
+
+
 def test_index_sharded_concatenates_to_single_file(spark, root):
     """index --sharded writes the executor-parallel shard form whose
     content files concatenate to the single-file listing byte-for-byte
@@ -584,7 +600,8 @@ def test_full_workflow_on_file_scheme_root(spark, tmp_path, capsys):
     data = json.loads(open(os.path.join(local_adir, "t_breakdown.json")).read())
     assert sum(v["submissions"] for v in data.values()) == 3
 
-    assert cli.main(["--archive-root", rootdir, "index", "-r", "t"]) == 0
+    assert cli.main(["--archive-root", rootdir, "index", "-r", "t",
+                     "--date"]) == 0
     assert cli.main(["--archive-root", rootdir, "offline_reading",
                      "-r", "t"]) == 0
     threads = os.listdir(os.path.join(local_adir, "offline_reading"))

@@ -655,7 +655,12 @@ def test_writer_lease_concurrent_breakers_both_commit(spark, tmp_path):
 
     def breaker(tag: str):
         try:
-            lz = WriterLease(fs, path, timeout_sec=30.0, poll_sec=0.01)
+            # generous budget: the loser serializes behind the winner's
+            # whole py4j commit, and on this SHARED host a saturated
+            # JVM/GIL can stall polls for tens of seconds (a 30s budget
+            # flaked once under a concurrent bench run) — the timeout
+            # only matters on genuine failure
+            lz = WriterLease(fs, path, timeout_sec=120.0, poll_sec=0.01)
             start.wait()  # maximize the break collision window
             with lz:
                 held = _json.loads(fs.read_text(lz.path))
@@ -668,7 +673,7 @@ def test_writer_lease_concurrent_breakers_both_commit(spark, tmp_path):
     for t in ts:
         t.start()
     for t in ts:
-        t.join(60)
+        t.join(180)
     assert not errors, errors
     assert sorted(committed) == ["a", "b"]
     # no lock (or tombstone) left behind

@@ -200,7 +200,10 @@ def cmd_index(args):
     if args.do_all or args.do_flair:
         orders.append("flair")
     if not orders:
-        orders = ["date"]
+        # reference parity (index.py:94-95): selecting no sorts — or
+        # only sorts gated off for this archive kind — raises 'No sorts
+        # selected!', it does not silently default to a date listing
+        args.parser.error("No sorts selected! Read the docstring")
     for orderby in orders:
         out = api.index(
             archive, archive.path, orderby=orderby,
@@ -471,7 +474,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "listing; use at millions of submissions")
     p.add_argument("--score_threshold", "--score-threshold",
                    dest="score_threshold", type=int, default=0)
-    p.set_defaults(func=cmd_index)
+    p.set_defaults(func=cmd_index, parser=p)
 
     p = sub.add_parser("offline_reading", help="thread HTML export")
     _add_entity_args(p)
