@@ -138,13 +138,13 @@ def test_offline_reading_auto_derives_durable_checkpoint(spark, tmp_path,
     Output identity between the two checkpoint modes is pinned
     separately (test_trees/test_dedup durable-checkpoint tests)."""
     captured = {}
-    real = api.comment_forest_auto
+    real = api.render_thread_pages
 
-    def capture(comments, checkpoint_dir=None, **kw):
+    def capture(submissions, comments, checkpoint_dir=None, **kw):
         captured["ck"] = checkpoint_dir
-        return real(comments, checkpoint_dir=checkpoint_dir, **kw)
+        return real(submissions, comments, checkpoint_dir=checkpoint_dir, **kw)
 
-    monkeypatch.setattr(api, "comment_forest_auto", capture)
+    monkeypatch.setattr(api, "render_thread_pages", capture)
     p = tmp_path / "dump.jsonl"
     objs = [_sub(0)] + [_com(i) for i in range(2)]
     p.write_text("\n".join(json.dumps(o) for o in objs))

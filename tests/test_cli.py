@@ -75,23 +75,24 @@ def test_get_submissions_update_resume(spark, root, tmp_path):
 
 
 def test_breakdown_writes_json(spark, root):
+    # files land in the breakdown/ sibling dir (reference tsdb.py:187)
+    bdir = os.path.join(_archive_dir(root), "breakdown")
     assert cli.main(["--archive-root", root, "breakdown", "-r", "t"]) == 0
-    out = os.path.join(_archive_dir(root), "t_breakdown.json")
+    out = os.path.join(bdir, "t_breakdown.json")
     data = json.loads(open(out).read())
     assert sum(v["comments"] for v in data.values()) == 6
     assert sum(v["submissions"] for v in data.values()) == 4
     # sorted variant: the reference's pretty one-line-per-key format
     assert cli.main(["--archive-root", root, "breakdown", "-r", "t",
                      "--sort", "comments"]) == 0
-    sorted_out = os.path.join(_archive_dir(root), "t_breakdown_comments.json")
+    sorted_out = os.path.join(bdir, "t_breakdown_comments.json")
     sdata = json.loads(open(sorted_out).read())
     counts = [v["comments"] for v in sdata.values()]
     assert counts == sorted(counts, reverse=True)
     # --sharded: executor-parallel shard dir, concatenates to the same JSON
     assert cli.main(["--archive-root", root, "breakdown", "-r", "t",
                      "--sort", "comments", "--sharded"]) == 0
-    shard_dir = os.path.join(_archive_dir(root),
-                             "t_breakdown_comments_shards")
+    shard_dir = os.path.join(bdir, "t_breakdown_comments_shards")
     content = sorted(f for f in os.listdir(shard_dir)
                      if f.startswith(("00_", "part-", "zz_")))
     cat = "".join(open(os.path.join(shard_dir, f)).read() for f in content)
@@ -113,7 +114,8 @@ def test_breakdown_sharded_without_sort_is_a_usage_error(root, capsys):
 def test_index_listing_flags(spark, root):
     assert cli.main(["--archive-root", root, "index", "-r", "t",
                      "--score", "--html"]) == 0
-    files = os.listdir(_archive_dir(root))
+    # listings land in the index/ sibling dir (reference tsdb.py:189)
+    files = os.listdir(os.path.join(_archive_dir(root), "index"))
     assert any("score" in f for f in files)
 
 
@@ -141,7 +143,7 @@ def test_index_sharded_concatenates_to_single_file(spark, root):
                      "--score"]) == 0
     assert cli.main(["--archive-root", root, "index", "-r", "t",
                      "--score", "--sharded"]) == 0
-    adir = _archive_dir(root)
+    adir = os.path.join(_archive_dir(root), "index")
     single = [f for f in os.listdir(adir)
               if f.endswith("_score.txt")][0]
     shard_dir = os.path.join(adir, "listing_score_shards")
@@ -162,7 +164,7 @@ def test_index_all_writes_subreddit_listing_for_user_archives_only(
     # subreddit archive: --all runs clean, no _subreddit file
     assert cli.main(["--archive-root", root, "index", "-r", "t",
                      "--all"]) == 0
-    files = os.listdir(_archive_dir(root))
+    files = os.listdir(os.path.join(_archive_dir(root), "index"))
     assert not any("_subreddit" in f for f in files)
     for o in ("_date", "_title", "_score", "_author", "_flair"):
         assert any(o in f for f in files), f"missing {o} listing"
@@ -179,7 +181,7 @@ def test_index_all_writes_subreddit_listing_for_user_archives_only(
                      "--lower", "0", "--source", subs]) == 0
     assert cli.main(["--archive-root", uroot, "index", "-u", "me",
                      "--sub"]) == 0
-    udir = os.path.join(uroot, "users", "me")
+    udir = os.path.join(uroot, "users", "me", "index")
     listing = [f for f in os.listdir(udir) if "_subreddit" in f]
     assert listing, "user archive --sub must write the subreddit listing"
     lines = open(os.path.join(udir, listing[0])).read().splitlines()
@@ -353,7 +355,7 @@ def test_user_archive_breakdown_groups_by_subreddit(spark, tmp_path):
     assert cli.main(["--archive-root", root, "get_submissions", "-u", "me",
                      "--lower", "0", "--source", subs]) == 0
     assert cli.main(["--archive-root", root, "breakdown", "-u", "me"]) == 0
-    out = os.path.join(root, "users", "me", "me_breakdown.json")
+    out = os.path.join(root, "users", "me", "breakdown", "me_breakdown.json")
     data = json.loads(open(out).read())
     assert data["aaa"]["submissions"] == 2
     assert data["bbb"]["submissions"] == 1
@@ -542,13 +544,15 @@ def test_full_reference_workflow_chained(spark, tmp_path, capsys):
 
     adir = os.path.join(rootdir, "subreddits", "t")
     assert cli.main(["--archive-root", rootdir, "breakdown", "-r", "t"]) == 0
-    data = json.loads(open(os.path.join(adir, "t_breakdown.json")).read())
+    data = json.loads(open(
+        os.path.join(adir, "breakdown", "t_breakdown.json")).read())
     assert sum(v["submissions"] for v in data.values()) == 5
     assert sum(v["comments"] for v in data.values()) == 8
 
     assert cli.main(["--archive-root", rootdir, "index", "-r", "t",
-                     "--score", "--html"]) == 0
-    listing = [f for f in os.listdir(adir) if "score" in f]
+                     "--score", "--html", "--offline"]) == 0
+    idir = os.path.join(adir, "index")
+    listing = [f for f in os.listdir(idir) if "score" in f]
     assert listing
 
     assert cli.main(["--archive-root", rootdir, "offline_reading",
@@ -557,6 +561,19 @@ def test_full_reference_workflow_chained(spark, tmp_path, capsys):
     assert len(threads) >= 1
     html = open(os.path.join(adir, "offline_reading", threads[0])).read()
     assert "reply" in html or "post" in html
+
+    # the listing's '../offline_reading/<id>.html' links must RESOLVE
+    # from the index/ dir — the reference's sibling-dir layout
+    # (tsdb.py:187-191); flat placement silently broke every --offline
+    # link by pointing one level above the archive
+    import re as _re
+
+    body = open(os.path.join(idir, listing[0])).read()
+    hrefs = _re.findall(r'href="(\.\./offline_reading/[^"]+)"', body)
+    assert hrefs, "offline listing carries no offline links"
+    for h in hrefs:
+        target = os.path.normpath(os.path.join(idir, h))
+        assert os.path.exists(target), f"broken offline link {h}"
 
 
 def test_curate_subcommand_span_flags(spark, tmp_path, capsys):
@@ -597,7 +614,8 @@ def test_full_workflow_on_file_scheme_root(spark, tmp_path, capsys):
 
     assert cli.main(["--archive-root", rootdir, "breakdown", "-r", "t"]) == 0
     local_adir = str(tmp_path / "scheme_archives" / "subreddits" / "t")
-    data = json.loads(open(os.path.join(local_adir, "t_breakdown.json")).read())
+    data = json.loads(open(
+        os.path.join(local_adir, "breakdown", "t_breakdown.json")).read())
     assert sum(v["submissions"] for v in data.values()) == 3
 
     assert cli.main(["--archive-root", rootdir, "index", "-r", "t",

@@ -247,3 +247,177 @@ def test_big_walk_durable_checkpoint_identical(spark, tmp_path):
     assert seq == big
     local = tmp_path / "ck_trees"
     assert local.is_dir() and any(os.scandir(local))  # state landed durably
+
+
+# --- reference-parity thread pages ------------------------------------------
+
+def _expect_page(sub: dict, comments: list[dict]) -> str:
+    """Independent oracle for one thread's page bytes, following
+    offline_reading.py:9-296 semantics directly (templates, nesting,
+    '\\n\\n' sibling joins, header/footer concat, old.reddit links,
+    '%b %d %Y %H:%M:%S' timestamps, escape-then-markdown bodies).
+    Children order uses unique scores in every fixture so the engine's
+    deterministic tiebreak and the reference's insertion-order tiebreak
+    coincide."""
+    import datetime
+
+    from timesearch_spark.functions import HAS_MARKDOWN
+    from timesearch_spark.operators.trees import (
+        COMMENT_FMT, PAGE_FOOTER, PAGE_HEADER_FMT, SUBMISSION_FMT,
+        _CHILD_SLOT)
+
+    def md(text):
+        escaped = text.replace("<", "&lt;").replace(">", "&rt;")
+        if HAS_MARKDOWN:
+            import markdown
+
+            return markdown.markdown(escaped, output_format="html5")
+        from timesearch_spark.functions.markdown_lite import render
+
+        return render(escaped)
+
+    def human(ts):
+        return datetime.datetime.utcfromtimestamp(ts).strftime(
+            "%b %d %Y %H:%M:%S")
+
+    def userlink(author):
+        if author.lower() == "[deleted]":
+            return "[deleted]"
+        return f'<a href="https://old.reddit.com/u/{author}">{author}</a>'
+
+    def render_node(c, kids_text):
+        link = (f'https://old.reddit.com/r/{c["subreddit"]}/comments/'
+                f'{sub["idstr"][3:]}/_/{c["idstr"][3:]}')
+        block = COMMENT_FMT % (
+            c["idstr"], userlink(c["author"]), c["score"], link,
+            human(c["created"]), md(c["body"]),
+        )
+        return block.replace(_CHILD_SLOT, kids_text)
+
+    by_parent: dict = {}
+    for c in sorted(comments, key=lambda c: c["created"]):
+        parent = c["parent"] if c["parent"].startswith("t1_") else "ROOT"
+        by_parent.setdefault(parent, []).append(c)
+
+    def subtree(c):
+        kids = sorted(by_parent.get(c["idstr"], []),
+                      key=lambda k: (-k["score"], k["idstr"]))
+        return render_node(c, "\n\n".join(subtree(k) for k in kids))
+
+    tops = sorted(by_parent.get("ROOT", []),
+                  key=lambda k: (-k["score"], k["idstr"]))
+    forest = "\n\n".join(subtree(c) for c in tops)
+
+    if sub.get("url"):
+        url_or_text = '<a href="{u}">{u}</a>'.format(u=sub["url"])
+    elif sub.get("selftext"):
+        url_or_text = md(sub["selftext"])
+    else:
+        url_or_text = ""
+    sub_link = (f'https://old.reddit.com/r/{sub["subreddit"]}/comments/'
+                f'{sub["idstr"][3:]}')
+    page = SUBMISSION_FMT % (
+        sub["idstr"], userlink(sub["author"]), sub["score"], sub_link,
+        human(sub["created"]), sub["title"], url_or_text,
+    ) + forest
+    return (PAGE_HEADER_FMT % sub["title"]) + page + PAGE_FOOTER
+
+
+def test_thread_pages_byte_parity_with_reference_semantics(spark, tmp_path):
+    """r11: the offline_reading page is the reference's COMPLETE
+    document — header (title), submission block, comments nested inside
+    their parents' collapsible divs with blank-line sibling joins,
+    footer — for every submission row, zero-comment threads included.
+    Byte-compared against an independent in-test oracle of
+    offline_reading.py:9-296 on a fixture covering nesting, unique-score
+    ordering, a url post, a self post, markdown + <>-escape bodies, and
+    a [deleted] author."""
+    import json
+    import os
+
+    from timesearch_spark import api
+
+    subs = [
+        {"id": "s1", "name": "t3_s1", "created_utc": 100, "author": "ann",
+         "subreddit": "t", "title": "A <b>post</b>", "selftext": "hello *md*",
+         "score": 7, "is_self": True, "over_18": False, "url": None,
+         "num_comments": 3},
+        {"id": "s2", "name": "t3_s2", "created_utc": 110, "author": "[deleted]",
+         "subreddit": "t", "title": "link post", "selftext": "",
+         "score": 2, "is_self": False, "over_18": False,
+         "url": "https://example.com/x", "num_comments": 0},
+    ]
+    comments = [
+        {"id": "c1", "name": "t1_c1", "created_utc": 200, "author": "bob",
+         "subreddit": "t", "body": "top *one*", "score": 5,
+         "parent_id": "t3_s1", "link_id": "t3_s1"},
+        {"id": "c2", "name": "t1_c2", "created_utc": 201, "author": "[deleted]",
+         "subreddit": "t", "body": "top <two>", "score": 9,
+         "parent_id": "t3_s1", "link_id": "t3_s1"},
+        {"id": "c3", "name": "t1_c3", "created_utc": 202, "author": "cat",
+         "subreddit": "t", "body": "child of one", "score": 1,
+         "parent_id": "t1_c1", "link_id": "t3_s1"},
+    ]
+    dump = tmp_path / "dump.jsonl"
+    dump.write_text("\n".join(json.dumps(o) for o in subs + comments))
+
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    api.ingest_jsonfile(ar, str(dump))
+    out = tmp_path / "threads"
+    assert api.offline_reading(ar, str(out)) == 2  # zero-comment s2 included
+    assert sorted(os.listdir(out)) == ["t3_s1.html", "t3_s2.html"]
+
+    def fields(c):
+        return {"idstr": c["name"], "parent": c["parent_id"],
+                "author": c["author"], "body": c["body"],
+                "score": c["score"], "created": c["created_utc"],
+                "subreddit": c["subreddit"]}
+
+    exp1 = _expect_page(
+        {"idstr": "t3_s1", "author": "ann", "score": 7, "created": 100,
+         "subreddit": "t", "title": "A <b>post</b>", "selftext": "hello *md*",
+         "url": None},
+        [fields(c) for c in comments],
+    )
+    got1 = open(out / "t3_s1.html", encoding="utf-8").read()
+    assert got1 == exp1
+
+    exp2 = _expect_page(
+        {"idstr": "t3_s2", "author": "[deleted]", "score": 2, "created": 110,
+         "subreddit": "t", "title": "link post", "selftext": "",
+         "url": "https://example.com/x"},
+        [],
+    )
+    got2 = open(out / "t3_s2.html", encoding="utf-8").read()
+    assert got2 == exp2
+    # no trailing newline: the reference writes the stripped footer as-is
+    assert got2.endswith("</html>")
+
+
+def test_thread_pages_scheme_arm_byte_identical(spark, tmp_path):
+    """The staged scheme:// sink must emit byte-identical pages to the
+    local arm — including the no-trailing-newline tail, which rides the
+    '>' line separator contract."""
+    import json
+    import os
+
+    from timesearch_spark import api
+
+    objs = [
+        {"id": "s1", "name": "t3_s1", "created_utc": 100, "author": "a",
+         "subreddit": "t", "title": "T", "selftext": "body", "score": 1,
+         "is_self": True, "over_18": False, "url": None, "num_comments": 1},
+        {"id": "c1", "name": "t1_c1", "created_utc": 200, "author": "b",
+         "subreddit": "t", "body": "x", "score": 1,
+         "parent_id": "t3_s1", "link_id": "t3_s1"},
+    ]
+    dump = tmp_path / "dump.jsonl"
+    dump.write_text("\n".join(json.dumps(o) for o in objs))
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    api.ingest_jsonfile(ar, str(dump))
+
+    assert api.offline_reading(ar, str(tmp_path / "local_out")) == 1
+    assert api.offline_reading(ar, f"file://{tmp_path}/scheme_out") == 1
+    a = open(tmp_path / "local_out" / "t3_s1.html", "rb").read()
+    b = open(tmp_path / "scheme_out" / "t3_s1.html", "rb").read()
+    assert a == b and a.endswith(b"</html>")

@@ -33,10 +33,7 @@ from timesearch_spark import schemas
 from timesearch_spark.operators import exports
 from timesearch_spark.operators.breakdown import breakdown as _breakdown
 from timesearch_spark.operators.merge import anti_join_merge
-from timesearch_spark.operators.trees import (
-    comment_forest_auto,
-    render_comment_html,
-)
+from timesearch_spark.operators.trees import render_thread_pages
 from timesearch_spark.sources import ndjson as _ndjson
 from timesearch_spark.sources.paginated import (
     RateLimiter,
@@ -315,21 +312,27 @@ def offline_reading(archive: Archive, out_dir: str,
     if checkpoint_dir is None:
         checkpoint_dir = derive_checkpoint_dir(archive.path)
     comments = archive.comments.snapshot()
+    submissions = archive.submissions.snapshot()
     if specific_submission is not None:
         sid = specific_submission if specific_submission.startswith("t3_") \
             else "t3_" + specific_submission
         from pyspark.sql import functions as F
 
         comments = comments.filter(F.col("submission") == sid)
-    # auto: a sampled probe routes only mega-threads (>=5% share AND
+        submissions = submissions.filter(F.col("idstr") == sid)
+    # Reference-parity pages (offline_reading.py:201-222,310-312): one
+    # complete header+submission+nested-comments+footer page per
+    # SUBMISSION row — zero-comment threads included, comment-only
+    # orphan threads excluded, exactly the reference's scope.  Inside,
+    # comment_forest_auto routes only mega-threads (>=5% share AND
     # >=500k comments) through the distributed pointer-doubling walk —
-    # archives with bounded threads keep the cheap per-partition walk
-    forest = comment_forest_auto(comments, checkpoint_dir=checkpoint_dir)
-    enriched = forest.join(
-        comments.select("idstr", "body"), on="idstr", how="left"
+    # archives with bounded threads keep the cheap per-partition walk.
+    pages = render_thread_pages(
+        submissions, comments, checkpoint_dir=checkpoint_dir
     )
-    rendered = render_comment_html(enriched)
-    return exports.write_thread_html(rendered, out_dir)
+    # pages end '</html>' with no trailing newline (the reference writes
+    # none) — '>' is the staged arm's separator contract
+    return exports.write_thread_docs(pages, out_dir, line_sep=">")
 
 
 # --- merge_db (timesearch.py merge_db) ---------------------------------------

@@ -168,10 +168,12 @@ def cmd_breakdown(args):
                           "cannot shard)")
     archive = _archive(args)
     # breakdown.py:29-34: subreddit archive → per-author counts; user
-    # archive → per-subreddit counts
+    # archive → per-subreddit counts.  Files land in the breakdown/
+    # sibling dir, the reference's layout (tsdb.py:187)
     key = "subreddit" if args.username is not None else "author"
-    out = api.breakdown(archive, sort=args.sort, out_dir=archive.path, key=key,
-                        sharded=args.sharded)
+    out = api.breakdown(archive, sort=args.sort,
+                        out_dir=os.path.join(archive.path, "breakdown"),
+                        key=key, sharded=args.sharded)
     print(out)
     return 0
 
@@ -205,8 +207,12 @@ def cmd_index(args):
         # selected!', it does not silently default to a date listing
         args.parser.error("No sorts selected! Read the docstring")
     for orderby in orders:
+        # listings land in the index/ sibling dir (tsdb.py:189) — the
+        # reference's layout, and the anchor its relative
+        # '../offline_reading/<id>.html' links resolve against (flat
+        # placement silently broke every --offline link)
         out = api.index(
-            archive, archive.path, orderby=orderby,
+            archive, os.path.join(archive.path, "index"), orderby=orderby,
             score_threshold=args.score_threshold, html=args.html,
             offline=args.offline, sharded=args.sharded,
         )

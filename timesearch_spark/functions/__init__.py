@@ -90,7 +90,12 @@ try:  # pragma: no cover
 
     @F.pandas_udf(T.StringType())
     def markdown_render(s):
-        return s.map(lambda x: _markdown.markdown(x) if x is not None else None)
+        # output_format parity with render_markdown
+        # (offline_reading.py:285-291) and get_wiki.py:20-26
+        return s.map(
+            lambda x: _markdown.markdown(x, output_format="html5")
+            if x is not None else None
+        )
 
     HAS_MARKDOWN = True
 except ImportError:  # pragma: no cover

@@ -383,11 +383,34 @@ def write_thread_html(rendered: DataFrame, out_dir: str) -> int:
 
     Re-runs are idempotent either way: file-per-key overwrite, no
     partial-append state."""
+    grouped = _threads_grouped(rendered)
+    docs = grouped.select(
+        "submission",
+        F.concat(F.lit(HTML_HEADER), F.col("doc"), F.lit(HTML_FOOTER))
+        .alias("doc"),
+    )
+    return write_thread_docs(docs, out_dir, line_sep="\n")
+
+
+def write_thread_docs(docs: DataFrame, out_dir: str,
+                      line_sep: str = "\n") -> int:
+    """One ``<submission>.html`` per (submission, doc) row, ``doc``
+    written VERBATIM — the machinery behind :func:`write_thread_html`
+    and the reference-parity page sink (trees.render_thread_pages).
+
+    ``line_sep`` must equal the final character of every doc: the
+    schemed-URI arm stages through Spark's text writer, which appends
+    one separator per row, so the value drops its last character and
+    the writer puts it back — byte-identical files on both arms.  The
+    legacy html wrapper ends with a newline; full reference pages end
+    with ``'>'`` (``</html>``, no trailing newline — the reference
+    writes none, offline_reading.py:385-390).  A doc NOT ending in
+    ``line_sep`` is written untouched on the local arm and gains one
+    trailing separator on the staged arm — keep the contract."""
     from timesearch_spark.fs import has_scheme
 
-    grouped = _threads_grouped(rendered)
     if has_scheme(out_dir):
-        return _write_thread_html_staged(grouped, out_dir)
+        return _write_thread_docs_staged(docs, out_dir, line_sep)
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -400,22 +423,24 @@ def write_thread_html(rendered: DataFrame, out_dir: str) -> int:
             for name, doc in zip(pdf["submission"], pdf["doc"]):
                 path = os.path.join(out_dir, f"{name}.html")
                 with open(path, "w", encoding="utf-8") as f:
-                    f.write(HTML_HEADER + doc + HTML_FOOTER)
+                    f.write(doc)
                 n += 1
         yield pd.DataFrame({"n": [n]})
 
-    counts = grouped.mapInPandas(write_part, "n long")
+    counts = docs.mapInPandas(write_part, "n long")
     total = counts.agg(F.sum("n")).first()[0]
     return int(total or 0)
 
 
-def _write_thread_html_staged(grouped: DataFrame, out_dir: str) -> int:
+def _write_thread_docs_staged(docs: DataFrame, out_dir: str,
+                              line_sep: str = "\n") -> int:
     """Schemed-URI sink: staged Spark text write + DISTRIBUTED rename
     pass.
 
-    The text writer appends one ``\\n`` per row, so the footer's final
-    newline is left off the value to keep the bytes identical to the
-    local sink's.  Submission fullnames are ``t3_``-prefixed base36 —
+    The text writer appends one separator per row, so each doc's final
+    character (== ``line_sep``, the caller's contract) is left off the
+    value and the writer puts it back — bytes identical to the local
+    sink's.  Submission fullnames are ``t3_``-prefixed base36 —
     safe under Hive partition-value escaping, so the directory name
     round-trips verbatim.
 
@@ -439,17 +464,17 @@ def _write_thread_html_staged(grouped: DataFrame, out_dir: str) -> int:
     move either way."""
     from timesearch_spark.fs import get_fs, pyarrow_fs_uri
 
-    spark = grouped.sparkSession
+    spark = docs.sparkSession
     staging = out_dir.rstrip("/") + ".__stage__"
+    value = F.when(
+        F.col("doc").endswith(line_sep),
+        F.substring(F.col("doc"), 1, F.length("doc") - len(line_sep)),
+    ).otherwise(F.col("doc"))
     (
-        grouped.select(
-            "submission",
-            F.concat(
-                F.lit(HTML_HEADER), F.col("doc"), F.lit(HTML_FOOTER[:-1])
-            ).alias("value"),
-        )
+        docs.select("submission", value.alias("value"))
         .write.mode("overwrite")
         .partitionBy("submission")
+        .option("lineSep", line_sep)
         .text(staging)
     )
     fs = get_fs(spark, out_dir)

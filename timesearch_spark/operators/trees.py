@@ -462,3 +462,263 @@ def render_comment_html(df: DataFrame, body_col: str = "body") -> DataFrame:
             rendered,
         ),
     )
+
+
+# --- reference-parity thread pages (offline_reading.py:9-98, 178-296) -------
+#
+# The templates below reproduce the reference's page bytes exactly (same
+# adjudication as the listing constants in operators/exports.py: byte-exact
+# export parity is the spec, so the template TEXT is shared data; the
+# machinery around it is original).  Each constant is the reference
+# triple-quoted template after its ``.strip()`` and ``str.format`` passes,
+# re-expressed printf-style for ``F.format_string``; the one structural
+# difference is the children slot — the reference substitutes
+# ``{children}`` with ``str.format`` per node, which would misfire on a
+# comment whose BODY contains a literal ``{children}`` had we split on
+# that text, so the slot is marked with a NUL sentinel no document can
+# plausibly contain and split there instead.
+
+#: where a node's rendered children nest (offline_reading.py:80/97's
+#: ``{{children}}`` slot) — NUL-delimited so body text can never collide
+_CHILD_SLOT = "\x00children\x00"
+
+#: HTML_HEADER (offline_reading.py:9-38) with ``%s`` at the {title} slot
+PAGE_HEADER_FMT = (
+    '<html>\n<head>\n<title>%s</title>\n<meta charset="UTF-8">\n'
+    '<meta name="viewport" content="width=device-width, initial-scale=1.0"/>\n'
+    "\n<style>\n.submission, .comment\n{\n    padding-left: 20px;\n"
+    "    padding-right: 4px;\n}\n.comment\n{\n    margin-top: 4px;\n"
+    "    margin-bottom: 4px;\n    border: 1px solid black;\n}\n"
+    ".submission\n{\n    border: 2px solid blue;\n}\n.hidden\n{\n"
+    "    display: none;\n}\n</style>\n</head>\n<body>"
+)
+
+#: HTML_FOOTER (offline_reading.py:40-61) — never format()ed, verbatim
+PAGE_FOOTER = (
+    "</body>\n\n<script>\nfunction toggle_collapse(comment_div)\n{\n"
+    '    var button = comment_div.getElementsByClassName("toggle_hide_button")[0];\n'
+    '    var collapsible = comment_div.getElementsByClassName("collapsible")[0];\n'
+    '    if (collapsible.classList.contains("hidden"))\n    {\n'
+    '        collapsible.classList.remove("hidden");\n'
+    '        button.innerText = "[-]";\n    }\n    else\n    {\n'
+    '        collapsible.classList.add("hidden");\n'
+    '        button.innerText = "[+]";\n    }\n}\n</script>\n</html>'
+)
+
+#: HTML_COMMENT (offline_reading.py:63-82); %s: id, usernamelink, score,
+#: permalink, human, body
+COMMENT_FMT = (
+    '<div class="comment" id="%s">\n    <p class="userinfo">\n        <a\n'
+    '        class="toggle_hide_button"\n        href="javascript:void(0)"\n'
+    '        onclick="toggle_collapse(this.parentElement.parentElement)">[-]\n'
+    "        </a>\n        %s\n        |\n"
+    '        <span class="score">%s points</span>\n        |\n'
+    '        <a class="timestamp" href="%s">%s</a>\n    </p>\n'
+    '    <div class="collapsible">\n        %s\n        ' + _CHILD_SLOT
+    + "\n    </div>\n</div>"
+)
+
+#: HTML_SUBMISSION (offline_reading.py:84-98); %s: id, usernamelink,
+#: score, permalink, human, title, url_or_text — its children slot is the
+#: template's tail, so no sentinel is needed
+SUBMISSION_FMT = (
+    '<div class="submission" id="%s">\n    <p class="userinfo">\n'
+    "        %s\n        |\n"
+    '        <span class="score">%s points</span>\n        |\n'
+    '        <a class="timestamp" href="%s">%s</a>\n    </p>\n'
+    "    <strong>%s</strong>\n    <p>%s</p>\n</div>\n"
+)
+
+
+def _userlink(author) -> F.Column:
+    """html_helper_userlink (offline_reading.py:273-284): an <a> tag for
+    the author, or the literal '[deleted]'."""
+    a = F.coalesce(author, F.lit("None"))  # str(None) parity on null
+    return F.when(F.lower(a) == "[deleted]", F.lit("[deleted]")).otherwise(
+        F.format_string('<a href="https://old.reddit.com/u/%s">%s</a>', a, a)
+    )
+
+
+def _permalink(subreddit, submission, idstr, kind: str) -> F.Column:
+    """html_helper_permalink (offline_reading.py:248-258)."""
+    base = F.concat(
+        F.lit("https://old.reddit.com/r/"),
+        F.coalesce(subreddit, F.lit("None")),
+        F.lit("/comments/"),
+    )
+    if kind == "submission":
+        return F.concat(base, F.substring(idstr, 4, 2_147_483_000))
+    return F.concat(
+        base,
+        F.substring(submission, 4, 2_147_483_000),
+        F.lit("/_/"),
+        F.substring(idstr, 4, 2_147_483_000),
+    )
+
+
+def _render_body(col) -> F.Column:
+    """render_markdown (offline_reading.py:285-291): escape-then-markdown,
+    Arrow-batched.  The reference's trailing sanitize_braces round-trips
+    through its str.format passes back to the raw text, so the net page
+    bytes carry the rendered markdown verbatim — no brace step here."""
+    from timesearch_spark.functions import markdown_render
+
+    return markdown_render(html_escape(col))
+
+
+def comment_blocks(enriched: DataFrame) -> DataFrame:
+    """(submission, position, depth, block): each comment's HTML_COMMENT
+    text with every field substituted and the children slot left as the
+    NUL sentinel.  Input is the forest joined to the comment columns
+    (body, author, score as cscore, created, subreddit); phantom nodes
+    (this engine's documented orphan deviation — the reference DROPS
+    orphan subtrees, module docstring) render with null-safe fields."""
+    human = F.coalesce(
+        F.date_format(F.from_unixtime(F.col("created")), "MMM dd yyyy HH:mm:ss"),
+        F.lit("None"),
+    )
+    block = F.format_string(
+        COMMENT_FMT,
+        F.col("idstr"),
+        _userlink(F.col("author")),
+        F.coalesce(F.col("cscore").cast("string"), F.lit("None")),
+        _permalink(F.col("subreddit"), F.col("submission"), F.col("idstr"),
+                   "comment"),
+        human,
+        F.coalesce(_render_body(F.col("body")), F.lit("")),
+    )
+    return enriched.select(
+        "submission", "position", "depth", block.alias("block")
+    )
+
+
+def assemble_forest_docs(blocks: DataFrame,
+                         num_partitions: int | None = None) -> DataFrame:
+    """(submission, doc): each thread's comment blocks nested the
+    reference's way — children substituted into their parent's slot,
+    siblings joined with a blank line (html_from_tree,
+    offline_reading.py:225-246) — via the same partition-then-walk shape
+    as :func:`comment_forest` (one shuffle on the thread key, per-batch
+    Python, no per-group dispatch).  The fold is an explicit stack, so
+    a degenerate 500k-deep chain assembles without recursion limits;
+    per-thread output is one row, the same grain every thread sink
+    already carries."""
+    parted = (
+        blocks.repartition(num_partitions, "submission")
+        if num_partitions
+        else blocks.repartition("submission")
+    ).sortWithinPartitions("submission", "position")
+
+    def _assemble(pres: list, posts: list, depths: list) -> str:
+        parts: list[str] = []
+        post_stack: list[str] = []
+        count_stack: list[int] = [0]
+        for pre, post, d in zip(pres, posts, depths):
+            while len(post_stack) > d:
+                parts.append(post_stack.pop())
+                count_stack.pop()
+            if count_stack[-1] > 0:
+                parts.append("\n\n")  # sibling join (offline_reading.py:240)
+            count_stack[-1] += 1
+            parts.append(pre)
+            post_stack.append(post)
+            count_stack.append(0)
+        while post_stack:
+            parts.append(post_stack.pop())
+        return "".join(parts)
+
+    def walk(batches):
+        cur = None
+        pres: list = []
+        posts: list = []
+        depths: list = []
+
+        def flush():
+            if cur is not None:
+                yield pd.DataFrame(
+                    {"submission": [cur],
+                     "doc": [_assemble(pres, posts, depths)]}
+                )
+
+        for pdf in batches:
+            for sub, depth, block in zip(
+                pdf["submission"], pdf["depth"], pdf["block"]
+            ):
+                if sub != cur:
+                    yield from flush()
+                    cur, pres, posts, depths = sub, [], [], []
+                pre, _, post = block.partition(_CHILD_SLOT)
+                pres.append(pre)
+                posts.append(post)
+                depths.append(int(depth))
+        yield from flush()
+
+    return parted.mapInPandas(walk, "submission string, doc string")
+
+
+def render_thread_pages(
+    submissions: DataFrame,
+    comments: DataFrame,
+    checkpoint_dir: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(submission, doc): one COMPLETE reference-parity page per
+    submission row — header (title), submission block, nested comment
+    forest, footer (html_from_database, offline_reading.py:201-222).
+    EVERY submission gets a page, zero-comment ones included
+    (trees_from_database iterates the submissions table,
+    offline_reading.py:310-312); comment-only orphan threads get none,
+    also per the reference.  Submission ids are normalized to their
+    t3_ fullname before the walk, so raw and prefixed spellings of one
+    thread assemble as ONE tree instead of two concatenated fragments."""
+    norm = F.when(
+        F.col("submission").startswith("t3_"), F.col("submission")
+    ).otherwise(F.concat(F.lit("t3_"), F.col("submission")))
+    comments = comments.withColumn("submission", norm)
+    forest = comment_forest_auto(comments, checkpoint_dir=checkpoint_dir)
+    enriched = forest.join(
+        comments.select(
+            "idstr", "body", "author", "created", "subreddit",
+            F.col("score").alias("cscore"),
+        ),
+        on="idstr", how="left",
+    )
+    docs = assemble_forest_docs(
+        comment_blocks(enriched), num_partitions=num_partitions
+    )
+
+    sub_block = F.format_string(
+        SUBMISSION_FMT,
+        F.col("idstr"),
+        _userlink(F.col("author")),
+        F.coalesce(F.col("score").cast("string"), F.lit("None")),
+        _permalink(F.col("subreddit"), F.col("idstr"), F.col("idstr"),
+                   "submission"),
+        F.coalesce(
+            F.date_format(F.from_unixtime(F.col("created")),
+                          "MMM dd yyyy HH:mm:ss"),
+            F.lit("None"),
+        ),
+        F.coalesce(F.col("title"), F.lit("None")),
+        # html_helper_urlortext (offline_reading.py:259-271): url wins,
+        # else rendered selftext, else '' — Python truthiness, so empty
+        # strings fall through like nulls
+        F.when(
+            F.coalesce(F.col("url"), F.lit("")) != "",
+            F.format_string('<a href="%s">%s</a>', F.col("url"), F.col("url")),
+        ).when(
+            F.coalesce(F.col("selftext"), F.lit("")) != "",
+            _render_body(F.col("selftext")),
+        ).otherwise(F.lit("")),
+    )
+    page = F.concat(
+        F.format_string(PAGE_HEADER_FMT, F.coalesce(F.col("title"), F.lit("None"))),
+        sub_block,
+        F.coalesce(F.col("doc"), F.lit("")),  # zero-comment: children = ''
+        F.lit(PAGE_FOOTER),
+    )
+    return (
+        submissions.join(docs, submissions["idstr"] == docs["submission"],
+                         "left")
+        .select(F.col("idstr").alias("submission"), page.alias("doc"))
+    )
