@@ -245,6 +245,38 @@ def test_livestream_once(spark, root, tmp_path):
     assert ar.comments.snapshot().filter("idstr = 't1_c20'").count() == 1
 
 
+def test_livestream_multi_name_round_robin(spark, tmp_path):
+    """Reference multi-name livestream (livestream.py:16-23,86-99):
+    '-r a+b' runs one per-entity generator each — here one SCOPED query
+    per archive over the shared drop directory, so each archive
+    receives only its own subreddit's rows."""
+    drop = tmp_path / "drop_multi"
+    drop.mkdir()
+    _write_jsonl(drop / "mix.jsonl", [
+        _sub(40, subreddit="aaa"), _com(40, subreddit="aaa"),
+        _sub(41, subreddit="bbb"), _com(41, subreddit="bbb"),
+        _sub(42, subreddit="ccc"),  # third entity: not collected
+    ])
+    root = str(tmp_path / "multi_archives")
+    assert cli.main(["--archive-root", root, "livestream", "-r", "aaa+bbb",
+                     "--once", "--source", str(drop)]) == 0
+    from timesearch_spark.api import Archive
+
+    a = Archive(spark, os.path.join(root, "subreddits", "aaa"))
+    b = Archive(spark, os.path.join(root, "subreddits", "bbb"))
+    assert a.submissions.snapshot().filter("idstr = 't3_s40'").count() == 1
+    assert a.submissions.snapshot().count() == 1  # bbb/ccc rows excluded
+    assert a.comments.snapshot().filter("idstr = 't1_c40'").count() == 1
+    assert b.submissions.snapshot().filter("idstr = 't3_s41'").count() == 1
+    assert b.submissions.snapshot().count() == 1
+    assert not os.path.exists(os.path.join(root, "subreddits", "ccc"))
+
+    # neither -r nor -u: a usage error, not a silent no-op loop
+    with pytest.raises(SystemExit):
+        cli.main(["--archive-root", root, "livestream", "--once",
+                  "--source", str(drop)])
+
+
 def test_livestream_kind_selection(spark, root, tmp_path):
     """Reference -s/-c (timesearch.py:265-305): collect only the chosen
     kind; neither flag = both (pinned by test_livestream_once above).

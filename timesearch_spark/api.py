@@ -226,18 +226,30 @@ def ingest_jsonfile(archive: Archive, path: str) -> dict:
 
 def livestream(archive: Archive, drop_dir: str, once: bool = False,
                poll_seconds: int = 30, limit: int | None = None,
-               submissions: bool = True, comments: bool = True):
+               submissions: bool = True, comments: bool = True,
+               subreddit: str | None = None, username: str | None = None):
     """Continuous ingest; returns the StreamingQuery (I1).  ``limit``
     maps the reference's -l per-cycle item cap (livestream.py:277-285)
     to maxFilesPerTrigger — the micro-batch's unit of admission.
     ``submissions``/``comments`` select which kinds are collected
     (timesearch.py:265-305 -s/-c: both by default); a deselected kind's
-    rows pass through the stream unstored."""
+    rows pass through the stream unstored.  ``subreddit``/``username``
+    scope the stream to one entity's rows — the reference's per-name
+    generators poll per-entity API feeds (livestream.py:120-167), so a
+    multi-entity run over one shared drop directory gives each archive
+    only its own posts."""
     if not (submissions or comments):
         raise ValueError("livestream: at least one of submissions/comments")
+    from pyspark.sql import functions as F
+
+    raw = _ls.read_ndjson_stream(archive.spark, drop_dir,
+                                 max_files_per_trigger=limit)
+    if subreddit is not None:
+        raw = raw.filter(F.col("subreddit") == subreddit)
+    if username is not None:
+        raw = raw.filter(F.col("author") == username)
     return _ls.livestream(
-        _ls.read_ndjson_stream(archive.spark, drop_dir,
-                               max_files_per_trigger=limit),
+        raw,
         archive.submissions if submissions else None,
         archive.comments if comments else None,
         checkpoint_dir=os.path.join(archive.path, "_checkpoint"),

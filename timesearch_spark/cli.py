@@ -132,19 +132,54 @@ def cmd_get_comments(args):
     return 0
 
 
+def _split_names(x: str | None) -> list[str]:
+    """The reference's multi-name split (common.py:135-140 via
+    livestream._listify): '+', ' ' and ',' all separate names."""
+    import re
+
+    if not x:
+        return []
+    return [p for p in re.split(r"[+ ,]", x) if p]
+
+
 def cmd_livestream(args):
     from timesearch_spark import api
+    from timesearch_spark.api import Archive
+    from timesearch_spark.session import get_spark
 
     # reference rule (timesearch.py:265-305): -s/-c select kinds;
     # NEITHER specified means BOTH are collected
     want_subs = args.do_submissions or not (args.do_submissions or args.do_comments)
     want_coms = args.do_comments or not (args.do_submissions or args.do_comments)
-    query = api.livestream(
-        _archive(args), args.source, once=args.once,
-        poll_seconds=args.sleepy, limit=args.limit,
-        submissions=want_subs, comments=want_coms,
-    )
-    query.awaitTermination()
+    # multi-name round-robin (livestream.py:16-23,86-99): '-r a+b -u c'
+    # runs one per-entity generator each — here one scoped streaming
+    # query per archive, all over the shared drop directory
+    entities = [("r", s) for s in _split_names(args.subreddit)] + [
+        ("u", u) for u in _split_names(args.username)
+    ]
+    if not entities:
+        args.parser.error("livestream needs -r and/or -u")
+    spark = get_spark("timesearch-cli")
+    queries = []
+    for kind, name in entities:
+        path = _resolve_archive_path(
+            args.archive_root,
+            name if kind == "r" else None,
+            name if kind == "u" else None,
+        )
+        q = api.livestream(
+            Archive(spark, path), args.source, once=args.once,
+            poll_seconds=args.sleepy, limit=args.limit,
+            submissions=want_subs, comments=want_coms,
+            subreddit=name if kind == "r" else None,
+            username=name if kind == "u" else None,
+        )
+        queries.append(q)
+        if args.once:  # one full cycle per entity, in turn
+            q.awaitTermination()
+    if not args.once:
+        for q in queries:
+            q.awaitTermination()
     print("livestream: done" if args.once else "livestream: stopped")
     return 0
 
@@ -445,7 +480,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "neither -s nor -c is given)")
     p.add_argument("--source", dest="source", required=True,
                    help="NDJSON drop directory (streaming source)")
-    p.set_defaults(func=cmd_livestream)
+    p.set_defaults(func=cmd_livestream, parser=p)
 
     p = sub.add_parser("ingest_jsonfile", help="ingest an NDJSON archive file")
     p.add_argument("json_file")
