@@ -94,6 +94,45 @@ def test_ingest_jsonfile_and_breakdown(spark, tmp_path):
     assert text.startswith("{\n") and '"user0": {"submissions": 1' in text
 
 
+def test_ingest_jsonfile_stops_at_first_blank_line(spark, tmp_path):
+    """Reference file semantics (ingest_jsonfile.py:29-39): the line
+    loop BREAKS at the first blank (or whitespace-only) line — anything
+    after it is never read, blank-as-EOF."""
+    ar = api.Archive(spark, str(tmp_path / "ar_blank"))
+    p = tmp_path / "dump_blank.jsonl"
+    p.write_text(
+        json.dumps(_sub(0)) + "\n" + json.dumps(_com(0)) + "\n"
+        + "   \n"  # whitespace-only: the reference's strip() makes it blank
+        + json.dumps(_sub(1)) + "\n"
+    )
+    counts = api.ingest_jsonfile(ar, str(p))
+    assert counts["new_submissions"] == 1  # s1 sits past the blank line
+    assert counts["new_comments"] == 1
+    assert ar.submissions.snapshot().filter("idstr = 't3_s1'").count() == 0
+
+
+def test_ingest_jsonfile_raises_on_unrecognizable_object(spark, tmp_path):
+    """Reference parity (ingest_jsonfile.py:39): an object classifiable
+    as neither submission nor comment fails the ingest with ValueError —
+    it is not silently dropped.  A corrupt JSON line parses to an
+    all-null row and trips the same check (json.loads would raise)."""
+    import pytest
+
+    ar = api.Archive(spark, str(tmp_path / "ar_bad"))
+    p = tmp_path / "dump_bad.jsonl"
+    p.write_text(
+        json.dumps(_sub(0)) + "\n"
+        + json.dumps({"id": "x9", "title": "no kind markers"}) + "\n"
+    )
+    with pytest.raises(ValueError, match="Could not recognize object type"):
+        api.ingest_jsonfile(ar, str(p))
+
+    p2 = tmp_path / "dump_corrupt.jsonl"
+    p2.write_text(json.dumps(_sub(0)) + "\n" + "{not json!!\n")
+    with pytest.raises(ValueError, match="Could not recognize object type"):
+        api.ingest_jsonfile(ar, str(p2))
+
+
 def test_index_export_formats(spark, tmp_path):
     ar = api.Archive(spark, str(tmp_path / "ar"))
     p = tmp_path / "dump.jsonl"

@@ -208,8 +208,23 @@ def ingest_jsonfile(archive: Archive, path: str) -> dict:
     semantics (tsdb.py:335-339), so re-ingesting an overlapping archive
     reports only the delta.  ``total_*`` are the post-ingest table counts
     the reference prints at the end (ingest_jsonfile.py:59-64).
+
+    Reference file semantics (ingest_jsonfile.py:29-39): lines after the
+    first blank line are never read (its loop breaks there), and an
+    object classifiable as neither submission nor comment fails the
+    ingest with ValueError — both reproduced here; a corrupt JSON line
+    parses to an all-null row, which is unclassifiable and caught by the
+    same check (json.loads would have raised in the reference).
     """
-    raw = _ndjson.read_raw(archive.spark, path)
+    from pyspark.sql import functions as F
+
+    raw = _ndjson.read_raw_file(archive.spark, path)
+    bad = _ndjson.classify(raw).filter(F.col("kind").isNull()).limit(1)
+    bad_row = bad.collect()
+    if bad_row:
+        raise ValueError(
+            f"Could not recognize object type {bad_row[0].asDict()}."
+        )
     subs = _ndjson.submissions_from_raw(raw)
     coms = _ndjson.comments_from_raw(raw)
     sres = archive.submissions.merge(subs)

@@ -39,6 +39,27 @@ def read_raw(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(RAW_NDJSON).json(path)
 
 
+def read_raw_file(spark: SparkSession, path: str) -> DataFrame:
+    """``read_raw`` with the reference's SEQUENTIAL-FILE semantics
+    (ingest_jsonfile.py:29-39): lines after the first blank (or
+    whitespace-only) line are never read — its loop ``break``s there,
+    treating the blank as end-of-file.  Line order is recovered from
+    ``monotonically_increasing_id`` over the text scan, whose partition
+    ordering follows file byte offsets, so the truncation point is
+    exact even when the file splits."""
+    lines = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("__line"), "value"
+    )
+    first_blank = (
+        lines.filter(F.trim("value") == "").agg(F.min("__line")).first()[0]
+    )
+    if first_blank is not None:
+        lines = lines.filter(F.col("__line") < first_blank)
+    return lines.select(
+        F.from_json("value", RAW_NDJSON).alias("__o")
+    ).select("__o.*")
+
+
 def is_submission_raw(df_or_cols=None) -> Column:
     """A3a discriminator (ingest_jsonfile.py:12-17)."""
     return F.col("name").startswith("t3_") | F.col("over_18").isNotNull()
