@@ -421,6 +421,20 @@ def test_help_never_starts_spark(monkeypatch):
         assert e.value.code == 0
 
 
+def test_subcommand_aliases_match_reference(monkeypatch):
+    """The reference registers aliases — including the project's legacy
+    command names (timesearch.py: 'timesearch', 'commentaugment',
+    'redmash', 'mergedb', ...) — so a reference user's scripts keep
+    working verbatim."""
+    for alias in ("timesearch", "get-submissions", "get-comments",
+                  "commentaugment", "redmash", "offline-reading",
+                  "merge-db", "mergedb", "get-wiki", "getwiki",
+                  "get-styles", "getstyles"):
+        with pytest.raises(SystemExit) as e:
+            cli.main([alias, "--help"])
+        assert e.value.code == 0, alias
+
+
 def test_get_comments_specific_submission_stamps_augmented(spark, root, tmp_path, capsys):
     """-s scans one thread regardless of age and stamps augmented_at
     (get_comments.py:92-100) so later general resumes don't skip history."""

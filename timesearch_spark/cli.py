@@ -438,7 +438,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--archive-root", dest="archive_root", default=".")
     sub = parser.add_subparsers(dest="command", required=True)
 
-    p = sub.add_parser("get_submissions", help="collect submissions")
+    p = sub.add_parser("get_submissions",
+                       aliases=["get-submissions", "timesearch"],
+                       help="collect submissions")
     _add_entity_args(p)
     p.add_argument("-l", "--lower", dest="lower", default="update")
     p.add_argument("-up", "--upper", dest="upper", default=None)
@@ -451,7 +453,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--source-url", dest="source_url", default=None)
     p.set_defaults(func=cmd_get_submissions)
 
-    p = sub.add_parser("get_comments", help="collect comments")
+    p = sub.add_parser("get_comments",
+                       aliases=["get-comments", "commentaugment"],
+                       help="collect comments")
     _add_entity_args(p)
     p.add_argument("-s", "--specific", dest="specific_submission", default=None)
     p.add_argument("-l", "--lower", dest="lower", default="update")
@@ -498,7 +502,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "millions")
     p.set_defaults(func=cmd_breakdown, parser=p)
 
-    p = sub.add_parser("index", help="sorted listing export")
+    p = sub.add_parser("index", aliases=["redmash"],
+                       help="sorted listing export")
     _add_entity_args(p)
     p.add_argument("--all", dest="do_all", action="store_true")
     p.add_argument("--author", dest="do_author", action="store_true")
@@ -517,7 +522,8 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="score_threshold", type=int, default=0)
     p.set_defaults(func=cmd_index, parser=p)
 
-    p = sub.add_parser("offline_reading", help="thread HTML export")
+    p = sub.add_parser("offline_reading", aliases=["offline-reading"],
+                       help="thread HTML export")
     _add_entity_args(p)
     p.add_argument("-s", "--specific", dest="specific_submission", default=None)
     p.add_argument("--checkpoint-dir", dest="checkpoint_dir", default=None,
@@ -525,18 +531,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "(cluster runs: survives executor loss)")
     p.set_defaults(func=cmd_offline_reading)
 
-    p = sub.add_parser("merge_db", help="insert-only archive merge")
+    p = sub.add_parser("merge_db", aliases=["merge-db", "mergedb"],
+                       help="insert-only archive merge")
     p.add_argument("--from", dest="from_db_path", required=True)
     p.add_argument("--to", dest="to_db_path", required=True)
     p.set_defaults(func=cmd_merge_db)
 
-    p = sub.add_parser("get_wiki", help="wiki page dump")
+    p = sub.add_parser("get_wiki", aliases=["get-wiki", "getwiki"],
+                       help="wiki page dump")
     _add_entity_args(p)
     p.add_argument("--pages-json", dest="pages_json", required=True,
                    help="JSON file: {page_name: markdown_text}")
     p.set_defaults(func=cmd_get_wiki)
 
-    p = sub.add_parser("get_styles", help="stylesheet/image dump")
+    p = sub.add_parser("get_styles", aliases=["get-styles", "getstyles"],
+                       help="stylesheet/image dump")
     _add_entity_args(p)
     p.add_argument("--css", dest="css", default=None)
     p.add_argument("--images", dest="images", default=None)
