@@ -493,7 +493,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("breakdown", help="per-author counts JSON")
     _add_entity_args(p)
-    p.add_argument("--sort", dest="sort", default=None,
+    # type=str.lower: the reference lowercases the sort before its
+    # sorter lookup (breakdown.py:77), so '--sort NAME' is valid input
+    p.add_argument("--sort", dest="sort", default=None, type=str.lower,
                    choices=["name", "submissions", "comments", "total_posts"])
     p.add_argument("--sharded", action="store_true",
                    help="executor-parallel shard form (requires --sort): "
