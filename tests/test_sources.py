@@ -118,6 +118,43 @@ def _make_items(lo, hi):
     return [{"id": f"i{t}", "created_utc": t} for t in range(lo, hi)]
 
 
+def test_pushshift_fallback_attributes(spark, tmp_path):
+    """Pushshift omits null attributes; the reference fills them back in
+    before insert (pushshift.py:34-41 FALLBACK_ATTRIBUTES in
+    DummyObject.__init__): absent selftext -> '' (textlen 0), absent
+    score -> 0 — on both kinds."""
+    sub = {"id": "x1", "name": "t3_x1", "created_utc": 1, "author": "a",
+           "subreddit": "t", "title": "bare", "is_self": True,
+           "over_18": False}
+    com = {"id": "y1", "name": "t1_y1", "created_utc": 2, "author": "b",
+           "subreddit": "t", "body": "hi", "parent_id": "t3_x1",
+           "link_id": "t3_x1"}
+    raw = ndjson.read_raw(spark, _write_ndjson(tmp_path, [sub, com]))
+    s = ndjson.submissions_from_raw(raw).first()
+    assert s["selftext"] == "" and s["textlen"] == 0 and s["score"] == 0
+    c = ndjson.comments_from_raw(raw).first()
+    assert c["score"] == 0
+
+
+def test_comment_parent_normalization(spark, tmp_path):
+    """DummyObject.__init__ (pushshift.py:74-78): a missing parent_id
+    falls back to the link_id (top-level comment) and a pushshift
+    integer parent id becomes its t1_ base36 fullname."""
+    coms = [
+        {"id": "p1", "name": "t1_p1", "created_utc": 1, "author": "a",
+         "subreddit": "t", "body": "x", "score": 1,
+         "parent_id": None, "link_id": "t3_abc"},
+        {"id": "p2", "name": "t1_p2", "created_utc": 2, "author": "a",
+         "subreddit": "t", "body": "x", "score": 1,
+         "parent_id": 12345, "link_id": "t3_abc"},
+    ]
+    raw = ndjson.read_raw(spark, _write_ndjson(tmp_path, coms))
+    rows = {r["idstr"]: r["parent"]
+            for r in ndjson.comments_from_raw(raw).collect()}
+    assert rows["t1_p1"] == "t3_abc"          # None -> link_id
+    assert rows["t1_p2"] == "t1_" + "9ix"     # int(12345) -> base36 fullname
+
+
 def test_paginate_keyset_overlap_dedup():
     data = _make_items(0, 2500)
 

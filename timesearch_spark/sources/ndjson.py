@@ -136,10 +136,16 @@ def _normalized_url() -> Column:
 def submissions_from_raw(raw: DataFrame, extra_cols=()) -> DataFrame:
     """Canonical ``submissions`` rows from classified raw objects.
 
+    Pushshift omits attributes that are null, so the reference fills
+    them back in before insert (pushshift.py:34-41 FALLBACK_ATTRIBUTES,
+    applied in DummyObject.__init__ for BOTH the paginated feed and
+    ingest_jsonfile's objects): absent ``selftext`` becomes ``''``
+    (and textlen 0), absent ``score`` becomes 0.
+
     ``extra_cols`` pass transient ingest columns through (e.g. the
     enrichment ``source_priority`` of A5/C4)."""
     bare = _bare_id()
-    selftext = tsf.html_unescape_basic(F.col("selftext"))
+    selftext = tsf.html_unescape_basic(F.coalesce(F.col("selftext"), F.lit("")))
     return classify(raw).filter(F.col("kind") == "submission").select(
         tsf.base36_decode(bare).alias("idint"),
         F.concat(F.lit("t3_"), bare).alias("idstr"),
@@ -150,7 +156,7 @@ def submissions_from_raw(raw: DataFrame, extra_cols=()) -> DataFrame:
         F.col("title"),
         _normalized_url().alias("url"),
         selftext.alias("selftext"),
-        F.col("score"),
+        F.coalesce(F.col("score"), F.lit(0)).alias("score"),
         F.col("subreddit"),
         F.col("distinguished").alias("distinguish"),
         F.length(selftext).cast("long").alias("textlen"),
@@ -165,18 +171,29 @@ def submissions_from_raw(raw: DataFrame, extra_cols=()) -> DataFrame:
 
 
 def comments_from_raw(raw: DataFrame, extra_cols=()) -> DataFrame:
-    """Canonical ``comments`` rows from classified raw objects."""
+    """Canonical ``comments`` rows from classified raw objects.
+
+    Parent normalization mirrors DummyObject.__init__
+    (pushshift.py:74-78): a missing ``parent_id`` falls back to the
+    ``link_id`` (the comment is top-level) and a NUMERIC parent id is a
+    pushshift int form — re-encoded as its ``t1_`` base36 fullname.
+    Score falls back to 0 (FALLBACK_ATTRIBUTES, pushshift.py:34-41)."""
     bare = _bare_id()
     body = tsf.html_unescape_basic(F.col("body"))
+    parent = F.coalesce(F.col("parent_id"), F.col("link_id"))
+    parent = F.when(
+        parent.rlike("^[0-9]+$"),
+        F.concat(F.lit("t1_"), tsf.base36_encode(parent.cast("long"))),
+    ).otherwise(parent)
     return classify(raw).filter(F.col("kind") == "comment").select(
         tsf.base36_decode(bare).alias("idint"),
         F.concat(F.lit("t1_"), bare).alias("idstr"),
         F.col("created_utc").alias("created"),
         F.coalesce(F.col("author"), F.lit(DELETED_SENTINEL)).alias("author"),
-        F.col("parent_id").alias("parent"),
+        parent.alias("parent"),
         F.col("link_id").alias("submission"),
         body.alias("body"),
-        F.col("score"),
+        F.coalesce(F.col("score"), F.lit(0)).alias("score"),
         F.col("subreddit"),
         F.col("distinguished").alias("distinguish"),
         F.length(body).cast("long").alias("textlen"),
