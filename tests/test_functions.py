@@ -166,7 +166,14 @@ def test_markdown_package_branch(monkeypatch):
     import timesearch_spark.functions as fn
 
     fake = types.ModuleType("markdown")
-    fake.markdown = lambda s: "<MD>%s</MD>" % s
+
+    def _fake_md(s, output_format=None):
+        # the arm must pass the reference's output_format='html5'
+        # (offline_reading.py:291, get_wiki.py:25)
+        assert output_format == "html5"
+        return "<MD>%s</MD>" % s
+
+    fake.markdown = _fake_md
     monkeypatch.setitem(sys.modules, "markdown", fake)
     importlib.reload(fn)
     try:
