@@ -421,3 +421,70 @@ def test_thread_pages_scheme_arm_byte_identical(spark, tmp_path):
     a = open(tmp_path / "local_out" / "t3_s1.html", "rb").read()
     b = open(tmp_path / "scheme_out" / "t3_s1.html", "rb").read()
     assert a == b and a.endswith(b"</html>")
+
+
+def test_thread_pages_fuzz_random_forests(spark, tmp_path):
+    """Randomized assembly check: 12 seeded threads with deep chains,
+    wide fans, multiple roots, markdown/brace/unicode bodies and a
+    literal '{children}' in one body (the str.format hazard the NUL
+    sentinel exists for) must all byte-match the recursive oracle.
+    Unique scores throughout so sibling order is tiebreak-free."""
+    import random
+
+    from timesearch_spark.operators.trees import render_thread_pages
+
+    rng = random.Random(411)
+    bodies = ["plain", "*em* and **strong**", "line\n\nbreaks",
+              "{braces} and {children} literal", "unicode 名前 ümläut",
+              "<angle> & amp;", "`code *not em*`", ""]
+    subs_rows, com_rows, fixtures = [], [], []
+    score_seq = iter(range(10_000, 20_000))
+    for t in range(12):
+        sid = f"t3_f{t}"
+        n = rng.choice([0, 1, 2, 5, 9, 15])
+        comments = []
+        for i in range(n):
+            cid = f"t1_f{t}x{i:02d}"
+            # parent: root, or any earlier comment (deep chains arise
+            # naturally when i-1 keeps being picked)
+            parent = sid if (i == 0 or rng.random() < 0.4) else \
+                comments[rng.randrange(len(comments))]["idstr"]
+            comments.append({
+                "idstr": cid, "parent": parent, "author": rng.choice(
+                    ["ann", "bob", "[deleted]", "名前"]),
+                "body": rng.choice(bodies), "score": next(score_seq),
+                "created": 1000 + i, "subreddit": "t",
+            })
+        sub = {"idstr": sid, "author": "op", "score": next(score_seq),
+               "created": 500 + t, "subreddit": "t",
+               "title": f"thread {t} <with> {{braces}}",
+               "selftext": rng.choice(bodies),
+               "url": "https://x.example/p" if t % 3 == 0 else None}
+        subs_rows.append((sid, sub["author"], sub["title"], sub["url"],
+                          sub["selftext"], sub["score"], sub["created"],
+                          "t"))
+        com_rows.extend(
+            (c["idstr"], c["parent"], sid, c["created"], c["score"],
+             c["author"], c["body"], "t")
+            for c in comments
+        )
+        fixtures.append((sid, sub, comments))
+
+    submissions = spark.createDataFrame(
+        subs_rows,
+        "idstr string, author string, title string, url string, "
+        "selftext string, score long, created long, subreddit string",
+    )
+    comments_df = spark.createDataFrame(
+        com_rows,
+        "idstr string, parent string, submission string, created long, "
+        "score long, author string, body string, subreddit string",
+    )
+    pages = {r["submission"]: r["doc"]
+             for r in render_thread_pages(submissions, comments_df).collect()}
+    assert len(pages) == 12
+    for sid, sub, comments in fixtures:
+        parent_of = {c["idstr"]: c["parent"] for c in comments}
+        flat = [{**c, "parent": parent_of[c["idstr"]]} for c in comments]
+        exp = _expect_page(sub, flat)
+        assert pages[sid] == exp, f"{sid} diverges from the recursive oracle"
