@@ -54,6 +54,7 @@ HEADLINE = [
     "orders_scd2",
     "pipeline_curate",  # the five-rung curation ladder users actually run
     "tree_depth",
+    "thread_pages",  # A10 flagship: full reference-parity page pipeline
     "media_stats",
     # skew-immune exact twins (round 8): same results as their plain
     # forms, hot-key-proof plans — benched so the scaling probe covers

@@ -566,94 +566,171 @@ def _render_body(col) -> F.Column:
     return markdown_render(html_escape(col))
 
 
-def comment_blocks(enriched: DataFrame) -> DataFrame:
-    """(submission, position, depth, block): each comment's HTML_COMMENT
-    text with every field substituted and the children slot left as the
-    NUL sentinel.  Input is the forest joined to the comment columns
-    (body, author, score as cscore, created, subreddit); phantom nodes
-    (this engine's documented orphan deviation — the reference DROPS
-    orphan subtrees, module docstring) render with null-safe fields."""
-    human = F.coalesce(
-        F.date_format(F.from_unixtime(F.col("created")), "MMM dd yyyy HH:mm:ss"),
-        F.lit("None"),
-    )
-    block = F.format_string(
-        COMMENT_FMT,
-        F.col("idstr"),
-        _userlink(F.col("author")),
-        F.coalesce(F.col("cscore").cast("string"), F.lit("None")),
-        _permalink(F.col("subreddit"), F.col("submission"), F.col("idstr"),
-                   "comment"),
-        human,
-        F.coalesce(_render_body(F.col("body")), F.lit("")),
-    )
-    return enriched.select(
-        "submission", "position", "depth", block.alias("block")
-    )
+def assemble_thread_pages(comments: DataFrame,
+                          num_partitions: int | None = None) -> DataFrame:
+    """(submission, doc): each thread's comment forest walked, rendered
+    and nested in ONE partition-then-walk pass (the same shape as
+    :func:`comment_forest`): repartition on the thread key, sort within
+    partitions, then per thread build the tree (created-asc insertion,
+    phantom parents, score-desc/id-asc children — _walk_one_thread's
+    exact semantics), render each node's HTML_COMMENT block in-process
+    (same markdown arm as functions.markdown_render), and fold the
+    preorder into the nested document with an explicit stack (children
+    substituted into the parent's slot, siblings joined with a blank
+    line — html_from_tree, offline_reading.py:225-246).
 
-
-def assemble_forest_docs(blocks: DataFrame,
-                         num_partitions: int | None = None) -> DataFrame:
-    """(submission, doc): each thread's comment blocks nested the
-    reference's way — children substituted into their parent's slot,
-    siblings joined with a blank line (html_from_tree,
-    offline_reading.py:225-246) — via the same partition-then-walk shape
-    as :func:`comment_forest` (one shuffle on the thread key, per-batch
-    Python, no per-group dispatch).  The fold is an explicit stack, so
-    a degenerate 500k-deep chain assembles without recursion limits;
-    per-thread output is one row, the same grain every thread sink
-    already carries."""
+    Fused on purpose: the staged walk→join-bodies→render→assemble form
+    paid two extra shuffles (the idstr join + re-partitioning the
+    blocks), an Arrow UDF round trip, and a second Python pass — 11.8 s
+    vs ~5 s at sf0.1 on the synthetic 390k-comment corpus.  Nothing is
+    lost at scale: a page is one file, so assembly ALWAYS needs the
+    whole thread in one task — the distributed pointer-doubling walk
+    buys nothing here (it still serves the forest analytics queries).
+    The explicit stack keeps degenerate 500k-deep chains off the
+    recursion limit.  Input columns: (submission, idstr, parent,
+    created, score, author, body, subreddit)."""
+    cols = ["submission", "idstr", "parent", "created", "score",
+            "author", "body", "subreddit"]
+    df = comments.select(*cols)
     parted = (
-        blocks.repartition(num_partitions, "submission")
+        df.repartition(num_partitions, "submission")
         if num_partitions
-        else blocks.repartition("submission")
-    ).sortWithinPartitions("submission", "position")
+        else df.repartition("submission")
+    ).sortWithinPartitions("submission", "created")
 
-    def _assemble(pres: list, posts: list, depths: list) -> str:
-        parts: list[str] = []
-        post_stack: list[str] = []
-        count_stack: list[int] = [0]
-        for pre, post, d in zip(pres, posts, depths):
-            while len(post_stack) > d:
+    def render_pages(batches):
+        import datetime
+
+        from timesearch_spark.functions import HAS_MARKDOWN
+
+        if HAS_MARKDOWN:  # the same arm choice markdown_render makes
+            import markdown as _md
+
+            def md(text):
+                return _md.markdown(text, output_format="html5")
+        else:
+            from timesearch_spark.functions.markdown_lite import render as md
+
+        def norm(v):
+            # Arrow hands nullable columns over with NaN; fold to None
+            return None if v is None or v != v else v
+
+        def human(ts):
+            ts = norm(ts)
+            if ts is None:
+                return "None"
+            return datetime.datetime.utcfromtimestamp(int(ts)).strftime(
+                "%b %d %Y %H:%M:%S")
+
+        def userlink(author):
+            a = "None" if norm(author) is None else str(author)
+            if a.lower() == "[deleted]":
+                return "[deleted]"
+            return f'<a href="https://old.reddit.com/u/{a}">{a}</a>'
+
+        def block(root, idstr, f):
+            sub_bare = root[3:]
+            subreddit = "None" if norm(f.get("subreddit")) is None else f["subreddit"]
+            link = (f"https://old.reddit.com/r/{subreddit}/comments/"
+                    f"{sub_bare}/_/{idstr[3:]}")
+            score = norm(f.get("score"))
+            body = norm(f.get("body"))
+            text = COMMENT_FMT % (
+                idstr,
+                userlink(f.get("author")),
+                "None" if score is None else int(score),
+                link,
+                human(f.get("created")),
+                "" if body is None else md(
+                    body.replace("<", "&lt;").replace(">", "&rt;")),
+            )
+            pre, _, post = text.partition(_CHILD_SLOT)
+            return pre, post
+
+        def assemble(sub, rows):
+            root = sub if sub.startswith("t3_") else "t3_" + sub
+            children: dict = {}
+            fields: dict = {}
+            score: dict = {}
+            known = {r["idstr"] for r in rows}
+            phantom: set = set()
+            for r in rows:  # created-asc insertion (sorted upstream)
+                parent = r["parent"]
+                if str(parent).startswith("t3_"):
+                    parent = root
+                elif parent not in known and parent not in phantom:
+                    phantom.add(parent)
+                    children.setdefault(root, []).append(parent)
+                    score[parent] = 0
+                children.setdefault(parent, []).append(r["idstr"])
+                fields[r["idstr"]] = r
+                sc = r["score"]
+                score[r["idstr"]] = 0 if sc is None or sc != sc else sc
+
+            def push_kids(stack, node, depth):
+                kids = children.get(node)
+                if kids:
+                    kids.sort(key=lambda k: (-score.get(k, 0), k),
+                              reverse=True)
+                    stack.extend((k, depth) for k in kids)
+
+            parts: list = []
+            post_stack: list = []
+            count_stack: list = [0]
+            stack: list = []
+            push_kids(stack, root, 0)
+            while stack:
+                node, d = stack.pop()
+                while len(post_stack) > d:
+                    parts.append(post_stack.pop())
+                    count_stack.pop()
+                if count_stack[-1] > 0:
+                    parts.append("\n\n")  # sibling join (offline_reading.py:240)
+                count_stack[-1] += 1
+                pre, post = block(root, node, fields.get(node, {}))
+                parts.append(pre)
+                post_stack.append(post)
+                count_stack.append(0)
+                push_kids(stack, node, d + 1)
+            while post_stack:
                 parts.append(post_stack.pop())
-                count_stack.pop()
-            if count_stack[-1] > 0:
-                parts.append("\n\n")  # sibling join (offline_reading.py:240)
-            count_stack[-1] += 1
-            parts.append(pre)
-            post_stack.append(post)
-            count_stack.append(0)
-        while post_stack:
-            parts.append(post_stack.pop())
-        return "".join(parts)
+            return "".join(parts)
 
-    def walk(batches):
         cur = None
-        pres: list = []
-        posts: list = []
-        depths: list = []
+        rows: list = []
+        out_subs: list = []
+        out_docs: list = []
 
-        def flush():
+        def close_thread():
+            # one output ROW per thread, but batched into ~1k-row Arrow
+            # frames: yielding a 1-row DataFrame per thread cost ~0.5 ms
+            # each — 7 s of pure pandas constructor overhead on a 15k-
+            # thread corpus
             if cur is not None:
-                yield pd.DataFrame(
-                    {"submission": [cur],
-                     "doc": [_assemble(pres, posts, depths)]}
-                )
+                out_subs.append(cur)
+                out_docs.append(assemble(cur, rows))
 
         for pdf in batches:
-            for sub, depth, block in zip(
-                pdf["submission"], pdf["depth"], pdf["block"]
-            ):
+            it = zip(pdf["submission"], pdf["idstr"], pdf["parent"],
+                     pdf["created"], pdf["score"], pdf["author"],
+                     pdf["body"], pdf["subreddit"])
+            for sub, idstr, parent, created, sc, author, body, srd in it:
                 if sub != cur:
-                    yield from flush()
-                    cur, pres, posts, depths = sub, [], [], []
-                pre, _, post = block.partition(_CHILD_SLOT)
-                pres.append(pre)
-                posts.append(post)
-                depths.append(int(depth))
-        yield from flush()
+                    close_thread()
+                    if len(out_subs) >= 1024:
+                        yield pd.DataFrame(
+                            {"submission": out_subs, "doc": out_docs})
+                        out_subs, out_docs = [], []
+                    cur, rows = sub, []
+                rows.append({"idstr": idstr, "parent": parent,
+                             "created": created, "score": sc,
+                             "author": author, "body": body,
+                             "subreddit": srd})
+        close_thread()
+        if out_subs:
+            yield pd.DataFrame({"submission": out_subs, "doc": out_docs})
 
-    return parted.mapInPandas(walk, "submission string, doc string")
+    return parted.mapInPandas(render_pages, "submission string, doc string")
 
 
 def render_thread_pages(
@@ -670,22 +747,20 @@ def render_thread_pages(
     offline_reading.py:310-312); comment-only orphan threads get none,
     also per the reference.  Submission ids are normalized to their
     t3_ fullname before the walk, so raw and prefixed spellings of one
-    thread assemble as ONE tree instead of two concatenated fragments."""
+    thread assemble as ONE tree instead of two concatenated fragments.
+
+    ``checkpoint_dir`` is accepted for interface stability (callers
+    derive it for scheme:// archives) but unused: the fused
+    walk+render+assemble pass (see :func:`assemble_thread_pages`) is a
+    single non-iterative stage with no growing lineage to truncate —
+    page assembly inherently holds one whole thread per task, so the
+    distributed pointer-doubling walk (which the forest ANALYTICS
+    queries still use) buys nothing on this path."""
     norm = F.when(
         F.col("submission").startswith("t3_"), F.col("submission")
     ).otherwise(F.concat(F.lit("t3_"), F.col("submission")))
     comments = comments.withColumn("submission", norm)
-    forest = comment_forest_auto(comments, checkpoint_dir=checkpoint_dir)
-    enriched = forest.join(
-        comments.select(
-            "idstr", "body", "author", "created", "subreddit",
-            F.col("score").alias("cscore"),
-        ),
-        on="idstr", how="left",
-    )
-    docs = assemble_forest_docs(
-        comment_blocks(enriched), num_partitions=num_partitions
-    )
+    docs = assemble_thread_pages(comments, num_partitions=num_partitions)
 
     sub_block = F.format_string(
         SUBMISSION_FMT,

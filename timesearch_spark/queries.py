@@ -1301,6 +1301,41 @@ def tree_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("thread_pages")  # rows-only: the A10 reference-parity page pipeline —
+# walk + per-node blocks + nested assembly + full-page concat; byte
+# parity vs the recursive oracle is pinned in tests/test_trees.py, so
+# this entry exists for the SCALE story (bench + 10x probe), returning
+# per-page byte counts to keep the materialized result narrow
+def thread_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 flagship at scale: one complete reference-parity page per
+    submission (header + submission block + nested comment forest +
+    footer, trees.render_thread_pages).  Submissions synthesize from
+    orders, comments from the lineitem tree fixture."""
+    comments = (
+        _tree_comments(spark, sf_dir)
+        .groupBy("idstr", "parent", "submission", "created")
+        .agg(F.max("score").alias("score"))
+        .withColumn("body", F.concat(F.lit("body of *"), F.col("idstr"), F.lit("*")))
+        .withColumn("author", F.concat(F.lit("u"), (F.col("created") % 7).cast("string")))
+        .withColumn("subreddit", F.lit("t"))
+    )
+    submissions = load(spark, sf_dir, "orders").select(
+        F.concat(F.lit("t3_"), F.col("o_orderkey").cast("string")).alias("idstr"),
+        F.concat(F.lit("u"), (F.col("o_custkey") % 1000).cast("string")).alias("author"),
+        F.concat(F.col("o_orderpriority"), F.lit(" order "),
+                 F.col("o_orderkey").cast("string")).alias("title"),
+        F.lit(None).cast("string").alias("url"),
+        F.concat(F.lit("status *"), F.col("o_orderstatus"), F.lit("*")).alias("selftext"),
+        F.col("o_totalprice").cast("long").alias("score"),
+        F.col("o_orderkey").cast("long").alias("created"),
+        F.lit("t").alias("subreddit"),
+    )
+    pages = tr.render_thread_pages(submissions, comments)
+    return pages.select(
+        "submission", F.octet_length("doc").alias("doc_bytes")
+    )
+
+
 @q(
     "similarity_topk",
     """
