@@ -204,26 +204,25 @@ def test_offline_reading_auto_derives_durable_checkpoint(spark, tmp_path,
 
 
 def test_thread_html_sink_never_iterates_on_driver(spark, tmp_path, monkeypatch):
-    """VERDICT r4 item 6: write_thread_html must write from executors
+    """VERDICT r4 item 6: the thread-doc sink must write from executors
     (mapInPandas), not serialize every document through a driver
     toLocalIterator loop — proven by making driver iteration explode."""
     from pyspark.sql import DataFrame
 
-    from timesearch_spark.operators.exports import write_thread_html
+    from timesearch_spark.operators.exports import write_thread_docs
 
     def boom(self, *a, **kw):
-        raise AssertionError("thread-HTML sink iterated on the driver")
+        raise AssertionError("thread-doc sink iterated on the driver")
 
     # (the 1-row count aggregate legitimately collects; per-document
     # iteration is what must not happen)
     monkeypatch.setattr(DataFrame, "toLocalIterator", boom)
-    rendered = spark.createDataFrame(
-        [("t3_a", 0, "<div>x</div>"), ("t3_a", 1, "<div>y</div>"),
-         ("b", 0, "<div>z</div>")],
-        "submission string, position long, html string",
+    docs = spark.createDataFrame(
+        [("t3_a", "<div>x</div>\n<div>y</div>\n"), ("t3_b", "<div>z</div>\n")],
+        "submission string, doc string",
     )
     out = str(tmp_path / "threads")
-    assert write_thread_html(rendered, out) == 2
+    assert write_thread_docs(docs, out) == 2
     assert sorted(os.listdir(out)) == ["t3_a.html", "t3_b.html"]
     assert "<div>x</div>\n<div>y</div>" in open(os.path.join(out, "t3_a.html")).read()
 

@@ -12,7 +12,7 @@ replacing ``timesearch.py <cmd>`` with ``api.<cmd>(...)``:
 | livestream        | ``livestream``       | streaming.livestream |
 | breakdown         | ``breakdown``        | operators.breakdown → JSON |
 | index             | ``index``            | operators.exports.write_index |
-| offline_reading   | ``offline_reading``  | trees + exports.write_thread_html |
+| offline_reading   | ``offline_reading``  | trees.render_thread_pages + exports.write_thread_docs |
 | merge_db          | ``merge_db``         | operators.merge.anti_join_merge |
 | get_wiki / get_styles | ``get_wiki``/``get_styles`` | document dumps (driver-side; out of the analytic engine, kept for surface completeness) |
 

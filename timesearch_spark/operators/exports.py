@@ -312,91 +312,11 @@ def write_breakdown_sharded(bd: DataFrame, out_dir: str, basename: str,
     return path
 
 
-def _threads_grouped(rendered: DataFrame) -> DataFrame:
-    """(submission, doc): one row per thread, comments joined in render
-    order.  collect_list order is not stable under shuffle, so gather
-    (position, html) structs and sort inside the group instead.  Orphan
-    comments (raw line without link_id → null submission) are dropped —
-    they have no thread to render into."""
-    # Raw 'abc' and 't3_abc' are the SAME thread (one output name), but
-    # each arrived with its own preorder position sequence from its own
-    # walk — so merge at FRAGMENT grain: first assemble each raw key's
-    # document in its walk order, then concatenate colliding fragments
-    # in raw-key order.  Interleaving the two position sequences would
-    # produce an order matching neither walk; post-agg normalization
-    # would hand the staged sink two part files for one output name and
-    # silently keep one.  (The collision path is degenerate input — the
-    # common case is one fragment per thread and the second agg is 1:1.)
-    norm = F.when(
-        F.col("submission").startswith("t3_"), F.col("submission")
-    ).otherwise(F.concat(F.lit("t3_"), F.col("submission")))
-    fragments = (
-        rendered.filter(F.col("submission").isNotNull())
-        .withColumn("__norm", norm)
-        .groupBy("__norm", "submission")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("position", "html"))),
-                    lambda s: s["html"],
-                ),
-                "\n",
-            ).alias("doc")
-        )
-    )
-    return (
-        fragments.groupBy("__norm")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("submission", "doc"))),
-                    lambda s: s["doc"],
-                ),
-                "\n",
-            ).alias("doc")
-        )
-        .withColumnRenamed("__norm", "submission")
-    )
-
-
-def write_thread_html(rendered: DataFrame, out_dir: str) -> int:
-    """A10: one ``<submission id>.html`` per thread from the rendered
-    forest (columns: submission, position, html).  Returns file count.
-    Mirrors /root/reference/timesearch_modules/offline_reading.py:369-390
-    (one file per thread, named by submission fullname).
-
-    Two physical sinks behind one contract, both executor-parallel:
-
-    - plain local path: files stream from executors with ``open()``
-      inside ``mapInPandas`` (the count aggregate drives the job) — no
-      staging, no rename pass, the fastest shape when the target is a
-      POSIX directory every worker can see;
-    - any ``scheme://`` URI (file://, s3a://, hdfs://, gs://, ...):
-      Spark's own text writer emits the documents to a staging dataset
-      ``partitionBy(submission)`` — the data plane goes through whatever
-      FileSystem Spark itself can write, executors never need a posix
-      mount — and a driver pass through :mod:`timesearch_spark.fs`
-      renames each partition's single text part to ``<id>.html``.  The
-      rename pass is one control-plane call per THREAD (exactly the
-      per-thread metadata work the reference's one-file-per-thread
-      contract implies); the document bytes never touch the driver.
-
-    Re-runs are idempotent either way: file-per-key overwrite, no
-    partial-append state."""
-    grouped = _threads_grouped(rendered)
-    docs = grouped.select(
-        "submission",
-        F.concat(F.lit(HTML_HEADER), F.col("doc"), F.lit(HTML_FOOTER))
-        .alias("doc"),
-    )
-    return write_thread_docs(docs, out_dir, line_sep="\n")
-
-
 def write_thread_docs(docs: DataFrame, out_dir: str,
                       line_sep: str = "\n") -> int:
     """One ``<submission>.html`` per (submission, doc) row, ``doc``
-    written VERBATIM — the machinery behind :func:`write_thread_html`
-    and the reference-parity page sink (trees.render_thread_pages).
+    written VERBATIM — the sink behind the reference-parity page
+    pipeline (trees.render_thread_pages → api.offline_reading).
 
     ``line_sep`` must equal the final character of every doc: the
     schemed-URI arm stages through Spark's text writer, which appends
