@@ -256,9 +256,12 @@ def _expect_page(sub: dict, comments: list[dict]) -> str:
     offline_reading.py:9-296 semantics directly (templates, nesting,
     '\\n\\n' sibling joins, header/footer concat, old.reddit links,
     '%b %d %Y %H:%M:%S' timestamps, escape-then-markdown bodies).
-    Children order uses unique scores in every fixture so the engine's
-    deterministic tiebreak and the reference's insertion-order tiebreak
-    coincide."""
+    Children order: score desc, id.lower() asc (listnodes pre-sort,
+    offline_reading.py:146-148), then created-asc insertion — Python's
+    stable sort over created-sorted lists reproduces all three tiers.
+    Orphan subtrees under missing parents are unreachable from ROOT in
+    by_parent, matching the reference's never-attached phantom nodes
+    (offline_reading.py:358-366)."""
     import datetime
 
     from timesearch_spark.functions import HAS_MARKDOWN
@@ -301,11 +304,11 @@ def _expect_page(sub: dict, comments: list[dict]) -> str:
 
     def subtree(c):
         kids = sorted(by_parent.get(c["idstr"], []),
-                      key=lambda k: (-k["score"], k["idstr"]))
+                      key=lambda k: (-k["score"], k["idstr"].lower()))
         return render_node(c, "\n\n".join(subtree(k) for k in kids))
 
     tops = sorted(by_parent.get("ROOT", []),
-                  key=lambda k: (-k["score"], k["idstr"]))
+                  key=lambda k: (-k["score"], k["idstr"].lower()))
     forest = "\n\n".join(subtree(c) for c in tops)
 
     if sub.get("url"):
@@ -357,6 +360,17 @@ def test_thread_pages_byte_parity_with_reference_semantics(spark, tmp_path):
         {"id": "c3", "name": "t1_c3", "created_utc": 202, "author": "cat",
          "subreddit": "t", "body": "child of one", "score": 1,
          "parent_id": "t1_c1", "link_id": "t3_s1"},
+        # orphan subtree: c4's parent was never archived (partial fetch /
+        # deleted comment).  The reference's phantom node is never
+        # attached to the root, so c4 AND its child c5 must be absent
+        # from the page bytes (offline_reading.py:358-366) — no
+        # fabricated 'None' block either.
+        {"id": "c4", "name": "t1_c4", "created_utc": 203, "author": "dee",
+         "subreddit": "t", "body": "orphan ORPHANMARK", "score": 99,
+         "parent_id": "t1_gone", "link_id": "t3_s1"},
+        {"id": "c5", "name": "t1_c5", "created_utc": 204, "author": "eve",
+         "subreddit": "t", "body": "child of orphan ORPHANMARK", "score": 4,
+         "parent_id": "t1_c4", "link_id": "t3_s1"},
     ]
     dump = tmp_path / "dump.jsonl"
     dump.write_text("\n".join(json.dumps(o) for o in subs + comments))
@@ -381,6 +395,8 @@ def test_thread_pages_byte_parity_with_reference_semantics(spark, tmp_path):
     )
     got1 = open(out / "t3_s1.html", encoding="utf-8").read()
     assert got1 == exp1
+    assert "ORPHANMARK" not in got1      # orphan subtree dropped entirely
+    assert "t1_gone" not in got1         # and no phantom 'None' block for it
 
     exp2 = _expect_page(
         {"idstr": "t3_s2", "author": "[deleted]", "score": 2, "created": 110,
@@ -425,10 +441,12 @@ def test_thread_pages_scheme_arm_byte_identical(spark, tmp_path):
 
 def test_thread_pages_fuzz_random_forests(spark, tmp_path):
     """Randomized assembly check: 12 seeded threads with deep chains,
-    wide fans, multiple roots, markdown/brace/unicode bodies and a
-    literal '{children}' in one body (the str.format hazard the NUL
-    sentinel exists for) must all byte-match the recursive oracle.
-    Unique scores throughout so sibling order is tiebreak-free."""
+    wide fans, multiple roots, MISSING parents (orphan subtrees dropped,
+    reference-style), markdown/brace/unicode bodies and a literal
+    '{children}' in one body (the str.format hazard the NUL sentinel
+    exists for) must all byte-match the recursive oracle.  Unique scores
+    throughout so sibling order here is tiebreak-free; the equal-score
+    mixed-case tiebreak has its own test below."""
     import random
 
     from timesearch_spark.operators.trees import render_thread_pages
@@ -445,10 +463,18 @@ def test_thread_pages_fuzz_random_forests(spark, tmp_path):
         comments = []
         for i in range(n):
             cid = f"t1_f{t}x{i:02d}"
-            # parent: root, or any earlier comment (deep chains arise
-            # naturally when i-1 keeps being picked)
-            parent = sid if (i == 0 or rng.random() < 0.4) else \
-                comments[rng.randrange(len(comments))]["idstr"]
+            # parent: root, a MISSING id (orphan subtree — must vanish
+            # from the page like the reference's unattached phantoms),
+            # or any earlier comment (deep chains arise naturally when
+            # i-1 keeps being picked; a child of an orphan stays an
+            # orphan, so whole nested subtrees drop together)
+            roll = rng.random()
+            if i == 0 or roll < 0.4:
+                parent = sid
+            elif roll < 0.5:
+                parent = f"t1_f{t}gone{i:02d}"
+            else:
+                parent = comments[rng.randrange(len(comments))]["idstr"]
             comments.append({
                 "idstr": cid, "parent": parent, "author": rng.choice(
                     ["ann", "bob", "[deleted]", "名前"]),
@@ -488,3 +514,75 @@ def test_thread_pages_fuzz_random_forests(spark, tmp_path):
         flat = [{**c, "parent": parent_of[c["idstr"]]} for c in comments]
         exp = _expect_page(sub, flat)
         assert pages[sid] == exp, f"{sid} diverges from the recursive oracle"
+
+
+def test_thread_pages_mixed_case_equal_score_tiebreak(spark):
+    """Sibling order at EQUAL scores follows the reference's two stable
+    sorts — listnodes pre-sorts children by id.lower() ascending
+    (offline_reading.py:146-148), html_from_tree re-sorts by -score
+    (:210-211) — so the net tiebreak is id.lower() asc, then created-asc
+    insertion.  Reddit ids are lowercase base36, which made raw-ascii vs
+    .lower() unobservable until now; this fixture forces mixed case,
+    including a pair equal AFTER lower() ('t1_AB'/'t1_ab') where created
+    order must decide."""
+    from timesearch_spark.operators.trees import render_thread_pages
+
+    sub = {"idstr": "t3_mc", "author": "op", "score": 1, "created": 50,
+           "subreddit": "t", "title": "mixed", "selftext": "", "url": None}
+    # all scores equal; expected order by (lower, created):
+    #   t1_AB (created 101) < t1_ab (102, lower-equal, later created)
+    #   < t1_Za (104) < t1_zB (103)   [ 'za' < 'zb' ]
+    comments = [
+        {"idstr": "t1_ab", "parent": "t3_mc", "author": "a", "body": "two",
+         "score": 5, "created": 102, "subreddit": "t"},
+        {"idstr": "t1_AB", "parent": "t3_mc", "author": "a", "body": "one",
+         "score": 5, "created": 101, "subreddit": "t"},
+        {"idstr": "t1_zB", "parent": "t3_mc", "author": "a", "body": "four",
+         "score": 5, "created": 103, "subreddit": "t"},
+        {"idstr": "t1_Za", "parent": "t3_mc", "author": "a", "body": "three",
+         "score": 5, "created": 104, "subreddit": "t"},
+    ]
+    submissions = spark.createDataFrame(
+        [(sub["idstr"], sub["author"], sub["title"], sub["url"],
+          sub["selftext"], sub["score"], sub["created"], "t")],
+        "idstr string, author string, title string, url string, "
+        "selftext string, score long, created long, subreddit string",
+    )
+    comments_df = spark.createDataFrame(
+        [(c["idstr"], c["parent"], "t3_mc", c["created"], c["score"],
+          c["author"], c["body"], "t") for c in comments],
+        "idstr string, parent string, submission string, created long, "
+        "score long, author string, body string, subreddit string",
+    )
+    [row] = render_thread_pages(submissions, comments_df).collect()
+    assert row["doc"] == _expect_page(sub, comments)
+    order = [row["doc"].index(f'id="{i}"')
+             for i in ("t1_AB", "t1_ab", "t1_Za", "t1_zB")]
+    assert order == sorted(order), "sibling order must be lower-then-created"
+
+
+def test_thread_pages_size_guard_fails_loud(spark):
+    """A page holds one whole thread in a single task by design; past
+    max_thread_rows the assembler must raise an actionable error while
+    ACCUMULATING (before the list reaches executor-killing size), not
+    die as an unexplained worker OOM.  Normal-size threads through the
+    same bound are untouched."""
+    import pytest
+
+    from timesearch_spark.operators.trees import assemble_thread_pages
+
+    rows = [(f"t1_c{i:03d}", "t3_big" if i == 0 else f"t1_c{i-1:03d}",
+             "t3_big", 100 + i, i, "a", "b", "t") for i in range(25)]
+    schema = ("submission string, idstr string, parent string, "
+              "created long, score long, author string, body string, "
+              "subreddit string")
+    df = spark.createDataFrame(
+        [(s, i, p, c, sc, a, b, t) for i, p, s, c, sc, a, b, t in rows],
+        schema)
+
+    with pytest.raises(Exception, match="max_thread_rows=10"):
+        assemble_thread_pages(df, max_thread_rows=10).collect()
+
+    [ok] = assemble_thread_pages(df, max_thread_rows=25).collect()
+    [default] = assemble_thread_pages(df).collect()
+    assert ok["doc"] == default["doc"]  # bound never changes the bytes

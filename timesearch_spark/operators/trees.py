@@ -566,14 +566,29 @@ def _render_body(col) -> F.Column:
     return markdown_render(html_escape(col))
 
 
+#: Per-thread row bound for the fused page assembler.  One page = one
+#: task, so one thread's row dicts + rendered parts live in a single
+#: Python worker's memory (~1 KiB/row with rendered HTML): 2M rows is
+#: ~2 GiB — far past any real Reddit thread (the largest on record is
+#: ~100k comments) but comfortably inside an executor.  Hitting it means
+#: degenerate input (a corpus mis-keyed onto one submission); the guard
+#: turns the silent executor OOM into an actionable error.
+DEFAULT_MAX_THREAD_ROWS = 2_000_000
+
+
 def assemble_thread_pages(comments: DataFrame,
-                          num_partitions: int | None = None) -> DataFrame:
+                          num_partitions: int | None = None,
+                          max_thread_rows: int = DEFAULT_MAX_THREAD_ROWS,
+                          ) -> DataFrame:
     """(submission, doc): each thread's comment forest walked, rendered
     and nested in ONE partition-then-walk pass (the same shape as
     :func:`comment_forest`): repartition on the thread key, sort within
     partitions, then per thread build the tree (created-asc insertion,
-    phantom parents, score-desc/id-asc children — _walk_one_thread's
-    exact semantics), render each node's HTML_COMMENT block in-process
+    score-desc/id.lower()-asc children; orphan subtrees under missing
+    parents stay unreachable and are dropped from the page, exactly as
+    the reference's never-attached phantoms — offline_reading.py:358-366;
+    contrast the forest ANALYTICS path, which surfaces phantoms
+    deliberately), render each node's HTML_COMMENT block in-process
     (same markdown arm as functions.markdown_render), and fold the
     preorder into the nested document with an explicit stack (children
     substituted into the parent's slot, siblings joined with a blank
@@ -587,8 +602,10 @@ def assemble_thread_pages(comments: DataFrame,
     whole thread in one task — the distributed pointer-doubling walk
     buys nothing here (it still serves the forest analytics queries).
     The explicit stack keeps degenerate 500k-deep chains off the
-    recursion limit.  Input columns: (submission, idstr, parent,
-    created, score, author, body, subreddit)."""
+    recursion limit, and ``max_thread_rows`` bounds the one-task memory
+    footprint with a loud error instead of an executor OOM (see
+    DEFAULT_MAX_THREAD_ROWS).  Input columns: (submission, idstr,
+    parent, created, score, author, body, subreddit)."""
     cols = ["submission", "idstr", "parent", "created", "score",
             "author", "body", "subreddit"]
     df = comments.select(*cols)
@@ -652,16 +669,19 @@ def assemble_thread_pages(comments: DataFrame,
             children: dict = {}
             fields: dict = {}
             score: dict = {}
-            known = {r["idstr"] for r in rows}
-            phantom: set = set()
             for r in rows:  # created-asc insertion (sorted upstream)
                 parent = r["parent"]
                 if str(parent).startswith("t3_"):
                     parent = root
-                elif parent not in known and parent not in phantom:
-                    phantom.add(parent)
-                    children.setdefault(root, []).append(parent)
-                    score[parent] = 0
+                # A parent absent from the thread stays DETACHED: the
+                # reference puts a phantom TreeNode in node_map but never
+                # attaches it to the root (offline_reading.py:358-366),
+                # so html_from_tree's root walk (:224-246) never reaches
+                # the orphan subtree and it is silently absent from the
+                # page.  children[missing_parent] is populated here but
+                # never pushed, so the subtree is unreachable too.  (The
+                # forest ANALYTICS path keeps phantom-under-root rows on
+                # purpose — that choice is separately oracled there.)
                 children.setdefault(parent, []).append(r["idstr"])
                 fields[r["idstr"]] = r
                 sc = r["score"]
@@ -670,9 +690,14 @@ def assemble_thread_pages(comments: DataFrame,
             def push_kids(stack, node, depth):
                 kids = children.get(node)
                 if kids:
-                    kids.sort(key=lambda k: (-score.get(k, 0), k),
-                              reverse=True)
-                    stack.extend((k, depth) for k in kids)
+                    # score desc, then id.lower() asc, then created-asc
+                    # insertion: listnodes pre-sorts by x[0].lower()
+                    # (offline_reading.py:146-148) and html_from_tree
+                    # stably re-sorts by -score (:210-211).  One stable
+                    # sort on the composite key is equivalent; reversed()
+                    # keeps tie order through the LIFO stack.
+                    kids.sort(key=lambda k: (-score.get(k, 0), k.lower()))
+                    stack.extend((k, depth) for k in reversed(kids))
 
             parts: list = []
             post_stack: list = []
@@ -726,6 +751,20 @@ def assemble_thread_pages(comments: DataFrame,
                              "created": created, "score": sc,
                              "author": author, "body": body,
                              "subreddit": srd})
+                if len(rows) > max_thread_rows:
+                    # Fail BEFORE the list grows to executor-killing
+                    # size: the guard fires while accumulating, not
+                    # after, so the failure mode is this message rather
+                    # than a worker OOM with no cause attached.
+                    raise ValueError(
+                        f"thread {sub!r} exceeds max_thread_rows="
+                        f"{max_thread_rows} comments; a page holds one "
+                        "whole thread in a single task by design "
+                        "(offline_reading.py renders one file per "
+                        "submission).  If this thread is real, raise "
+                        "max_thread_rows=; if not, the corpus is "
+                        "mis-keyed — exclude the submission or fix the "
+                        "ingest.")
         close_thread()
         if out_subs:
             yield pd.DataFrame({"submission": out_subs, "doc": out_docs})
@@ -738,6 +777,7 @@ def render_thread_pages(
     comments: DataFrame,
     checkpoint_dir: str | None = None,
     num_partitions: int | None = None,
+    max_thread_rows: int = DEFAULT_MAX_THREAD_ROWS,
 ) -> DataFrame:
     """(submission, doc): one COMPLETE reference-parity page per
     submission row — header (title), submission block, nested comment
@@ -760,7 +800,8 @@ def render_thread_pages(
         F.col("submission").startswith("t3_"), F.col("submission")
     ).otherwise(F.concat(F.lit("t3_"), F.col("submission")))
     comments = comments.withColumn("submission", norm)
-    docs = assemble_thread_pages(comments, num_partitions=num_partitions)
+    docs = assemble_thread_pages(comments, num_partitions=num_partitions,
+                                 max_thread_rows=max_thread_rows)
 
     sub_block = F.format_string(
         SUBMISSION_FMT,
