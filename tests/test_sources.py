@@ -155,6 +155,42 @@ def test_comment_parent_normalization(spark, tmp_path):
     assert rows["t1_p2"] == "t1_" + "9ix"     # int(12345) -> base36 fullname
 
 
+def test_parent_digit_string_ambiguity_pinned(spark, tmp_path):
+    """KNOWN AMBIGUITY pin (ndjson.comments_from_raw docstring): the
+    reference converts only JSON ints (isinstance(val, int),
+    pushshift.py:76-78) and would keep a bare all-digit STRING parent id
+    verbatim; schema-on-read erases the quoting, so this engine
+    re-encodes both forms identically.  This test pins the accepted
+    divergence so any future raw-schema change that CAN distinguish the
+    forms must revisit it deliberately."""
+    coms = [
+        {"id": "q1", "name": "t1_q1", "created_utc": 1, "author": "a",
+         "subreddit": "t", "body": "x", "score": 1,
+         "parent_id": 12345, "link_id": "t3_abc"},       # JSON int
+        {"id": "q2", "name": "t1_q2", "created_utc": 2, "author": "a",
+         "subreddit": "t", "body": "x", "score": 1,
+         "parent_id": "12345", "link_id": "t3_abc"},     # digit STRING
+    ]
+    raw = ndjson.read_raw(spark, _write_ndjson(tmp_path, coms))
+    rows = {r["idstr"]: r["parent"]
+            for r in ndjson.comments_from_raw(raw).collect()}
+    # both collapse to the int form's fullname (reference would keep
+    # "12345" for q2) — accepted: real dumps never carry digit strings
+    assert rows["t1_q1"] == rows["t1_q2"] == "t1_9ix"
+
+
+def test_read_raw_file_tab_only_line_is_eof(spark, tmp_path):
+    """line.strip() in the reference treats a TAB-only line as blank
+    (ingest_jsonfile.py:31-32); F.trim strips only ASCII spaces, so the
+    blank test must be the \\s regex.  Also exercises the
+    (input_file_block_start, record-number) position key."""
+    p = tmp_path / "tab_eof.jsonl"
+    p.write_text(json.dumps(SUB) + "\n\t\n" + json.dumps(COM) + "\n")
+    raw = ndjson.read_raw_file(spark, str(p))
+    assert ndjson.submissions_from_raw(raw).count() == 1
+    assert ndjson.comments_from_raw(raw).count() == 0  # past the tab line
+
+
 def test_paginate_keyset_overlap_dedup():
     data = _make_items(0, 2500)
 

@@ -42,19 +42,37 @@ def read_raw(spark: SparkSession, path: str) -> DataFrame:
 def read_raw_file(spark: SparkSession, path: str) -> DataFrame:
     """``read_raw`` with the reference's SEQUENTIAL-FILE semantics
     (ingest_jsonfile.py:29-39): lines after the first blank (or
-    whitespace-only) line are never read — its loop ``break``s there,
-    treating the blank as end-of-file.  Line order is recovered from
-    ``monotonically_increasing_id`` over the text scan, whose partition
-    ordering follows file byte offsets, so the truncation point is
-    exact even when the file splits."""
-    lines = spark.read.text(path).select(
-        F.monotonically_increasing_id().alias("__line"), "value"
+    whitespace-only — ``line.strip()``, hence the ``\\s`` regex rather
+    than ``trim``'s space-only strip) line are never read — its loop
+    ``break``s there, treating the blank as end-of-file.
+
+    Line order is recovered WITHOUT assuming anything about Spark's
+    split scheduling: the key is ``(input_file_block_start,
+    record-number-in-partition)``.  Blocks partition the single input
+    file by byte offset, a block is never split across partitions, and
+    ``monotonically_increasing_id`` documents the record number in the
+    lower 33 bits — so the struct orders lines exactly as they appear
+    in the file even when FileSourceScan reorders or packs the splits
+    (its length-descending ordering is an undocumented internal).
+    Contract: ``path`` is ONE file, as in the reference CLI; a glob
+    would collide block offsets across files."""
+    pos = F.struct(
+        F.input_file_block_start().alias("b"),
+        F.monotonically_increasing_id().bitwiseAND(
+            F.lit((1 << 33) - 1)).alias("r"),
     )
+    lines = spark.read.text(path).select(pos.alias("__pos"), "value")
     first_blank = (
-        lines.filter(F.trim("value") == "").agg(F.min("__line")).first()[0]
+        lines.filter(F.col("value").rlike(r"^\s*$"))
+        .agg(F.min("__pos")).first()[0]
     )
     if first_blank is not None:
-        lines = lines.filter(F.col("__line") < first_blank)
+        lines = lines.filter(
+            F.col("__pos") < F.struct(
+                F.lit(first_blank["b"]).cast("long").alias("b"),
+                F.lit(first_blank["r"]).cast("long").alias("r"),
+            )
+        )
     return lines.select(
         F.from_json("value", RAW_NDJSON).alias("__o")
     ).select("__o.*")
@@ -177,7 +195,19 @@ def comments_from_raw(raw: DataFrame, extra_cols=()) -> DataFrame:
     (pushshift.py:74-78): a missing ``parent_id`` falls back to the
     ``link_id`` (the comment is top-level) and a NUMERIC parent id is a
     pushshift int form — re-encoded as its ``t1_`` base36 fullname.
-    Score falls back to 0 (FALLBACK_ATTRIBUTES, pushshift.py:34-41)."""
+    Score falls back to 0 (FALLBACK_ATTRIBUTES, pushshift.py:34-41).
+
+    KNOWN AMBIGUITY (accepted, test-pinned): the reference converts only
+    JSON *integers* (``isinstance(val, int)``); schema-on-read parses
+    ``parent_id`` into a string column, so the raw token's quoting is
+    gone by the time we see it and the ``^[0-9]+$`` test also matches a
+    bare all-digit base36 STRING id (e.g. ``"12345"``), which the
+    reference would keep verbatim but this path re-encodes.  Real
+    pushshift dumps carry either ``t1_``/``t3_`` fullnames or int
+    forms, never bare digit strings, so the collision class is empty in
+    practice; distinguishing would cost a second raw parse of every
+    line.  Pinned in tests/test_sources.py
+    (test_parent_digit_string_ambiguity_pinned)."""
     bare = _bare_id()
     body = tsf.html_unescape_basic(F.col("body"))
     parent = F.coalesce(F.col("parent_id"), F.col("link_id"))

@@ -1,7 +1,8 @@
-"""Rename-pass timing for the staged thread-HTML sink (SCALING_r09).
+"""Rename-pass timing for the staged thread-docs sink (SCALING_r09;
+ported to write_thread_docs when the legacy flat-html sink retired).
 
 ``python tools/bench_rename.py [N_THREADS]`` (default 2000) writes N
-one-comment threads through ``write_thread_html`` on a file:// root
+one-doc threads through ``write_thread_docs`` on a file:// root
 three times, isolating the rename PASS from the staged text write by
 timing the pass functions directly:
 
@@ -38,11 +39,12 @@ def main() -> None:
     spark = get_spark("bench-rename")
     from timesearch_spark.operators import exports
 
+    # (submission, doc) — docs end in the default line_sep '\n' per the
+    # write_thread_docs staged-arm contract
     rendered = spark.range(n).select(
         F.concat(F.lit("t3_"), F.col("id").cast("string")).alias("submission"),
-        F.lit(0).alias("position"),
         F.concat(F.lit("<div>doc "), F.col("id").cast("string"),
-                 F.lit("</div>")).alias("html"),
+                 F.lit("</div>\n")).alias("doc"),
     )
     base = tempfile.mkdtemp(prefix="bench_rename_")
     timings: dict[str, float] = {}
@@ -60,7 +62,7 @@ def main() -> None:
 
     try:
         exports._rename_pass_distributed = timed("distributed", real_dist)
-        assert exports.write_thread_html(rendered, f"file://{base}/dist") == n
+        assert exports.write_thread_docs(rendered, f"file://{base}/dist") == n
         exports._rename_pass_distributed = real_dist
 
         def no_open(uri):
@@ -68,7 +70,7 @@ def main() -> None:
 
         exports._open_fs = no_open
         exports._rename_pass_driver_pool = timed("pool16", real_pool)
-        assert exports.write_thread_html(rendered, f"file://{base}/pool") == n
+        assert exports.write_thread_docs(rendered, f"file://{base}/pool") == n
 
         def serial(fs, staging, out_dir, entries):
             return sum(
@@ -80,7 +82,7 @@ def main() -> None:
             )
 
         exports._rename_pass_driver_pool = timed("serial", serial)
-        assert exports.write_thread_html(
+        assert exports.write_thread_docs(
             rendered, f"file://{base}/serial"
         ) == n
     finally:
