@@ -934,3 +934,60 @@ def test_should_salt_footer_shortcut(spark, tmp_path, monkeypatch):
     assert skew.should_salt(
         d, ["g"], share_threshold=0.5, min_rows=50, sample_fraction=1.0
     ) is True
+
+
+def test_unsorted_breakdown_streamed_byte_identity(spark, tmp_path):
+    """Option B (r11 missing #1): the streamed unsorted writer must emit
+    the reference's single-line json.dumps bytes (breakdown.py:88, no
+    trailing newline) byte-identically to the collect form — same keys
+    in the same partition/row order — including null keys and an empty
+    breakdown ('{}')."""
+    from timesearch_spark.operators.exports import (
+        breakdown_json, write_breakdown_unsorted_streamed)
+
+    bd = _breakdown_fixture(spark)
+    single = breakdown_json(bd, sort=None, key_name="author")
+    path = write_breakdown_unsorted_streamed(
+        bd, str(tmp_path / "u1"), "t", key_name="author")
+    got = open(path, "rb").read().decode("utf-8")
+    assert got == single and not got.endswith("\n")
+
+    # null key: json.dumps coerces None -> "null" in both forms
+    subs = _subs(spark, [("t3_a", None, None, 1, 1), ("t3_b", "amy", None, 1, 2)])
+    comments = _comments(spark, [("t1_a", "zed", "x", 1, 1)])
+    bdn = breakdown(subs, comments, key="author", key_name="author")
+    p2 = write_breakdown_unsorted_streamed(
+        bdn, str(tmp_path / "u2"), "n", key_name="author")
+    assert open(p2).read() == breakdown_json(bdn, sort=None, key_name="author")
+
+    empty = bd.limit(0)
+    p3 = write_breakdown_unsorted_streamed(
+        empty, str(tmp_path / "u3"), "e", key_name="author")
+    assert open(p3).read() == "{}"
+
+
+def test_unsorted_breakdown_streamed_past_collect_bound(spark, tmp_path):
+    """Where breakdown_json refuses (key count past max_unsorted_keys),
+    the streamed form must still produce the complete, valid dump —
+    the r11 'only refused, never produced' gap."""
+    import json as _json
+
+    import pytest
+
+    from timesearch_spark.operators.exports import (
+        breakdown_json, write_breakdown_unsorted_streamed)
+
+    subs = _subs(spark, [(f"t3_{i}", f"user{i:03d}", None, 1, i)
+                         for i in range(50)])
+    comments = _comments(spark, [("t1_a", "user000", "x", 1, 1)])
+    bd = breakdown(subs, comments, key="author", key_name="author")
+
+    with pytest.raises(ValueError, match="write_breakdown_unsorted_streamed"):
+        breakdown_json(bd, sort=None, key_name="author", max_unsorted_keys=10)
+
+    path = write_breakdown_unsorted_streamed(
+        bd, str(tmp_path), "big", key_name="author")
+    got = _json.loads(open(path).read())
+    assert len(got) == 50
+    assert got["user007"] == {"submissions": 1, "comments": 0}
+    assert got["user000"] == {"submissions": 1, "comments": 1}

@@ -177,9 +177,10 @@ def breakdown_json(bd: DataFrame, sort: str | None = None,
         if len(rows) > max_unsorted_keys:
             raise ValueError(
                 f"unsorted breakdown exceeds {max_unsorted_keys} distinct "
-                "keys; its single-line json.dumps contract is driver-bound "
-                "and cannot shard — use a sorted form "
-                "(write_breakdown_sharded) at this scale, or raise "
+                "keys; this STRING-building form is driver-bound — use "
+                "write_breakdown_unsorted_streamed (same single-line "
+                "json.dumps bytes, executor-streamed, any key count), a "
+                "sorted form (write_breakdown_sharded), or raise "
                 "max_unsorted_keys explicitly"
             )
         return json.dumps(
@@ -211,6 +212,95 @@ def write_breakdown(bd: DataFrame, out_dir: str, basename: str,
     fs.write_text_atomic(path, breakdown_json(
         bd, sort=sort, key_name=key_name,
         max_unsorted_keys=max_unsorted_keys))
+    return path
+
+
+def write_breakdown_unsorted_streamed(bd: DataFrame, out_dir: str,
+                                      basename: str,
+                                      key_name: str = "author") -> str:
+    """The 100× form of the UNSORTED breakdown: byte-identical to
+    ``breakdown_json(sort=None)`` — the reference's single-line
+    ``json.dumps`` (breakdown.py:88), no trailing newline — at any key
+    count, with no driver key marshaling.
+
+    Two stages.  (1) executor-parallel: each Arrow batch of per-key
+    counts serializes to ONE pre-joined fragment string with
+    ``json.dumps`` itself (escaping/None-key/", " separator parity for
+    free), tagged (partition, batch) — so fragment size is bounded by
+    the Arrow batch size, not by key count.  (2) the fragments — a few
+    hundred bytes-per-key total, but only #batches ROWS — shuffle to a
+    single task that writes them in (pid, seq) order through a
+    STREAMING pyarrow output (staging name + rename, so a retried task
+    can't leave a torn file).  Peak memory anywhere = one batch; a
+    single sequential writer is optimal here because the contract is
+    literally one file of one line.  Key ORDER is partition/row order,
+    the same order ``collect()`` feeds the string form — the reference
+    itself has no order contract (dict insertion = its query order)."""
+    import json as _json
+
+    from timesearch_spark.fs import get_fs, pyarrow_fs_uri
+
+    get_fs(bd.sparkSession, out_dir).mkdirs(out_dir)
+    path = os.path.join(out_dir, basename + "_breakdown.json")
+    uri = pyarrow_fs_uri(path)
+
+    def serialize(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for seq, pdf in enumerate(batches):
+            if not len(pdf):
+                continue
+
+            def norm(v):  # Arrow nullables arrive as NaN; json needs None
+                return None if v is None or v != v else int(v)
+
+            frags = [
+                _json.dumps({k: {"submissions": norm(s), "comments": norm(c)}})[1:-1]
+                for k, s, c in zip(pdf[key_name], pdf["submissions"],
+                                   pdf["comments"])
+            ]
+            yield pd.DataFrame({"pid": [pid], "seq": [seq],
+                                "frag": [", ".join(frags)]})
+
+    frags = bd.select(key_name, "submissions", "comments").mapInPandas(
+        serialize, "pid long, seq long, frag string")
+
+    def write_stream(batches):
+        import pandas as pd
+
+        fss, p = _open_fs(uri)
+        tmp = p + ".inprogress"
+        n = 0
+        with fss.open_output_stream(tmp) as f:
+            f.write(b"{")
+            for pdf in batches:
+                for frag in pdf["frag"]:
+                    if n:
+                        f.write(b", ")
+                    f.write(frag.encode("utf-8"))
+                    n += 1
+            f.write(b"}")
+        try:
+            fss.delete_file(p)  # move() won't overwrite on every store
+        except Exception:
+            pass
+        fss.move(tmp, p)
+        yield pd.DataFrame({"fragments": [n]})
+
+    # repartition(1) + sortWithinPartitions pins the exact write order
+    # without depending on how a global orderBy composes with the
+    # single-partition collapse
+    wrote = (frags.repartition(1)
+                  .sortWithinPartitions("pid", "seq")
+                  .mapInPandas(write_stream, "fragments long")
+                  .collect())
+    if not wrote:
+        # zero keys: Spark never invokes the pandas function for an
+        # empty partition, so the writer task did not run — the dump is
+        # the constant '{}' (json.dumps({})), written from the driver
+        get_fs(bd.sparkSession, out_dir).write_text_atomic(path, "{}")
     return path
 
 
