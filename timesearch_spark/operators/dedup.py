@@ -78,13 +78,20 @@ def shingles_from(tok_col, k: int = 3) -> Column:
     return F.when(n >= k, grams).otherwise(F.array(F.array_join(t, " ")))
 
 
-def _shingle_rows(df, text_col, id_col, k: int) -> DataFrame:
+def _shingle_rows(df, text_col, id_col, k: int,
+                  tok_col: str | None = None) -> DataFrame:
     """(id, __s) exploded distinct-shingle rows, tokenizing once per
     document (see :func:`shingles_from`); ``spread`` first so the
-    explode runs with full parallelism on under-split input."""
+    explode runs with full parallelism on under-split input.
+    ``tok_col`` names an ALREADY-MATERIALIZED token-array column (e.g.
+    a persisted rung of the curation ladder) — the tokenize step is
+    then skipped entirely; ``shingles_from(tokens(text))`` and
+    ``shingles_from(tok_col)`` are the same function of the same text,
+    so the output is identical either way."""
+    tok = tokens(text_col) if tok_col is None else _c(tok_col)
     return (
         spread(df)
-        .select(_c(id_col).alias(id_col), tokens(text_col).alias("__tok"))
+        .select(_c(id_col).alias(id_col), tok.alias("__tok"))
         .select(
             id_col,
             F.explode(F.array_distinct(shingles_from("__tok", k))).alias("__s"),
@@ -258,6 +265,7 @@ def minhash_band_buckets(
     bands: int = 16,
     shingle_k: int = 3,
     hash_family: str = "xxhash64",
+    tok_col: str | None = None,
 ) -> DataFrame:
     """(id, band, bucket) LSH banding table in long-relation form: explode
     (id, perm, hash) rows, MIN-aggregate per (id, perm), hash each band's
@@ -292,7 +300,7 @@ def minhash_band_buckets(
         )
     rows = num_hashes // bands
     seq = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    base = _shingle_rows(df, text_col, id_col, shingle_k)
+    base = _shingle_rows(df, text_col, id_col, shingle_k, tok_col=tok_col)
     # Two explode shapes, chosen by what the explode would duplicate:
     # the xx64 path pre-hashes the shingle to ONE long, explodes the
     # permutation index against it, and re-hashes in a top-level
@@ -369,6 +377,7 @@ def minhash_near_dups(
     bands: int = 16,
     shingle_k: int = 3,
     hash_family: str = "xxhash64",
+    tok_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard) with exact-verified
     jaccard ≥ threshold, candidates from minhash-LSH banding.
@@ -377,9 +386,14 @@ def minhash_near_dups(
     exact because every candidate is verified against the true shingle
     sets.  Only (band, bucket, id) triples and the candidate pairs ever
     shuffle — signatures and shingle sets stay inside their stages.
-    ``hash_family`` as in :func:`minhash_band_buckets`."""
+    ``hash_family`` as in :func:`minhash_band_buckets`.  ``tok_col``
+    (see :func:`_shingle_rows`) lets a caller that already materialized
+    the token arrays — the curation ladder's persisted exact rung —
+    feed both the banding and the verify without re-tokenizing; output
+    is identical by construction."""
     buckets = minhash_band_buckets(
-        df, text_col, id_col, num_hashes, bands, shingle_k, hash_family
+        df, text_col, id_col, num_hashes, bands, shingle_k, hash_family,
+        tok_col=tok_col,
     )
 
     a = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
@@ -399,17 +413,24 @@ def minhash_near_dups(
     # materialized before the gram lambda (see shingles_from).  Spread
     # first so the per-doc work runs with full parallelism even when
     # the input is a handful of files.
-    txt = spread(df).select(
-        _c(id_col).alias(id_col), _c(text_col).alias("__txt")
-    )
+    if tok_col is None:
+        txt = spread(df).select(
+            _c(id_col).alias(id_col), _c(text_col).alias("__txt")
+        )
+        toka, tokb = tokens("__txta"), tokens("__txtb")
+    else:
+        txt = spread(df).select(
+            _c(id_col).alias(id_col), _c(tok_col).alias("__txt")
+        )
+        toka, tokb = F.col("__txta"), F.col("__txtb")
     pairs = (
         cand.join(txt.select(F.col(id_col).alias("a"),
                              F.col("__txt").alias("__txta")), on="a")
         .join(txt.select(F.col(id_col).alias("b"),
                          F.col("__txt").alias("__txtb")), on="b")
         .select("a", "b",
-                tokens("__txta").alias("__toka"),
-                tokens("__txtb").alias("__tokb"))
+                toka.alias("__toka"),
+                tokb.alias("__tokb"))
         .select("a", "b",
                 shingles_from("__toka", shingle_k).alias("sha"),
                 shingles_from("__tokb", shingle_k).alias("shb"))

@@ -595,7 +595,7 @@ def _rung_exact_keepers(docs, text_col, id_col):
 
 
 def _rung_neardup_non_keepers(docs, text_col, id_col, threshold,
-                              checkpoint_dir=None):
+                              checkpoint_dir=None, tok_col=None):
     """Ids to DROP for transitive near-dup closure: minhash-LSH pairs →
     hash-min components → everything but each component's min id.
     Components label ONLY edge-touching nodes (nodes=None) — at corpus
@@ -611,7 +611,8 @@ def _rung_neardup_non_keepers(docs, text_col, id_col, threshold,
     )
 
     pairs = minhash_near_dups(
-        docs, text_col, id_col, threshold=threshold, hash_family="xxhash64"
+        docs, text_col, id_col, threshold=threshold, hash_family="xxhash64",
+        tok_col=tok_col,
     ).select("a", "b")
     comp = connected_components(None, pairs, id_col=id_col,
                                 checkpoint_dir=checkpoint_dir)
@@ -707,11 +708,18 @@ def curate_corpus(
     # the cache entries live for the session.
     gated = obs(docs.join(keep_quality, id_col), "gated").persist()
 
-    # exact dedup: keep the lowest id of each identical-text group
-    exact = obs(
-        gated.join(_rung_exact_keepers(gated, text_col, id_col), id_col),
-        "exact",
-    ).persist()
+    # exact dedup: keep the lowest id of each identical-text group.
+    # The persisted rung ALSO materializes the token arrays (__tok):
+    # the near-dup rung below consumes tokens twice (banding + verify),
+    # so tokenizing once into the cache trades ~text-sized extra cache
+    # for zero re-splits downstream — the audit boundary and the output
+    # stay token-free (obs records the dropped projection, which is a
+    # plain Project over the cached plan, so rung_counts stays
+    # cache-local).
+    exact = gated.join(
+        _rung_exact_keepers(gated, text_col, id_col), id_col
+    ).withColumn("__tok", tokens(text_col)).persist()
+    obs(exact.drop("__tok"), "exact")
 
     # near-dup removal, transitively closed: pairs → components → keeper
     # (shared builder; see _rung_neardup_non_keepers for the plan notes)
@@ -719,11 +727,11 @@ def curate_corpus(
         exact.join(
             _rung_neardup_non_keepers(
                 exact, text_col, id_col, neardup_threshold,
-                checkpoint_dir=checkpoint_dir,
+                checkpoint_dir=checkpoint_dir, tok_col="__tok",
             ),
             id_col,
             "left_anti",
-        ),
+        ).drop("__tok"),
         "neardup",
     )
 
