@@ -130,6 +130,34 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
 
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "")
+    stem = f"SCALING_r{rnd}" if rnd else "SCALING"
+    side = os.path.join(REPO, stem + ".json")
+
+    # A targeted re-probe (trailing NAMEs) REWRITES the canonical
+    # table's rows in place (r11 missing #3: addendum files left the
+    # main table carrying NOISY rows a quiet re-probe had already
+    # superseded).  The full sweep's rows live in the JSON sidecar; a
+    # re-probed row replaces its old row when it is quieter (or the old
+    # row was noisy and the new one is not) — a LOUDER re-probe never
+    # degrades the table.
+    if only and os.path.exists(side):
+        with open(side) as f:
+            prior = json.load(f)
+        merged = {r["query"]: r for r in prior.get("queries", [])}
+        for r in rows:
+            old = merged.get(r["query"])
+            if (old is None or r["load"] < old.get("load", float("inf"))
+                    or (old.get("noisy") and not r["noisy"])):
+                merged[r["query"]] = r
+            else:
+                print(f"  {r['query']}: re-probe louder than the standing "
+                      f"row (load {r['load']} vs {old.get('load')}), "
+                      "keeping the old row", file=sys.stderr)
+        rows = list(merged.values())
+        errors = {**prior.get("errors", {}), **errors}
+        errors = {k: v for k, v in errors.items() if k not in merged}
+
     flagged = [r for r in rows if r["ratio"] > 1.5 * factor]
     result = {
         "metric": "scaling_ratio",
@@ -143,11 +171,9 @@ def main() -> None:
         "errors": errors,
     }
     print(json.dumps(result))
+    with open(side, "w") as f:
+        json.dump(result, f, indent=1)
 
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "")
-    stem = f"SCALING_r{rnd}" if rnd else "SCALING"
-    if only:  # a targeted re-probe must not clobber the full sweep
-        stem += "_" + "_".join(sorted(only))[:60]
     out = os.path.join(REPO, stem + ".md")
     with open(out, "w") as f:
         f.write(

@@ -31,6 +31,19 @@ text operators:
 - identical lines mutate identically, so exact-dup groups, repeated
   paragraphs, and dup_line_frac survive within each copy.
 
+KNOWN, BOUNDED overshoot (r12 probe, tools/diag_jaccard.py): a word
+occurring at BOTH a mutated and an unmutated position inside one doc
+splits into two distinct tokens, so mutated copies carry MORE distinct
+tokens per doc than copy 0 — measured 1.37× at k=10 (23.2 → 31.8
+postings/doc), which flows through the Jaccard pipeline as postings
+13.7×, prefix-join volume 11.8×, deduped candidates 8.8×, final pairs
+4.1× at 10× docs.  The dedup_ngram_jaccard wall ratio therefore reads
+~8-10× even though the OPERATOR is linear in its input rows — the
+inflation is the generator's, and it SATURATES at 2× (each distinct
+word maps to at most {word, z{i}q+word} per copy), so no k makes it
+superlinear.  Read Jaccard-family ratios against the posting ratio,
+not the doc ratio.
+
 Copy 0 is byte-identical to the source.  Embeddings replicate with
 shifted ids and unchanged vectors (ANN bucket sizes scale linearly;
 identical vectors across copies only add linear candidate volume).
