@@ -111,6 +111,31 @@ def test_breakdown_sharded_without_sort_is_a_usage_error(root, capsys):
     assert "--sharded requires --sort" in capsys.readouterr().err
 
 
+def test_breakdown_stream_writes_identical_unsorted_file(spark, root):
+    """breakdown --stream: the executor-streamed unsorted form must
+    write byte-identical single-line json.dumps output to the default
+    collect form (same file name, same bytes, no trailing newline)."""
+    bdir = os.path.join(_archive_dir(root), "breakdown")
+    assert cli.main(["--archive-root", root, "breakdown", "-r", "t"]) == 0
+    ref = open(os.path.join(bdir, "t_breakdown.json"), "rb").read()
+    os.remove(os.path.join(bdir, "t_breakdown.json"))
+    assert cli.main(["--archive-root", root, "breakdown", "-r", "t",
+                     "--stream"]) == 0
+    got = open(os.path.join(bdir, "t_breakdown.json"), "rb").read()
+    assert got == ref and not got.endswith(b"\n")
+
+
+def test_breakdown_stream_conflicts_are_usage_errors(root, capsys):
+    """--stream is the unsorted single-file form: combining it with
+    --sort or --sharded is an argparse usage error."""
+    for extra in (["--sort", "name"], ["--sort", "name", "--sharded"]):
+        with pytest.raises(SystemExit) as exc:
+            cli.main(["--archive-root", root, "breakdown", "-r", "t",
+                      "--stream", *extra])
+        assert exc.value.code == 2
+        assert "--stream" in capsys.readouterr().err
+
+
 def test_index_listing_flags(spark, root):
     assert cli.main(["--archive-root", root, "index", "-r", "t",
                      "--score", "--html"]) == 0

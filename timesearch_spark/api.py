@@ -276,7 +276,7 @@ def livestream(archive: Archive, drop_dir: str, once: bool = False,
 
 def breakdown(archive: Archive, sort: str | None = None,
               out_dir: str | None = None, key: str = "author",
-              sharded: bool = False) -> DataFrame | str:
+              sharded: bool = False, streamed: bool = False) -> DataFrame | str:
     """D1 flagship: zero-filled dual counts; writes JSON when out_dir
     given.  ``key`` follows breakdown.py:29-34 — 'author' for a
     subreddit archive, 'subreddit' for a user archive (which subreddits
@@ -284,13 +284,22 @@ def breakdown(archive: Archive, sort: str | None = None,
     the executor-parallel shard form instead of the single driver file
     — the 100× path when distinct keys run to millions; the shard dir's
     content files concatenate in filename order into the identical
-    JSON."""
+    JSON.  ``streamed=True`` (unsorted only) is the 100× path for the
+    single-line ``json.dumps`` contract: identical file bytes at any
+    key count, executor-streamed (write_breakdown_unsorted_streamed)."""
     bd = _breakdown(
         archive.submissions.snapshot(), archive.comments.snapshot(),
         key=key, key_name=key,
     )
     if out_dir is None:
         return bd
+    if streamed:
+        if sort is not None or sharded:
+            raise ValueError("streamed=True is the unsorted single-file "
+                             "form; it conflicts with sort/sharded")
+        return exports.write_breakdown_unsorted_streamed(
+            bd, out_dir, archive.basename, key_name=key
+        )
     if sharded:
         return exports.write_breakdown_sharded(
             bd, out_dir, archive.basename, sort=sort, key_name=key

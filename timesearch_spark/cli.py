@@ -200,7 +200,10 @@ def cmd_breakdown(args):
         # traceback from deep inside the export layer
         args.parser.error("--sharded requires --sort (the unsorted "
                           "contract is a single-line JSON dump that "
-                          "cannot shard)")
+                          "cannot shard; --stream writes it at scale)")
+    if args.stream and (args.sort is not None or args.sharded):
+        args.parser.error("--stream is the unsorted single-file form; "
+                          "it conflicts with --sort/--sharded")
     archive = _archive(args)
     # breakdown.py:29-34: subreddit archive → per-author counts; user
     # archive → per-subreddit counts.  Files land in the breakdown/
@@ -208,7 +211,8 @@ def cmd_breakdown(args):
     key = "subreddit" if args.username is not None else "author"
     out = api.breakdown(archive, sort=args.sort,
                         out_dir=os.path.join(archive.path, "breakdown"),
-                        key=key, sharded=args.sharded)
+                        key=key, sharded=args.sharded,
+                        streamed=args.stream)
     print(out)
     return 0
 
@@ -502,6 +506,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "content files concatenate in filename order into "
                         "the identical JSON; use when distinct keys run to "
                         "millions")
+    p.add_argument("--stream", action="store_true",
+                   help="executor-streamed UNSORTED form (conflicts with "
+                        "--sort/--sharded): identical single-line "
+                        "json.dumps file at any key count, no driver "
+                        "marshaling")
     p.set_defaults(func=cmd_breakdown, parser=p)
 
     p = sub.add_parser("index", aliases=["redmash"],
