@@ -55,6 +55,7 @@ HEADLINE = [
     "pipeline_curate",  # the five-rung curation ladder users actually run
     "tree_depth",
     "thread_pages",  # A10 flagship: full reference-parity page pipeline
+    "thread_page_frags",  # its streamed no-ceiling arm (r12)
     "media_stats",
     # skew-immune exact twins (round 8): same results as their plain
     # forms, hot-key-proof plans — benched so the scaling probe covers

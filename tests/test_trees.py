@@ -439,6 +439,59 @@ def test_thread_pages_scheme_arm_byte_identical(spark, tmp_path):
     assert a == b and a.endswith(b"</html>")
 
 
+def test_offline_reading_stream_arm_byte_identical(spark, tmp_path):
+    """api.offline_reading(stream=True) — the no-ceiling arm end to end
+    — must write the same file SET (zero-comment submissions included,
+    comment-only headless threads excluded) with the same bytes as the
+    fused default, on both the local and the file:// writer paths."""
+    import json
+    import os
+
+    from timesearch_spark import api
+
+    objs = [
+        {"id": "s1", "name": "t3_s1", "created_utc": 100, "author": "ann",
+         "subreddit": "t", "title": "A <b>post</b>", "selftext": "hi *md*",
+         "score": 7, "is_self": True, "over_18": False, "url": None,
+         "num_comments": 3},
+        {"id": "s2", "name": "t3_s2", "created_utc": 110, "author": "bo",
+         "subreddit": "t", "title": "zero comments", "selftext": "",
+         "score": 2, "is_self": False, "over_18": False,
+         "url": "https://example.com/x", "num_comments": 0},
+        {"id": "c1", "name": "t1_c1", "created_utc": 200, "author": "bob",
+         "subreddit": "t", "body": "top *one*", "score": 5,
+         "parent_id": "t3_s1", "link_id": "t3_s1"},
+        {"id": "c2", "name": "t1_c2", "created_utc": 201, "author": "cat",
+         "subreddit": "t", "body": "child", "score": 9,
+         "parent_id": "t1_c1", "link_id": "t3_s1"},
+        # orphan subtree: parent never archived -> absent from the page
+        {"id": "c3", "name": "t1_c3", "created_utc": 202, "author": "dee",
+         "subreddit": "t", "body": "ORPHANMARK", "score": 99,
+         "parent_id": "t1_gone", "link_id": "t3_s1"},
+        # headless thread: comments exist, submission row does not ->
+        # NO page (the reference iterates the submissions table)
+        {"id": "c4", "name": "t1_c4", "created_utc": 203, "author": "eve",
+         "subreddit": "t", "body": "headless", "score": 1,
+         "parent_id": "t3_nosub", "link_id": "t3_nosub"},
+    ]
+    dump = tmp_path / "dump.jsonl"
+    dump.write_text("\n".join(json.dumps(o) for o in objs))
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    api.ingest_jsonfile(ar, str(dump))
+
+    fused = tmp_path / "fused"
+    assert api.offline_reading(ar, str(fused)) == 2
+    for streamed in (tmp_path / "streamed", f"file://{tmp_path}/schemed"):
+        assert api.offline_reading(ar, str(streamed), stream=True) == 2
+        local = str(streamed).removeprefix("file://")
+        assert sorted(os.listdir(local)) == ["t3_s1.html", "t3_s2.html"]
+        for name in ("t3_s1.html", "t3_s2.html"):
+            a = (fused / name).read_bytes()
+            b = open(os.path.join(local, name), "rb").read()
+            assert a == b, f"{name}: streamed bytes diverge"
+        assert b"ORPHANMARK" not in (fused / "t3_s1.html").read_bytes()
+
+
 def test_thread_pages_fuzz_random_forests(spark, tmp_path):
     """Randomized assembly check: 12 seeded threads with deep chains,
     wide fans, multiple roots, MISSING parents (orphan subtrees dropped,
@@ -515,8 +568,21 @@ def test_thread_pages_fuzz_random_forests(spark, tmp_path):
         exp = _expect_page(sub, flat)
         assert pages[sid] == exp, f"{sid} diverges from the recursive oracle"
 
+    # the streamed no-ceiling arm (distributed page-order walk +
+    # O(depth) stack writer) must fold the same forests — orphan drops
+    # included — into byte-identical files
+    from timesearch_spark.operators.exports import write_thread_docs_streamed
+    from timesearch_spark.operators.trees import thread_page_fragments
 
-def test_thread_pages_mixed_case_equal_score_tiebreak(spark):
+    out = tmp_path / "streamed"
+    assert write_thread_docs_streamed(
+        thread_page_fragments(submissions, comments_df), str(out)) == 12
+    for sid, doc in pages.items():
+        got = (out / f"{sid}.html").read_text(encoding="utf-8")
+        assert got == doc, f"{sid}: streamed arm diverges from fused"
+
+
+def test_thread_pages_mixed_case_equal_score_tiebreak(spark, tmp_path):
     """Sibling order at EQUAL scores follows the reference's two stable
     sorts — listnodes pre-sorts children by id.lower() ascending
     (offline_reading.py:146-148), html_from_tree re-sorts by -score
@@ -560,6 +626,16 @@ def test_thread_pages_mixed_case_equal_score_tiebreak(spark):
              for i in ("t1_AB", "t1_ab", "t1_Za", "t1_zB")]
     assert order == sorted(order), "sibling order must be lower-then-created"
 
+    # the streamed arm expresses the same tiebreak as a WINDOW key
+    # (lower(idstr) asc, created asc, idstr asc) — it must agree
+    from timesearch_spark.operators.exports import write_thread_docs_streamed
+    from timesearch_spark.operators.trees import thread_page_fragments
+
+    out = tmp_path / "streamed"
+    assert write_thread_docs_streamed(
+        thread_page_fragments(submissions, comments_df), str(out)) == 1
+    assert (out / "t3_mc.html").read_text(encoding="utf-8") == row["doc"]
+
 
 def test_thread_pages_size_guard_fails_loud(spark):
     """A page holds one whole thread in a single task by design; past
@@ -586,3 +662,47 @@ def test_thread_pages_size_guard_fails_loud(spark):
     [ok] = assemble_thread_pages(df, max_thread_rows=25).collect()
     [default] = assemble_thread_pages(df).collect()
     assert ok["doc"] == default["doc"]  # bound never changes the bytes
+
+
+def test_thread_pages_streamed_writes_past_fused_bound(spark, tmp_path):
+    """The guard's own escape hatch: a thread the fused arm REFUSES
+    (past max_thread_rows) streams through write_thread_docs_streamed —
+    whose per-task state is one Arrow batch + an O(depth) close-tag
+    stack, never the thread — and produces the bytes the fused arm
+    would have at an adequate bound.  The fixture is a 40-deep chain
+    plus a 30-wide fan: the chain drives the drain loop through 40
+    stacked posts, the fan exercises the sibling separator at one
+    level."""
+    import pytest
+
+    from timesearch_spark.operators.exports import write_thread_docs_streamed
+    from timesearch_spark.operators.trees import (
+        assemble_thread_pages,
+        render_thread_pages,
+        thread_page_fragments,
+    )
+
+    rows = [("t3_big", f"t1_c{i:03d}",
+             "t3_big" if i == 0 else f"t1_c{i-1:03d}",
+             100 + i, 1000 - i, "a", f"chain {i}", "t") for i in range(40)]
+    rows += [("t3_big", f"t1_w{i:03d}", "t3_big", 500 + i, i, "w",
+              f"fan {i}", "t") for i in range(30)]
+    schema = ("submission string, idstr string, parent string, "
+              "created long, score long, author string, body string, "
+              "subreddit string")
+    comments = spark.createDataFrame(rows, schema)
+    submissions = spark.createDataFrame(
+        [("t3_big", "op", "big thread", None, "body", 1, 50, "t")],
+        "idstr string, author string, title string, url string, "
+        "selftext string, score long, created long, subreddit string",
+    )
+
+    with pytest.raises(Exception, match="max_thread_rows=50"):
+        assemble_thread_pages(comments, max_thread_rows=50).collect()
+
+    out = tmp_path / "streamed"
+    assert write_thread_docs_streamed(
+        thread_page_fragments(submissions, comments), str(out)) == 1
+    [fused] = render_thread_pages(submissions, comments).collect()
+    got = (out / "t3_big.html").read_text(encoding="utf-8")
+    assert got == fused["doc"]

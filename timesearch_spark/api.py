@@ -330,7 +330,8 @@ def index(archive: Archive, out_dir: str, orderby: str = "date",
 
 def offline_reading(archive: Archive, out_dir: str,
                     specific_submission: str | None = None,
-                    checkpoint_dir: str | None = None) -> int:
+                    checkpoint_dir: str | None = None,
+                    stream: bool = False) -> int:
     """Thread HTML export (§3.3): forest walk → render → one file per
     submission; returns the file count.  ``specific_submission`` renders
     one thread only (the reference's -s, offline_reading.py:393-416) —
@@ -342,7 +343,16 @@ def offline_reading(archive: Archive, out_dir: str,
     :func:`timesearch_spark.fs.derive_checkpoint_dir`) — on a real
     cluster an executor loss mid-walk then recomputes instead of
     failing the export, while plain local archives keep the cheap
-    ``localCheckpoint``."""
+    ``localCheckpoint``.
+
+    ``stream=True`` selects the no-ceiling arm: the distributed
+    pointer-doubling walk orders page fragments and an O(tree depth)
+    stack writer folds them into the SAME bytes
+    (trees.thread_page_fragments → exports.write_thread_docs_streamed)
+    — slower on bounded archives (it pays the walk's rounds plus a
+    fields join the fused one-pass assembler avoids), but a mega-thread
+    past trees.DEFAULT_MAX_THREAD_ROWS streams through one task's
+    O(depth) stack instead of erroring."""
     from timesearch_spark.fs import derive_checkpoint_dir
 
     if checkpoint_dir is None:
@@ -359,10 +369,14 @@ def offline_reading(archive: Archive, out_dir: str,
     # Reference-parity pages (offline_reading.py:201-222,310-312): one
     # complete header+submission+nested-comments+footer page per
     # SUBMISSION row — zero-comment threads included, comment-only
-    # orphan threads excluded, exactly the reference's scope.  Inside,
-    # comment_forest_auto routes only mega-threads (>=5% share AND
-    # >=500k comments) through the distributed pointer-doubling walk —
-    # archives with bounded threads keep the cheap per-partition walk.
+    # orphan threads excluded, exactly the reference's scope.
+    if stream:
+        from timesearch_spark.operators.trees import thread_page_fragments
+
+        frags = thread_page_fragments(
+            submissions, comments, checkpoint_dir=checkpoint_dir
+        )
+        return exports.write_thread_docs_streamed(frags, out_dir)
     pages = render_thread_pages(
         submissions, comments, checkpoint_dir=checkpoint_dir
     )

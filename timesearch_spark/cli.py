@@ -267,6 +267,7 @@ def cmd_offline_reading(args):
         archive, os.path.join(archive.path, "offline_reading"),
         specific_submission=args.specific_submission,
         checkpoint_dir=args.checkpoint_dir,
+        stream=args.stream,
     )
     print(f"offline_reading: {n} threads")
     return 0
@@ -540,6 +541,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", dest="checkpoint_dir", default=None,
                    help="durable checkpoint dir for mega-thread walks "
                         "(cluster runs: survives executor loss)")
+    p.add_argument("--stream", action="store_true",
+                   help="no-ceiling arm: distributed walk + O(depth) "
+                        "stack writer; same bytes, mega-thread safe")
     p.set_defaults(func=cmd_offline_reading)
 
     p = sub.add_parser("merge_db", aliases=["merge-db", "mergedb"],

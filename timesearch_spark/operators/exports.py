@@ -533,6 +533,106 @@ def _write_thread_docs_staged(docs: DataFrame, out_dir: str,
     return n
 
 
+def write_thread_docs_streamed(frags: DataFrame, out_dir: str) -> int:
+    """The page sink with NO per-thread memory ceiling: folds the
+    ordered ``(submission, position, depth, pre, post)`` fragments of
+    :func:`~timesearch_spark.operators.trees.thread_page_fragments` into
+    one ``<submission>.html`` per thread, byte-identical to
+    ``render_thread_pages`` → :func:`write_thread_docs`, streaming each
+    file through a pyarrow output — peak state per writer task is one
+    Arrow batch plus an O(tree depth) stack of close tags, never a whole
+    thread (the fused arm's bound, see trees.DEFAULT_MAX_THREAD_ROWS).
+
+    The fold is the fused assembler's stack, streamed: fragments arrive
+    in (submission, position) order — threads hash-partitioned so each
+    lives wholly in one task, a spill-backed sortWithinPartitions
+    ordering them — and for each fragment the writer closes deeper
+    levels (drain ``post``s), writes the blank-line sibling join where a
+    level already has output (html_from_tree, offline_reading.py:240),
+    writes ``pre`` and pushes ``post``.  The thread's position −1 head
+    fragment carries header+submission block in ``pre`` and the page
+    FOOTER in ``post``, so the final drain emits the footer last with
+    zero special cases.  A thread with no head fragment (comments whose
+    submission was never archived) is consumed but writes nothing — the
+    reference's scope (offline_reading.py:310-312).  Files stage
+    through ``.inprogress`` + rename so a retried task never leaves a
+    torn page.  Returns the number of pages written."""
+    from timesearch_spark.fs import get_fs, pyarrow_fs_uri
+
+    get_fs(frags.sparkSession, out_dir).mkdirs(out_dir)
+    base_uri = pyarrow_fs_uri(out_dir)
+
+    def write_part(batches):
+        import pandas as pd
+
+        fss, base = _open_fs(base_uri)
+
+        cur = None
+        skipping = False
+        stream = None
+        post_stack: list = []
+        count_stack: list = []
+        paths = [None, None]  # (tmp, final) of the open stream
+        n = 0
+
+        def finalize():
+            nonlocal stream, n
+            if stream is None:
+                return
+            while post_stack:
+                stream.write(post_stack.pop().encode("utf-8"))
+            stream.close()
+            stream = None
+            try:  # move() won't overwrite on every store
+                fss.delete_file(paths[1])
+            except Exception:
+                pass
+            fss.move(paths[0], paths[1])
+            n += 1
+
+        for pdf in batches:
+            for sub, pos, d, pre, post in zip(
+                pdf["submission"], pdf["position"], pdf["depth"],
+                pdf["pre"], pdf["post"],
+            ):
+                if sub != cur:
+                    finalize()
+                    post_stack.clear()
+                    count_stack.clear()
+                    count_stack.append(0)
+                    cur = sub
+                    # first fragment in position order must be the head;
+                    # headless threads have no page (reference scope)
+                    skipping = int(pos) >= 0
+                    if not skipping:
+                        paths[1] = base.rstrip("/") + "/" + sub + ".html"
+                        paths[0] = paths[1] + ".inprogress"
+                        stream = fss.open_output_stream(paths[0])
+                if skipping:
+                    continue
+                d = int(d)
+                while len(post_stack) > d:
+                    stream.write(post_stack.pop().encode("utf-8"))
+                    count_stack.pop()
+                if count_stack[-1] > 0:
+                    # blank-line sibling join (offline_reading.py:240)
+                    stream.write(b"\n\n")
+                count_stack[-1] += 1
+                stream.write(pre.encode("utf-8"))
+                post_stack.append(post)
+                count_stack.append(0)
+        finalize()
+        yield pd.DataFrame({"n": [n]})
+
+    counts = (
+        frags.repartition("submission")
+        .sortWithinPartitions("submission", "position")
+        .mapInPandas(write_part, "n long")
+    )
+    total = counts.agg(F.sum("n")).first()[0]
+    return int(total or 0)
+
+
 def _open_fs(uri: str):
     """Resolve a URI to ``(pyarrow FileSystem, path inside it)`` —
     driver AND executor side (no py4j).  Native pyarrow bindings first

@@ -163,6 +163,8 @@ def comment_forest_big(
     comments: DataFrame,
     max_depth: int = 65536,
     checkpoint_dir: str | None = None,
+    page_order: bool = False,
+    drop_orphan_subtrees: bool = False,
 ) -> DataFrame:
     """:func:`comment_forest` for threads too large for one task.
 
@@ -209,7 +211,26 @@ def comment_forest_big(
     equi-join on (submission, ancestor id) plus a LIMIT-1 convergence
     probe — nothing super-linear in thread size ever materializes.
     Path keys cost 8 bytes per ancestor level, so the final
-    position sort shuffles ~8·depth bytes per node."""
+    position sort shuffles ~8·depth bytes per node.
+
+    The two keyword knobs retarget the walk at the PAGE pipeline
+    (:func:`thread_page_fragments`) without touching the default
+    analytics semantics:
+
+    - ``page_order``: sibling visit order becomes the page assembler's
+      (score desc, ``lower(idstr)`` asc, created asc-nulls-first, idstr
+      asc) — offline_reading.py:146-148's ``x[0].lower()`` pre-sort
+      under :211's stable score re-sort, with the assembler's
+      created-asc insertion as the tie.  Requires a ``created`` column
+      (used only in the one sibling window; it never rides the rounds).
+    - ``drop_orphan_subtrees``: phantom nodes get a ``~`` sentinel as
+      their path segment's first character (real segments are all
+      digits), and every row whose root path passes through a phantom —
+      the phantom itself included — is dropped before positions are
+      assigned.  That is the PAGE-scope rule: the reference never
+      attaches phantoms to the root, so orphan subtrees are absent from
+      the page bytes (offline_reading.py:358-366); the analytics
+      default keeps them, separately oracled."""
     root = F.concat(F.lit("t3_"), F.regexp_replace("submission", "^t3_", ""))
 
     def _required(name: str):
@@ -240,6 +261,7 @@ def comment_forest_big(
             F.nanvl(F.col("score").cast("double"), F.lit(0.0)), F.lit(0.0)
         ).alias("__score"),
         root.alias("__root"),
+        *([F.col("created").alias("__created")] if page_order else []),
     )
     known = base.select(
         F.col("submission").alias("__ksub"), F.col("idstr").alias("__kid")
@@ -265,6 +287,7 @@ def comment_forest_big(
                 F.col("__kid").isNull()
                 & ~F.col("parent").startswith("t3_")
             ).alias("__parent_missing"),
+            *(["__created"] if page_order else []),
         )
     )
     phantoms = (
@@ -278,6 +301,8 @@ def comment_forest_big(
             F.lit(0.0).alias("__score"),
             "__root",
             F.lit(True).alias("phantom"),
+            *([F.lit(None).cast(dict(normed.dtypes)["__created"])
+               .alias("__created")] if page_order else []),
         )
     )
     nodes = (
@@ -288,14 +313,33 @@ def comment_forest_big(
 
     # Sibling visit order as a fixed-width sortable segment (width 8 =
     # up to 100M children per parent before overflow).
+    order = (
+        # page order: the assembler's stable sort key — score desc,
+        # id.lower() asc, then created-asc insertion (nulls first, the
+        # order the fused pass's sortWithinPartitions feeds them), then
+        # idstr as the deterministic final tie
+        [F.desc("__score"), F.asc(F.lower(F.col("idstr"))),
+         F.asc_nulls_first("__created"), F.asc("idstr")]
+        if page_order
+        else [F.desc("__score"), F.asc("idstr")]
+    )
     rank = F.row_number().over(
-        Window.partitionBy("submission", "parent").orderBy(
-            F.desc("__score"), F.asc("idstr")
-        )
+        Window.partitionBy("submission", "parent").orderBy(*order)
     )
     # State invariant: ``path`` = rank segments for the chain from the
     # child-of-anc down to this node; ``hops`` = edges from anc to node.
     # A node is DONE when anc == its thread root.
+    seg = F.lpad(rank.cast("string"), 8, "0")
+    if drop_orphan_subtrees:
+        # Phantom segments lead with a sentinel no real (all-digit)
+        # segment contains, so "passed through a phantom" is one
+        # contains() over the concatenated path at the end — the subtree
+        # resolves normally through the rounds (todo drains), then the
+        # whole orphan lineage drops in one filter.  Width stays 8.
+        seg = F.when(
+            F.col("phantom"),
+            F.concat(F.lit("~"), F.lpad(rank.cast("string"), 7, "0")),
+        ).otherwise(seg)
     state = nodes.select(
         "submission",
         "idstr",
@@ -303,7 +347,7 @@ def comment_forest_big(
         "phantom",
         "__root",
         F.col("parent").alias("anc"),
-        F.lpad(rank.cast("string"), 8, "0").alias("path"),
+        seg.alias("path"),
         F.lit(1).alias("hops"),
     )
     from timesearch_spark.fs import checkpointer
@@ -358,6 +402,8 @@ def comment_forest_big(
         todo = advanced.filter(F.col("anc") != F.col("__root"))
 
     resolved = reduce(lambda a, b: a.unionByName(b), done_parts)
+    if drop_orphan_subtrees:
+        resolved = resolved.filter(~F.col("path").contains("~"))
     pos = F.row_number().over(Window.partitionBy("submission").orderBy("path"))
     return resolved.select(
         "submission",
@@ -566,6 +612,65 @@ def _render_body(col) -> F.Column:
     return markdown_render(html_escape(col))
 
 
+def _page_block_renderer():
+    """The Python-side HTML_COMMENT block renderer, shared by the fused
+    page pass (:func:`assemble_thread_pages`) and the streamed fragment
+    arm (:func:`thread_page_fragments`) so the two arms cannot drift a
+    byte: ``block(root, idstr, fields) -> (pre, post)`` splits the
+    rendered block at the children slot.  Markdown arm selection matches
+    functions.markdown_render (offline_reading.py:285-291); NaN-vs-None
+    normalization matches Arrow's nullable hand-off."""
+    import datetime
+
+    from timesearch_spark.functions import HAS_MARKDOWN
+
+    if HAS_MARKDOWN:  # the same arm choice markdown_render makes
+        import markdown as _md
+
+        def md(text):
+            return _md.markdown(text, output_format="html5")
+    else:
+        from timesearch_spark.functions.markdown_lite import render as md
+
+    def norm(v):
+        # Arrow hands nullable columns over with NaN; fold to None
+        return None if v is None or v != v else v
+
+    def human(ts):
+        ts = norm(ts)
+        if ts is None:
+            return "None"
+        return datetime.datetime.utcfromtimestamp(int(ts)).strftime(
+            "%b %d %Y %H:%M:%S")
+
+    def userlink(author):
+        a = "None" if norm(author) is None else str(author)
+        if a.lower() == "[deleted]":
+            return "[deleted]"
+        return f'<a href="https://old.reddit.com/u/{a}">{a}</a>'
+
+    def block(root, idstr, f):
+        sub_bare = root[3:]
+        subreddit = "None" if norm(f.get("subreddit")) is None else f["subreddit"]
+        link = (f"https://old.reddit.com/r/{subreddit}/comments/"
+                f"{sub_bare}/_/{idstr[3:]}")
+        score = norm(f.get("score"))
+        body = norm(f.get("body"))
+        text = COMMENT_FMT % (
+            idstr,
+            userlink(f.get("author")),
+            "None" if score is None else int(score),
+            link,
+            human(f.get("created")),
+            "" if body is None else md(
+                body.replace("<", "&lt;").replace(">", "&rt;")),
+        )
+        pre, _, post = text.partition(_CHILD_SLOT)
+        return pre, post
+
+    return block
+
+
 #: Per-thread row bound for the fused page assembler.  One page = one
 #: task, so one thread's row dicts + rendered parts live in a single
 #: Python worker's memory (~1 KiB/row with rendered HTML): 2M rows is
@@ -616,53 +721,7 @@ def assemble_thread_pages(comments: DataFrame,
     ).sortWithinPartitions("submission", "created")
 
     def render_pages(batches):
-        import datetime
-
-        from timesearch_spark.functions import HAS_MARKDOWN
-
-        if HAS_MARKDOWN:  # the same arm choice markdown_render makes
-            import markdown as _md
-
-            def md(text):
-                return _md.markdown(text, output_format="html5")
-        else:
-            from timesearch_spark.functions.markdown_lite import render as md
-
-        def norm(v):
-            # Arrow hands nullable columns over with NaN; fold to None
-            return None if v is None or v != v else v
-
-        def human(ts):
-            ts = norm(ts)
-            if ts is None:
-                return "None"
-            return datetime.datetime.utcfromtimestamp(int(ts)).strftime(
-                "%b %d %Y %H:%M:%S")
-
-        def userlink(author):
-            a = "None" if norm(author) is None else str(author)
-            if a.lower() == "[deleted]":
-                return "[deleted]"
-            return f'<a href="https://old.reddit.com/u/{a}">{a}</a>'
-
-        def block(root, idstr, f):
-            sub_bare = root[3:]
-            subreddit = "None" if norm(f.get("subreddit")) is None else f["subreddit"]
-            link = (f"https://old.reddit.com/r/{subreddit}/comments/"
-                    f"{sub_bare}/_/{idstr[3:]}")
-            score = norm(f.get("score"))
-            body = norm(f.get("body"))
-            text = COMMENT_FMT % (
-                idstr,
-                userlink(f.get("author")),
-                "None" if score is None else int(score),
-                link,
-                human(f.get("created")),
-                "" if body is None else md(
-                    body.replace("<", "&lt;").replace(">", "&rt;")),
-            )
-            pre, _, post = text.partition(_CHILD_SLOT)
-            return pre, post
+        block = _page_block_renderer()
 
         def assemble(sub, rows):
             root = sub if sub.startswith("t3_") else "t3_" + sub
@@ -758,11 +817,13 @@ def assemble_thread_pages(comments: DataFrame,
                     # than a worker OOM with no cause attached.
                     raise ValueError(
                         f"thread {sub!r} exceeds max_thread_rows="
-                        f"{max_thread_rows} comments; a page holds one "
-                        "whole thread in a single task by design "
-                        "(offline_reading.py renders one file per "
-                        "submission).  If this thread is real, raise "
-                        "max_thread_rows=; if not, the corpus is "
+                        f"{max_thread_rows} comments; the fused "
+                        "assembler holds one whole thread per task by "
+                        "design.  If this thread is real, use the "
+                        "streamed arm (offline_reading --stream / "
+                        "api.offline_reading(stream=True): distributed "
+                        "walk + O(depth) stack writer, same bytes) or "
+                        "raise max_thread_rows=; if not, the corpus is "
                         "mis-keyed — exclude the submission or fix the "
                         "ingest.")
         close_thread()
@@ -770,6 +831,45 @@ def assemble_thread_pages(comments: DataFrame,
             yield pd.DataFrame({"submission": out_subs, "doc": out_docs})
 
     return parted.mapInPandas(render_pages, "submission string, doc string")
+
+
+def _page_head_col() -> F.Column:
+    """Everything on a page ABOVE the comment forest, as one native
+    expression over a submissions row: HTML header (title) + the
+    submission block (html_from_database's tree root, offline_reading.py
+    :201-222).  Shared by :func:`render_thread_pages` (which concats the
+    assembled forest and the footer after it) and
+    :func:`thread_page_fragments` (where it is the thread's first
+    fragment and the footer rides the fragment's ``post``)."""
+    sub_block = F.format_string(
+        SUBMISSION_FMT,
+        F.col("idstr"),
+        _userlink(F.col("author")),
+        F.coalesce(F.col("score").cast("string"), F.lit("None")),
+        _permalink(F.col("subreddit"), F.col("idstr"), F.col("idstr"),
+                   "submission"),
+        F.coalesce(
+            F.date_format(F.from_unixtime(F.col("created")),
+                          "MMM dd yyyy HH:mm:ss"),
+            F.lit("None"),
+        ),
+        F.coalesce(F.col("title"), F.lit("None")),
+        # html_helper_urlortext (offline_reading.py:259-271): url wins,
+        # else rendered selftext, else '' — Python truthiness, so empty
+        # strings fall through like nulls
+        F.when(
+            F.coalesce(F.col("url"), F.lit("")) != "",
+            F.format_string('<a href="%s">%s</a>', F.col("url"), F.col("url")),
+        ).when(
+            F.coalesce(F.col("selftext"), F.lit("")) != "",
+            _render_body(F.col("selftext")),
+        ).otherwise(F.lit("")),
+    )
+    return F.concat(
+        F.format_string(PAGE_HEADER_FMT,
+                        F.coalesce(F.col("title"), F.lit("None"))),
+        sub_block,
+    )
 
 
 def render_thread_pages(
@@ -803,33 +903,8 @@ def render_thread_pages(
     docs = assemble_thread_pages(comments, num_partitions=num_partitions,
                                  max_thread_rows=max_thread_rows)
 
-    sub_block = F.format_string(
-        SUBMISSION_FMT,
-        F.col("idstr"),
-        _userlink(F.col("author")),
-        F.coalesce(F.col("score").cast("string"), F.lit("None")),
-        _permalink(F.col("subreddit"), F.col("idstr"), F.col("idstr"),
-                   "submission"),
-        F.coalesce(
-            F.date_format(F.from_unixtime(F.col("created")),
-                          "MMM dd yyyy HH:mm:ss"),
-            F.lit("None"),
-        ),
-        F.coalesce(F.col("title"), F.lit("None")),
-        # html_helper_urlortext (offline_reading.py:259-271): url wins,
-        # else rendered selftext, else '' — Python truthiness, so empty
-        # strings fall through like nulls
-        F.when(
-            F.coalesce(F.col("url"), F.lit("")) != "",
-            F.format_string('<a href="%s">%s</a>', F.col("url"), F.col("url")),
-        ).when(
-            F.coalesce(F.col("selftext"), F.lit("")) != "",
-            _render_body(F.col("selftext")),
-        ).otherwise(F.lit("")),
-    )
     page = F.concat(
-        F.format_string(PAGE_HEADER_FMT, F.coalesce(F.col("title"), F.lit("None"))),
-        sub_block,
+        _page_head_col(),
         F.coalesce(F.col("doc"), F.lit("")),  # zero-comment: children = ''
         F.lit(PAGE_FOOTER),
     )
@@ -838,3 +913,103 @@ def render_thread_pages(
                          "left")
         .select(F.col("idstr").alias("submission"), page.alias("doc"))
     )
+
+
+def thread_page_fragments(
+    submissions: DataFrame,
+    comments: DataFrame,
+    max_depth: int = 65536,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The page pipeline with NO per-thread memory ceiling: every page,
+    byte-identical to :func:`render_thread_pages`, as an ordered stream
+    of fragments ``(submission, position, depth, pre, post)`` that
+    :func:`~timesearch_spark.operators.exports.write_thread_docs_streamed`
+    folds into files with an O(tree depth) stack — so a 10M-comment
+    mega-thread streams through one writer task instead of OOMing it.
+
+    Shape: the distributed pointer-doubling walk
+    (:func:`comment_forest_big` with ``page_order`` — sibling order
+    (score desc, id.lower() asc, created asc), ``drop_orphan_subtrees``
+    — the reference's never-attached phantoms, offline_reading.py:358-366)
+    assigns every comment its preorder position; one equi-join brings
+    the render fields back to the walked rows; a stateless Arrow pass
+    splits each rendered HTML_COMMENT block at the children slot into
+    (pre, post).  The submissions table contributes position −1
+    fragments: ``pre`` = header + submission block (the exact
+    :func:`_page_head_col` expression the fused arm uses), ``post`` =
+    the page footer — which the writer's stack drain emits LAST, after
+    every comment's close tags, exactly where the fused arm concats it.
+    Comment depths shift +1 so they nest inside the submission
+    fragment's open post.
+
+    This is the SCALE arm: it pays the walk's O(log depth) rounds plus
+    one fields join that the fused one-pass assembler
+    (:func:`assemble_thread_pages`) avoids — keep the fused arm for
+    bounded threads and route here when ``max_thread_rows`` trips.
+    Threads present in ``comments`` but absent from ``submissions``
+    produce comment fragments with no position −1 head; the writer
+    skips headless threads, preserving the reference's scope (pages
+    come from the submissions table, offline_reading.py:310-312)."""
+    norm = F.when(
+        F.col("submission").startswith("t3_"), F.col("submission")
+    ).otherwise(F.concat(F.lit("t3_"), F.col("submission")))
+    comments = comments.withColumn("submission", norm)
+
+    walk = comment_forest_big(
+        comments.select("submission", "idstr", "parent", "score", "created"),
+        max_depth=max_depth,
+        checkpoint_dir=checkpoint_dir,
+        page_order=True,
+        drop_orphan_subtrees=True,
+    )
+    fields = comments.select(
+        F.col("submission").alias("__fsub"),
+        F.col("idstr").alias("__fid"),
+        "created", "score", "author", "body", "subreddit",
+    )
+    joined = walk.join(
+        fields,
+        (walk["submission"] == fields["__fsub"])
+        & (walk["idstr"] == fields["__fid"]),
+    ).select("submission", "idstr", "position", "depth",
+             "created", "score", "author", "body", "subreddit")
+
+    def render_fragments(batches):
+        import pandas as pd
+
+        block = _page_block_renderer()
+        for pdf in batches:
+            pres, posts = [], []
+            for idstr, sub, created, score, author, body, srd in zip(
+                pdf["idstr"], pdf["submission"], pdf["created"],
+                pdf["score"], pdf["author"], pdf["body"], pdf["subreddit"],
+            ):
+                pre, post = block(sub, idstr, {
+                    "created": created, "score": score, "author": author,
+                    "body": body, "subreddit": srd,
+                })
+                pres.append(pre)
+                posts.append(post)
+            yield pd.DataFrame({
+                "submission": pdf["submission"],
+                # comment depths nest INSIDE the submission fragment's
+                # open post (the footer): shift +1 past its level 0
+                "position": pdf["position"].astype("int32"),
+                "depth": (pdf["depth"] + 1).astype("int32"),
+                "pre": pres,
+                "post": posts,
+            })
+
+    frag_schema = ("submission string, position int, depth int, "
+                   "pre string, post string")
+    comment_frags = joined.mapInPandas(render_fragments, frag_schema)
+
+    head_frags = submissions.select(
+        F.col("idstr").alias("submission"),
+        F.lit(-1).cast("int").alias("position"),
+        F.lit(0).cast("int").alias("depth"),
+        _page_head_col().alias("pre"),
+        F.lit(PAGE_FOOTER).alias("post"),
+    )
+    return head_frags.unionByName(comment_frags)

@@ -1311,6 +1311,17 @@ def thread_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     submission (header + submission block + nested comment forest +
     footer, trees.render_thread_pages).  Submissions synthesize from
     orders, comments from the lineitem tree fixture."""
+    submissions, comments = _page_inputs(spark, sf_dir)
+    pages = tr.render_thread_pages(submissions, comments)
+    return pages.select(
+        "submission", F.octet_length("doc").alias("doc_bytes")
+    )
+
+
+def _page_inputs(spark: SparkSession, sf_dir: str):
+    """(submissions, comments) page-pipeline fixture shared by the fused
+    (`thread_pages`) and streamed (`thread_page_frags`) arms — identical
+    inputs so their measured difference is the ARM, not the data."""
     comments = (
         _tree_comments(spark, sf_dir)
         .groupBy("idstr", "parent", "submission", "created")
@@ -1330,9 +1341,25 @@ def thread_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("long").alias("created"),
         F.lit("t").alias("subreddit"),
     )
-    pages = tr.render_thread_pages(submissions, comments)
-    return pages.select(
-        "submission", F.octet_length("doc").alias("doc_bytes")
+    return submissions, comments
+
+
+@q("thread_page_frags")  # rows-only: the streamed NO-CEILING page arm —
+# distributed page-order walk (pointer doubling, orphan subtrees
+# dropped) + per-node block render to ordered (pre, post) fragments; an
+# O(depth) stack writer folds them to byte-identical pages
+# (tests/test_trees.py pins parity against the fused arm on every
+# fixture incl. past-the-bound threads).  Registered for the SCALE
+# story: this is the arm a 10M-comment mega-thread takes.
+def thread_page_frags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/J2 scale arm: trees.thread_page_fragments over the same
+    synthesized inputs as `thread_pages`, reduced to per-thread fragment
+    counts + byte totals so the materialized result stays narrow."""
+    submissions, comments = _page_inputs(spark, sf_dir)
+    frags = tr.thread_page_fragments(submissions, comments)
+    return frags.groupBy("submission").agg(
+        F.count("*").alias("n_frags"),
+        F.sum(F.octet_length("pre") + F.octet_length("post")).alias("frag_bytes"),
     )
 
 
