@@ -168,6 +168,101 @@ def test_offline_reading_writes_thread_files(spark, tmp_path):
     assert doc.count('<div class="comment"') == 3
 
 
+def test_offline_reading_incremental_rerenders_only_changed(spark, tmp_path):
+    """incremental=True: first run renders everything and seeds the
+    fingerprint manifest; an unchanged re-run renders NOTHING; after a
+    delta (new comment on one thread + a brand-new thread) only those
+    threads re-render, byte-identical to a from-scratch full render.
+    Change detection covers the comment multiset AND submission-row
+    render fields (title probed at the fingerprint level —
+    ingest_jsonfile itself is insert-only per the reference)."""
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    p = tmp_path / "dump.jsonl"
+    objs = [_sub(0), _sub(1)] + [_com(i) for i in range(3)]
+    p.write_text("\n".join(json.dumps(o) for o in objs))
+    api.ingest_jsonfile(ar, str(p))
+
+    out = tmp_path / "threads"
+    assert api.offline_reading(ar, str(out), incremental=True) == 2
+    assert os.path.isdir(out / api.PAGE_MANIFEST)
+    first_s0 = (out / "t3_s0.html").read_bytes()
+
+    # unchanged archive: nothing re-renders
+    assert api.offline_reading(ar, str(out), incremental=True) == 0
+
+    # delta: one new comment on s0, one new thread s2; s1 untouched
+    p2 = tmp_path / "dump2.jsonl"
+    p2.write_text("\n".join(json.dumps(o) for o in [
+        _com(9, parent_id="t1_c0", link_id="t3_s0"),
+        _sub(2), _com(7, parent_id="t3_s2", link_id="t3_s2"),
+    ]))
+    api.ingest_jsonfile(ar, str(p2))
+    # prove s1 is NOT re-rendered: remove its page; an incremental run
+    # must not restore it (a full run would)
+    os.remove(out / "t3_s1.html")
+    assert api.offline_reading(ar, str(out), incremental=True) == 2
+    assert not os.path.exists(out / "t3_s1.html")
+    new_s0 = (out / "t3_s0.html").read_bytes()
+    assert new_s0 != first_s0  # picked up the new comment
+
+    # the incremental bytes == a from-scratch full render
+    full = tmp_path / "full"
+    assert api.offline_reading(ar, str(full)) == 3
+    assert new_s0 == (full / "t3_s0.html").read_bytes()
+    assert (out / "t3_s2.html").read_bytes() == \
+        (full / "t3_s2.html").read_bytes()
+
+    # submission-side edits must flip the fingerprint (ingest_jsonfile
+    # is insert-only per the reference, so probe the fingerprint
+    # function directly): title is a render field, a changed title is a
+    # changed fp
+    schema = ("idstr string, author string, title string, url string, "
+              "selftext string, score long, created long, subreddit string")
+    s_a = spark.createDataFrame(
+        [("t3_x", "a", "title A", None, "body", 1, 9, "t")], schema)
+    s_b = spark.createDataFrame(
+        [("t3_x", "a", "title B", None, "body", 1, 9, "t")], schema)
+    empty = spark.createDataFrame(
+        [], "submission string, idstr string, parent string, created long, "
+            "score long, author string, body string, subreddit string")
+    [fa] = api._thread_fingerprints(s_a, empty).collect()
+    [fb] = api._thread_fingerprints(s_b, empty).collect()
+    assert fa["fp"] != fb["fp"]
+
+    # guard: incremental + specific_submission would clobber the
+    # manifest's other rows
+    import pytest
+
+    with pytest.raises(ValueError, match="specific_submission"):
+        api.offline_reading(ar, str(out), specific_submission="s0",
+                            incremental=True)
+
+
+def test_offline_reading_incremental_streamed_arm(spark, tmp_path):
+    """incremental composes with stream=True: the delta routes through
+    the fragment writer and produces the same bytes."""
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    p = tmp_path / "dump.jsonl"
+    p.write_text("\n".join(json.dumps(o) for o in
+                           [_sub(0), _com(0), _com(1)]))
+    api.ingest_jsonfile(ar, str(p))
+
+    out = tmp_path / "threads"
+    assert api.offline_reading(ar, str(out), incremental=True,
+                               stream=True) == 1
+    assert api.offline_reading(ar, str(out), incremental=True,
+                               stream=True) == 0
+    p2 = tmp_path / "dump2.jsonl"
+    p2.write_text(json.dumps(_com(5, parent_id="t1_c0", link_id="t3_s0")))
+    api.ingest_jsonfile(ar, str(p2))
+    assert api.offline_reading(ar, str(out), incremental=True,
+                               stream=True) == 1
+    full = tmp_path / "full"
+    api.offline_reading(ar, str(full))
+    assert (out / "t3_s0.html").read_bytes() == \
+        (full / "t3_s0.html").read_bytes()
+
+
 def test_offline_reading_auto_derives_durable_checkpoint(spark, tmp_path,
                                                          monkeypatch):
     """r9 verdict item 4: a scheme:// archive auto-routes the mega-thread

@@ -328,10 +328,66 @@ def index(archive: Archive, out_dir: str, orderby: str = "date",
     )
 
 
+#: Per-thread change-fingerprint manifest inside an offline_reading
+#: output dir (leading underscore = metadata, like Spark's _SUCCESS).
+PAGE_MANIFEST = "_page_manifest"
+
+
+def _thread_fingerprints(submissions: DataFrame,
+                         comments: DataFrame) -> DataFrame:
+    """(idstr, fp): one render-relevant change fingerprint per thread —
+    equal fp ⟺ the page bytes cannot have changed (64-bit multiset
+    hash, ~2⁻⁶⁴ false-negative; a false negative skips one re-render
+    until the thread next changes, it never corrupts output).
+
+    fp = count ‖ Σ xxhash64(comment render fields) ‖ xxhash64(submission
+    render fields).  The per-row hash feeds one delimited string with an
+    explicit null sentinel (concat_ws/xxhash64 both SKIP nulls, which
+    would make ("x", null) and (null, "x") collide); the order-
+    insensitive combiner is a SUM — not XOR, where duplicate rows cancel
+    — carried in decimal(38,0) so ANSI mode cannot overflow it.  One
+    hash-agg over the comments, no text leaves the executors."""
+    from pyspark.sql import functions as F
+
+    def rowhash(*cols):
+        return F.xxhash64(F.concat_ws(
+            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                      for c in cols]))
+
+    norm = F.when(
+        F.col("submission").startswith("t3_"), F.col("submission")
+    ).otherwise(F.concat(F.lit("t3_"), F.col("submission")))
+    cfp = (
+        comments.withColumn("submission", norm)
+        .groupBy("submission")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(rowhash("idstr", "parent", "created", "score",
+                          "author", "body", "subreddit")
+                  .cast("decimal(38,0)")).alias("__csum"),
+        )
+    )
+    sfp = submissions.select(
+        "idstr",
+        rowhash("idstr", "author", "title", "url", "selftext",
+                "score", "created", "subreddit").alias("__sh"),
+    )
+    return sfp.join(cfp, sfp["idstr"] == cfp["submission"], "left").select(
+        "idstr",
+        F.concat_ws(
+            ":",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("string"),
+            F.coalesce(F.col("__csum").cast("string"), F.lit("0")),
+            F.col("__sh").cast("string"),
+        ).alias("fp"),
+    )
+
+
 def offline_reading(archive: Archive, out_dir: str,
                     specific_submission: str | None = None,
                     checkpoint_dir: str | None = None,
-                    stream: bool = False) -> int:
+                    stream: bool = False,
+                    incremental: bool = False) -> int:
     """Thread HTML export (§3.3): forest walk → render → one file per
     submission; returns the file count.  ``specific_submission`` renders
     one thread only (the reference's -s, offline_reading.py:393-416) —
@@ -352,9 +408,28 @@ def offline_reading(archive: Archive, out_dir: str,
     — slower on bounded archives (it pays the walk's rounds plus a
     fields join the fused one-pass assembler avoids), but a mega-thread
     past trees.DEFAULT_MAX_THREAD_ROWS streams through one task's
-    O(depth) stack instead of erroring."""
+    O(depth) stack instead of erroring.
+
+    ``incremental=True`` re-renders ONLY threads whose render-relevant
+    bytes changed since the last run (new/edited/deleted comments,
+    submission title/selftext/score edits), judged by a per-thread
+    fingerprint manifest kept in ``out_dir/_page_manifest`` — at
+    archive scale a daily delta re-renders the <1% that moved, not
+    millions of unchanged pages.  Composes with ``stream``.  Crash
+    safety: pages are written BEFORE the manifest swaps (staging dir +
+    delete/rename through the fs shim), so an interruption leaves the
+    OLD manifest and the next run merely re-renders the already-written
+    delta — never skips it.  Returns the re-rendered count (0 when
+    nothing changed).  Not combinable with ``specific_submission``
+    (a one-thread fingerprint set would clobber the manifest's other
+    rows)."""
     from timesearch_spark.fs import derive_checkpoint_dir
 
+    if incremental and specific_submission is not None:
+        raise ValueError(
+            "offline_reading: incremental=True cannot be combined with "
+            "specific_submission — the manifest covers the whole "
+            "archive; render the one thread without incremental")
     if checkpoint_dir is None:
         checkpoint_dir = derive_checkpoint_dir(archive.path)
     comments = archive.comments.snapshot()
@@ -366,6 +441,49 @@ def offline_reading(archive: Archive, out_dir: str,
 
         comments = comments.filter(F.col("submission") == sid)
         submissions = submissions.filter(F.col("idstr") == sid)
+
+    manifest_pin = None
+    if incremental:
+        from pyspark.sql import functions as F
+
+        spark = submissions.sparkSession
+        fsh = _fs.get_fs(spark, out_dir)
+        man_path = os.path.join(out_dir, PAGE_MANIFEST)
+        fp = _thread_fingerprints(submissions, comments)
+        if fsh.exists(man_path):
+            old = spark.read.parquet(man_path).select(
+                F.col("idstr").alias("__oid"), F.col("fp").alias("__ofp"))
+            changed = (
+                fp.join(old, fp["idstr"] == old["__oid"], "left")
+                .filter(F.col("__ofp").isNull()
+                        | (F.col("__ofp") != F.col("fp")))
+                .select("idstr")
+            )
+        else:
+            changed = fp.select("idstr")
+        # consumed by both entity filters below (and the manifest swap
+        # re-reads fp): pin so the fingerprint agg runs once
+        manifest_pin = changed.persist()
+        submissions = submissions.join(changed, "idstr", "left_semi")
+        norm = F.when(
+            F.col("submission").startswith("t3_"), F.col("submission")
+        ).otherwise(F.concat(F.lit("t3_"), F.col("submission")))
+        comments = comments.withColumn("submission", norm).join(
+            changed.select(F.col("idstr").alias("submission")),
+            "submission", "left_semi",
+        )
+
+    def _swap_manifest() -> None:
+        # AFTER the pages land: full-corpus fingerprints become the new
+        # manifest via staging dir + delete/rename (old manifest is
+        # still being read lazily until here, so never overwrite in
+        # place)
+        staging = man_path + ".staging"
+        fp.write.mode("overwrite").parquet(staging)
+        if fsh.exists(man_path):
+            fsh.delete(man_path)
+        fsh.rename(staging, man_path)
+        manifest_pin.unpersist()
     # Reference-parity pages (offline_reading.py:201-222,310-312): one
     # complete header+submission+nested-comments+footer page per
     # SUBMISSION row — zero-comment threads included, comment-only
@@ -376,13 +494,17 @@ def offline_reading(archive: Archive, out_dir: str,
         frags = thread_page_fragments(
             submissions, comments, checkpoint_dir=checkpoint_dir
         )
-        return exports.write_thread_docs_streamed(frags, out_dir)
-    pages = render_thread_pages(
-        submissions, comments, checkpoint_dir=checkpoint_dir
-    )
-    # pages end '</html>' with no trailing newline (the reference writes
-    # none) — '>' is the staged arm's separator contract
-    return exports.write_thread_docs(pages, out_dir, line_sep=">")
+        n = exports.write_thread_docs_streamed(frags, out_dir)
+    else:
+        pages = render_thread_pages(
+            submissions, comments, checkpoint_dir=checkpoint_dir
+        )
+        # pages end '</html>' with no trailing newline (the reference
+        # writes none) — '>' is the staged arm's separator contract
+        n = exports.write_thread_docs(pages, out_dir, line_sep=">")
+    if incremental:
+        _swap_manifest()
+    return n
 
 
 # --- merge_db (timesearch.py merge_db) ---------------------------------------

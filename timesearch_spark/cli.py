@@ -268,6 +268,7 @@ def cmd_offline_reading(args):
         specific_submission=args.specific_submission,
         checkpoint_dir=args.checkpoint_dir,
         stream=args.stream,
+        incremental=args.incremental,
     )
     print(f"offline_reading: {n} threads")
     return 0
@@ -544,6 +545,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream", action="store_true",
                    help="no-ceiling arm: distributed walk + O(depth) "
                         "stack writer; same bytes, mega-thread safe")
+    p.add_argument("--incremental", action="store_true",
+                   help="re-render only threads whose fingerprint "
+                        "changed since the last run (manifest in "
+                        "out_dir/_page_manifest)")
     p.set_defaults(func=cmd_offline_reading)
 
     p = sub.add_parser("merge_db", aliases=["merge-db", "mergedb"],
