@@ -46,6 +46,7 @@ HEADLINE = [
     "similarity_topk_lsh",
     "similarity_neardup_blas",
     "text_profile",
+    "text_lm_ppl",  # CCNet-style unigram-LM perplexity filter (r12)
     "events_windows",
     "sessionize",
     "events_asof",

@@ -101,3 +101,102 @@ def test_profile_table_total_on_empty_docs(spark):
         assert rows[empty]["top_bigram_frac"] is None
     assert rows[4]["n_ws"] == 1  # one token: no bigrams, but counted
     assert rows[4]["top_bigram_frac"] is None
+
+
+# --- unigram-LM perplexity filter (CCNet-style) --------------------------------
+
+def test_unigram_lm_matches_pure_python_twin(spark):
+    """Exactness: vocab logps, OOV, per-doc decimal-exact mean logp and
+    ppl all reproduce an independent pure-Python model — including the
+    deterministic (count desc, token asc) vocabulary tiebreak and the
+    round-to-9-then-decimal-sum aggregation contract."""
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rng = random.Random(7)
+    words = ["the", "cat", "sat", "on", "a", "mat", "zip", "qux"]
+    ref_rows = [(i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 12))))
+                for i in range(30)]
+    score_rows = ref_rows[:10] + [
+        (100, "the cat zzz unseen"), (101, "qux qux qux"),
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(score_rows, "doc_id long, text string")
+
+    V = 5
+    vocab, oov = tx.unigram_lm(ref, vocab_size=V, alpha=1.0)
+    got_vocab = {r["token"]: r["logp"] for r in vocab.collect()}
+    got = {r["doc_id"]: r for r in tx.lm_score(docs, vocab, oov).collect()}
+
+    # pure-Python twin
+    counts: dict = {}
+    for _, t in ref_rows:
+        for w in t.lower().split():
+            counts[w] = counts.get(w, 0) + 1
+    n_total = sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    v = min(len(counts), V)
+    denom = n_total + 1.0 * (v + 1)
+    exp_vocab = {w: math.log((c + 1.0) / denom) for w, c in top}
+    exp_oov = math.log(1.0 / denom)
+    assert set(got_vocab) == set(exp_vocab)
+    for w, lp in exp_vocab.items():
+        assert abs(got_vocab[w] - lp) < 1e-12
+    assert abs(oov - exp_oov) < 1e-12
+
+    def r9(x):
+        return Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+
+    for did, text in score_rows:
+        toks = text.lower().split()
+        s = sum(r9(exp_vocab.get(w, exp_oov)) for w in toks)
+        avg = float(s / len(toks))
+        row = got[did]
+        assert row["n_tok"] == len(toks)
+        assert abs(row["avg_logp"] - round(avg, 9)) < 1e-9
+        assert abs(row["ppl"] - round(math.exp(-avg), 6)) < 1e-6
+
+
+def test_lm_score_separates_clean_from_garbage_and_buckets(spark):
+    """The filter's reason to exist: reference-like text scores lower
+    perplexity than token soup; zero-token docs keep a row (n_tok=0,
+    null ppl) and bucket as tail; lm_thresholds + lm_bucket split
+    head/middle/tail at corpus fractions."""
+    clean = "the quick brown fox jumps over the lazy dog and the cat"
+    ref = spark.createDataFrame(
+        [(i, clean) for i in range(20)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, clean), (2, "xqj zvv kpl wmt rrq bbn"), (3, "   ")],
+        "doc_id long, text string")
+    vocab, oov = tx.unigram_lm(ref, vocab_size=100)
+    scored = tx.lm_score(docs, vocab, oov)
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    assert rows[1]["ppl"] < rows[2]["ppl"]
+    assert rows[3]["n_tok"] == 0 and rows[3]["ppl"] is None
+
+    lo, hi = tx.lm_thresholds(scored.filter("n_tok > 0"), (0.5, 0.9))
+    assert lo <= hi
+    # bucket with explicit cut points strictly between the two ppls:
+    # clean lands head, garbage tail, null-ppl (zero-token) tail
+    cut_lo = rows[1]["ppl"] + 0.001
+    cut_hi = rows[2]["ppl"] - 0.001
+    b = {r["doc_id"]: r["bucket"]
+         for r in tx.lm_bucket(scored, cut_lo, cut_hi).collect()}
+    assert b[1] == "head"      # the reference text itself
+    assert b[2] == "tail"      # garbage lands past hi
+    assert b[3] == "tail"      # null ppl -> tail
+
+
+def test_text_lm_ppl_registry_query_is_stable(spark):
+    """The registry entry returns one row per document with run-stable
+    values: two executions hash identically (the decimal-sum contract —
+    float partial-sum ordering must not leak into results)."""
+    from timesearch_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, QUERIES["text_lm_ppl"](spark, sf).collect()))
+    b = sorted(map(tuple, QUERIES["text_lm_ppl"](spark, sf).collect()))
+    assert a == b
+    assert len(a) > 0
+    assert all(r[1] == 0 or r[3] is not None for r in a)  # ppl set iff tokens

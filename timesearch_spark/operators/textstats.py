@@ -277,3 +277,115 @@ def text_profile_table(df, text_col: str = "text", id_col: str = "doc_id"):
         "dup_line_frac",
         "top_bigram_frac",
     )
+
+
+# --- unigram-LM quality filter (CCNet-style perplexity bucketing) -------------
+#
+# Public-literature recipe (CCNet, Wenzek et al. 2020; the reference has
+# nothing like it — pure training-pipeline extension): score every
+# document by its per-token log-probability under a language model
+# built from a trusted reference corpus, then bucket head/middle/tail
+# by perplexity and keep the head.  CCNet uses a KenLM 5-gram; the
+# distributed re-expression here is an add-alpha-smoothed UNIGRAM model
+# — the rank ordering clean-vs-garbage is what the filter needs, and a
+# unigram vocabulary is broadcastable state (top-V tokens), which keeps
+# scoring a single map-side pass at any corpus size.
+
+def unigram_lm(ref: "DataFrame", text_col: str = "text",
+               vocab_size: int = 50_000, alpha: float = 1.0):
+    """Build the model from a trusted reference corpus: returns
+    ``(vocab, oov_logp)`` where ``vocab`` is a (token, logp) DataFrame
+    of the ``vocab_size`` most frequent tokens and ``oov_logp`` the
+    smoothed out-of-vocabulary log-probability.
+
+    logp(t) = ln((c_t + α) / (N + α·(V+1))) with N = total reference
+    token count (ALL tokens, in- and out-of-vocab) and V the realized
+    vocabulary size — one explode + hash-agg over the reference, a
+    global top-V on the (distinct-token-sized) count relation, two
+    scalar aggregates.  Index-BUILD-time op, like similarity
+    .train_codebook: run once, persist the vocab, broadcast at scoring.
+    Vocabulary ties at equal count break on token ascending, so the
+    model is deterministic for a fixed (corpus, vocab_size)."""
+    import math
+
+    counts = (
+        ref.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token").count()
+    )
+    tot = counts.agg(
+        F.sum("count").alias("n"), F.count("*").alias("distinct")
+    ).first()
+    n_total = int(tot["n"] or 0)
+    vocab_counts = (
+        counts.orderBy(F.desc("count"), F.asc("token")).limit(vocab_size)
+    )
+    v = min(int(tot["distinct"] or 0), vocab_size)
+    denom = n_total + alpha * (v + 1)
+    vocab = vocab_counts.select(
+        "token",
+        F.log((F.col("count") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
+    )
+    return vocab, math.log(alpha / denom)
+
+
+def lm_score(docs: "DataFrame", vocab: "DataFrame", oov_logp: float,
+             text_col: str = "text", id_col: str = "doc_id") -> "DataFrame":
+    """(id, n_tok, avg_logp, ppl): per-document mean token
+    log-probability under the :func:`unigram_lm` model and its
+    perplexity ``exp(-avg_logp)`` — lower ppl = more reference-like.
+
+    Shape: explode tokens → broadcast-join the (bounded) vocab →
+    hash-agg per document; the corpus is touched once and nothing
+    driver-side scales with it.  Per-token logp is rounded to 9
+    decimals and summed as decimal(28,9), so the aggregate is EXACT and
+    order-independent — float summation order across partitions would
+    otherwise make equal inputs hash differently run to run (the same
+    determinism recipe the breakdown counters use).  Zero-token
+    documents keep a row with n_tok=0 and null avg/ppl."""
+    tok = docs.select(
+        _c(id_col).alias(id_col),
+        F.explode_outer(tokens(text_col)).alias("token"),
+    )
+    scored = tok.join(F.broadcast(vocab), "token", "left").select(
+        id_col,
+        "token",
+        F.round(F.coalesce(F.col("logp"), F.lit(float(oov_logp))), 9)
+        .cast("decimal(28,9)").alias("__lp"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("token").alias("n_tok"),
+        F.sum(F.when(F.col("token").isNotNull(), F.col("__lp"))).alias("__sum"),
+    )
+    avg = (F.col("__sum") / F.col("n_tok")).cast("double")
+    return agg.select(
+        id_col,
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.when(F.col("n_tok") > 0, F.round(avg, 9)).alias("avg_logp"),
+        F.when(F.col("n_tok") > 0, F.round(F.exp(-avg), 6)).alias("ppl"),
+    )
+
+
+def lm_bucket(scored: "DataFrame", lo: float, hi: float) -> "DataFrame":
+    """CCNet's head/middle/tail split at explicit perplexity thresholds
+    (head = most reference-like).  Thresholds are corpus-level state the
+    caller derives once — e.g. ``lm_thresholds`` — then applies as plain
+    literals, so bucketing stays a map-side CASE with no shuffle; null
+    ppl (zero-token docs) buckets as tail."""
+    return scored.withColumn(
+        "bucket",
+        F.when(F.col("ppl") <= F.lit(lo), F.lit("head"))
+        .when(F.col("ppl") <= F.lit(hi), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
+def lm_thresholds(scored: "DataFrame",
+                  fractions=(1.0 / 3.0, 2.0 / 3.0)) -> tuple[float, float]:
+    """(lo, hi) perplexity cut points at the given corpus fractions —
+    one approx_percentile aggregate (t-digest, executor-side) over the
+    already-narrow score relation."""
+    row = scored.agg(
+        F.percentile_approx("ppl", list(fractions), 10_000).alias("q")
+    ).first()
+    lo, hi = row["q"][0], row["q"][1]
+    return float(lo), float(hi)

@@ -2348,6 +2348,27 @@ def pipeline_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.budget_sample(rekeyed, token_budget=2000)
 
 
+@q("text_lm_ppl")  # rows-only: CCNet-style unigram-LM perplexity filter —
+# vocab built from the even-id half of the corpus, every doc scored by
+# mean token log-prob (decimal-exact sum, so values are run-stable) and
+# bucketed head/middle/tail; pytest pins exactness against an
+# independent DuckDB twin and clean<garbage separation
+def text_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline quality filter (public recipe: CCNet, Wenzek
+    et al. 2020): reference LM from half the corpus, per-doc perplexity
+    over all of it.  One explode + broadcast vocab join + hash-agg —
+    map-side at any scale, the vocabulary is the only state."""
+    from timesearch_spark.operators import textstats as ts
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    vocab, oov = ts.unigram_lm(ref, vocab_size=2000)
+    scored = ts.lm_score(docs, vocab, oov)
+    return ts.lm_bucket(scored, 300.0, 1000.0).select(
+        "doc_id", "n_tok", "avg_logp", "ppl", "bucket"
+    )
+
+
 @q("pipeline_curate")  # end-to-end curation ladder — rows-only + pytest
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-curation composition (pipeline.curate_corpus):
