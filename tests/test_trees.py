@@ -664,6 +664,42 @@ def test_thread_pages_size_guard_fails_loud(spark):
     assert ok["doc"] == default["doc"]  # bound never changes the bytes
 
 
+def test_thread_pages_streamed_deep_chain(spark, tmp_path):
+    """O(depth) claims, pinned at depth 1200: the walk's pointer
+    doubling resolves a 1200-deep chain in O(log depth) rounds, the
+    fragment render is stateless, and the stack writer is ITERATIVE
+    (explicit post stack, no recursion) — Python's default recursion
+    limit (1000) would have died here if any arm recursed.  Bytes match
+    the fused assembler, whose explicit stack is pinned by the same
+    fixture."""
+    from timesearch_spark.operators.exports import write_thread_docs_streamed
+    from timesearch_spark.operators.trees import (
+        render_thread_pages,
+        thread_page_fragments,
+    )
+
+    depth = 1200
+    rows = [("t3_deep", f"t1_d{i:04d}",
+             "t3_deep" if i == 0 else f"t1_d{i-1:04d}",
+             100 + i, 7, "a", f"level {i}", "t") for i in range(depth)]
+    schema = ("submission string, idstr string, parent string, "
+              "created long, score long, author string, body string, "
+              "subreddit string")
+    comments = spark.createDataFrame(rows, schema)
+    submissions = spark.createDataFrame(
+        [("t3_deep", "op", "deep", None, "b", 1, 50, "t")],
+        "idstr string, author string, title string, url string, "
+        "selftext string, score long, created long, subreddit string",
+    )
+    out = tmp_path / "streamed"
+    assert write_thread_docs_streamed(
+        thread_page_fragments(submissions, comments), str(out)) == 1
+    [fused] = render_thread_pages(submissions, comments).collect()
+    got = (out / "t3_deep.html").read_text(encoding="utf-8")
+    assert got == fused["doc"]
+    assert got.count('<div class="comment"') == depth
+
+
 def test_thread_pages_streamed_writes_past_fused_bound(spark, tmp_path):
     """The guard's own escape hatch: a thread the fused arm REFUSES
     (past max_thread_rows) streams through write_thread_docs_streamed —
