@@ -278,6 +278,49 @@ def test_curate_corpus_ladder(spark):
     assert again == {k: v["split"] for k, v in out.items()}
 
 
+def test_curate_corpus_lm_rung(spark):
+    """The optional CCNet-style perplexity rung: a token-soup document
+    that sails through the heuristic gate (English stopwords present,
+    long enough, not repetitive) is dropped by the LM gate; survivors
+    and their splits are identical to the no-LM ladder minus the
+    dropped ids; the rung shows up in metrics; mismatched params
+    raise."""
+    import pytest
+
+    from timesearch_spark.operators.dedup import release_pins
+    from timesearch_spark.operators.pipeline import curate_corpus
+
+    clean = ("the cat sat on the mat and it is a fine day for cats to "
+             "sit %s")
+    rows = [(i, clean % i) for i in range(1, 5)] + [
+        # heuristic-proof garbage: sprinkles stopwords among soup so
+        # lang/stopword/length gates pass, but LM ppl explodes
+        (9, "the xqj of zvv and kpl is wmt the rrq of bbn and qpw is ooz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(100 + i, clean % "extra") for i in range(10)],
+        "doc_id long, text string")
+
+    base = {r["doc_id"]: r["split"] for r in
+            curate_corpus(docs, min_tokens=5).collect()}
+    assert 9 in base  # heuristics alone keep the soup
+
+    m: dict = {}
+    out = curate_corpus(docs, min_tokens=5, lm_ref=ref, lm_ppl_max=25.0,
+                        metrics=m)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert 9 not in got
+    assert got == {k: v for k, v in base.items() if k != 9}
+    assert "lm_gated" in m
+    release_pins(out)
+
+    with pytest.raises(ValueError, match="lm_ref and lm_ppl_max"):
+        curate_corpus(docs, lm_ref=ref)
+    with pytest.raises(ValueError, match="lm_ref and lm_ppl_max"):
+        curate_corpus(docs, lm_ppl_max=100.0)
+
+
 def test_curate_corpus_metrics_rung_counts(spark):
     """metrics={} records each rung boundary; rung_counts turns them
     into row counts in one cache-local job — values must equal what

@@ -645,16 +645,23 @@ def curate_corpus(
     val: float = 0.05,
     metrics: dict | None = None,
     checkpoint_dir: str | None = None,
+    lm_ref: DataFrame | None = None,
+    lm_ppl_max: float | None = None,
+    lm_vocab_size: int = 50_000,
 ) -> DataFrame:
     """The full curation ladder a pretraining pipeline runs, as ONE
     composed plan: optional paragraph-boilerplate removal
     (``paragraph_max_df``) → optional repeated-span removal
     (``span_n`` — the windowed exact-substring rung, one surviving
     winner per span) → quality signals → language/quality gate →
-    exact dedup → minhash near-dup removal (transitively closed) →
-    optional benchmark decontamination (``benchmark``, fraction-gated) →
-    deterministic split.  Output: the surviving docs with
-    (lang_guess, n_ws, split).
+    optional unigram-LM perplexity gate (``lm_ref`` + ``lm_ppl_max``:
+    CCNet-style, drop documents whose ppl under the reference-corpus
+    model exceeds the bound — textstats.unigram_lm/lm_score; the vocab
+    is broadcast state, so the rung is one more map-side pass over the
+    already-gated survivors) → exact dedup → minhash near-dup removal
+    (transitively closed) → optional benchmark decontamination
+    (``benchmark``, fraction-gated) → deterministic split.  Output: the
+    surviving docs with (lang_guess, n_ws, split).
 
     Every rung reuses the scale-shaped operator it names — the profile's
     single explode+agg pass, fingerprint groupBy (8-byte digests, never
@@ -665,9 +672,9 @@ def curate_corpus(
     only carry documents that could survive.
 
     ``metrics``: pass an empty dict and each rung-boundary DataFrame is
-    recorded under its name (``input``, ``gated``, ``exact``,
-    ``neardup``, ``decontaminated``) — the audit a production curation
-    run logs.  After consuming the result (and before
+    recorded under its name (``input``, ``gated``, ``lm_gated`` when the
+    LM rung is on, ``exact``, ``neardup``, ``decontaminated``) — the
+    audit a production curation run logs.  After consuming the result (and before
     ``release_pins``), :func:`rung_counts` turns the dict into row
     counts with one cache-local job over the pinned boundaries.
     """
@@ -707,6 +714,27 @@ def curate_corpus(
     # a loop should dedup.release_pins(result) after consuming it, or
     # the cache entries live for the session.
     gated = obs(docs.join(keep_quality, id_col), "gated").persist()
+
+    if (lm_ref is None) != (lm_ppl_max is None):
+        raise ValueError(
+            "curate_corpus: lm_ref and lm_ppl_max come together — a "
+            "reference corpus without a perplexity bound (or vice "
+            "versa) would silently gate nothing")
+    if lm_ref is not None:
+        # CCNet-style perplexity gate on the heuristic-gated survivors:
+        # the vocab is bounded broadcast state, so this adds one
+        # explode + broadcast-join + hash-agg pass — no new corpus-
+        # sized shuffle — and runs BEFORE dedup for the same reason the
+        # quality gate does (dedup's shuffles only carry keepers).
+        from timesearch_spark.operators.textstats import lm_score, unigram_lm
+
+        vocab, oov = unigram_lm(lm_ref, text_col, vocab_size=lm_vocab_size)
+        keep_lm = (
+            lm_score(gated, vocab, oov, text_col, id_col)
+            .filter((F.col("n_tok") > 0) & (F.col("ppl") <= lm_ppl_max))
+            .select(id_col)
+        )
+        gated = obs(gated.join(keep_lm, id_col, "left_semi"), "lm_gated")
 
     # exact dedup: keep the lowest id of each identical-text group.
     # The persisted rung ALSO materializes the token arrays (__tok):
