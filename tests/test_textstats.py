@@ -200,3 +200,93 @@ def test_text_lm_ppl_registry_query_is_stable(spark):
     assert a == b
     assert len(a) > 0
     assert all(r[1] == 0 or r[3] is not None for r in a)  # ppl set iff tokens
+
+
+def test_bigram_lm_matches_pure_python_twin(spark):
+    """Bigram stupid-backoff exactness against an independent Python
+    model: conditional bigram logps (add-α over c1 + α(V+1)), λ·p_uni
+    backoff for unseen transitions, plain unigram for first tokens,
+    OOV floor, and the decimal aggregation contract."""
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rng = random.Random(11)
+    words = ["the", "cat", "sat", "mat", "ran", "dog"]
+    ref_rows = [(i, " ".join(rng.choice(words) for _ in range(rng.randint(2, 9))))
+                for i in range(25)]
+    score_rows = ref_rows[:8] + [(90, "the cat unseen zz"), (91, "")]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(score_rows, "doc_id long, text string")
+
+    V, B = 4, 10
+    uni, bi, oov = tx.bigram_lm(ref, vocab_size=V, bigram_size=B)
+    got = {r["doc_id"]: r
+           for r in tx.lm_score_bigram(docs, uni, bi, oov).collect()}
+
+    # python twin
+    ucounts: dict = {}
+    bcounts: dict = {}
+    for _, t in ref_rows:
+        ws = t.lower().split()
+        for w in ws:
+            ucounts[w] = ucounts.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bcounts[(a, b)] = bcounts.get((a, b), 0) + 1
+    n_total = sum(ucounts.values())
+    v = min(len(ucounts), V)
+    denom = n_total + 1.0 * (v + 1)
+    topu = dict(sorted(ucounts.items(), key=lambda kv: (-kv[1], kv[0]))[:V])
+    exp_uni = {w: math.log((c + 1.0) / denom) for w, c in topu.items()}
+    exp_oov = math.log(1.0 / denom)
+    topb = sorted(bcounts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:B]
+    exp_bi = {p: math.log((c + 1.0) / (ucounts[p[0]] + 1.0 * (v + 1)))
+              for p, c in topb}
+
+    def r9(x):
+        return Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+
+    lam = math.log(tx.BACKOFF_LAMBDA)
+    for did, text in score_rows:
+        ws = text.lower().split()
+        row = got[did]
+        assert row["n_tok"] == len(ws)
+        if not ws:
+            assert row["ppl"] is None
+            continue
+        lps = []
+        for i, w in enumerate(ws):
+            pu = exp_uni.get(w, exp_oov)
+            if i == 0:
+                lps.append(pu)
+            elif (ws[i - 1], w) in exp_bi:
+                lps.append(exp_bi[(ws[i - 1], w)])
+            else:
+                lps.append(lam + pu)
+        avg = float(sum(r9(x) for x in lps) / len(ws))
+        assert abs(row["avg_logp"] - round(avg, 9)) < 1e-9
+        assert abs(row["ppl"] - round(math.exp(-avg), 6)) < 1e-6
+
+
+def test_bigram_lm_catches_common_word_salad(spark):
+    """The case the unigram filter is BLIND to: salad built from the
+    corpus's most common words has excellent unigram ppl but absurd
+    transitions — the bigram model must rank it behind real text while
+    the unigram model ranks it AHEAD (that inversion is the reason the
+    bigram arm exists)."""
+    ref_rows = [(i, "the cat sat on the mat and the dog ran to the gate")
+                for i in range(15)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the the the and and the")],
+        "doc_id long, text string")
+
+    vocab, oov = tx.unigram_lm(ref, vocab_size=100)
+    u = {r["doc_id"]: r["ppl"]
+         for r in tx.lm_score(docs, vocab, oov).collect()}
+    assert u[2] < u[1]  # unigram is fooled: salad is all top tokens
+
+    uni, bi, boov = tx.bigram_lm(ref, vocab_size=100, bigram_size=1000)
+    b = {r["doc_id"]: r["ppl"]
+         for r in tx.lm_score_bigram(docs, uni, bi, boov).collect()}
+    assert b[1] < b[2]  # transitions expose it

@@ -389,3 +389,135 @@ def lm_thresholds(scored: "DataFrame",
     ).first()
     lo, hi = row["q"][0], row["q"][1]
     return float(lo), float(hi)
+
+
+def bigram_lm(ref: "DataFrame", text_col: str = "text",
+              vocab_size: int = 50_000, bigram_size: int = 200_000,
+              alpha: float = 1.0):
+    """Bigram model with stupid backoff (Brants et al. 2007 — the
+    standard web-scale recipe: no normalized discounting, a fixed
+    backoff penalty): returns ``(uni, bi, oov_logp)`` where ``uni`` is
+    the :func:`unigram_lm` vocabulary, ``bi`` a (w1, w2, logp)
+    DataFrame of the ``bigram_size`` most frequent bigrams with
+    add-α-smoothed CONDITIONAL log-probs ln((c₁₂+α)/(c₁+α·(V+1))), and
+    ``oov_logp`` the unigram OOV floor.  Both tables are bounded
+    broadcast state; ties break (count desc, w1 asc, w2 asc) so the
+    model is deterministic.
+
+    Why a caller wants this over the unigram filter: token-salad built
+    FROM common words ("the the the the …") has excellent unigram
+    probabilities — only transitions expose it.  Scoring backs off to
+    λ·p_uni(w₂) (λ = 0.4) when a bigram is unseen, so the unigram
+    model's behavior is the floor, never the whole story."""
+    toks = ref.select(tokens(text_col).alias("__t"))
+    # unigram counts feed both the top-V vocabulary and the c1 context
+    # denominators, so derive everything from ONE tokenized relation
+    counts = (
+        toks.select(F.explode("__t").alias("token")).groupBy("token").count()
+    )
+    tot = counts.agg(
+        F.sum("count").alias("n"), F.count("*").alias("distinct")
+    ).first()
+    n_total = int(tot["n"] or 0)
+    v = min(int(tot["distinct"] or 0), vocab_size)
+    import math
+
+    denom = n_total + alpha * (v + 1)
+    uni = (
+        counts.orderBy(F.desc("count"), F.asc("token")).limit(vocab_size)
+        .select(
+            "token",
+            F.log((F.col("count") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
+        )
+    )
+    oov_logp = math.log(alpha / denom)
+
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("__t", 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                F.slice("__t", 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    bcounts = pairs.groupBy("w1", "w2").count()
+    c1 = counts.select(F.col("token").alias("w1"), F.col("count").alias("c1"))
+    bi = (
+        bcounts.join(c1, "w1")
+        .orderBy(F.desc("count"), F.asc("w1"), F.asc("w2"))
+        .limit(bigram_size)
+        .select(
+            "w1", "w2",
+            F.log(
+                (F.col("count") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha * (v + 1)))
+            ).alias("logp2"),
+        )
+    )
+    return uni, bi, oov_logp
+
+
+#: stupid-backoff penalty (Brants et al. 2007's fixed λ)
+BACKOFF_LAMBDA = 0.4
+
+
+def lm_score_bigram(docs: "DataFrame", uni: "DataFrame", bi: "DataFrame",
+                    oov_logp: float, text_col: str = "text",
+                    id_col: str = "doc_id") -> "DataFrame":
+    """(id, n_tok, avg_logp, ppl) under the :func:`bigram_lm` model:
+    the first token scores by unigram, token i>0 by the conditional
+    bigram when (wᵢ₋₁, wᵢ) is in the table, else λ·p_uni(wᵢ).  Same
+    scale shape and determinism contract as :func:`lm_score` — explode
+    (token, prev) rows, two broadcast joins against the bounded
+    tables, decimal(28,9) sums of 9-dp-rounded per-token logps."""
+    import math
+
+    # (token, prev) rows WITHOUT carrying the token array through the
+    # Generate (per-element array copies are O(tokens²) per doc):
+    # zip t against null-prepended t — element i is (t[i], t[i-1]),
+    # element 0 gets a null prev, and the zip's padding yields one
+    # trailing (null token, t[n-1]) row that the aggregate's
+    # count(token)/sum-if-token filters already ignore.  Empty and null
+    # docs keep exactly one all-null row → n_tok = 0.
+    t = tokens(text_col)
+    tok = docs.select(
+        _c(id_col).alias(id_col),
+        F.explode_outer(
+            F.arrays_zip(t, F.concat(F.array(F.lit(None).cast("string")), t))
+        ).alias("__p"),
+    ).select(
+        id_col,
+        F.col("__p.0").alias("token"),
+        F.col("__p.1").alias("prev"),
+    )
+    uni2 = uni.select(F.col("token").alias("__ut"), F.col("logp"))
+    bi2 = bi.select(F.col("w1").alias("__b1"), F.col("w2").alias("__b2"),
+                    "logp2")
+    j = (
+        tok.join(F.broadcast(uni2), tok["token"] == uni2["__ut"], "left")
+        .join(
+            F.broadcast(bi2),
+            (tok["prev"] == bi2["__b1"]) & (tok["token"] == bi2["__b2"]),
+            "left",
+        )
+    )
+    p_uni = F.coalesce(F.col("logp"), F.lit(float(oov_logp)))
+    lp = F.when(F.col("logp2").isNotNull(), F.col("logp2")).otherwise(
+        F.when(F.col("prev").isNotNull(),
+               F.lit(math.log(BACKOFF_LAMBDA)) + p_uni).otherwise(p_uni)
+    )
+    scored = j.select(
+        id_col, "token",
+        F.round(lp, 9).cast("decimal(28,9)").alias("__lp"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("token").alias("n_tok"),
+        F.sum(F.when(F.col("token").isNotNull(), F.col("__lp"))).alias("__sum"),
+    )
+    avg = (F.col("__sum") / F.col("n_tok")).cast("double")
+    return agg.select(
+        id_col,
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.when(F.col("n_tok") > 0, F.round(avg, 9)).alias("avg_logp"),
+        F.when(F.col("n_tok") > 0, F.round(F.exp(-avg), 6)).alias("ppl"),
+    )
