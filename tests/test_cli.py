@@ -514,6 +514,43 @@ def test_curate_subcommand(spark, tmp_path, capsys):
     assert kept[0]["doc_id"] == 1 and kept[0]["split"] in ("train", "val", "test")
 
 
+def test_curate_subcommand_lm_flags(spark, tmp_path, capsys):
+    """--lm-ref/--lm-ppl-max run the perplexity rung end-to-end from
+    the CLI (heuristic-proof soup dropped, lm_gated in the rung audit);
+    half-specified flags and --stage-dir composition are usage
+    errors."""
+    import pytest
+
+    clean = "the cat sat on the mat and it is a fine day for cats to sit"
+    docs = [
+        {"doc_id": 1, "source": "w", "lang": "en", "text": clean},
+        {"doc_id": 9, "source": "w", "lang": "en",
+         "text": "the xqj of zvv and kpl is wmt the rrq of bbn and qpw"},
+    ]
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    ref = tmp_path / "ref.jsonl"
+    ref.write_text("\n".join(json.dumps(
+        {"doc_id": 100 + i, "source": "w", "lang": "en", "text": clean})
+        for i in range(10)) + "\n")
+    outdir = str(tmp_path / "curated")
+
+    assert cli.main(["curate", "--input", str(src), "--output", outdir,
+                     "--lm-ref", str(ref), "--lm-ppl-max", "25"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["kept"] == 1
+    assert "lm_gated" in res["rungs"]
+    assert [r["doc_id"] for r in spark.read.parquet(outdir).collect()] == [1]
+
+    with pytest.raises(SystemExit):
+        cli.main(["curate", "--input", str(src), "--output", outdir,
+                  "--lm-ref", str(ref)])
+    with pytest.raises(SystemExit):
+        cli.main(["curate", "--input", str(src), "--output", outdir,
+                  "--lm-ref", str(ref), "--lm-ppl-max", "25",
+                  "--stage-dir", str(tmp_path / "stage")])
+
+
 def test_profile_subcommand(spark, tmp_path, capsys):
     src = str(tmp_path / "t.parquet")
     spark.createDataFrame([(1, "a"), (2, None)], "k long, s string") \

@@ -378,6 +378,11 @@ def cmd_curate(args):
 
     docs = read_docs(args.input)
     bench = read_docs(args.benchmark) if args.benchmark else None
+    if (args.lm_ref is None) != (args.lm_ppl_max is None):
+        raise SystemExit("curate: --lm-ref and --lm-ppl-max come together")
+    if args.lm_ref and args.stage_dir:
+        raise SystemExit("curate: --lm-ref is not supported with "
+                         "--stage-dir yet; run the LM rung unstaged")
     if args.stage_dir:
         # rung-checkpointed run: a killed job restarts from its last
         # committed rung; the committed rungs double as the audit
@@ -415,6 +420,8 @@ def cmd_curate(args):
         span_n=args.span_n,
         span_stride=args.span_stride,
         neardup_threshold=args.neardup,
+        lm_ref=read_docs(args.lm_ref) if args.lm_ref else None,
+        lm_ppl_max=args.lm_ppl_max,
         metrics=metrics,
     )
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
@@ -605,6 +612,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "unset")
     p.add_argument("--span-stride", dest="span_stride", type=int,
                    default=None, help="window stride (default: span-n)")
+    p.add_argument("--lm-ref", dest="lm_ref", default=None,
+                   help="trusted reference corpus (parquet/NDJSON) for "
+                        "the CCNet-style perplexity gate")
+    p.add_argument("--lm-ppl-max", dest="lm_ppl_max", type=float,
+                   default=None,
+                   help="with --lm-ref: drop documents whose unigram-LM "
+                        "perplexity exceeds this bound")
     p.add_argument("--stage-dir", dest="stage_dir", default=None,
                    help="checkpoint each rung here; a killed run resumes "
                         "from its last committed rung")
