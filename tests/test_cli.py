@@ -516,9 +516,9 @@ def test_curate_subcommand(spark, tmp_path, capsys):
 
 def test_curate_subcommand_lm_flags(spark, tmp_path, capsys):
     """--lm-ref/--lm-ppl-max run the perplexity rung end-to-end from
-    the CLI (heuristic-proof soup dropped, lm_gated in the rung audit);
-    half-specified flags and --stage-dir composition are usage
-    errors."""
+    the CLI (heuristic-proof soup dropped, lm_gated in the rung audit),
+    compose with --stage-dir (the rung is committed like any other),
+    and half-specified flags are usage errors."""
     import pytest
 
     clean = "the cat sat on the mat and it is a fine day for cats to sit"
@@ -545,10 +545,18 @@ def test_curate_subcommand_lm_flags(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         cli.main(["curate", "--input", str(src), "--output", outdir,
                   "--lm-ref", str(ref)])
-    with pytest.raises(SystemExit):
-        cli.main(["curate", "--input", str(src), "--output", outdir,
-                  "--lm-ref", str(ref), "--lm-ppl-max", "25",
-                  "--stage-dir", str(tmp_path / "stage")])
+
+    # r12: the rung composes with --stage-dir — committed like any other
+    out2 = str(tmp_path / "curated_staged")
+    stage = tmp_path / "stage"
+    assert cli.main(["curate", "--input", str(src), "--output", out2,
+                     "--lm-ref", str(ref), "--lm-ppl-max", "25",
+                     "--stage-dir", str(stage)]) == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["kept"] == 1
+    assert res2["rungs"].get("lm_gated") == 1
+    assert (stage / "lm_gated" / "_SUCCESS").exists()
+    assert [r["doc_id"] for r in spark.read.parquet(out2).collect()] == [1]
 
 
 def test_profile_subcommand(spark, tmp_path, capsys):

@@ -775,3 +775,77 @@ def test_curate_staged_benchmark_identity_pinned(spark, tmp_path):
             d, store, min_tokens=5, neardup_threshold=0.5,
             benchmark=spark.read.parquet(b2),
         )
+
+
+def test_curate_staged_lm_rung(spark, tmp_path, monkeypatch):
+    """r12: the CCNet-style perplexity rung is CHECKPOINTABLE — staged
+    output with lm_ref/lm_ppl_max is row-identical to the one-shot
+    ladder, the lm_gated rung is committed (resume never re-fits the
+    reference LM), and mixing lm-on / lm-off runs over one store is the
+    loud params error in both directions."""
+    from timesearch_spark.operators import textstats
+    from timesearch_spark.operators.dedup import release_pins
+    from timesearch_spark.operators.pipeline import (
+        curate_corpus, curate_corpus_staged,
+    )
+
+    clean = ("the cat sat on the mat and it is a fine day for cats to "
+             "sit %s")
+    rows = [(i, clean % i) for i in range(1, 5)] + [
+        (9, "the xqj of zvv and kpl is wmt the rrq of bbn and qpw is ooz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(100 + i, clean % "extra") for i in range(10)],
+        "doc_id long, text string")
+
+    one_shot = curate_corpus(docs, min_tokens=5, lm_ref=ref,
+                             lm_ppl_max=25.0)
+    expected = sorted(
+        (r["doc_id"], r["split"]) for r in one_shot.collect()
+    )
+    release_pins(one_shot)
+    assert all(i != 9 for i, _ in expected)  # the LM gate really fired
+
+    store = str(tmp_path / "store_lm")
+    got = sorted(
+        (r["doc_id"], r["split"])
+        for r in curate_corpus_staged(
+            docs, store, min_tokens=5, lm_ref=ref, lm_ppl_max=25.0,
+        ).collect()
+    )
+    assert got == expected
+    assert (tmp_path / "store_lm" / "lm_gated" / "_SUCCESS").exists()
+    lm_ids = {r["doc_id"]
+              for r in spark.read.parquet(f"{store}/lm_gated").collect()}
+    assert 9 not in lm_ids and lm_ids  # rung content is the gated keepers
+
+    # resume never re-fits the reference model
+    def boom(*a, **k):
+        raise AssertionError("unigram_lm re-fit on a committed lm rung")
+
+    monkeypatch.setattr(textstats, "unigram_lm", boom)
+    again = sorted(
+        (r["doc_id"], r["split"])
+        for r in curate_corpus_staged(
+            docs, store, min_tokens=5, lm_ref=ref, lm_ppl_max=25.0,
+        ).collect()
+    )
+    assert again == expected
+    monkeypatch.undo()
+
+    # lm-on store resumed lm-off (and vice versa) is a loud params error
+    with pytest.raises(ValueError, match="has_lm_ref"):
+        curate_corpus_staged(docs, store, min_tokens=5)
+    store_off = str(tmp_path / "store_lm_off")
+    curate_corpus_staged(docs, store_off, min_tokens=5).count()
+    with pytest.raises(ValueError, match="has_lm_ref"):
+        curate_corpus_staged(docs, store_off, min_tokens=5, lm_ref=ref,
+                             lm_ppl_max=25.0)
+
+    # half-configured knobs and a nonexistent stop rung stay loud
+    with pytest.raises(ValueError, match="lm_ref and lm_ppl_max"):
+        curate_corpus_staged(docs, str(tmp_path / "x1"), lm_ref=ref)
+    with pytest.raises(ValueError, match="stop_after='lm_gated'"):
+        curate_corpus_staged(docs, str(tmp_path / "x2"),
+                             stop_after="lm_gated")

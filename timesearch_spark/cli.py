@@ -380,9 +380,6 @@ def cmd_curate(args):
     bench = read_docs(args.benchmark) if args.benchmark else None
     if (args.lm_ref is None) != (args.lm_ppl_max is None):
         raise SystemExit("curate: --lm-ref and --lm-ppl-max come together")
-    if args.lm_ref and args.stage_dir:
-        raise SystemExit("curate: --lm-ref is not supported with "
-                         "--stage-dir yet; run the LM rung unstaged")
     if args.stage_dir:
         # rung-checkpointed run: a killed job restarts from its last
         # committed rung; the committed rungs double as the audit
@@ -398,6 +395,8 @@ def cmd_curate(args):
             neardup_threshold=args.neardup,
             resume=not args.no_resume,
             lease_timeout_sec=args.lease_timeout,
+            lm_ref=read_docs(args.lm_ref) if args.lm_ref else None,
+            lm_ppl_max=args.lm_ppl_max,
         )
         out.write.mode("overwrite").partitionBy("split").parquet(args.output)
         kept = spark.read.parquet(args.output).count()

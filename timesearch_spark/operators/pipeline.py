@@ -785,7 +785,8 @@ def curate_corpus(
 
 #: Rung order for the staged ladder; each entry is a parquet dir under the
 #: store root whose presence (with Spark's _SUCCESS marker) means "completed".
-STAGED_RUNGS = ("input", "gated", "exact", "neardup", "decontaminated", "final")
+STAGED_RUNGS = ("input", "gated", "lm_gated", "exact", "neardup",
+                "decontaminated", "final")
 
 
 def _input_identity(df) -> str | None:
@@ -827,6 +828,9 @@ def curate_corpus_staged(
     resume: bool = True,
     lease_timeout_sec: float | None = None,
     stop_after: str | None = None,
+    lm_ref: DataFrame | None = None,
+    lm_ppl_max: float | None = None,
+    lm_vocab_size: int = 50_000,
 ) -> DataFrame:
     """:func:`curate_corpus` with each rung boundary CHECKPOINTED to
     ``store_dir`` — the fault-tolerance contract a multi-hour corpus
@@ -881,6 +885,16 @@ def curate_corpus_staged(
             "neither configured the input rung is the identity and is "
             "never committed"
         )
+    if (lm_ref is None) != (lm_ppl_max is None):
+        raise ValueError(
+            "curate_corpus_staged: lm_ref and lm_ppl_max come together — "
+            "a reference corpus without a perplexity bound (or vice "
+            "versa) would silently gate nothing")
+    if stop_after == "lm_gated" and lm_ref is None:
+        raise ValueError(
+            "stop_after='lm_gated' needs lm_ref/lm_ppl_max — without "
+            "them that rung does not exist"
+        )
     spark = docs.sparkSession
     fs = fsmod.get_fs(spark, store_dir)
     root = store_dir.rstrip("/")
@@ -896,9 +910,16 @@ def curate_corpus_staged(
         "decontam_n": decontam_n, "decontam_min_frac": decontam_min_frac,
         "train": train, "val": val,
     }
+    if lm_ref is not None:
+        # only present when the rung is ON: a pre-r12 manifest (no lm
+        # keys) stays resumable by an lm-off run, while mixing lm-on
+        # and lm-off runs over one store is the loud params error
+        params.update({"lm_ppl_max": lm_ppl_max,
+                       "lm_vocab_size": lm_vocab_size, "has_lm_ref": True})
     inputs = {
         "docs": _input_identity(docs),
         "benchmark": _input_identity(benchmark),
+        "lm_ref": _input_identity(lm_ref),
     }
 
     with fsmod.WriterLease.maybe(fs, root, lease_timeout_sec):
@@ -912,9 +933,11 @@ def curate_corpus_staged(
                 fs, manifest_path, {"params": params, "inputs": inputs}
             )
         elif prev.get("params") != params:
+            # union of key sets: an lm-on manifest resumed by an lm-off
+            # run differs only by keys ABSENT from the new params
             changed = sorted(
-                k for k in params
-                if prev.get("params", {}).get(k) != params[k]
+                k for k in set(params) | set(prev.get("params", {}))
+                if prev.get("params", {}).get(k) != params.get(k)
             )
             raise ValueError(
                 "curate_corpus_staged: resuming with different parameters "
@@ -940,9 +963,11 @@ def curate_corpus_staged(
                     f"(drifted: {drifted}); pass resume=False to discard "
                     "the stored rungs and rerun"
                 )
+            active = {"docs": True, "benchmark": benchmark is not None,
+                      "lm_ref": lm_ref is not None}
             unverifiable = sorted(
                 k for k in inputs
-                if (k == "docs" or benchmark is not None)
+                if active[k]
                 and (inputs[k] is None or prev_inputs.get(k) is None)
             )
             if unverifiable:
@@ -1011,6 +1036,36 @@ def curate_corpus_staged(
         )
         if stop_after == "gated":
             return cur
+
+        if lm_ref is not None:
+            def build_lm_gated():
+                # same rung as the one-shot ladder (curate_corpus): the
+                # vocab is bounded broadcast state, so this is one
+                # explode + broadcast-join + hash-agg pass over the
+                # heuristic-gated survivors — no corpus-sized shuffle.
+                # Committing it to parquet means a killed run never
+                # re-fits the reference LM: the rung output is the
+                # checkpoint, and the vocab is rebuilt only when the
+                # rung itself must be recomputed.
+                from timesearch_spark.operators.textstats import (
+                    lm_score, unigram_lm,
+                )
+
+                vocab, oov = unigram_lm(
+                    lm_ref, text_col, vocab_size=lm_vocab_size
+                )
+                keep_lm = (
+                    lm_score(cur, vocab, oov, text_col, id_col)
+                    .filter(
+                        (F.col("n_tok") > 0) & (F.col("ppl") <= lm_ppl_max)
+                    )
+                    .select(id_col)
+                )
+                return cur.join(keep_lm, id_col, "left_semi")
+
+            cur = stage("lm_gated", build_lm_gated)
+            if stop_after == "lm_gated":
+                return cur
 
         cur = stage(
             "exact",
