@@ -864,3 +864,64 @@ def test_repeated_spans_pathological_mostly_duplicated_doc(spark):
     # 13.5s at 4x these tokens and grows with tokens x spans; the sweep
     # stays flat (~2s, fixed overhead)
     assert wall < 120, f"pathological doc took {wall:.1f}s"
+
+
+def test_remove_repeated_lines_within(spark):
+    """r12: the WITHIN-document repeated-line rewrite — exact-duplicate
+    non-blank lines drop after their first occurrence, blank lines and
+    order survive, row count is input-preserving, and the plan is pure
+    map-side (zero Exchange).  Exactness pinned against a pure-Python
+    twin over adversarial fixtures + a seeded fuzz."""
+    import random
+
+    from timesearch_spark.operators.dedup import remove_repeated_lines_within
+
+    def twin(text):
+        seen, out = set(), []
+        for ln in text.split("\n"):
+            if ln.strip() == "":
+                out.append(ln)
+            elif ln not in seen:
+                seen.add(ln)
+                out.append(ln)
+        return "\n".join(out), len(text.split("\n")) - len(out)
+
+    fixtures = [
+        "a\nb\na\n\nb\nc",              # interleaved dups across a blank
+        "x\nx\nx",                      # run of identical lines
+        "",                             # empty doc (one empty line)
+        "  \n  \nkeep\n  ",            # whitespace-only lines never drop
+        "one",                          # single line
+        "A\na\nA",                      # case-sensitive: only exact dups
+        "t \nt\nt ",                    # trailing-space variants distinct
+        "\n\nbody\n\n",                # leading/trailing blanks survive
+    ]
+    rng = random.Random(12)
+    vocab = ["alpha", "beta", "gamma", "  ", "", "alpha", "x y z"]
+    for _ in range(30):
+        fixtures.append(
+            "\n".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12)))
+        )
+
+    docs = spark.createDataFrame(
+        list(enumerate(fixtures)), "doc_id long, text string"
+    )
+    out = remove_repeated_lines_within(docs)
+    got = {r["doc_id"]: (r["text"], r["n_removed_lines"])
+           for r in out.collect()}
+    assert len(got) == len(fixtures)  # row-preserving
+    for i, text in enumerate(fixtures):
+        assert got[i] == twin(text), (i, text, got[i], twin(text))
+
+    # map-side contract: no shuffle anywhere in the executed plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # the registry entry runs end-to-end on the documents table
+    import __spark_entry__ as m
+
+    reg = m.queries()["dedup_intra_lines"](spark, "/root/testdata/sf0.001")
+    rows = reg.collect()
+    assert len(rows) > 0
+    assert set(reg.columns) == {"doc_id", "text_bytes", "n_removed_lines"}
+    assert all(r["n_removed_lines"] >= 0 for r in rows)

@@ -1243,6 +1243,63 @@ def remove_repeated_paragraphs(
     )
 
 
+def remove_repeated_lines_within(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal (the Gopher-family
+    repetition REWRITE that complements the `dup_line_frac` FILTER in
+    text_profile_table): inside each document independently, every
+    exact-duplicate non-blank line after its first occurrence is
+    dropped, and the survivors are rejoined in their original order.
+    Blank / whitespace-only lines are never dropped — they carry the
+    paragraph structure.  Duplicate means exact string equality, the
+    same relation `dup_line_frac` counts, so a document this pass
+    rewrites is exactly one that signal flagged.
+
+    Distinct from the two corpus-level rungs: `remove_repeated_paragraphs`
+    drops text that repeats ACROSS documents; this drops text that
+    repeats INSIDE one document (scraped comment sections, pagination
+    artifacts, chat logs echoing a banner every screen).
+
+    Output: (id, text, n_removed_lines) with the input's exact id set —
+    row-preserving and map-side, so it composes anywhere in a ladder
+    without re-keying.
+
+    Scale shape: ZERO shuffle — one whole-row expression per document
+    (`filter` with an index lambda over the split lines; a line is kept
+    iff it is blank or `array_position` finds its first occurrence at
+    its own index).  The per-document cost is O(lines x distinct-lines)
+    string comparisons inside the JVM — the same "line counts are
+    tiny" bound text_profile_table's dup_line_frac already relies on;
+    there is no corpus-sized explode, aggregate, or join to pay, which
+    is what makes this the right 100 TB plan for a per-document
+    rewrite.
+    """
+    lines = F.split(_c(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.trim(x) == "")
+        | (F.array_position(lines, x) == i + F.lit(1)),
+    )
+    # Two-step select: the output text column reuses the INPUT's name,
+    # and Spark's lateral column alias resolution would otherwise bind
+    # any later same-select reference to the rewritten alias instead of
+    # the source column (silently wrong n_removed_lines).
+    staged = df.select(
+        _c(id_col).alias(id_col),
+        F.size(lines).alias("__n_in"),
+        kept.alias("__kept"),
+    )
+    return staged.select(
+        id_col,
+        F.array_join("__kept", "\n").alias(text_col),
+        (F.col("__n_in") - F.size("__kept")).cast("int")
+        .alias("n_removed_lines"),
+    )
+
+
 def remove_repeated_spans(
     df: DataFrame,
     text_col: str = "text",

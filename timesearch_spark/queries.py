@@ -2290,6 +2290,24 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("dedup_intra_lines")  # within-doc repeated-line rewrite — rows-only + pytest
+def dedup_intra_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-line removal
+    (dedup.remove_repeated_lines_within): the Gopher-family repetition
+    REWRITE complementing text_profile's dup_line_frac FILTER — every
+    exact-duplicate non-blank line after its first occurrence inside
+    one document is dropped, blank lines kept, order preserved.  Pure
+    map-side (zero shuffle, plan-pinned in pytest); exactness vs a
+    pure-Python twin is pinned in tests/test_dedup.py."""
+    from timesearch_spark.operators.dedup import remove_repeated_lines_within
+
+    out = remove_repeated_lines_within(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.octet_length("text").alias("text_bytes"),
+        "n_removed_lines",
+    )
+
+
 @q("pipeline_cluster_sample")  # topic-balanced quota — rows-only + pytest
 def pipeline_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-balanced sampling (pipeline.cluster_balanced_sample):
