@@ -2387,6 +2387,26 @@ def text_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("text_lm_ppl_bigram")  # rows-only: stupid-backoff bigram LM scoring —
+# the transition-aware upgrade of text_lm_ppl (catches common-word salad
+# whose unigram ppl is excellent); same decimal-determinism contract,
+# pytest pins exactness against a pure-Python twin
+def text_lm_ppl_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff perplexity (public recipe: Brants et al.
+    2007) over the same half-corpus reference as `text_lm_ppl`: one
+    shifted-zip explode into (token, prev) rows, two broadcast joins
+    against the bounded (vocab, bigram) tables, one hash-agg — still
+    map-side at any corpus size; only the model tables are state."""
+    from timesearch_spark.operators import textstats as ts
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    uni, bi, oov = ts.bigram_lm(ref, vocab_size=2000, bigram_size=20_000)
+    return ts.lm_score_bigram(docs, uni, bi, oov).select(
+        "doc_id", "n_tok", "avg_logp", "ppl"
+    )
+
+
 @q("pipeline_curate")  # end-to-end curation ladder — rows-only + pytest
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-curation composition (pipeline.curate_corpus):
