@@ -47,6 +47,7 @@ HEADLINE = [
     "similarity_neardup_blas",
     "text_profile",
     "text_lm_ppl",  # CCNet-style unigram-LM perplexity filter (r12)
+    "text_lm_ppl_bigram",  # stupid-backoff bigram upgrade (r12)
     "events_windows",
     "sessionize",
     "events_asof",
