@@ -48,6 +48,7 @@ HEADLINE = [
     "text_profile",
     "text_lm_ppl",  # CCNet-style unigram-LM perplexity filter (r12)
     "text_lm_ppl_bigram",  # stupid-backoff bigram upgrade (r12)
+    "text_quality_clf",  # trained hashed-linear quality filter (r12)
     "events_windows",
     "sessionize",
     "events_asof",

@@ -290,3 +290,140 @@ def test_bigram_lm_catches_common_word_salad(spark):
     b = {r["doc_id"]: r["ppl"]
          for r in tx.lm_score_bigram(docs, uni, bi, boov).collect()}
     assert b[1] < b[2]  # transitions expose it
+
+
+def test_quality_classifier_separates_and_is_deterministic(spark):
+    """r12: the fastText-style hashed linear quality filter — trained on
+    clean-vs-soup samples it separates held-out docs decisively; the
+    driver-arm fit is bit-deterministic; zero-token docs score
+    sigmoid(bias); hyperparameter misuse raises."""
+    import pytest
+
+    from timesearch_spark.operators.textstats import (
+        quality_clf_score, train_quality_classifier,
+    )
+
+    clean = ["the cat sat on the mat and it is a fine day %d" % i
+             for i in range(30)]
+    soup = ["xqj zvv kpl wmt rrq bbn qpw ooz vvz %d" % i for i in range(30)]
+    pos = spark.createDataFrame([(t,) for t in clean], "text string")
+    neg = spark.createDataFrame([(t,) for t in soup], "text string")
+    W, b = train_quality_classifier(pos, neg, dim=1 << 12)
+
+    test = spark.createDataFrame(
+        [(1, "the dog sat on the mat on a fine day"),
+         (2, "kpl wmt rrq bbn xqj zvv"),
+         (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tok"], float(r["score"]))
+           for r in quality_clf_score(test, W, b, dim=1 << 12).collect()}
+    assert out[1][1] > 0.9 and out[2][1] < 0.1
+    import math
+    assert out[3][0] == 0
+    assert abs(out[3][1] - 1.0 / (1.0 + math.exp(-b))) < 1e-6
+
+    W2, b2 = train_quality_classifier(pos, neg, dim=1 << 12)
+    assert b2 == b
+    assert sorted((r["idx"], r["w"]) for r in W2.collect()) == \
+        sorted((r["idx"], r["w"]) for r in W.collect())
+
+    with pytest.raises(ValueError, match="hyperparameters"):
+        train_quality_classifier(pos, neg, iters=0)
+    with pytest.raises(ValueError, match="empty training set"):
+        train_quality_classifier(pos.limit(0), neg.limit(0))
+
+
+def test_quality_classifier_distributed_arm_agrees(spark):
+    """Forcing the gate (max_driver_rows=0) takes the relational GD
+    loop: same separation direction and close scores — float gradient
+    summation order differs between arms, so exact equality is not the
+    contract (the docstring says so); scoring itself stays decimal-
+    deterministic either way."""
+    from timesearch_spark.operators.textstats import (
+        quality_clf_score, train_quality_classifier,
+    )
+
+    clean = ["the cat sat on the mat and it is a fine day %d" % i
+             for i in range(20)]
+    soup = ["xqj zvv kpl wmt rrq bbn qpw ooz vvz %d" % i for i in range(20)]
+    pos = spark.createDataFrame([(t,) for t in clean], "text string")
+    neg = spark.createDataFrame([(t,) for t in soup], "text string")
+    kw = dict(dim=1 << 12, iters=60, lr=10.0)
+    Wd, bd = train_quality_classifier(pos, neg, **kw)
+    Wx, bx = train_quality_classifier(pos, neg, max_driver_rows=0, **kw)
+
+    test = spark.createDataFrame(
+        [(1, "the dog sat on the mat on a fine day"),
+         (2, "kpl wmt rrq bbn xqj zvv")],
+        "doc_id long, text string")
+    sd = {r["doc_id"]: float(r["score"])
+          for r in quality_clf_score(test, Wd, bd, dim=1 << 12).collect()}
+    sx = {r["doc_id"]: float(r["score"])
+          for r in quality_clf_score(test, Wx, bx, dim=1 << 12).collect()}
+    assert sd[1] > 0.8 and sx[1] > 0.8
+    assert sd[2] < 0.2 and sx[2] < 0.2
+    for k in sd:
+        assert abs(sd[k] - sx[k]) < 0.05, (k, sd[k], sx[k])
+
+
+def test_quality_clf_score_matches_decimal_twin(spark):
+    """Scoring exactness: a pure-Python Decimal twin — same tokenizer,
+    9-dp per-term rounding, exact decimal summation — reproduces the
+    engine's scores BIT-EQUAL (the idx mapping is fetched from the
+    engine's own hash, since xxhash64 has no pure-Python twin here; the
+    aggregation and rounding semantics are what this pins).  The plan
+    keeps Python out: no row-at-a-time or Arrow eval nodes."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from timesearch_spark.operators.textstats import (
+        _QCLF_SEED, quality_clf_score, train_quality_classifier,
+    )
+
+    dim = 1 << 10
+    pos = spark.createDataFrame(
+        [("the cat sat on the mat and it is fine %d" % i,) for i in range(8)],
+        "text string")
+    neg = spark.createDataFrame(
+        [("zzq vvk ppl mmt and rrq %d" % i,) for i in range(8)],
+        "text string")
+    W, b = train_quality_classifier(pos, neg, dim=dim, iters=40, lr=10.0)
+    wmap = {r["idx"]: r["w"] for r in W.collect()}
+
+    docs = [
+        (1, "The cat SAT on the mat"),
+        (2, "zzq vvk ppl"),
+        (3, "mixed the zzq bag of words"),
+        (4, ""),
+        (5, "  spaced   out   the   cat  "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tok"], r["score"])
+           for r in quality_clf_score(df, W, b, dim=dim).collect()}
+
+    # engine-derived token -> idx map (hash parity by construction)
+    toks = sorted({t for _, tx in docs for t in tx.lower().split()})
+    idx_rows = spark.createDataFrame([(t,) for t in toks], "t string").select(
+        "t", F.pmod(F.xxhash64(F.lit(_QCLF_SEED), F.col("t")), F.lit(dim))
+        .cast("int").alias("idx")).collect()
+    idx_of = {r["t"]: r["idx"] for r in idx_rows}
+
+    import math
+    for did, tx in docs:
+        tl = [t for t in tx.lower().strip().split()]
+        tl = [t for t in tl if t]
+        n = len(tl)
+        # per-(id, idx) grouping: sum count/n per distinct idx then round
+        z = Decimal(0)
+        from collections import Counter
+        cnt = Counter(idx_of[t] for t in tl)
+        for ix, c in cnt.items():
+            z += Decimal(str(round((c / n) * wmap.get(ix, 0.0), 9)))
+        score = round(1.0 / (1.0 + math.exp(-(float(z) + b))), 9)
+        assert got[did][0] == n
+        assert float(got[did][1]) == score, (did, got[did], score)
+
+    plan = quality_clf_score(df, W, b, dim=dim) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan

@@ -12,7 +12,7 @@ the training-pipeline extension mandated by the build brief.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from timesearch_spark.operators.dedup import tokens
@@ -520,4 +520,230 @@ def lm_score_bigram(docs: "DataFrame", uni: "DataFrame", bi: "DataFrame",
         F.col("n_tok").cast("long").alias("n_tok"),
         F.when(F.col("n_tok") > 0, F.round(avg, 9)).alias("avg_logp"),
         F.when(F.col("n_tok") > 0, F.round(F.exp(-avg), 6)).alias("ppl"),
+    )
+
+
+# --- hashed linear quality classifier (fastText-style filter) ----------------
+#
+# The third standard curation filter (public recipe: fastText-style
+# quality classifiers as used by CCNet/RefinedWeb-class pipelines, and
+# GPT-3's WebText-vs-CommonCrawl logistic filter, Brown et al. 2020):
+# a linear model over hashed bag-of-tokens features, trained from a
+# small labeled sample (reference-quality docs vs rejects), scoring the
+# full corpus map-side.  Neither pyspark.ml's HashingTF hash (MLlib's
+# murmur variant has no Spark-SQL expression twin) nor any external lib
+# is involved: the feature space is pmod(xxhash64('qclf', token), dim),
+# identical — and verifiable — on the train and score paths.
+
+#: feature-hash seed tag; scoring and training must agree on it
+_QCLF_SEED = "qclf"
+
+
+def _qclf_feature_rows(docs: "DataFrame", text_col: str, id_col: str,
+                       dim: int) -> "DataFrame":
+    """(id, idx, x) hashed-tf rows: x = count(token)/n_tok per document
+    (length-normalized, so score magnitude is length-invariant), plus
+    one BIAS row (idx = -1, x = 1.0) per document — the bias is just
+    another weight, which keeps every doc represented (zero-token docs
+    still carry their bias row) and the gradient relation uniform."""
+    tok = docs.select(
+        _c(id_col).alias(id_col),
+        F.explode(tokens(text_col)).alias("__t"),
+    ).select(
+        id_col,
+        F.pmod(F.xxhash64(F.lit(_QCLF_SEED), F.col("__t")), F.lit(dim))
+        .cast("int").alias("idx"),
+    )
+    counts = tok.groupBy(id_col, "idx").agg(F.count("*").alias("__c"))
+    n_tok = F.sum("__c").over(Window.partitionBy(id_col))
+    tf = counts.select(
+        id_col, "idx",
+        (F.col("__c").cast("double") / n_tok).alias("x"),
+    )
+    bias = docs.select(
+        _c(id_col).alias(id_col),
+        F.lit(-1).cast("int").alias("idx"),
+        F.lit(1.0).alias("x"),
+    )
+    return tf.unionByName(bias)
+
+
+def train_quality_classifier(
+    pos: "DataFrame",
+    neg: "DataFrame",
+    text_col: str = "text",
+    dim: int = 1 << 16,
+    iters: int = 200,
+    lr: float = 10.0,
+    reg: float = 1e-6,
+    max_driver_rows: int = 2_000_000,
+):
+    """Fit the logistic model; returns ``(weights, bias)`` where
+    ``weights`` is a (idx, w) DataFrame of the NONZERO coordinates
+    (bounded by ``dim`` — broadcast state, like the LM vocab) and
+    ``bias`` a float.  Full-batch gradient descent with fixed
+    (iters, lr, reg), so the fit is deterministic for fixed inputs.
+
+    Two arms behind one contract, picked by a LIMIT probe on the
+    feature-row count (the connected_components gate shape):
+
+    - **driver arm** (feature rows <= ``max_driver_rows``, the normal
+      case — quality classifiers train on samples of ~10^4..10^5 docs):
+      collect the (ord, idx, x, y) numerics once and run the GD loop in
+      numpy — zero per-iteration Spark jobs.  ~20 bytes/row bounds the
+      transfer (2M rows ~= 40 MB).
+    - **distributed arm** above the gate: the identical update computed
+      relationally — per iteration, score docs via a broadcast join
+      against the current weight table, then aggregate per-coordinate
+      gradients and COLLECT them (bounded by ``dim``, never by docs);
+      weights update driver-side between iterations.  2 shuffles/iter
+      over the cached feature rows.
+
+    Gradient float summation order differs between arms (and across
+    partitionings), so weights agree only to float tolerance — model
+    STATE is fit once and persisted, unlike scoring, which uses the
+    decimal determinism recipe (:func:`quality_clf_score`)."""
+    import numpy as np
+
+    if iters < 1 or lr <= 0 or dim < 2 or reg < 0:
+        raise ValueError("train_quality_classifier: bad hyperparameters")
+    spark = pos.sparkSession
+    labeled = pos.select(_c(text_col).alias("__text"), F.lit(1.0).alias("y")) \
+        .unionByName(
+            neg.select(_c(text_col).alias("__text"), F.lit(0.0).alias("y")))
+    # dense doc ordinals: deterministic (text, y) ordering, one bounded
+    # window — the training set is a labeled SAMPLE by contract
+    docs = labeled.withColumn(
+        "__ord",
+        F.row_number().over(Window.orderBy("__text", "y")) - 1,
+    )
+    feats = _qclf_feature_rows(docs, "__text", "__ord", dim).join(
+        docs.select("__ord", "y"), "__ord"
+    ).select("__ord", "idx", "x", "y").persist()
+    try:
+        n_rows = feats.limit(max_driver_rows + 1).count()
+        n_docs = docs.count()
+        if n_docs == 0:
+            raise ValueError("train_quality_classifier: empty training set")
+
+        w = np.zeros(dim, dtype=np.float64)
+        b = 0.0
+        if n_rows <= max_driver_rows:
+            pdf = feats.toPandas()
+            ordv = pdf["__ord"].to_numpy(np.int64)
+            idxv = pdf["idx"].to_numpy(np.int64)
+            xv = pdf["x"].to_numpy(np.float64)
+            # y per ordinal (rows repeat it; take any occurrence)
+            yv = np.zeros(n_docs, dtype=np.float64)
+            yv[ordv] = pdf["y"].to_numpy(np.float64)
+            is_bias = idxv < 0
+            for _ in range(iters):
+                z = np.zeros(n_docs, dtype=np.float64)
+                np.add.at(z, ordv[~is_bias], xv[~is_bias] * w[idxv[~is_bias]])
+                z += b  # every doc has exactly one bias row with x=1
+                p = 1.0 / (1.0 + np.exp(-z))
+                diff = (p - yv) / n_docs
+                g = np.zeros(dim, dtype=np.float64)
+                np.add.at(g, idxv[~is_bias], xv[~is_bias] * diff[ordv[~is_bias]])
+                w -= lr * (g + reg * w)
+                b -= lr * float(diff.sum())
+        else:
+            from pyspark.sql import types as T
+
+            wschema = T.StructType([
+                T.StructField("idx", T.IntegerType()),
+                T.StructField("w", T.DoubleType()),
+            ])
+            for _ in range(iters):
+                nz = [(int(i), float(w[i])) for i in np.nonzero(w)[0]]
+                wdf = spark.createDataFrame(nz + [(-1, float(b))], wschema)
+                scored = (
+                    feats.join(F.broadcast(wdf), "idx", "left")
+                    .groupBy("__ord", "y")
+                    .agg(F.sum(F.col("x") * F.coalesce("w", F.lit(0.0)))
+                         .alias("z"))
+                    .select(
+                        "__ord",
+                        ((F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))))
+                         - F.col("y")).alias("__d"),
+                    )
+                )
+                g_rows = (
+                    feats.join(scored, "__ord")
+                    .groupBy("idx")
+                    .agg((F.sum(F.col("x") * F.col("__d")) / F.lit(n_docs))
+                         .alias("g"))
+                    .collect()
+                )
+                g = np.zeros(dim, dtype=np.float64)
+                gb = 0.0
+                for r in g_rows:
+                    if r["idx"] < 0:
+                        gb = float(r["g"])
+                    else:
+                        g[r["idx"]] = float(r["g"])
+                w -= lr * (g + reg * w)
+                b -= lr * gb
+    finally:
+        feats.unpersist()
+    nz = [(int(i), float(w[i])) for i in np.nonzero(w)[0]]
+    from pyspark.sql import types as T
+
+    weights = spark.createDataFrame(
+        nz or [(0, 0.0)],
+        T.StructType([T.StructField("idx", T.IntegerType()),
+                      T.StructField("w", T.DoubleType())]),
+    )
+    if not nz:
+        weights = weights.limit(0)
+    return weights, float(b)
+
+
+def quality_clf_score(docs: "DataFrame", weights: "DataFrame", bias: float,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      dim: int = 1 << 16) -> "DataFrame":
+    """(id, n_tok, score): P(quality) under the trained model —
+    sigmoid(bias + Σ tf(token)·w[hash(token) % dim]).
+
+    Shape: explode tokens → broadcast-join the (bounded) weight table →
+    hash-agg per document — the lm_score plan, map-side at any corpus
+    size.  Per-term contributions are rounded to 9 decimals and summed
+    as decimal(28,9) (the lm_score determinism recipe), so equal inputs
+    score identically run to run regardless of partitioning.
+    Zero-token documents keep a row with n_tok=0 and score =
+    sigmoid(bias)."""
+    tok = docs.select(
+        _c(id_col).alias(id_col),
+        F.explode_outer(tokens(text_col)).alias("__t"),
+    ).select(
+        id_col,
+        F.when(F.col("__t").isNotNull(),
+               F.pmod(F.xxhash64(F.lit(_QCLF_SEED), F.col("__t")),
+                      F.lit(dim)).cast("int")).alias("idx"),
+    )
+    counts = tok.groupBy(id_col, "idx").agg(F.count("idx").alias("__c"))
+    n_tok = F.sum("__c").over(Window.partitionBy(id_col))
+    contrib = (
+        counts.join(F.broadcast(weights), "idx", "left")
+        .select(
+            id_col,
+            "__c",
+            # try_divide, not `/`: ANSI raises DIVIDE_BY_ZERO on the 0/0
+            # of a zero-token document; the contract is a null term there
+            F.round(
+                F.try_divide(F.col("__c").cast("double"), n_tok)
+                * F.coalesce("w", F.lit(0.0)),
+                9,
+            ).cast("decimal(28,9)").alias("__zc"),
+        )
+    )
+    agg = contrib.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tok"),
+        F.sum("__zc").alias("__z"),
+    )
+    z = F.coalesce(F.col("__z").cast("double"), F.lit(0.0)) + F.lit(float(bias))
+    return agg.select(
+        id_col,
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9).alias("score"),
     )

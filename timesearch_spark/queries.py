@@ -2407,6 +2407,31 @@ def text_lm_ppl_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("text_quality_clf")  # rows-only: fastText-style hashed linear quality
+# classifier — the third standard curation filter (heuristic gate + LM
+# ppl + trained classifier); bounded driver-arm training, map-side
+# decimal-deterministic scoring; pytest pins exactness and both arms
+def text_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier filter (public recipe: the WebText-vs-
+    CommonCrawl logistic filter, Brown et al. 2020, with hashed
+    bag-of-tokens features): in-corpus supervision — positives are a
+    deterministic sample of the documents, negatives their
+    character-reversed texts (reversed English tokenizes to non-English
+    garbage) — then every document scored map-side: explode tokens →
+    broadcast weight join → decimal-summed hash-agg, the lm_score plan
+    shape.  Training is the bounded sample by contract; scoring is the
+    100 TB path."""
+    from timesearch_spark.operators.textstats import (
+        quality_clf_score, train_quality_classifier,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("doc_id") % 5 == 0).select("text")
+    neg = pos.select(F.reverse("text").alias("text"))
+    W, b = train_quality_classifier(pos, neg, dim=1 << 14, iters=100)
+    return quality_clf_score(docs, W, b, dim=1 << 14)
+
+
 @q("pipeline_curate")  # end-to-end curation ladder — rows-only + pytest
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-curation composition (pipeline.curate_corpus):
