@@ -775,3 +775,53 @@ def test_curate_subcommand_staged(spark, tmp_path, capsys):
     res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res2["rungs"] == res["rungs"] and res2["kept"] == 1
     assert os.path.getmtime(os.path.join(stage, "final", "_SUCCESS")) == before
+
+
+def test_curate_subcommand_clf_flags(spark, tmp_path, capsys):
+    """r12: --clf-pos/--clf-neg/--clf-min-score run the trained-
+    classifier gate end-to-end (heuristic-proof soup dropped, clf_gated
+    in the audit), compose with --stage-dir, and partial flags are
+    usage errors."""
+    import pytest
+
+    clean = "the cat sat on the mat and it is a fine day for cats to sit"
+    soup = "the xqj of zvv and kpl is wmt the rrq of bbn and qpw is ooz"
+    docs = [
+        {"doc_id": 1, "source": "w", "lang": "en", "text": clean},
+        {"doc_id": 9, "source": "w", "lang": "en", "text": soup},
+    ]
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    posf = tmp_path / "pos.jsonl"
+    posf.write_text("\n".join(json.dumps(
+        {"doc_id": 100 + i, "source": "w", "lang": "en",
+         "text": clean + f" p{i}"}) for i in range(10)) + "\n")
+    negf = tmp_path / "neg.jsonl"
+    negf.write_text("\n".join(json.dumps(
+        {"doc_id": 200 + i, "source": "w", "lang": "en",
+         "text": f"the a{i} of b{i} and c{i} is d{i} the e{i} of f{i}"})
+        for i in range(10)) + "\n")
+    outdir = str(tmp_path / "curated_clf")
+
+    assert cli.main(["curate", "--input", str(src), "--output", outdir,
+                     "--clf-pos", str(posf), "--clf-neg", str(negf),
+                     "--clf-min-score", "0.5"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["kept"] == 1
+    assert "clf_gated" in res["rungs"]
+    assert [r["doc_id"] for r in spark.read.parquet(outdir).collect()] == [1]
+
+    with pytest.raises(SystemExit):
+        cli.main(["curate", "--input", str(src), "--output", outdir,
+                  "--clf-pos", str(posf)])
+
+    out2 = str(tmp_path / "curated_clf_staged")
+    stage = tmp_path / "stage_clf"
+    assert cli.main(["curate", "--input", str(src), "--output", out2,
+                     "--clf-pos", str(posf), "--clf-neg", str(negf),
+                     "--clf-min-score", "0.5",
+                     "--stage-dir", str(stage)]) == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["kept"] == 1
+    assert res2["rungs"].get("clf_gated") == 1
+    assert (stage / "clf_gated" / "_SUCCESS").exists()

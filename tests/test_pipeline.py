@@ -849,3 +849,108 @@ def test_curate_staged_lm_rung(spark, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="stop_after='lm_gated'"):
         curate_corpus_staged(docs, str(tmp_path / "x2"),
                              stop_after="lm_gated")
+
+
+def test_curate_corpus_clf_rung(spark):
+    """r12: the trained-classifier gate — heuristic-proof soup (passes
+    lang/length/repetition) is dropped by the classifier rung; survivors
+    and splits are identical to the no-clf ladder minus the drops; the
+    rung appears in metrics; partial params raise."""
+    import pytest
+
+    from timesearch_spark.operators.dedup import release_pins
+    from timesearch_spark.operators.pipeline import curate_corpus
+
+    clean = ("the cat sat on the mat and it is a fine day for cats to "
+             "sit %s")
+    soup_t = "the %s of %s and %s is %s the %s of %s and %s is %s"
+    rows = [(i, clean % i) for i in range(1, 5)] + [
+        (9, soup_t % ("xqj", "zvv", "kpl", "wmt", "rrq", "bbn", "qpw", "ooz")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = spark.createDataFrame(
+        [(clean % f"p{i}",) for i in range(10)], "text string")
+    neg = spark.createDataFrame(
+        [(soup_t % tuple(f"w{i}{j}" for j in range(8)),) for i in range(10)],
+        "text string")
+
+    base = {r["doc_id"]: r["split"] for r in
+            curate_corpus(docs, min_tokens=5).collect()}
+    assert 9 in base  # heuristics alone keep the soup
+
+    m: dict = {}
+    out = curate_corpus(docs, min_tokens=5, clf_pos=pos, clf_neg=neg,
+                        clf_min_score=0.5, clf_dim=1 << 12, metrics=m)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert 9 not in got
+    assert got == {k: v for k, v in base.items() if k != 9}
+    assert "clf_gated" in m
+    release_pins(out)
+
+    with pytest.raises(ValueError, match="clf_pos, clf_neg and"):
+        curate_corpus(docs, clf_pos=pos, clf_neg=neg)
+    with pytest.raises(ValueError, match="clf_pos, clf_neg and"):
+        curate_corpus(docs, clf_min_score=0.5)
+
+
+def test_curate_staged_clf_rung(spark, tmp_path, monkeypatch):
+    """r12: the classifier rung is CHECKPOINTABLE — staged output
+    row-identical to one-shot, the clf_gated rung committed (resume
+    never refits the model), and mixing clf-on / clf-off runs over one
+    store is the loud params error both ways."""
+    from timesearch_spark.operators import textstats
+    from timesearch_spark.operators.dedup import release_pins
+    from timesearch_spark.operators.pipeline import (
+        curate_corpus, curate_corpus_staged,
+    )
+
+    clean = ("the cat sat on the mat and it is a fine day for cats to "
+             "sit %s")
+    soup_t = "the %s of %s and %s is %s the %s of %s and %s is %s"
+    rows = [(i, clean % i) for i in range(1, 5)] + [
+        (9, soup_t % ("xqj", "zvv", "kpl", "wmt", "rrq", "bbn", "qpw", "ooz")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = spark.createDataFrame(
+        [(clean % f"p{i}",) for i in range(10)], "text string")
+    neg = spark.createDataFrame(
+        [(soup_t % tuple(f"w{i}{j}" for j in range(8)),) for i in range(10)],
+        "text string")
+    kw = dict(min_tokens=5, clf_pos=pos, clf_neg=neg, clf_min_score=0.5,
+              clf_dim=1 << 12)
+
+    one_shot = curate_corpus(docs, **kw)
+    expected = sorted((r["doc_id"], r["split"]) for r in one_shot.collect())
+    release_pins(one_shot)
+    assert all(i != 9 for i, _ in expected)
+
+    store = str(tmp_path / "store_clf")
+    got = sorted(
+        (r["doc_id"], r["split"])
+        for r in curate_corpus_staged(docs, store, **kw).collect()
+    )
+    assert got == expected
+    assert (tmp_path / "store_clf" / "clf_gated" / "_SUCCESS").exists()
+
+    def boom(*a, **k):
+        raise AssertionError("classifier refit on a committed clf rung")
+
+    monkeypatch.setattr(textstats, "train_quality_classifier", boom)
+    again = sorted(
+        (r["doc_id"], r["split"])
+        for r in curate_corpus_staged(docs, store, **kw).collect()
+    )
+    assert again == expected
+    monkeypatch.undo()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="has_clf_ref"):
+        curate_corpus_staged(docs, store, min_tokens=5)
+    store_off = str(tmp_path / "store_clf_off")
+    curate_corpus_staged(docs, store_off, min_tokens=5).count()
+    with pytest.raises(ValueError, match="has_clf_ref"):
+        curate_corpus_staged(docs, store_off, **kw)
+    with pytest.raises(ValueError, match="stop_after='clf_gated'"):
+        curate_corpus_staged(docs, str(tmp_path / "x3"),
+                             stop_after="clf_gated")

@@ -380,6 +380,11 @@ def cmd_curate(args):
     bench = read_docs(args.benchmark) if args.benchmark else None
     if (args.lm_ref is None) != (args.lm_ppl_max is None):
         raise SystemExit("curate: --lm-ref and --lm-ppl-max come together")
+    clf_given = [args.clf_pos is not None, args.clf_neg is not None,
+                 args.clf_min_score is not None]
+    if any(clf_given) and not all(clf_given):
+        raise SystemExit("curate: --clf-pos, --clf-neg and "
+                         "--clf-min-score come together")
     if args.stage_dir:
         # rung-checkpointed run: a killed job restarts from its last
         # committed rung; the committed rungs double as the audit
@@ -397,6 +402,9 @@ def cmd_curate(args):
             lease_timeout_sec=args.lease_timeout,
             lm_ref=read_docs(args.lm_ref) if args.lm_ref else None,
             lm_ppl_max=args.lm_ppl_max,
+            clf_pos=read_docs(args.clf_pos) if args.clf_pos else None,
+            clf_neg=read_docs(args.clf_neg) if args.clf_neg else None,
+            clf_min_score=args.clf_min_score,
         )
         out.write.mode("overwrite").partitionBy("split").parquet(args.output)
         kept = spark.read.parquet(args.output).count()
@@ -421,6 +429,9 @@ def cmd_curate(args):
         neardup_threshold=args.neardup,
         lm_ref=read_docs(args.lm_ref) if args.lm_ref else None,
         lm_ppl_max=args.lm_ppl_max,
+        clf_pos=read_docs(args.clf_pos) if args.clf_pos else None,
+        clf_neg=read_docs(args.clf_neg) if args.clf_neg else None,
+        clf_min_score=args.clf_min_score,
         metrics=metrics,
     )
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
@@ -618,6 +629,16 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None,
                    help="with --lm-ref: drop documents whose unigram-LM "
                         "perplexity exceeds this bound")
+    p.add_argument("--clf-pos", dest="clf_pos", default=None,
+                   help="positive (quality) labeled sample for the "
+                        "trained-classifier gate (parquet/NDJSON)")
+    p.add_argument("--clf-neg", dest="clf_neg", default=None,
+                   help="negative (reject) labeled sample for the "
+                        "trained-classifier gate")
+    p.add_argument("--clf-min-score", dest="clf_min_score", type=float,
+                   default=None,
+                   help="with --clf-pos/--clf-neg: drop documents whose "
+                        "classifier score falls below this bound")
     p.add_argument("--stage-dir", dest="stage_dir", default=None,
                    help="checkpoint each rung here; a killed run resumes "
                         "from its last committed rung")

@@ -626,6 +626,20 @@ def _rung_decontam_hits(docs, benchmark, text_col, id_col, n, min_frac):
     ).select(id_col)
 
 
+def _validate_clf_params(clf_pos, clf_neg, clf_min_score, where: str):
+    """The classifier rung's three knobs come together or not at all —
+    a labeled sample without a score bound (or any other partial
+    configuration) would silently gate nothing."""
+    given = [clf_pos is not None, clf_neg is not None,
+             clf_min_score is not None]
+    if any(given) and not all(given):
+        raise ValueError(
+            f"{where}: clf_pos, clf_neg and clf_min_score come together "
+            "— a partially-configured classifier rung would silently "
+            "gate nothing"
+        )
+
+
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -648,6 +662,10 @@ def curate_corpus(
     lm_ref: DataFrame | None = None,
     lm_ppl_max: float | None = None,
     lm_vocab_size: int = 50_000,
+    clf_pos: DataFrame | None = None,
+    clf_neg: DataFrame | None = None,
+    clf_min_score: float | None = None,
+    clf_dim: int = 1 << 16,
 ) -> DataFrame:
     """The full curation ladder a pretraining pipeline runs, as ONE
     composed plan: optional paragraph-boilerplate removal
@@ -658,7 +676,11 @@ def curate_corpus(
     CCNet-style, drop documents whose ppl under the reference-corpus
     model exceeds the bound — textstats.unigram_lm/lm_score; the vocab
     is broadcast state, so the rung is one more map-side pass over the
-    already-gated survivors) → exact dedup → minhash near-dup removal
+    already-gated survivors) → optional trained-classifier gate
+    (``clf_pos`` + ``clf_neg`` + ``clf_min_score``: fastText-style
+    hashed-linear filter — textstats.train_quality_classifier /
+    quality_clf_score; the weight table is broadcast state, so this is
+    one more map-side pass too) → exact dedup → minhash near-dup removal
     (transitively closed) → optional benchmark decontamination
     (``benchmark``, fraction-gated) → deterministic split.  Output: the
     surviving docs with (lang_guess, n_ws, split).
@@ -672,8 +694,9 @@ def curate_corpus(
     only carry documents that could survive.
 
     ``metrics``: pass an empty dict and each rung-boundary DataFrame is
-    recorded under its name (``input``, ``gated``, ``lm_gated`` when the
-    LM rung is on, ``exact``, ``neardup``, ``decontaminated``) — the
+    recorded under its name (``input``, ``gated``, ``lm_gated`` /
+    ``clf_gated`` when those rungs are on, ``exact``, ``neardup``,
+    ``decontaminated``) — the
     audit a production curation run logs.  After consuming the result (and before
     ``release_pins``), :func:`rung_counts` turns the dict into row
     counts with one cache-local job over the pinned boundaries.
@@ -736,6 +759,28 @@ def curate_corpus(
         )
         gated = obs(gated.join(keep_lm, id_col, "left_semi"), "lm_gated")
 
+    _validate_clf_params(clf_pos, clf_neg, clf_min_score, "curate_corpus")
+    if clf_pos is not None:
+        # Trained-classifier gate (the third standard quality filter,
+        # after the heuristic gate and the LM rung): fit once from the
+        # bounded labeled sample, then one map-side scoring pass over
+        # the survivors — the weight table is broadcast state like the
+        # LM vocab, and the rung runs BEFORE dedup for the same cost
+        # argument as the other two gates.
+        from timesearch_spark.operators.textstats import (
+            quality_clf_score, train_quality_classifier,
+        )
+
+        Wc, bc = train_quality_classifier(
+            clf_pos, clf_neg, text_col, dim=clf_dim
+        )
+        keep_clf = (
+            quality_clf_score(gated, Wc, bc, text_col, id_col, dim=clf_dim)
+            .filter(F.col("score") >= clf_min_score)
+            .select(id_col)
+        )
+        gated = obs(gated.join(keep_clf, id_col, "left_semi"), "clf_gated")
+
     # exact dedup: keep the lowest id of each identical-text group.
     # The persisted rung ALSO materializes the token arrays (__tok):
     # the near-dup rung below consumes tokens twice (banding + verify),
@@ -785,8 +830,8 @@ def curate_corpus(
 
 #: Rung order for the staged ladder; each entry is a parquet dir under the
 #: store root whose presence (with Spark's _SUCCESS marker) means "completed".
-STAGED_RUNGS = ("input", "gated", "lm_gated", "exact", "neardup",
-                "decontaminated", "final")
+STAGED_RUNGS = ("input", "gated", "lm_gated", "clf_gated", "exact",
+                "neardup", "decontaminated", "final")
 
 
 def _input_identity(df) -> str | None:
@@ -831,6 +876,10 @@ def curate_corpus_staged(
     lm_ref: DataFrame | None = None,
     lm_ppl_max: float | None = None,
     lm_vocab_size: int = 50_000,
+    clf_pos: DataFrame | None = None,
+    clf_neg: DataFrame | None = None,
+    clf_min_score: float | None = None,
+    clf_dim: int = 1 << 16,
 ) -> DataFrame:
     """:func:`curate_corpus` with each rung boundary CHECKPOINTED to
     ``store_dir`` — the fault-tolerance contract a multi-hour corpus
@@ -895,6 +944,13 @@ def curate_corpus_staged(
             "stop_after='lm_gated' needs lm_ref/lm_ppl_max — without "
             "them that rung does not exist"
         )
+    _validate_clf_params(clf_pos, clf_neg, clf_min_score,
+                         "curate_corpus_staged")
+    if stop_after == "clf_gated" and clf_pos is None:
+        raise ValueError(
+            "stop_after='clf_gated' needs clf_pos/clf_neg/clf_min_score "
+            "— without them that rung does not exist"
+        )
     spark = docs.sparkSession
     fs = fsmod.get_fs(spark, store_dir)
     root = store_dir.rstrip("/")
@@ -916,10 +972,16 @@ def curate_corpus_staged(
         # and lm-off runs over one store is the loud params error
         params.update({"lm_ppl_max": lm_ppl_max,
                        "lm_vocab_size": lm_vocab_size, "has_lm_ref": True})
+    if clf_pos is not None:
+        # same contract as the lm keys: present only when the rung is on
+        params.update({"clf_min_score": clf_min_score, "clf_dim": clf_dim,
+                       "has_clf_ref": True})
     inputs = {
         "docs": _input_identity(docs),
         "benchmark": _input_identity(benchmark),
         "lm_ref": _input_identity(lm_ref),
+        "clf_pos": _input_identity(clf_pos),
+        "clf_neg": _input_identity(clf_neg),
     }
 
     with fsmod.WriterLease.maybe(fs, root, lease_timeout_sec):
@@ -964,7 +1026,9 @@ def curate_corpus_staged(
                     "the stored rungs and rerun"
                 )
             active = {"docs": True, "benchmark": benchmark is not None,
-                      "lm_ref": lm_ref is not None}
+                      "lm_ref": lm_ref is not None,
+                      "clf_pos": clf_pos is not None,
+                      "clf_neg": clf_neg is not None}
             unverifiable = sorted(
                 k for k in inputs
                 if active[k]
@@ -1065,6 +1129,31 @@ def curate_corpus_staged(
 
             cur = stage("lm_gated", build_lm_gated)
             if stop_after == "lm_gated":
+                return cur
+
+        if clf_pos is not None:
+            def build_clf_gated():
+                # the model refits only when this rung must recompute —
+                # the committed rung parquet is the checkpoint, exactly
+                # like the lm rung's vocabulary
+                from timesearch_spark.operators.textstats import (
+                    quality_clf_score, train_quality_classifier,
+                )
+
+                Wc, bc = train_quality_classifier(
+                    clf_pos, clf_neg, text_col, dim=clf_dim
+                )
+                keep_clf = (
+                    quality_clf_score(
+                        cur, Wc, bc, text_col, id_col, dim=clf_dim
+                    )
+                    .filter(F.col("score") >= clf_min_score)
+                    .select(id_col)
+                )
+                return cur.join(keep_clf, id_col, "left_semi")
+
+            cur = stage("clf_gated", build_clf_gated)
+            if stop_after == "clf_gated":
                 return cur
 
         cur = stage(
