@@ -175,6 +175,17 @@ def main() -> None:
         json.dump(result, f, indent=1)
 
     out = os.path.join(REPO, stem + ".md")
+    # Hand-written analysis sections ("## ..." blocks after the table /
+    # legend) survive a re-probe rewrite: r12 lost its tree_depth_dist
+    # variance note twice to targeted re-probes before this carry-over.
+    notes = ""
+    if os.path.exists(out):
+        prior_md = open(out).read()
+        cut = prior_md.find("\n## ")
+        while cut != -1 and prior_md[cut + 1:cut + 10] == "## Errors":
+            cut = prior_md.find("\n## ", cut + 1)
+        if cut != -1:
+            notes = prior_md[cut:]
     with open(out, "w") as f:
         f.write(
             f"# Scaling probe: {small} -> {big} ({factor:g}x rows)\n\n"
@@ -208,6 +219,8 @@ def main() -> None:
             f.write("\n## Errors\n\n")
             for k, v in errors.items():
                 f.write(f"- **{k}**: `{v}`\n")
+        if notes:
+            f.write(notes)
     print(f"wrote {out}", file=sys.stderr)
 
 
