@@ -383,3 +383,32 @@ def test_decontaminate_construction_runs_no_job_for_parquet_benchmark(
         sc.setJobGroup("decontam-construct-done", "")
     assert list(ids) == [], f"construction submitted jobs: {ids}"
     assert df.count() >= 0  # the plan still executes fine
+
+
+def test_lm_and_clf_scoring_plans_stay_jvm_side(spark):
+    """r12: the LM-family and classifier scorers are broadcast-join +
+    hash-agg plans — broadcast present, partial aggregation present, no
+    Python eval nodes of any kind (the model tables are the only
+    state)."""
+    qs = entrymod.queries()
+    for name in ("text_lm_ppl", "text_lm_ppl_bigram", "text_quality_clf"):
+        df = qs[name](spark, SF_SMALL)
+        plan = plans.formatted_plan(df)
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
+        assert "partial" in plan.lower(), name
+        # no per-row Python evaluation anywhere; the bounded model table
+        # itself arrives via Arrow (LocalTableScan), not a Python RDD
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas", "PythonRDD",
+                     "applySchemaToPythonRDD"):
+            assert node not in plan, (name, node)
+
+
+def test_intra_line_dedup_is_map_only(spark):
+    """r12: the within-document repeated-line rewrite is a pure map
+    stage — zero Exchange on well-split input."""
+    from timesearch_spark.operators.dedup import remove_repeated_lines_within
+
+    d = load(spark, SF_SMALL, "documents")
+    out = remove_repeated_lines_within(d)
+    assert "Exchange" not in plans.formatted_plan(out)

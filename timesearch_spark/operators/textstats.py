@@ -648,15 +648,19 @@ def train_quality_classifier(
                 w -= lr * (g + reg * w)
                 b -= lr * float(diff.sum())
         else:
-            from pyspark.sql import types as T
+            import pandas as pd
 
-            wschema = T.StructType([
-                T.StructField("idx", T.IntegerType()),
-                T.StructField("w", T.DoubleType()),
-            ])
             for _ in range(iters):
-                nz = [(int(i), float(w[i])) for i in np.nonzero(w)[0]]
-                wdf = spark.createDataFrame(nz + [(-1, float(b))], wschema)
+                # current weights + the bias at its idx=-1 slot, via
+                # pandas for the Arrow fast path (see _qclf_weights_df)
+                nzi = np.nonzero(w)[0]
+                wdf = spark.createDataFrame(pd.DataFrame({
+                    "idx": pd.Series(
+                        np.concatenate([nzi, np.array([-1])]), dtype="int32"),
+                    "w": pd.Series(
+                        np.concatenate([w[nzi], np.array([b])]),
+                        dtype="float64"),
+                }))
                 scored = (
                     feats.join(F.broadcast(wdf), "idx", "left")
                     .groupBy("__ord", "y")
@@ -686,17 +690,24 @@ def train_quality_classifier(
                 b -= lr * gb
     finally:
         feats.unpersist()
-    nz = [(int(i), float(w[i])) for i in np.nonzero(w)[0]]
-    from pyspark.sql import types as T
-
-    weights = spark.createDataFrame(
-        nz or [(0, 0.0)],
-        T.StructType([T.StructField("idx", T.IntegerType()),
-                      T.StructField("w", T.DoubleType())]),
-    )
-    if not nz:
-        weights = weights.limit(0)
+    weights = _qclf_weights_df(spark, w)
     return weights, float(b)
+
+
+def _qclf_weights_df(spark, w):
+    """(idx, w) DataFrame of the nonzero coordinates, built through
+    pandas so Arrow-enabled sessions get a LocalTableScan instead of a
+    Python-RDD scan (the model table is the only Python-origin relation
+    in the scoring plan; this keeps even that JVM-friendly)."""
+    import numpy as np
+    import pandas as pd
+
+    nz = np.nonzero(w)[0]
+    pdf = pd.DataFrame({
+        "idx": pd.Series(nz, dtype="int32"),
+        "w": pd.Series(w[nz], dtype="float64"),
+    })
+    return spark.createDataFrame(pdf)
 
 
 def quality_clf_score(docs: "DataFrame", weights: "DataFrame", bias: float,
