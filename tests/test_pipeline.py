@@ -954,3 +954,70 @@ def test_curate_staged_clf_rung(spark, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="stop_after='clf_gated'"):
         curate_corpus_staged(docs, str(tmp_path / "x3"),
                              stop_after="clf_gated")
+
+
+def test_curate_staged_lm_and_clf_rungs_compose(spark, tmp_path):
+    """r12: BOTH optional quality rungs on in one staged run — the full
+    8-rung ladder commits lm_gated then clf_gated in order, output is
+    row-identical to the one-shot composition, and each rung's drop is
+    visible in the committed boundaries (the soup each gate exists to
+    catch dies at its own rung)."""
+    from timesearch_spark.operators.dedup import release_pins
+    from timesearch_spark.operators.pipeline import (
+        STAGED_RUNGS, curate_corpus, curate_corpus_staged,
+    )
+
+    clean = ("the cat sat on the mat and it is a fine day for cats to "
+             "sit %s")
+    # ppl-soup: OOV tokens sprinkled with stopwords — unigram ppl
+    # explodes, the LM rung kills it.  tf-soup: IN-VOCAB words at a
+    # the-heavy frequency profile the unigram LM actively PREFERS
+    # ("the" is its most probable token) and the heuristic gate passes
+    # (top bigram 2/11, all stopword/lang checks fine) — only a trained
+    # classifier separates that tf distribution from clean prose, which
+    # is exactly why the rung exists.
+    ppl_soup = "the xqj of zvv and kpl is wmt the rrq of bbn and qpw"
+
+    def tf_soup(a, b, c):
+        return f"the {a} the {b} the {c} the {a} the {b} the {c}"
+
+    rows = [(i, clean % i) for i in range(1, 5)] + [
+        (8, ppl_soup), (9, tf_soup("cat", "mat", "day")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lm_ref = spark.createDataFrame(
+        [(100 + i, clean % "extra") for i in range(10)],
+        "doc_id long, text string")
+    pos = spark.createDataFrame(
+        [(clean % f"p{i}",) for i in range(10)], "text string")
+    fill = ["cat", "mat", "day", "sat", "fine", "cats", "sit", "on"]
+    neg = spark.createDataFrame(
+        [(tf_soup(fill[i % 8], fill[(i + 1) % 8], fill[(i + 2) % 8]),)
+         for i in range(10)],
+        "text string")
+    kw = dict(min_tokens=5, lm_ref=lm_ref, lm_ppl_max=25.0,
+              clf_pos=pos, clf_neg=neg, clf_min_score=0.5,
+              clf_dim=1 << 12)
+
+    one_shot = curate_corpus(docs, **kw)
+    expected = sorted((r["doc_id"], r["split"]) for r in one_shot.collect())
+    release_pins(one_shot)
+    ids = {i for i, _ in expected}
+    assert 8 not in ids and 9 not in ids and ids  # both gates fired
+
+    store = str(tmp_path / "store_both")
+    got = sorted(
+        (r["doc_id"], r["split"])
+        for r in curate_corpus_staged(docs, store, **kw).collect()
+    )
+    assert got == expected
+    committed = [r for r in STAGED_RUNGS
+                 if (tmp_path / "store_both" / r / "_SUCCESS").exists()]
+    assert committed == ["gated", "lm_gated", "clf_gated", "exact",
+                         "neardup", "final"]
+    lm_ids = {r["doc_id"]
+              for r in spark.read.parquet(f"{store}/lm_gated").collect()}
+    clf_ids = {r["doc_id"]
+               for r in spark.read.parquet(f"{store}/clf_gated").collect()}
+    assert 8 not in lm_ids and 9 in lm_ids      # ppl-soup dies at the LM rung
+    assert 9 not in clf_ids                      # clf-soup dies at its rung
