@@ -825,3 +825,28 @@ def test_curate_subcommand_clf_flags(spark, tmp_path, capsys):
     assert res2["kept"] == 1
     assert res2["rungs"].get("clf_gated") == 1
     assert (stage / "clf_gated" / "_SUCCESS").exists()
+
+
+def test_curate_subcommand_line_dedup_flag(spark, tmp_path, capsys):
+    """r12: --line-dedup wires the within-document duplicate-line
+    surgery — a doc the repetition gate would drop survives rewritten."""
+    line = "the cat sat on the mat and it is a fine day"
+    docs = [
+        {"doc_id": 1, "source": "w", "lang": "en",
+         # dissimilar on purpose: the rewritten doc 9 must not land in
+         # doc 1's near-dup cluster downstream
+         "text": "a completely different english document with many of "
+                 "the words it has and more then some"},
+        {"doc_id": 9, "source": "w", "lang": "en",
+         "text": "\n".join([line] * 8)},
+    ]
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    outdir = str(tmp_path / "curated_lines")
+
+    assert cli.main(["curate", "--input", str(src), "--output", outdir,
+                     "--line-dedup"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["kept"] == 2  # the spammy doc survives rewritten
+    assert {r["doc_id"] for r in spark.read.parquet(outdir).collect()} \
+        == {1, 9}

@@ -1021,3 +1021,45 @@ def test_curate_staged_lm_and_clf_rungs_compose(spark, tmp_path):
                for r in spark.read.parquet(f"{store}/clf_gated").collect()}
     assert 8 not in lm_ids and 9 in lm_ids      # ppl-soup dies at the LM rung
     assert 9 not in clf_ids                      # clf-soup dies at its rung
+
+
+def test_curate_line_dedup_rung(spark, tmp_path):
+    """r12: the within-document duplicate-line rewrite composes as the
+    finest-grain surgery knob — the profile sees the CLEANED text
+    (dup_line_frac no longer flags the doc, so a doc the gate would
+    have dropped for repetition now survives rewritten), the staged
+    ladder commits the cleaned text as its input rung, and a cleaned
+    resume is parameter-pinned against a default run."""
+    import pytest
+
+    from timesearch_spark.operators.dedup import release_pins
+    from timesearch_spark.operators.pipeline import (
+        curate_corpus, curate_corpus_staged,
+    )
+
+    clean = ("the cat sat on the mat and it is a fine day for cats to "
+             "sit %s")
+    line = "the cat sat on the mat and it is a fine day"
+    spammy = "\n".join([line] * 8)  # dup_line_frac 7/8 — gate would drop
+    rows = [(i, clean % i) for i in range(1, 4)] + [(9, spammy)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = curate_corpus(docs, min_tokens=5)
+    assert 9 not in {r["doc_id"] for r in base.collect()}
+    release_pins(base)
+
+    out = curate_corpus(docs, min_tokens=5, line_dedup=True)
+    got = {r["doc_id"] for r in out.collect()}
+    assert 9 in got  # rewritten to one line, passes the gate
+    release_pins(out)
+
+    store = str(tmp_path / "store_lines")
+    staged = curate_corpus_staged(docs, store, min_tokens=5,
+                                  line_dedup=True)
+    assert 9 in {r["doc_id"] for r in staged.collect()}
+    inp = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(f"{store}/input").collect()}
+    assert inp[9] == line  # the committed input rung carries the rewrite
+
+    with pytest.raises(ValueError, match="line_dedup"):
+        curate_corpus_staged(docs, store, min_tokens=5)

@@ -397,6 +397,7 @@ def cmd_curate(args):
             paragraph_max_df=args.paragraph_max_df,
             span_n=args.span_n,
             span_stride=args.span_stride,
+            line_dedup=args.line_dedup,
             neardup_threshold=args.neardup,
             resume=not args.no_resume,
             lease_timeout_sec=args.lease_timeout,
@@ -426,6 +427,7 @@ def cmd_curate(args):
         paragraph_max_df=args.paragraph_max_df,
         span_n=args.span_n,
         span_stride=args.span_stride,
+        line_dedup=args.line_dedup,
         neardup_threshold=args.neardup,
         lm_ref=read_docs(args.lm_ref) if args.lm_ref else None,
         lm_ppl_max=args.lm_ppl_max,
@@ -622,6 +624,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "unset")
     p.add_argument("--span-stride", dest="span_stride", type=int,
                    default=None, help="window stride (default: span-n)")
+    p.add_argument("--line-dedup", dest="line_dedup", action="store_true",
+                   help="drop exact-duplicate non-blank lines inside "
+                        "each document (finest-grain surgery rung)")
     p.add_argument("--lm-ref", dest="lm_ref", default=None,
                    help="trusted reference corpus (parquet/NDJSON) for "
                         "the CCNet-style perplexity gate")

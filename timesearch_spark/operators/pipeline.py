@@ -536,20 +536,26 @@ def rung_counts(metrics: dict) -> dict[str, int]:
 # staged runner) compose exactly these builders, so "row-identical output"
 # is structural, not a discipline of keeping two copies in sync.
 
-def _rung_surgery(docs, text_col, id_col, paragraph_max_df, span_n, span_stride):
-    """Optional text surgery (boilerplate paragraphs FIRST — coarse
-    structure — then repeated spans), BEFORE the profile: quality
-    signals and dedup fingerprints must see the text that would
-    actually train.  Returns (df, pins): the span rung persists its
-    tokenize/window sub-plans and ``.drop()`` discards the ``_pinned``
-    attribute, so the handles are captured here for the caller's
-    release contract."""
+def _rung_surgery(docs, text_col, id_col, paragraph_max_df, span_n,
+                  span_stride, line_dedup=False):
+    """Optional text surgery (within-document duplicate lines FIRST —
+    finest grain, pure map — then boilerplate paragraphs, then repeated
+    spans), BEFORE the profile: quality signals and dedup fingerprints
+    must see the text that would actually train.  Returns (df, pins):
+    the span rung persists its tokenize/window sub-plans and
+    ``.drop()`` discards the ``_pinned`` attribute, so the handles are
+    captured here for the caller's release contract."""
     from timesearch_spark.operators.dedup import (
+        remove_repeated_lines_within,
         remove_repeated_paragraphs,
         remove_repeated_spans,
     )
 
     pins: list = []
+    if line_dedup:
+        docs = remove_repeated_lines_within(
+            docs, text_col, id_col
+        ).drop("n_removed_lines")
     if paragraph_max_df is not None:
         docs = remove_repeated_paragraphs(
             docs, text_col, id_col, max_df=paragraph_max_df
@@ -652,6 +658,7 @@ def curate_corpus(
     paragraph_max_df: int | None = None,
     span_n: int | None = None,
     span_stride: int | None = None,
+    line_dedup: bool = False,
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_min_frac: float | None = 0.1,
@@ -668,7 +675,9 @@ def curate_corpus(
     clf_dim: int = 1 << 16,
 ) -> DataFrame:
     """The full curation ladder a pretraining pipeline runs, as ONE
-    composed plan: optional paragraph-boilerplate removal
+    composed plan: optional within-document duplicate-line removal
+    (``line_dedup`` — the finest-grain surgery, pure map) → optional
+    paragraph-boilerplate removal
     (``paragraph_max_df``) → optional repeated-span removal
     (``span_n`` — the windowed exact-substring rung, one surviving
     winner per span) → quality signals → language/quality gate →
@@ -718,7 +727,8 @@ def curate_corpus(
         return df
 
     docs, span_pins = _rung_surgery(
-        docs, text_col, id_col, paragraph_max_df, span_n, span_stride
+        docs, text_col, id_col, paragraph_max_df, span_n, span_stride,
+        line_dedup=line_dedup,
     )
     docs = obs(docs, "input")
     keep_quality = _rung_quality_keep(
@@ -865,6 +875,7 @@ def curate_corpus_staged(
     paragraph_max_df: int | None = None,
     span_n: int | None = None,
     span_stride: int | None = None,
+    line_dedup: bool = False,
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_min_frac: float | None = 0.1,
@@ -966,6 +977,10 @@ def curate_corpus_staged(
         "decontam_n": decontam_n, "decontam_min_frac": decontam_min_frac,
         "train": train, "val": val,
     }
+    if line_dedup:
+        # present only when ON, like the lm/clf keys below: pre-r12
+        # manifests (no line_dedup key) stay resumable by default runs
+        params["line_dedup"] = True
     if lm_ref is not None:
         # only present when the rung is ON: a pre-r12 manifest (no lm
         # keys) stays resumable by an lm-off run, while mixing lm-on
@@ -1074,12 +1089,13 @@ def curate_corpus_staged(
 
         def build_input():
             d, pins = _rung_surgery(
-                docs, text_col, id_col, paragraph_max_df, span_n, span_stride
+                docs, text_col, id_col, paragraph_max_df, span_n,
+                span_stride, line_dedup=line_dedup,
             )
             surgery_pins.extend(pins)
             return d
 
-        if paragraph_max_df is not None or span_n is not None:
+        if paragraph_max_df is not None or span_n is not None or line_dedup:
             cur = stage("input", build_input)
             for p in surgery_pins:
                 p.unpersist()
