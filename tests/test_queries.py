@@ -64,3 +64,17 @@ def test_registry_invariants():
     assert len(oracle) == 50  # the window is exactly full
     # every registered callable is a (spark, sf_dir) function
     assert all(callable(v) for v in qs.values())
+
+
+def test_enrich_join_alias_demotion_is_sound():
+    """r13 slot recovery: enrich_join is rows-only BY DESIGN because it
+    is the SAME function object as the oracled window_latest_version —
+    its exactness pin is this identity (the driver already hash-checks
+    the shared plan through window_latest_version's green row), and the
+    slot it used to burn now grades text_lm_ppl under a DuckDB oracle."""
+    import timesearch_spark.queries as tsq
+
+    assert tsq.QUERIES["enrich_join"] is tsq.QUERIES["window_latest_version"]
+    assert "enrich_join" not in tsq.ORACLE
+    assert "window_latest_version" in tsq.ORACLE
+    assert "text_lm_ppl" in tsq.ORACLE

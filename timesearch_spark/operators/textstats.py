@@ -321,9 +321,20 @@ def unigram_lm(ref: "DataFrame", text_col: str = "text",
     )
     v = min(int(tot["distinct"] or 0), vocab_size)
     denom = n_total + alpha * (v + 1)
-    vocab = vocab_counts.select(
-        "token",
-        F.log((F.col("count") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
+    # The logp values are computed DRIVER-side (libm log over the
+    # collected top-V counts) rather than with F.log: the vocab is
+    # bounded broadcast state by contract (vocab_size rows — the same
+    # collect category as the IVF seed build), and JVM Math.log differs
+    # from C libm by 1 ulp on some inputs, which after round-to-9 can
+    # flip a boundary token and break exact cross-engine (DuckDB oracle)
+    # reproducibility.  One libm `log` per DISTINCT count, not per
+    # token — logp is a function of count only.
+    top = vocab_counts.collect()
+    logp_of = {c: math.log((c + alpha) / denom)
+               for c in {int(r["count"]) for r in top}}
+    vocab = ref.sparkSession.createDataFrame(
+        [(r["token"], logp_of[int(r["count"])]) for r in top],
+        "token string, logp double",
     )
     return vocab, math.log(alpha / denom)
 
@@ -356,7 +367,12 @@ def lm_score(docs: "DataFrame", vocab: "DataFrame", oov_logp: float,
         F.count("token").alias("n_tok"),
         F.sum(F.when(F.col("token").isNotNull(), F.col("__lp"))).alias("__sum"),
     )
-    avg = (F.col("__sum") / F.col("n_tok")).cast("double")
+    # Cast the EXACT decimal sum to double, THEN divide: one IEEE-754
+    # division of identical operands is bit-reproducible across engines
+    # (decimal-typed division would pick up each engine's own precision/
+    # scale promotion rules), which lets a DuckDB oracle twin reproduce
+    # avg_logp/ppl exactly.
+    avg = F.col("__sum").cast("double") / F.col("n_tok")
     return agg.select(
         id_col,
         F.col("n_tok").cast("long").alias("n_tok"),
@@ -514,7 +530,12 @@ def lm_score_bigram(docs: "DataFrame", uni: "DataFrame", bi: "DataFrame",
         F.count("token").alias("n_tok"),
         F.sum(F.when(F.col("token").isNotNull(), F.col("__lp"))).alias("__sum"),
     )
-    avg = (F.col("__sum") / F.col("n_tok")).cast("double")
+    # Cast the EXACT decimal sum to double, THEN divide: one IEEE-754
+    # division of identical operands is bit-reproducible across engines
+    # (decimal-typed division would pick up each engine's own precision/
+    # scale promotion rules), which lets a DuckDB oracle twin reproduce
+    # avg_logp/ppl exactly.
+    avg = F.col("__sum").cast("double") / F.col("n_tok")
     return agg.select(
         id_col,
         F.col("n_tok").cast("long").alias("n_tok"),

@@ -360,9 +360,14 @@ def window_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Same operator, exposed under the FIXTURES alias.
+# Same operator, exposed under the FIXTURES alias.  Rows-only BY
+# DESIGN (r13): it is the SAME function object as window_latest_version
+# (asserted in tests/test_queries.py), so oracling it burned one of the
+# driver's 50 CORRECTNESS slots hash-checking an identical plan twice —
+# that slot now grades text_lm_ppl (the HEADROOM POLICY's demote path;
+# the exactness pin is the identity itself plus window_latest_version's
+# own green oracle row).
 QUERIES["enrich_join"] = window_latest_version
-ORACLE["enrich_join"] = ORACLE["window_latest_version"]
 
 
 @q(
@@ -2366,11 +2371,79 @@ def pipeline_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.budget_sample(rekeyed, token_budget=2000)
 
 
-@q("text_lm_ppl")  # rows-only: CCNet-style unigram-LM perplexity filter —
-# vocab built from the even-id half of the corpus, every doc scored by
-# mean token log-prob (decimal-exact sum, so values are run-stable) and
-# bucketed head/middle/tail; pytest pins exactness against an
-# independent DuckDB twin and clean<garbage separation
+@q(
+    "text_lm_ppl",
+    # Cross-engine determinism recipe (each step pinned by the sf0.1
+    # zero-mismatch probe in tools/proto_lm_oracle.py):
+    # - per-token logp doubles are bit-identical: the Spark side builds
+    #   the vocab DRIVER-side with libm log (unigram_lm), and DuckDB's
+    #   ln() is the same libm on the same rational inputs;
+    # - Spark's round(double, N) rounds the SHORTEST DECIMAL REPR of
+    #   the double HALF_UP (java BigDecimal.valueOf semantics), NOT the
+    #   exact binary value — DuckDB's round() scales by 10^N first and
+    #   diverges on boundary values, so every rounding below goes
+    #   through CAST(double AS VARCHAR) (shortest repr) then
+    #   VARCHAR→DECIMAL (HALF_UP): exactly the Spark semantics;
+    # - the per-doc sum is DECIMAL(28,9) (order-independent, exact) and
+    #   the mean is ONE IEEE division of identical doubles;
+    # - explode_outer (zero-token docs keep a null-token row) is
+    #   emulated by substituting [NULL] for the empty token list.
+    f"""
+    WITH ref_tok AS (
+      SELECT unnest({_TOK_SQL}) AS token FROM documents WHERE doc_id % 2 = 0
+    ),
+    counts AS (SELECT token, COUNT(*) AS c FROM ref_tok GROUP BY token),
+    tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) + (LEAST(COUNT(*), 2000) + 1) AS denom
+      FROM counts
+    ),
+    model AS (
+      SELECT token, ln((c + 1.0) / (SELECT denom FROM tot)) AS logp
+      FROM counts ORDER BY c DESC, token ASC LIMIT 2000
+    ),
+    dt AS (
+      SELECT doc_id,
+             CASE WHEN len(t) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE t END AS t
+      FROM (SELECT doc_id, {_TOK_SQL} AS t FROM documents)
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM dt),
+    lp AS (
+      SELECT doc_id, token,
+             CAST(CAST(COALESCE(m.logp, (SELECT ln(1.0 / denom) FROM tot))
+                       AS VARCHAR)
+                  AS DECIMAL(28,9)) AS lp
+      FROM tok LEFT JOIN model m USING (token)
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(token) AS n_tok,
+             SUM(CASE WHEN token IS NOT NULL THEN lp END) AS s
+      FROM lp GROUP BY doc_id
+    ),
+    fin AS (
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             CASE WHEN n_tok > 0
+                  THEN CAST(CAST(CAST(CAST(s AS DOUBLE) / n_tok AS VARCHAR)
+                                 AS DECIMAL(38,9)) AS DOUBLE)
+             END AS avg_logp,
+             CASE WHEN n_tok > 0
+                  THEN CAST(CAST(CAST(exp(-(CAST(s AS DOUBLE) / n_tok))
+                                      AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE)
+             END AS ppl
+      FROM agg
+    )
+    SELECT doc_id, n_tok, avg_logp, ppl,
+           CASE WHEN ppl <= 300.0 THEN 'head'
+                WHEN ppl <= 1000.0 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM fin
+    """,
+)
+# Oracled since r13 (slot recovered by demoting the enrich_join alias):
+# CCNet-style unigram-LM perplexity filter — vocab built from the
+# even-id half of the corpus, every doc scored by mean token log-prob
+# (decimal-exact sum, so values are run-stable) and bucketed
+# head/middle/tail; pytest additionally pins exactness against a
+# pure-Python twin and clean<garbage separation
 def text_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline quality filter (public recipe: CCNet, Wenzek
     et al. 2020): reference LM from half the corpus, per-doc perplexity
