@@ -313,7 +313,15 @@ def test_curate_corpus_lm_rung(spark):
     assert 9 not in got
     assert got == {k: v for k, v in base.items() if k != 9}
     assert "lm_gated" in m
+    # r13 (ADVICE): the lm_gated boundary is persisted like every other
+    # gate rung — rung_counts must be a cache-local scan, not a re-run
+    # of the vocab build + scoring pass — and rebinding `gated` must not
+    # leak the heuristic boundary's cache entry past release_pins.
+    assert m["lm_gated"].storageLevel.useMemory
+    assert m["gated"].storageLevel.useMemory
     release_pins(out)
+    assert not m["lm_gated"].storageLevel.useMemory
+    assert not m["gated"].storageLevel.useMemory
 
     with pytest.raises(ValueError, match="lm_ref and lm_ppl_max"):
         curate_corpus(docs, lm_ref=ref)
@@ -885,7 +893,10 @@ def test_curate_corpus_clf_rung(spark):
     assert 9 not in got
     assert got == {k: v for k, v in base.items() if k != 9}
     assert "clf_gated" in m
+    # r13 (ADVICE): persisted like every gate rung, released with the rest
+    assert m["clf_gated"].storageLevel.useMemory
     release_pins(out)
+    assert not m["clf_gated"].storageLevel.useMemory
 
     with pytest.raises(ValueError, match="clf_pos, clf_neg and"):
         curate_corpus(docs, clf_pos=pos, clf_neg=neg)

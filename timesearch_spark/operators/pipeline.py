@@ -504,10 +504,11 @@ def deterministic_shuffle(
 def rung_counts(metrics: dict) -> dict[str, int]:
     """Row count per recorded curate rung, as ONE Spark job (a union of
     per-rung count aggregates).  Call AFTER consuming the ladder's
-    result and BEFORE ``release_pins``: gated/exact are persisted by
-    the ladder itself, neardup/decontaminated are pinned extra while an
-    audit dict is passed, and the near-dup component state is
-    checkpointed — so those counts are cache-local scans.  The one
+    result and BEFORE ``release_pins``: every gate boundary (gated and,
+    when on, lm_gated/clf_gated) plus exact are persisted by the ladder
+    itself, neardup/decontaminated are pinned extra while an audit dict
+    is passed, and the near-dup component state is checkpointed — so
+    those counts are cache-local scans.  The one
     exception is ``input``, which re-runs the scan plus any
     paragraph-boilerplate rung (persisting the full input corpus just
     to count it would cost more than the recount at every scale).
@@ -747,6 +748,12 @@ def curate_corpus(
     # a loop should dedup.release_pins(result) after consuming it, or
     # the cache entries live for the session.
     gated = obs(docs.join(keep_quality, id_col), "gated").persist()
+    # every (possibly rebound) gate boundary is persisted and its handle
+    # kept: the exact rung consumes the final `gated` twice (keeper agg
+    # + join) and rung_counts scans it once more, and rebinding the name
+    # without keeping the handle would leak the previous boundary's
+    # cache entry past release_pins.
+    rung_pins: list = [gated]
 
     if (lm_ref is None) != (lm_ppl_max is None):
         raise ValueError(
@@ -767,7 +774,10 @@ def curate_corpus(
             .filter((F.col("n_tok") > 0) & (F.col("ppl") <= lm_ppl_max))
             .select(id_col)
         )
-        gated = obs(gated.join(keep_lm, id_col, "left_semi"), "lm_gated")
+        gated = obs(
+            gated.join(keep_lm, id_col, "left_semi"), "lm_gated"
+        ).persist()
+        rung_pins.append(gated)
 
     _validate_clf_params(clf_pos, clf_neg, clf_min_score, "curate_corpus")
     if clf_pos is not None:
@@ -789,7 +799,10 @@ def curate_corpus(
             .filter(F.col("score") >= clf_min_score)
             .select(id_col)
         )
-        gated = obs(gated.join(keep_clf, id_col, "left_semi"), "clf_gated")
+        gated = obs(
+            gated.join(keep_clf, id_col, "left_semi"), "clf_gated"
+        ).persist()
+        rung_pins.append(gated)
 
     # exact dedup: keep the lowest id of each identical-text group.
     # The persisted rung ALSO materializes the token arrays (__tok):
@@ -832,7 +845,7 @@ def curate_corpus(
     out = train_val_test_split(surviving, id_col, train, val).select(
         id_col, text_col, "lang_guess", "n_ws", "split"
     )
-    out._pinned = [*span_pins, gated, exact, *audit_pins]
+    out._pinned = [*span_pins, *rung_pins, exact, *audit_pins]
     return out
 
 
