@@ -238,6 +238,81 @@ def test_offline_reading_incremental_rerenders_only_changed(spark, tmp_path):
                             incremental=True)
 
 
+def test_offline_reading_incremental_deletes_stale_pages(spark, tmp_path):
+    """r13: a thread DELETED from the archive loses its page and its
+    manifest row on the next incremental run, so the incremental file
+    set converges to a from-scratch render's; a crash between the stale
+    delete and the manifest swap (page already gone, old manifest still
+    in place) converges on re-run; and the fingerprint pin is released
+    even when the page write raises mid-export."""
+    import pytest
+
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    p = tmp_path / "dump.jsonl"
+    p.write_text("\n".join(json.dumps(o) for o in
+                           [_sub(0), _sub(1), _com(0)]))
+    api.ingest_jsonfile(ar, str(p))
+
+    out = tmp_path / "threads"
+    assert api.offline_reading(ar, str(out), incremental=True) == 2
+    assert (out / "t3_s1.html").exists()
+
+    # delete s1 from the archive; nothing ELSE changed, so the run
+    # re-renders 0 pages but must still remove the stale page + row
+    ar.submissions.overwrite_snapshot(
+        ar.submissions.snapshot().filter("idstr <> 't3_s1'"))
+    assert api.offline_reading(ar, str(out), incremental=True) == 0
+    assert not (out / "t3_s1.html").exists()
+    assert (out / "t3_s0.html").exists()
+    man = {r["idstr"] for r in
+           spark.read.parquet(str(out / api.PAGE_MANIFEST)).collect()}
+    assert man == {"t3_s0"}
+    # file-set convergence with a from-scratch render
+    full = tmp_path / "full"
+    api.offline_reading(ar, str(full))
+    html = lambda d: {f for f in os.listdir(d) if f.endswith(".html")}  # noqa: E731
+    assert html(out) == html(full)
+
+    # crash-window convergence: reconstruct "deleted the page, died
+    # before the swap" — stale manifest row present, page file absent —
+    # then re-run: idempotent delete, manifest converges, no error
+    import shutil
+
+    shutil.rmtree(out)
+    p2 = tmp_path / "ar2"
+    ar2 = api.Archive(spark, str(p2))
+    d2 = tmp_path / "dump2.jsonl"
+    d2.write_text("\n".join(json.dumps(o) for o in [_sub(0), _sub(1)]))
+    api.ingest_jsonfile(ar2, str(d2))
+    assert api.offline_reading(ar2, str(out), incremental=True) == 2
+    ar2.submissions.overwrite_snapshot(
+        ar2.submissions.snapshot().filter("idstr <> 't3_s1'"))
+    os.remove(out / "t3_s1.html")  # the "crashed after delete" state
+    assert api.offline_reading(ar2, str(out), incremental=True) == 0
+    man2 = {r["idstr"] for r in
+            spark.read.parquet(str(out / api.PAGE_MANIFEST)).collect()}
+    assert man2 == {"t3_s0"}
+
+    # pin release on failure: a raising page write must not leak the
+    # persisted fingerprint DataFrame for the session
+    from timesearch_spark.operators import exports as _exports
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_mgr.clearCache()
+
+    def boom(*a, **kw):
+        raise RuntimeError("disk full")
+
+    orig = _exports.write_thread_docs
+    _exports.write_thread_docs = boom
+    try:
+        with pytest.raises(RuntimeError, match="disk full"):
+            api.offline_reading(ar2, str(tmp_path / "t2"), incremental=True)
+    finally:
+        _exports.write_thread_docs = orig
+    assert cache_mgr.isEmpty()
+
+
 def test_offline_reading_incremental_streamed_arm(spark, tmp_path):
     """incremental composes with stream=True: the delta routes through
     the fragment writer and produces the same bytes."""

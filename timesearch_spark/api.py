@@ -341,18 +341,26 @@ def _thread_fingerprints(submissions: DataFrame,
     until the thread next changes, it never corrupts output).
 
     fp = count ‖ Σ xxhash64(comment render fields) ‖ xxhash64(submission
-    render fields).  The per-row hash feeds one delimited string with an
-    explicit null sentinel (concat_ws/xxhash64 both SKIP nulls, which
-    would make ("x", null) and (null, "x") collide); the order-
-    insensitive combiner is a SUM — not XOR, where duplicate rows cancel
-    — carried in decimal(38,0) so ANSI mode cannot overflow it.  One
-    hash-agg over the comments, no text leaves the executors."""
+    render fields).  The per-row hash feeds each field to xxhash64 as
+    its OWN argument — xxhash64 chains fields through the running seed
+    with per-field length finalization, so no delimiter/sentinel
+    encoding is needed and field values containing control characters
+    (legal in JSON bodies) cannot make distinct rows serialize
+    identically, which a ``\\x01``-join encoding allowed.  xxhash64
+    SKIPS null fields (("x", null) and (null, "x") would collide), so a
+    0/1 null marker precedes every field and keeps the encoding
+    injective up to the 2⁻⁶⁴ hash bound.  The order-insensitive
+    combiner is a SUM — not XOR, where duplicate rows cancel — carried
+    in decimal(38,0) so ANSI mode cannot overflow it.  One hash-agg
+    over the comments, no text leaves the executors."""
     from pyspark.sql import functions as F
 
     def rowhash(*cols):
-        return F.xxhash64(F.concat_ws(
-            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                      for c in cols]))
+        parts = []
+        for c in cols:
+            parts.append(F.col(c).isNull().cast("int"))
+            parts.append(F.col(c).cast("string"))
+        return F.xxhash64(*parts)
 
     norm = F.when(
         F.col("submission").startswith("t3_"), F.col("submission")
@@ -415,14 +423,18 @@ def offline_reading(archive: Archive, out_dir: str,
     submission title/selftext/score edits), judged by a per-thread
     fingerprint manifest kept in ``out_dir/_page_manifest`` — at
     archive scale a daily delta re-renders the <1% that moved, not
-    millions of unchanged pages.  Composes with ``stream``.  Crash
-    safety: pages are written BEFORE the manifest swaps (staging dir +
-    delete/rename through the fs shim), so an interruption leaves the
-    OLD manifest and the next run merely re-renders the already-written
-    delta — never skips it.  Returns the re-rendered count (0 when
-    nothing changed).  Not combinable with ``specific_submission``
-    (a one-thread fingerprint set would clobber the manifest's other
-    rows)."""
+    millions of unchanged pages.  Composes with ``stream``.  Threads
+    DELETED from the archive (merge rollback, re-ingest from a narrower
+    dump) have their stale pages removed, so the incremental file set
+    converges to what a from-scratch render would produce.  Crash
+    safety: pages are written BEFORE stale deletes and the manifest
+    swap (staging dir + delete/rename through the fs shim), so an
+    interruption leaves the OLD manifest and the next run merely
+    re-renders the already-written delta and re-issues the idempotent
+    deletes — never skips either.  Returns the re-rendered count (0
+    when nothing changed).  Not combinable with
+    ``specific_submission`` (a one-thread fingerprint set would clobber
+    the manifest's other rows)."""
     from timesearch_spark.fs import derive_checkpoint_dir
 
     if incremental and specific_submission is not None:
@@ -443,13 +455,20 @@ def offline_reading(archive: Archive, out_dir: str,
         submissions = submissions.filter(F.col("idstr") == sid)
 
     manifest_pin = None
+    removed: list[str] = []
     if incremental:
         from pyspark.sql import functions as F
 
         spark = submissions.sparkSession
         fsh = _fs.get_fs(spark, out_dir)
         man_path = os.path.join(out_dir, PAGE_MANIFEST)
-        fp = _thread_fingerprints(submissions, comments)
+        # pinned: the fingerprint hash-agg feeds the changed-set (itself
+        # consumed by both entity filters), the removal anti-join, and
+        # the manifest swap — without the pin it re-executes per
+        # consumer.  Released in the finally below even if the render
+        # or write raises (an unreleased pin lives for the session).
+        fp = _thread_fingerprints(submissions, comments).persist()
+        manifest_pin = fp
         if fsh.exists(man_path):
             old = spark.read.parquet(man_path).select(
                 F.col("idstr").alias("__oid"), F.col("fp").alias("__ofp"))
@@ -459,11 +478,22 @@ def offline_reading(archive: Archive, out_dir: str,
                         | (F.col("__ofp") != F.col("fp")))
                 .select("idstr")
             )
+            # threads DELETED from the archive (merge rollback,
+            # re-ingest from a narrower dump): manifest rows with no
+            # fingerprint.  Their pages are removed below so the
+            # incremental file set converges to what a from-scratch
+            # render would produce.  Driver-side list by contract: it
+            # is the DELETION delta (idstr strings only), each file
+            # delete is one fs call wherever it is issued, and the
+            # schemed-store shim needs the driver's JVM gateway.
+            removed = [
+                r["__oid"]
+                for r in old.join(
+                    fp, old["__oid"] == fp["idstr"], "left_anti"
+                ).select("__oid").collect()
+            ]
         else:
             changed = fp.select("idstr")
-        # consumed by both entity filters below (and the manifest swap
-        # re-reads fp): pin so the fingerprint agg runs once
-        manifest_pin = changed.persist()
         submissions = submissions.join(changed, "idstr", "left_semi")
         norm = F.when(
             F.col("submission").startswith("t3_"), F.col("submission")
@@ -474,36 +504,49 @@ def offline_reading(archive: Archive, out_dir: str,
         )
 
     def _swap_manifest() -> None:
-        # AFTER the pages land: full-corpus fingerprints become the new
-        # manifest via staging dir + delete/rename (old manifest is
-        # still being read lazily until here, so never overwrite in
-        # place)
+        # AFTER the pages land: stale pages are deleted first (re-run
+        # idempotent — a crash between deletes and the swap leaves the
+        # old manifest, the next run recomputes the same removals and
+        # exists-checked deletes converge), then the full-corpus
+        # fingerprints become the new manifest via staging dir +
+        # delete/rename (old manifest is still being read lazily until
+        # here, so never overwrite in place).
+        for idstr in removed:
+            page = os.path.join(out_dir, f"{idstr}.html")
+            if fsh.exists(page):
+                fsh.delete(page)
         staging = man_path + ".staging"
         fp.write.mode("overwrite").parquet(staging)
         if fsh.exists(man_path):
             fsh.delete(man_path)
         fsh.rename(staging, man_path)
-        manifest_pin.unpersist()
     # Reference-parity pages (offline_reading.py:201-222,310-312): one
     # complete header+submission+nested-comments+footer page per
     # SUBMISSION row — zero-comment threads included, comment-only
     # orphan threads excluded, exactly the reference's scope.
-    if stream:
-        from timesearch_spark.operators.trees import thread_page_fragments
+    try:
+        if stream:
+            from timesearch_spark.operators.trees import (
+                thread_page_fragments,
+            )
 
-        frags = thread_page_fragments(
-            submissions, comments, checkpoint_dir=checkpoint_dir
-        )
-        n = exports.write_thread_docs_streamed(frags, out_dir)
-    else:
-        pages = render_thread_pages(
-            submissions, comments, checkpoint_dir=checkpoint_dir
-        )
-        # pages end '</html>' with no trailing newline (the reference
-        # writes none) — '>' is the staged arm's separator contract
-        n = exports.write_thread_docs(pages, out_dir, line_sep=">")
-    if incremental:
-        _swap_manifest()
+            frags = thread_page_fragments(
+                submissions, comments, checkpoint_dir=checkpoint_dir
+            )
+            n = exports.write_thread_docs_streamed(frags, out_dir)
+        else:
+            pages = render_thread_pages(
+                submissions, comments, checkpoint_dir=checkpoint_dir
+            )
+            # pages end '</html>' with no trailing newline (the
+            # reference writes none) — '>' is the staged arm's
+            # separator contract
+            n = exports.write_thread_docs(pages, out_dir, line_sep=">")
+        if incremental:
+            _swap_manifest()
+    finally:
+        if manifest_pin is not None:
+            manifest_pin.unpersist()
     return n
 
 
