@@ -913,9 +913,24 @@ def test_remove_repeated_lines_within(spark):
     for i, text in enumerate(fixtures):
         assert got[i] == twin(text), (i, text, got[i], twin(text))
 
-    # map-side contract: no shuffle anywhere in the executed plan
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # map-side contract: with max_lines=None (corpus known
+    # line-bounded) no shuffle anywhere in the executed plan
+    unguarded = remove_repeated_lines_within(docs, max_lines=None)
+    plan = unguarded._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+    # ... and the unguarded arm returns the identical rows
+    assert {r["doc_id"]: (r["text"], r["n_removed_lines"])
+            for r in unguarded.collect()} == got
+
+    # r13 straggler guard: with a tiny max_lines the same fixtures
+    # route through the explode + first-occurrence-window arm — outputs
+    # must be identical ACROSS THE SEAM (some docs inline, some window)
+    seam = remove_repeated_lines_within(docs, max_lines=3)
+    got_seam = {r["doc_id"]: (r["text"], r["n_removed_lines"])
+                for r in seam.collect()}
+    assert got_seam == got
+    assert any(len(t.split("\n")) > 3 for t in fixtures)  # seam exercised
+    assert any(len(t.split("\n")) <= 3 for t in fixtures)
 
     # the registry entry runs end-to-end on the documents table
     import __spark_entry__ as m
@@ -925,3 +940,32 @@ def test_remove_repeated_lines_within(spark):
     assert len(rows) > 0
     assert set(reg.columns) == {"doc_id", "text_bytes", "n_removed_lines"}
     assert all(r["n_removed_lines"] >= 0 for r in rows)
+
+
+def test_remove_repeated_lines_pathological_doc_routes_to_window_arm(spark):
+    """r13: a 100k-line document — ~10¹⁰ string compares on the inline
+    expression — completes in seconds through the guard's explode +
+    window arm, with the exact twin output."""
+    import time
+
+    from timesearch_spark.operators.dedup import (
+        remove_repeated_lines_within,
+    )
+
+    # 100k lines drawn from 50 distinct values: worst-ish duplicate
+    # density for the window arm (big groups), lethal for the inline
+    # arm (array_position scans 100k elements per line)
+    n, vocab = 100_000, 50
+    text = "\n".join(f"line {i % vocab} payload" for i in range(n))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a\nb\na")], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    got = {r["doc_id"]: r for r in
+           remove_repeated_lines_within(docs).collect()}
+    wall = time.monotonic() - t0
+    assert wall < 60, f"pathological doc took {wall:.1f}s"
+    assert got[1]["n_removed_lines"] == n - vocab
+    expect = "\n".join(f"line {i} payload" for i in range(vocab))
+    assert got[1]["text"] == expect
+    assert (got[2]["text"], got[2]["n_removed_lines"]) == ("a\nb", 1)

@@ -405,10 +405,18 @@ def test_lm_and_clf_scoring_plans_stay_jvm_side(spark):
 
 
 def test_intra_line_dedup_is_map_only(spark):
-    """r12: the within-document repeated-line rewrite is a pure map
-    stage — zero Exchange on well-split input."""
+    """r12/r13: with ``max_lines=None`` (corpus known line-bounded) the
+    within-document repeated-line rewrite is a pure map stage — zero
+    Exchange.  The DEFAULT plan carries the r13 straggler guard: an
+    explode + window arm for over-bound documents, whose Exchange
+    partitions on the per-document line rows (only those documents'
+    lines ever shuffle)."""
     from timesearch_spark.operators.dedup import remove_repeated_lines_within
 
     d = load(spark, SF_SMALL, "documents")
-    out = remove_repeated_lines_within(d)
+    out = remove_repeated_lines_within(d, max_lines=None)
     assert "Exchange" not in plans.formatted_plan(out)
+
+    guarded = plans.formatted_plan(remove_repeated_lines_within(d))
+    assert "Exchange" in guarded  # the routing arm exists in the plan
+    assert "Union" in guarded

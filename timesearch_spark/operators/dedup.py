@@ -1243,10 +1243,19 @@ def remove_repeated_paragraphs(
     )
 
 
+#: Line-count bound above which remove_repeated_lines_within routes a
+#: document to the explode + first-occurrence-window arm: the in-line
+#: expression is O(lines × distinct-lines) per document, so one
+#: pathological 100k-line doc (scraped logs) would be ~10¹⁰ JVM string
+#: compares in a single straggler task with no guard.
+DEFAULT_MAX_INLINE_LINES = 10_000
+
+
 def remove_repeated_lines_within(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_lines: int | None = DEFAULT_MAX_INLINE_LINES,
 ) -> DataFrame:
     """WITHIN-document repeated-line removal (the Gopher-family
     repetition REWRITE that complements the `dup_line_frac` FILTER in
@@ -1267,37 +1276,85 @@ def remove_repeated_lines_within(
     row-preserving and map-side, so it composes anywhere in a ladder
     without re-keying.
 
-    Scale shape: ZERO shuffle — one whole-row expression per document
-    (`filter` with an index lambda over the split lines; a line is kept
-    iff it is blank or `array_position` finds its first occurrence at
-    its own index).  The per-document cost is O(lines x distinct-lines)
-    string comparisons inside the JVM — the same "line counts are
-    tiny" bound text_profile_table's dup_line_frac already relies on;
-    there is no corpus-sized explode, aggregate, or join to pay, which
-    is what makes this the right 100 TB plan for a per-document
-    rewrite.
+    Scale shape: for documents at or under ``max_lines`` — the entire
+    corpus in the Gopher-style use case — ZERO shuffle: one whole-row
+    expression per document (`filter` with an index lambda over the
+    split lines; a line is kept iff it is blank or `array_position`
+    finds its first occurrence at its own index).  That expression is
+    O(lines × distinct-lines) string comparisons per document inside
+    the JVM, so a document OVER ``max_lines`` (a 100k-line scraped log
+    would be ~10¹⁰ compares in one straggler task) routes instead to an
+    explode + first-occurrence-window rebuild — one shuffle carrying
+    ONLY the over-bound documents' lines, linearithmic per document,
+    byte-identical output (fuzz-pinned across the seam).  The routing
+    predicate is evaluated per branch, so the default plan reads the
+    text column twice; a corpus KNOWN line-bounded can pass
+    ``max_lines=None`` to keep the single map-side pass (zero extra
+    scan, zero Exchange — the r12 plan, still plan-pinned).
     """
     lines = F.split(_c(text_col), "\n")
-    kept = F.filter(
-        lines,
-        lambda x, i: (F.trim(x) == "")
-        | (F.array_position(lines, x) == i + F.lit(1)),
-    )
-    # Two-step select: the output text column reuses the INPUT's name,
-    # and Spark's lateral column alias resolution would otherwise bind
-    # any later same-select reference to the rewritten alias instead of
-    # the source column (silently wrong n_removed_lines).
-    staged = df.select(
+
+    def _inline(src: DataFrame) -> DataFrame:
+        kept = F.filter(
+            lines,
+            lambda x, i: (F.trim(x) == "")
+            | (F.array_position(lines, x) == i + F.lit(1)),
+        )
+        # Two-step select: the output text column reuses the INPUT's
+        # name, and Spark's lateral column alias resolution would
+        # otherwise bind any later same-select reference to the
+        # rewritten alias instead of the source column (silently wrong
+        # n_removed_lines).
+        staged = src.select(
+            _c(id_col).alias(id_col),
+            F.size(lines).alias("__n_in"),
+            kept.alias("__kept"),
+        )
+        return staged.select(
+            id_col,
+            F.array_join("__kept", "\n").alias(text_col),
+            (F.col("__n_in") - F.size("__kept")).cast("int")
+            .alias("n_removed_lines"),
+        )
+
+    if max_lines is None:
+        return _inline(df)
+
+    from pyspark.sql import Window
+
+    small = _inline(df.filter(F.size(lines) <= max_lines))
+    big_src = df.filter(F.size(lines) > max_lines)
+    ex = big_src.select(
         _c(id_col).alias(id_col),
-        F.size(lines).alias("__n_in"),
-        kept.alias("__kept"),
+        F.posexplode(lines).alias("__i", "__ln"),
     )
-    return staged.select(
-        id_col,
-        F.array_join("__kept", "\n").alias(text_col),
-        (F.col("__n_in") - F.size("__kept")).cast("int")
-        .alias("n_removed_lines"),
+    w = Window.partitionBy(id_col, "__ln").orderBy("__i")
+    keep = ex.withColumn("__rn", F.row_number().over(w)).filter(
+        (F.trim("__ln") == "") | (F.col("__rn") == 1)
     )
+    rebuilt = keep.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__ln"))),
+                lambda s: s["__ln"],
+            ),
+            "\n",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    big = (
+        big_src.select(
+            _c(id_col).alias(id_col), F.size(lines).alias("__n_in")
+        )
+        .join(rebuilt, id_col)  # over-bound docs always keep ≥1 line
+        .select(
+            id_col,
+            F.col("__text").alias(text_col),
+            (F.col("__n_in") - F.col("__n_kept")).cast("int")
+            .alias("n_removed_lines"),
+        )
+    )
+    return small.unionByName(big)
 
 
 def remove_repeated_spans(
