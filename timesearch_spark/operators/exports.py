@@ -535,7 +535,7 @@ def _write_thread_docs_staged(docs: DataFrame, out_dir: str,
 
 def write_thread_docs_streamed(frags: DataFrame, out_dir: str) -> int:
     """The page sink with NO per-thread memory ceiling: folds the
-    ordered ``(submission, position, depth, pre, post)`` fragments of
+    ordered ``(submission, okey, depth, pre, post)`` fragments of
     :func:`~timesearch_spark.operators.trees.thread_page_fragments` into
     one ``<submission>.html`` per thread, byte-identical to
     ``render_thread_pages`` → :func:`write_thread_docs`, streaming each
@@ -544,15 +544,18 @@ def write_thread_docs_streamed(frags: DataFrame, out_dir: str) -> int:
     thread (the fused arm's bound, see trees.DEFAULT_MAX_THREAD_ROWS).
 
     The fold is the fused assembler's stack, streamed: fragments arrive
-    in (submission, position) order — threads hash-partitioned so each
-    lives wholly in one task, a spill-backed sortWithinPartitions
-    ordering them — and for each fragment the writer closes deeper
-    levels (drain ``post``s), writes the blank-line sibling join where a
-    level already has output (html_from_tree, offline_reading.py:240),
-    writes ``pre`` and pushes ``post``.  The thread's position −1 head
-    fragment carries header+submission block in ``pre`` and the page
-    FOOTER in ``post``, so the final drain emits the footer last with
-    zero special cases.  A thread with no head fragment (comments whose
+    in (submission, okey) order — threads hash-partitioned so each
+    lives wholly in one task, a spill-backed sortWithinPartitions on
+    the walk's root-path key ordering them (lexicographic path order IS
+    the preorder; r13 — ranking the key into an integer position first
+    cost one extra full Exchange+Sort upstream) — and for each fragment
+    the writer closes deeper levels (drain ``post``s), writes the
+    blank-line sibling join where a level already has output
+    (html_from_tree, offline_reading.py:240), writes ``pre`` and pushes
+    ``post``.  The thread's ``okey = ''`` head fragment sorts first and
+    carries header+submission block in ``pre`` and the page FOOTER in
+    ``post``, so the final drain emits the footer last with zero
+    special cases.  A thread with no head fragment (comments whose
     submission was never archived) is consumed but writes nothing — the
     reference's scope (offline_reading.py:310-312).  Files stage
     through ``.inprogress`` + rename so a retried task never leaves a
@@ -591,8 +594,8 @@ def write_thread_docs_streamed(frags: DataFrame, out_dir: str) -> int:
             n += 1
 
         for pdf in batches:
-            for sub, pos, d, pre, post in zip(
-                pdf["submission"], pdf["position"], pdf["depth"],
+            for sub, okey, d, pre, post in zip(
+                pdf["submission"], pdf["okey"], pdf["depth"],
                 pdf["pre"], pdf["post"],
             ):
                 if sub != cur:
@@ -601,9 +604,10 @@ def write_thread_docs_streamed(frags: DataFrame, out_dir: str) -> int:
                     count_stack.clear()
                     count_stack.append(0)
                     cur = sub
-                    # first fragment in position order must be the head;
-                    # headless threads have no page (reference scope)
-                    skipping = int(pos) >= 0
+                    # first fragment in key order must be the head
+                    # (okey ''); headless threads have no page
+                    # (reference scope)
+                    skipping = okey != ""
                     if not skipping:
                         paths[1] = base.rstrip("/") + "/" + sub + ".html"
                         paths[0] = paths[1] + ".inprogress"
@@ -626,7 +630,7 @@ def write_thread_docs_streamed(frags: DataFrame, out_dir: str) -> int:
 
     counts = (
         frags.repartition("submission")
-        .sortWithinPartitions("submission", "position")
+        .sortWithinPartitions("submission", "okey")
         .mapInPandas(write_part, "n long")
     )
     total = counts.agg(F.sum("n")).first()[0]

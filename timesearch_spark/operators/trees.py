@@ -165,6 +165,8 @@ def comment_forest_big(
     checkpoint_dir: str | None = None,
     page_order: bool = False,
     drop_orphan_subtrees: bool = False,
+    emit_path: bool = False,
+    payload: tuple[str, ...] = (),
 ) -> DataFrame:
     """:func:`comment_forest` for threads too large for one task.
 
@@ -230,7 +232,25 @@ def comment_forest_big(
       assigned.  That is the PAGE-scope rule: the reference never
       attaches phantoms to the root, so orphan subtrees are absent from
       the page bytes (offline_reading.py:358-366); the analytics
-      default keeps them, separately oracled."""
+      default keeps them, separately oracled.
+    - ``emit_path`` (r13): return the raw root-path key as
+      ``order_key`` INSTEAD of computing integer ``position`` — a
+      parent's path is a proper prefix of its descendants' and siblings
+      order by rank segment, so sorting by the key gives exactly the
+      preorder (step 3 above is a rank over this very column).  The
+      page pipeline sorts fragments per thread in its writer anyway,
+      so ranking first would pay one extra full Exchange+Sort of every
+      walked row only to replace one sortable key with another.
+    - ``payload`` (r13): extra input columns carried THROUGH the walk
+      and returned on the output rows (phantoms carry nulls).  They are
+      1:1 with nodes, so correctness is free; the cost model is what
+      gates use: payload rides the initial state checkpoint and then
+      only the UNRESOLVED frontier's round shuffles (todo shrinks as
+      depths resolve — done rows rest in their checkpoint), while the
+      per-round anc lookup side stays narrow (payload is excluded from
+      anc_state).  The page pipeline passes its render fields here,
+      which deletes the post-walk fields equi-join — two full
+      exchanges of walk-sized relations — it previously paid."""
     root = F.concat(F.lit("t3_"), F.regexp_replace("submission", "^t3_", ""))
 
     def _required(name: str):
@@ -253,6 +273,7 @@ def comment_forest_big(
             ),
         ).otherwise(F.col(name).cast("string"))
 
+    pl = [f"__pl_{c}" for c in payload]  # collision-proof internal names
     base = comments.select(
         _required("submission").alias("submission"),
         _required("idstr").alias("idstr"),
@@ -262,7 +283,21 @@ def comment_forest_big(
         ).alias("__score"),
         root.alias("__root"),
         *([F.col("created").alias("__created")] if page_order else []),
+        *[F.col(c).alias(a) for c, a in zip(payload, pl)],
     )
+    from timesearch_spark.fs import checkpointer
+
+    ckpt = checkpointer(comments.sparkSession, checkpoint_dir)
+    if payload:
+        # Page path (fat payload rows): `base` feeds both `known` and
+        # `normed`, so an expensive upstream (the page pipeline's
+        # comment synthesis/normalization) would execute twice inside
+        # the state materialization.  Checkpoint it once — measured
+        # -25% on thread_page_frags at sf0.1.  The analytics path keeps
+        # the r11/r12 plan shape (identity-pinned in tests), where the
+        # double-scan is a cheap parquet re-read and an extra
+        # materialization would be pure cost.
+        base = ckpt(base)
     known = base.select(
         F.col("submission").alias("__ksub"), F.col("idstr").alias("__kid")
     ).distinct()
@@ -288,6 +323,7 @@ def comment_forest_big(
                 & ~F.col("parent").startswith("t3_")
             ).alias("__parent_missing"),
             *(["__created"] if page_order else []),
+            *pl,
         )
     )
     phantoms = (
@@ -303,6 +339,8 @@ def comment_forest_big(
             F.lit(True).alias("phantom"),
             *([F.lit(None).cast(dict(normed.dtypes)["__created"])
                .alias("__created")] if page_order else []),
+            *[F.lit(None).cast(dict(normed.dtypes)[a]).alias(a)
+              for a in pl],
         )
     )
     nodes = (
@@ -349,10 +387,8 @@ def comment_forest_big(
         F.col("parent").alias("anc"),
         seg.alias("path"),
         F.lit(1).alias("hops"),
+        *pl,
     )
-    from timesearch_spark.fs import checkpointer
-
-    ckpt = checkpointer(comments.sparkSession, checkpoint_dir)
     state = ckpt(state)
 
     # Only the advancing FRONTIER is ever re-materialized: done rows
@@ -365,8 +401,11 @@ def comment_forest_big(
     todo = state.filter(F.col("anc") != F.col("__root"))
     rounds = max(1, (int(max_depth) - 1).bit_length() + 1)
     for _ in range(rounds):
-        if todo.limit(1).count() == 0:
-            break
+        # convergence probe runs AFTER each advance (r13): probing
+        # before it cost one extra job per walk — the common shallow
+        # forest paid probe+advance+probe where advance+probe suffices,
+        # and an all-top-level forest's first advance joins an empty
+        # frontier, which costs what the probe it replaces did
         full = reduce(lambda a, b: a.unionByName(b), done_parts + [todo])
         anc_state = full.select(
             F.col("submission").alias("__asub"),
@@ -391,6 +430,7 @@ def comment_forest_big(
                 F.col("__aanc").alias("anc"),
                 F.concat(F.col("__apath"), F.col("path")).alias("path"),
                 (F.col("hops") + F.col("__ahops")).alias("hops"),
+                *pl,
             )
             # depth bound doubles as the cycle guard: a cycle member's
             # hop count doubles every round and exits here in O(log)
@@ -400,10 +440,23 @@ def comment_forest_big(
         advanced = ckpt(advanced)
         done_parts.append(advanced.filter(F.col("anc") == F.col("__root")))
         todo = advanced.filter(F.col("anc") != F.col("__root"))
+        if todo.limit(1).count() == 0:
+            break
 
     resolved = reduce(lambda a, b: a.unionByName(b), done_parts)
     if drop_orphan_subtrees:
         resolved = resolved.filter(~F.col("path").contains("~"))
+    back = [F.col(a).alias(c) for c, a in zip(payload, pl)]
+    if emit_path:
+        return resolved.select(
+            "submission",
+            "idstr",
+            "parent",
+            (F.col("hops") - F.lit(1)).cast("int").alias("depth"),
+            F.col("path").alias("order_key"),
+            "phantom",
+            *back,
+        )
     pos = F.row_number().over(Window.partitionBy("submission").orderBy("path"))
     return resolved.select(
         "submission",
@@ -412,6 +465,7 @@ def comment_forest_big(
         (F.col("hops") - F.lit(1)).cast("int").alias("depth"),
         (pos - F.lit(1)).cast("int").alias("position"),
         "phantom",
+        *back,
     )
 
 
@@ -923,7 +977,7 @@ def thread_page_fragments(
 ) -> DataFrame:
     """The page pipeline with NO per-thread memory ceiling: every page,
     byte-identical to :func:`render_thread_pages`, as an ordered stream
-    of fragments ``(submission, position, depth, pre, post)`` that
+    of fragments ``(submission, okey, depth, pre, post)`` that
     :func:`~timesearch_spark.operators.exports.write_thread_docs_streamed`
     folds into files with an O(tree depth) stack — so a 10M-comment
     mega-thread streams through one writer task instead of OOMing it.
@@ -932,11 +986,16 @@ def thread_page_fragments(
     (:func:`comment_forest_big` with ``page_order`` — sibling order
     (score desc, id.lower() asc, created asc), ``drop_orphan_subtrees``
     — the reference's never-attached phantoms, offline_reading.py:358-366)
-    assigns every comment its preorder position; one equi-join brings
-    the render fields back to the walked rows; a stateless Arrow pass
-    splits each rendered HTML_COMMENT block at the children slot into
-    (pre, post).  The submissions table contributes position −1
-    fragments: ``pre`` = header + submission block (the exact
+    assigns every comment its preorder ORDER KEY (``emit_path``: the
+    walk's root-path key, whose lexicographic order IS the preorder —
+    r13 dropped the integer-position window here, one full
+    Exchange+Sort of every walked row the writer's own per-thread sort
+    made redundant); one equi-join brings the render fields back to the
+    walked rows; a stateless Arrow pass splits each rendered
+    HTML_COMMENT block at the children slot into (pre, post).  The
+    submissions table contributes ``okey = ''`` fragments — the empty
+    key sorts before every all-digit path, so the head is first in
+    writer order: ``pre`` = header + submission block (the exact
     :func:`_page_head_col` expression the fused arm uses), ``post`` =
     the page footer — which the writer's stack drain emits LAST, after
     every comment's close tags, exactly where the fused arm concats it.
@@ -948,7 +1007,7 @@ def thread_page_fragments(
     (:func:`assemble_thread_pages`) avoids — keep the fused arm for
     bounded threads and route here when ``max_thread_rows`` trips.
     Threads present in ``comments`` but absent from ``submissions``
-    produce comment fragments with no position −1 head; the writer
+    produce comment fragments with no ``okey = ''`` head; the writer
     skips headless threads, preserving the reference's scope (pages
     come from the submissions table, offline_reading.py:310-312)."""
     norm = F.when(
@@ -956,23 +1015,21 @@ def thread_page_fragments(
     ).otherwise(F.concat(F.lit("t3_"), F.col("submission")))
     comments = comments.withColumn("submission", norm)
 
-    walk = comment_forest_big(
-        comments.select("submission", "idstr", "parent", "score", "created"),
+    # The render fields ride the walk as payload (r13): they are 1:1
+    # with nodes, so the post-walk fields equi-join — two full
+    # exchanges of walk-sized relations — is gone; payload costs only
+    # the initial state checkpoint plus the unresolved frontier's round
+    # shuffles (see comment_forest_big's payload note).
+    joined = comment_forest_big(
+        comments.select("submission", "idstr", "parent", "score", "created",
+                        "author", "body", "subreddit"),
         max_depth=max_depth,
         checkpoint_dir=checkpoint_dir,
         page_order=True,
         drop_orphan_subtrees=True,
-    )
-    fields = comments.select(
-        F.col("submission").alias("__fsub"),
-        F.col("idstr").alias("__fid"),
-        "created", "score", "author", "body", "subreddit",
-    )
-    joined = walk.join(
-        fields,
-        (walk["submission"] == fields["__fsub"])
-        & (walk["idstr"] == fields["__fid"]),
-    ).select("submission", "idstr", "position", "depth",
+        emit_path=True,
+        payload=("created", "score", "author", "body", "subreddit"),
+    ).select("submission", "idstr", "order_key", "depth",
              "created", "score", "author", "body", "subreddit")
 
     def render_fragments(batches):
@@ -993,21 +1050,21 @@ def thread_page_fragments(
                 posts.append(post)
             yield pd.DataFrame({
                 "submission": pdf["submission"],
+                "okey": pdf["order_key"],
                 # comment depths nest INSIDE the submission fragment's
                 # open post (the footer): shift +1 past its level 0
-                "position": pdf["position"].astype("int32"),
                 "depth": (pdf["depth"] + 1).astype("int32"),
                 "pre": pres,
                 "post": posts,
             })
 
-    frag_schema = ("submission string, position int, depth int, "
+    frag_schema = ("submission string, okey string, depth int, "
                    "pre string, post string")
     comment_frags = joined.mapInPandas(render_fragments, frag_schema)
 
     head_frags = submissions.select(
         F.col("idstr").alias("submission"),
-        F.lit(-1).cast("int").alias("position"),
+        F.lit("").alias("okey"),  # '' < every all-digit path: head first
         F.lit(0).cast("int").alias("depth"),
         _page_head_col().alias("pre"),
         F.lit(PAGE_FOOTER).alias("post"),
