@@ -238,6 +238,88 @@ def test_offline_reading_incremental_rerenders_only_changed(spark, tmp_path):
                             incremental=True)
 
 
+def test_offline_reading_auto_routes_mega_threads(spark, tmp_path):
+    """r13: the DEFAULT export auto-routes per thread — threads at or
+    under max_thread_rows take the fused assembler, over-bound threads
+    take the streamed no-ceiling arm, one run, no error (r12 raised a
+    loud ValueError instead), bytes identical to an all-streamed run
+    AND to an unrouted fused run; --stream stays the forced override.
+    Counter evidence: the writer spies see exactly the expected split."""
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    p = tmp_path / "dump.jsonl"
+    # s0: 5 comments (over a bound of 3); s1: 2 comments; s2: none
+    objs = [_sub(0), _sub(1), _sub(2)]
+    objs += [_com(i) for i in range(3)]
+    objs += [_com(5, parent_id="t1_c0", link_id="t3_s0"),
+             _com(6, parent_id="t1_c1", link_id="t3_s0"),
+             _com(7, parent_id="t3_s1", link_id="t3_s1"),
+             _com(8, parent_id="t1_c7", link_id="t3_s1")]
+    p.write_text("\n".join(json.dumps(o) for o in objs))
+    api.ingest_jsonfile(ar, str(p))
+
+    from timesearch_spark.operators import exports as _exports
+
+    calls = {"fused": 0, "streamed": 0}
+    orig_fused = _exports.write_thread_docs
+    orig_streamed = _exports.write_thread_docs_streamed
+
+    def spy_fused(*a, **kw):
+        n = orig_fused(*a, **kw)
+        calls["fused"] += n
+        return n
+
+    def spy_streamed(*a, **kw):
+        n = orig_streamed(*a, **kw)
+        calls["streamed"] += n
+        return n
+
+    out = tmp_path / "routed"
+    _exports.write_thread_docs = spy_fused
+    _exports.write_thread_docs_streamed = spy_streamed
+    try:
+        n = api.offline_reading(ar, str(out), max_thread_rows=3)
+    finally:
+        _exports.write_thread_docs = orig_fused
+        _exports.write_thread_docs_streamed = orig_streamed
+    assert n == 3
+    # s0 (5 comments) streamed; s1 (2 comments) + s2 (0 comments) fused
+    assert calls == {"fused": 2, "streamed": 1}
+
+    # byte identity against both unrouted arms
+    all_stream = tmp_path / "allstream"
+    api.offline_reading(ar, str(all_stream), stream=True)
+    unrouted = tmp_path / "unrouted"
+    api.offline_reading(ar, str(unrouted))  # default bound: all fused
+    for f in ("t3_s0.html", "t3_s1.html", "t3_s2.html"):
+        b = (out / f).read_bytes()
+        assert b == (all_stream / f).read_bytes(), f
+        assert b == (unrouted / f).read_bytes(), f
+
+    # the under-bound-only default stays the fused-only plan: no
+    # streamed pages written when nothing is over the bound
+    calls2 = {"fused": 0, "streamed": 0}
+
+    def spy_f2(*a, **kw):
+        n = orig_fused(*a, **kw)
+        calls2["fused"] += n
+        return n
+
+    def spy_s2(*a, **kw):
+        n = orig_streamed(*a, **kw)
+        calls2["streamed"] += n
+        return n
+
+    out2 = tmp_path / "allsmall"
+    _exports.write_thread_docs = spy_f2
+    _exports.write_thread_docs_streamed = spy_s2
+    try:
+        assert api.offline_reading(ar, str(out2), max_thread_rows=100) == 3
+    finally:
+        _exports.write_thread_docs = orig_fused
+        _exports.write_thread_docs_streamed = orig_streamed
+    assert calls2 == {"fused": 3, "streamed": 0}
+
+
 def test_offline_reading_incremental_deletes_stale_pages(spark, tmp_path):
     """r13: a thread DELETED from the archive loses its page and its
     manifest row on the next incremental run, so the incremental file

@@ -395,7 +395,8 @@ def offline_reading(archive: Archive, out_dir: str,
                     specific_submission: str | None = None,
                     checkpoint_dir: str | None = None,
                     stream: bool = False,
-                    incremental: bool = False) -> int:
+                    incremental: bool = False,
+                    max_thread_rows: int | None = None) -> int:
     """Thread HTML export (§3.3): forest walk → render → one file per
     submission; returns the file count.  ``specific_submission`` renders
     one thread only (the reference's -s, offline_reading.py:393-416) —
@@ -409,14 +410,23 @@ def offline_reading(archive: Archive, out_dir: str,
     failing the export, while plain local archives keep the cheap
     ``localCheckpoint``.
 
-    ``stream=True`` selects the no-ceiling arm: the distributed
+    Arm routing (r13): by DEFAULT the export is auto-routed PER THREAD —
+    one cheap comment-count probe (map-side partial agg + a broadcast
+    split) sends threads at or under ``max_thread_rows``
+    (trees.DEFAULT_MAX_THREAD_ROWS unless overridden) through the fused
+    one-pass assembler and the over-bound ones through the streamed
+    no-ceiling arm, same run, same bytes — so one 10M-comment
+    mega-thread no longer fails the whole export (the fused arm's loud
+    ValueError) or forces every small thread onto the slower arm.  When
+    no thread is over the bound (the probe's common answer) the plan is
+    exactly the fused-only export.  ``stream=True`` remains the forced
+    override: EVERYTHING takes the no-ceiling arm — the distributed
     pointer-doubling walk orders page fragments and an O(tree depth)
     stack writer folds them into the SAME bytes
     (trees.thread_page_fragments → exports.write_thread_docs_streamed)
-    — slower on bounded archives (it pays the walk's rounds plus a
-    fields join the fused one-pass assembler avoids), but a mega-thread
-    past trees.DEFAULT_MAX_THREAD_ROWS streams through one task's
-    O(depth) stack instead of erroring.
+    — slower on bounded archives (it pays the walk's rounds the fused
+    one-pass assembler avoids), but a mega-thread streams through one
+    task's O(depth) stack instead of erroring.
 
     ``incremental=True`` re-renders ONLY threads whose render-relevant
     bytes changed since the last run (new/edited/deleted comments,
@@ -524,29 +534,72 @@ def offline_reading(archive: Archive, out_dir: str,
     # complete header+submission+nested-comments+footer page per
     # SUBMISSION row — zero-comment threads included, comment-only
     # orphan threads excluded, exactly the reference's scope.
+    from pyspark.sql import functions as F
+    from timesearch_spark.operators import trees as _trees
+
+    bound = (_trees.DEFAULT_MAX_THREAD_ROWS
+             if max_thread_rows is None else max_thread_rows)
+    over_pin = None
     try:
         if stream:
-            from timesearch_spark.operators.trees import (
-                thread_page_fragments,
-            )
-
-            frags = thread_page_fragments(
+            frags = _trees.thread_page_fragments(
                 submissions, comments, checkpoint_dir=checkpoint_dir
             )
             n = exports.write_thread_docs_streamed(frags, out_dir)
         else:
-            pages = render_thread_pages(
-                submissions, comments, checkpoint_dir=checkpoint_dir
+            # Per-thread auto-routing (precedent: comment_forest_auto's
+            # skew probe): one comment-count agg finds threads past the
+            # fused assembler's one-task bound.  The over-set is tiny by
+            # construction (each member has > bound comments), so the
+            # split joins broadcast it; when it is empty — the common
+            # case — the export is exactly the fused-only plan.
+            norm = F.when(
+                F.col("submission").startswith("t3_"), F.col("submission")
+            ).otherwise(F.concat(F.lit("t3_"), F.col("submission")))
+            normed = comments.withColumn("submission", norm)
+            over = (
+                normed.groupBy("submission")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > bound)
+                .select("submission")
             )
-            # pages end '</html>' with no trailing newline (the
-            # reference writes none) — '>' is the staged arm's
-            # separator contract
-            n = exports.write_thread_docs(pages, out_dir, line_sep=">")
+            over_pin = over.persist()
+            if over.limit(1).count() == 0:
+                pages = render_thread_pages(
+                    submissions, comments, checkpoint_dir=checkpoint_dir,
+                    max_thread_rows=bound,
+                )
+                # pages end '</html>' with no trailing newline (the
+                # reference writes none) — '>' is the staged arm's
+                # separator contract
+                n = exports.write_thread_docs(pages, out_dir, line_sep=">")
+            else:
+                over_subs = over.select(F.col("submission").alias("idstr"))
+                fused_pages = render_thread_pages(
+                    submissions.join(
+                        F.broadcast(over_subs), "idstr", "left_anti"),
+                    normed.join(F.broadcast(over), "submission",
+                                "left_anti"),
+                    checkpoint_dir=checkpoint_dir,
+                    max_thread_rows=bound,
+                )
+                n = exports.write_thread_docs(
+                    fused_pages, out_dir, line_sep=">")
+                frags = _trees.thread_page_fragments(
+                    submissions.join(
+                        F.broadcast(over_subs), "idstr", "left_semi"),
+                    normed.join(F.broadcast(over), "submission",
+                                "left_semi"),
+                    checkpoint_dir=checkpoint_dir,
+                )
+                n += exports.write_thread_docs_streamed(frags, out_dir)
         if incremental:
             _swap_manifest()
     finally:
         if manifest_pin is not None:
             manifest_pin.unpersist()
+        if over_pin is not None:
+            over_pin.unpersist()
     return n
 
 

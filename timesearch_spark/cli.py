@@ -269,6 +269,7 @@ def cmd_offline_reading(args):
         checkpoint_dir=args.checkpoint_dir,
         stream=args.stream,
         incremental=args.incremental,
+        max_thread_rows=args.max_thread_rows,
     )
     print(f"offline_reading: {n} threads")
     return 0
@@ -562,8 +563,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="durable checkpoint dir for mega-thread walks "
                         "(cluster runs: survives executor loss)")
     p.add_argument("--stream", action="store_true",
-                   help="no-ceiling arm: distributed walk + O(depth) "
-                        "stack writer; same bytes, mega-thread safe")
+                   help="FORCE the no-ceiling arm for every thread: "
+                        "distributed walk + O(depth) stack writer; same "
+                        "bytes.  Without it the export auto-routes per "
+                        "thread (fused under --max-thread-rows, "
+                        "streamed over it)")
+    p.add_argument("--max-thread-rows", dest="max_thread_rows", type=int,
+                   default=None,
+                   help="per-thread comment bound for the fused arm "
+                        "(default trees.DEFAULT_MAX_THREAD_ROWS); "
+                        "threads past it auto-route to the streamed arm")
     p.add_argument("--incremental", action="store_true",
                    help="re-render only threads whose fingerprint "
                         "changed since the last run (manifest in "
