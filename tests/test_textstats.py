@@ -333,6 +333,44 @@ def test_quality_classifier_separates_and_is_deterministic(spark):
         train_quality_classifier(pos.limit(0), neg.limit(0))
 
 
+def test_quality_classifier_catches_common_word_salad_alone(spark):
+    """r13 word-bigram features: scrambled-word documents have the SAME
+    unigram bag as their clean sources, so a unigram-only hashed bag
+    scored them identically (the inversion the bigram LM had to catch
+    downstream).  With (tok_i, tok_{i+1}) features hashed into the same
+    space, the classifier ALONE separates clean from salad — trained
+    only on clean-vs-scrambled samples of DIFFERENT sentences."""
+    import random
+
+    from timesearch_spark.operators.textstats import (
+        quality_clf_score, train_quality_classifier,
+    )
+
+    rng = random.Random(5)
+    base = ("the quick brown fox jumps over the lazy dog and the small "
+            "cat sits on a warm mat near the old door")
+    words = base.split()
+
+    def scramble(seed):
+        w = list(words)
+        random.Random(seed).shuffle(w)
+        return " ".join(w)
+
+    clean = [" ".join(words[rng.randrange(0, 3):]) + " %d" % i
+             for i in range(40)]
+    pos = spark.createDataFrame([(t,) for t in clean], "text string")
+    neg = spark.createDataFrame(
+        [(scramble(i),) for i in range(40)], "text string")
+    W, b = train_quality_classifier(pos, neg, dim=1 << 13)
+
+    # held-out pair: identical token MULTISET, different order
+    test = spark.createDataFrame(
+        [(1, base), (2, scramble(999))], "doc_id long, text string")
+    out = {r["doc_id"]: float(r["score"])
+           for r in quality_clf_score(test, W, b, dim=1 << 13).collect()}
+    assert out[1] > out[2] + 0.2, out  # clean wins decisively
+
+
 def test_quality_classifier_distributed_arm_agrees(spark):
     """Forcing the gate (max_driver_rows=0) takes the relational GD
     loop: same separation direction and close scores — float gradient
@@ -402,24 +440,38 @@ def test_quality_clf_score_matches_decimal_twin(spark):
     got = {r["doc_id"]: (r["n_tok"], r["score"])
            for r in quality_clf_score(df, W, b, dim=dim).collect()}
 
-    # engine-derived token -> idx map (hash parity by construction)
+    # engine-derived feature -> idx maps (hash parity by construction):
+    # unigrams AND adjacent-pair word bigrams (r13 feature set)
     toks = sorted({t for _, tx in docs for t in tx.lower().split()})
+    pairs = sorted({(tl[i], tl[i + 1])
+                    for _, tx in docs
+                    for tl in [tx.lower().split()]
+                    for i in range(len(tl) - 1)})
     idx_rows = spark.createDataFrame([(t,) for t in toks], "t string").select(
         "t", F.pmod(F.xxhash64(F.lit(_QCLF_SEED), F.col("t")), F.lit(dim))
         .cast("int").alias("idx")).collect()
     idx_of = {r["t"]: r["idx"] for r in idx_rows}
+    pair_rows = spark.createDataFrame(
+        list(pairs), "a string, b string").select(
+        "a", "b",
+        F.pmod(F.xxhash64(F.lit(_QCLF_SEED), F.col("a"), F.col("b")),
+               F.lit(dim)).cast("int").alias("idx")).collect()
+    idx_of_pair = {(r["a"], r["b"]): r["idx"] for r in pair_rows}
 
     import math
     for did, tx in docs:
         tl = [t for t in tx.lower().strip().split()]
         tl = [t for t in tl if t]
         n = len(tl)
-        # per-(id, idx) grouping: sum count/n per distinct idx then round
+        feats = [idx_of[t] for t in tl] + [
+            idx_of_pair[(tl[i], tl[i + 1])] for i in range(n - 1)]
+        nf = len(feats)
+        # per-(id, idx) grouping: sum count/nf per distinct idx, round
         z = Decimal(0)
         from collections import Counter
-        cnt = Counter(idx_of[t] for t in tl)
+        cnt = Counter(feats)
         for ix, c in cnt.items():
-            z += Decimal(str(round((c / n) * wmap.get(ix, 0.0), 9)))
+            z += Decimal(str(round((c / nf) * wmap.get(ix, 0.0), 9)))
         score = round(1.0 / (1.0 + math.exp(-(float(z) + b))), 9)
         assert got[did][0] == n
         assert float(got[did][1]) == score, (did, got[did], score)

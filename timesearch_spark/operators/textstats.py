@@ -332,10 +332,16 @@ def unigram_lm(ref: "DataFrame", text_col: str = "text",
     top = vocab_counts.collect()
     logp_of = {c: math.log((c + alpha) / denom)
                for c in {int(r["count"]) for r in top}}
-    vocab = ref.sparkSession.createDataFrame(
-        [(r["token"], logp_of[int(r["count"])]) for r in top],
-        "token string, logp double",
-    )
+    # through pandas, not a row list: Arrow-enabled sessions then scan
+    # the model as a LocalTableScan instead of a PythonRDD (the scoring
+    # plan stays Python-free — plan-pinned in test_plans)
+    import pandas as pd
+
+    vocab = ref.sparkSession.createDataFrame(pd.DataFrame({
+        "token": pd.Series([r["token"] for r in top], dtype="object"),
+        "logp": pd.Series([logp_of[int(r["count"])] for r in top],
+                          dtype="float64"),
+    }), "token string, logp double")
     return vocab, math.log(alpha / denom)
 
 
@@ -560,26 +566,59 @@ def lm_score_bigram(docs: "DataFrame", uni: "DataFrame", bi: "DataFrame",
 _QCLF_SEED = "qclf"
 
 
+def _qclf_feature_idx(tok_col, dim: int):
+    """array<int> of hashed feature indices for one document's
+    (already materialized) token array: one per token (unigram) plus
+    one per ADJACENT TOKEN PAIR (word bigram, r13 — the fastText
+    recipe's separation power is largely in the n-grams: a unigram bag
+    passes scrambled-word documents that only transition features can
+    catch), all in the same ``pmod(xxhash64) % dim`` space.  The pair
+    hash feeds both tokens as separate xxhash64 arguments — no
+    delimiter, no string concat, and unigram/bigram collisions are
+    ordinary hashing-trick collisions.
+
+    ``tok_col`` must be a materialized array column, NOT a fresh
+    ``tokens(text)`` expression: interpreted HOF lambdas re-evaluate
+    captured subtrees per element (the shingles hot-path warning), so a
+    captured split() would tokenize O(tokens) times per document."""
+    t = _c(tok_col)
+
+    def h(*cols):
+        return F.pmod(F.xxhash64(F.lit(_QCLF_SEED), *cols),
+                      F.lit(dim)).cast("int")
+
+    uni = F.transform(t, lambda x: h(x))
+    n = F.size(t)
+    big = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),  # guarded: sequence(1, 0) DESCENDS
+            lambda i: h(F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.concat(uni, big)
+
+
 def _qclf_feature_rows(docs: "DataFrame", text_col: str, id_col: str,
                        dim: int) -> "DataFrame":
-    """(id, idx, x) hashed-tf rows: x = count(token)/n_tok per document
+    """(id, idx, x) hashed-tf rows over :func:`_qclf_feature_idx`
+    features: x = count(feature)/n_features per document
     (length-normalized, so score magnitude is length-invariant), plus
     one BIAS row (idx = -1, x = 1.0) per document — the bias is just
     another weight, which keeps every doc represented (zero-token docs
     still carry their bias row) and the gradient relation uniform."""
     tok = docs.select(
         _c(id_col).alias(id_col),
-        F.explode(tokens(text_col)).alias("__t"),
+        tokens(text_col).alias("__tok"),
     ).select(
         id_col,
-        F.pmod(F.xxhash64(F.lit(_QCLF_SEED), F.col("__t")), F.lit(dim))
-        .cast("int").alias("idx"),
+        F.explode(_qclf_feature_idx("__tok", dim)).alias("idx"),
     )
     counts = tok.groupBy(id_col, "idx").agg(F.count("*").alias("__c"))
-    n_tok = F.sum("__c").over(Window.partitionBy(id_col))
+    n_feat = F.sum("__c").over(Window.partitionBy(id_col))
     tf = counts.select(
         id_col, "idx",
-        (F.col("__c").cast("double") / n_tok).alias("x"),
+        (F.col("__c").cast("double") / n_feat).alias("x"),
     )
     bias = docs.select(
         _c(id_col).alias(id_col),
@@ -735,26 +774,29 @@ def quality_clf_score(docs: "DataFrame", weights: "DataFrame", bias: float,
                       text_col: str = "text", id_col: str = "doc_id",
                       dim: int = 1 << 16) -> "DataFrame":
     """(id, n_tok, score): P(quality) under the trained model —
-    sigmoid(bias + Σ tf(token)·w[hash(token) % dim]).
+    sigmoid(bias + Σ tf(f)·w[hash(f) % dim]) over the
+    :func:`_qclf_feature_idx` feature set (unigrams + word bigrams,
+    r13; tf normalizes by the document's total feature count).
 
-    Shape: explode tokens → broadcast-join the (bounded) weight table →
-    hash-agg per document — the lm_score plan, map-side at any corpus
-    size.  Per-term contributions are rounded to 9 decimals and summed
-    as decimal(28,9) (the lm_score determinism recipe), so equal inputs
+    Shape: explode the per-document feature-index array →
+    broadcast-join the (bounded) weight table → hash-agg per document —
+    the lm_score plan, map-side at any corpus size.  Per-term
+    contributions are rounded to 9 decimals and summed as
+    decimal(28,9) (the lm_score determinism recipe), so equal inputs
     score identically run to run regardless of partitioning.
+    ``n_tok`` stays the TOKEN count: a document with n tokens emits
+    2n−1 features, so n = (n_features + 1) div 2 exactly.
     Zero-token documents keep a row with n_tok=0 and score =
     sigmoid(bias)."""
     tok = docs.select(
         _c(id_col).alias(id_col),
-        F.explode_outer(tokens(text_col)).alias("__t"),
+        tokens(text_col).alias("__tok"),
     ).select(
         id_col,
-        F.when(F.col("__t").isNotNull(),
-               F.pmod(F.xxhash64(F.lit(_QCLF_SEED), F.col("__t")),
-                      F.lit(dim)).cast("int")).alias("idx"),
+        F.explode_outer(_qclf_feature_idx("__tok", dim)).alias("idx"),
     )
     counts = tok.groupBy(id_col, "idx").agg(F.count("idx").alias("__c"))
-    n_tok = F.sum("__c").over(Window.partitionBy(id_col))
+    n_feat = F.sum("__c").over(Window.partitionBy(id_col))
     contrib = (
         counts.join(F.broadcast(weights), "idx", "left")
         .select(
@@ -763,19 +805,20 @@ def quality_clf_score(docs: "DataFrame", weights: "DataFrame", bias: float,
             # try_divide, not `/`: ANSI raises DIVIDE_BY_ZERO on the 0/0
             # of a zero-token document; the contract is a null term there
             F.round(
-                F.try_divide(F.col("__c").cast("double"), n_tok)
+                F.try_divide(F.col("__c").cast("double"), n_feat)
                 * F.coalesce("w", F.lit(0.0)),
                 9,
             ).cast("decimal(28,9)").alias("__zc"),
         )
     )
     agg = contrib.groupBy(id_col).agg(
-        F.sum("__c").alias("n_tok"),
+        F.sum("__c").alias("__nf"),
         F.sum("__zc").alias("__z"),
     )
     z = F.coalesce(F.col("__z").cast("double"), F.lit(0.0)) + F.lit(float(bias))
     return agg.select(
         id_col,
-        F.col("n_tok").cast("long").alias("n_tok"),
+        F.floor((F.col("__nf") + F.lit(1)) / F.lit(2))
+        .cast("long").alias("n_tok"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9).alias("score"),
     )
