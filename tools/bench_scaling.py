@@ -31,6 +31,114 @@ from bench import HEADLINE  # noqa: E402
 from timesearch_spark.session import get_spark  # noqa: E402
 
 
+def _sink_breakdown_streamed(spark, sf_dir, out_dir):
+    """The r12 streamed single-file breakdown sink end-to-end: agg →
+    executor-side json.dumps fragments → one streaming single-task
+    write.  Contractually ends in ONE sequential writer task (the output
+    is one file of one line), so the scaling question this row answers
+    is whether the fragment shuffle, not the writer, dominates at 10×."""
+    from timesearch_spark.operators.exports import (
+        write_breakdown_unsorted_streamed,
+    )
+    from timesearch_spark.queries import breakdown_counts
+
+    bd = breakdown_counts(spark, sf_dir)
+    write_breakdown_unsorted_streamed(bd, out_dir, "probe",
+                                      key_name="custkey")
+
+
+def _sink_thread_docs_streamed(spark, sf_dir, out_dir):
+    """The r12 streamed no-ceiling page sink end-to-end: distributed
+    page-order walk → fragment render → per-thread O(depth) stack
+    writer actually writing every page file.  One page = one file, so
+    the writer parallelism is the thread count, not a single task."""
+    from timesearch_spark.operators.exports import write_thread_docs_streamed
+    from timesearch_spark.operators.trees import thread_page_fragments
+    from timesearch_spark.queries import _page_inputs
+
+    subs, comments = _page_inputs(spark, sf_dir)
+    write_thread_docs_streamed(
+        thread_page_fragments(subs, comments), out_dir)
+
+
+#: sinks probed end-to-end (files written to a temp dir, timing includes
+#: the write, cleanup excluded) — the bench headliners reduce these
+#: pipelines to narrow aggregates, so without these rows neither
+#: streamed sink had scaling evidence (r12 verdict item 7)
+SINK_PROBES = {
+    "sink_breakdown_streamed": _sink_breakdown_streamed,
+    "sink_thread_docs_streamed": _sink_thread_docs_streamed,
+}
+
+
+def _pairs_fanout(grouped_counts):
+    """Σ c·(c−1)/2 over per-group posting counts: the exact number of
+    ordered candidate pairs the family's self-join generates BEFORE any
+    filter — the drift evidence the r11/r12 jaccard investigations had
+    to reconstruct by hand (r12 verdict item 8)."""
+    from pyspark.sql import functions as F
+
+    row = grouped_counts.agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs")
+    ).first()
+    return int(row["pairs"] or 0)
+
+
+def _cand_ngram_jaccard(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from timesearch_spark.operators import dedup as dd
+    from timesearch_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    post, _base = dd._jaccard_postings(d, "source", "text", "doc_id", 1)
+    pref = dd._jaccard_prefix_postings(post, "doc_id", 0.5)
+    return _pairs_fanout(
+        pref.groupBy("block", "gh").agg(F.count("*").alias("c")))
+
+
+def _cand_minhash(hash_family, num_hashes, bands, suffix):
+    def counter(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from timesearch_spark.operators import dedup as dd
+        from timesearch_spark.queries import _docs_with_mutations
+
+        u = _docs_with_mutations(spark, sf_dir, suffix)
+        bb = dd.minhash_band_buckets(
+            u, num_hashes=num_hashes, bands=bands, hash_family=hash_family)
+        return _pairs_fanout(
+            bb.groupBy("band", "bucket").agg(F.count("*").alias("c")))
+
+    return counter
+
+
+def _cand_simhash(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from timesearch_spark.operators import dedup as dd
+    from timesearch_spark.queries import _docs_with_mutations
+
+    u = _docs_with_mutations(spark, sf_dir, " zzq")
+    h = dd.simhash_table(u, "text", "doc_id", "xxhash64")
+    ex = h.select(F.explode(dd._simhash_chunks("sh", 3)).alias("cv")).select(
+        F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    return _pairs_fanout(
+        ex.groupBy("chunk", "val").agg(F.count("*").alias("c")))
+
+
+#: per-query candidate-pair counters (same parameters as the registry
+#: query each names); counted once per probe at BOTH scale factors so a
+#: future wall-clock drift is attributable to candidate growth vs load
+#: in one run
+CANDIDATE_COUNTERS = {
+    "dedup_ngram_jaccard": _cand_ngram_jaccard,
+    "dedup_minhash_lsh": _cand_minhash("md5", 32, 8, " zzq wwx vvy"),
+    "dedup_minhash_xx64": _cand_minhash("xxhash64", 64, 16, " zzq wwx vvy"),
+    "dedup_simhash_xx64": _cand_simhash,
+}
+
+
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = (
@@ -54,6 +162,17 @@ def main() -> None:
         # rung (curate, incremental minhash).  bench.py deliberately
         # keeps steady-state semantics; this tool deliberately doesn't.
         spark.catalog.clearCache()
+        if name in SINK_PROBES:
+            import shutil
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix=f"scaling_{name}_")
+            t0 = time.time()
+            try:
+                SINK_PROBES[name](spark, sf_dir, tmp)
+                return time.time() - t0
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
@@ -89,8 +208,11 @@ def main() -> None:
 
     rows = []
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        if name not in qs or (only and name not in only):
+    probe_names = list(HEADLINE) + [n for n in SINK_PROBES
+                                    if n not in HEADLINE]
+    for name in probe_names:
+        if (name not in qs and name not in SINK_PROBES) \
+                or (only and name not in only):
             continue
         try:
             best = None
@@ -110,16 +232,23 @@ def main() -> None:
                     time.sleep(cooloff)
             t_small, t_big, load = best
             noisy = load > load_gate
-            rows.append(
-                {
-                    "query": name,
-                    "t_small": round(t_small, 3),
-                    "t_big": round(t_big, 3),
-                    "ratio": round(t_big / t_small, 2),
-                    "load": load,
-                    "noisy": noisy,
-                }
-            )
+            row = {
+                "query": name,
+                "t_small": round(t_small, 3),
+                "t_big": round(t_big, 3),
+                "ratio": round(t_big / t_small, 2),
+                "load": load,
+                "noisy": noisy,
+            }
+            if name in CANDIDATE_COUNTERS:
+                counter = CANDIDATE_COUNTERS[name]
+                row["cand_small"] = counter(spark, small)
+                row["cand_big"] = counter(spark, big)
+                row["cand_ratio"] = (
+                    round(row["cand_big"] / row["cand_small"], 2)
+                    if row["cand_small"] else None
+                )
+            rows.append(row)
             print(
                 f"  {name}: {t_small:.2f}s -> {t_big:.2f}s "
                 f"(x{t_big / t_small:.1f})"
@@ -205,15 +334,27 @@ def main() -> None:
             "trusted.  (Start-only: the probe's own 32-wide run drives "
             "the post-run 1-min EMA past any sane gate, so an end-of-run "
             "sample cannot tell self-load from tenant noise.)\n\n"
-            "| query | t_small (s) | t_big (s) | ratio | loadavg@sample |\n"
-            "|---|---|---|---|---|\n"
+            "Dedup-family rows carry the candidate-pair fanout "
+            "(Σ c·(c−1)/2 over the family's blocking groups, counted at "
+            "both SFs with the registry query's own parameters): a "
+            "wall-clock drift with a flat candidate ratio is load or "
+            "plan overhead, one WITH candidate growth is a real recall/"
+            "blocking problem — diagnosable from this one table.\n\n"
+            "| query | t_small (s) | t_big (s) | ratio | "
+            "candidates small→big (ratio) | loadavg@sample |\n"
+            "|---|---|---|---|---|---|\n"
         )
         for r in sorted(rows, key=lambda r: -r["ratio"]):
             flag = " **<-- investigate**" if r["ratio"] > 1.5 * factor else ""
             noise = " **NOISY**" if r["noisy"] else ""
+            cand = ""
+            if "cand_small" in r:
+                cand = (f"{r['cand_small']:,} → {r['cand_big']:,} "
+                        f"({r['cand_ratio']}×)")
             f.write(
                 f"| {r['query']} | {r['t_small']} | {r['t_big']} | "
-                f"{r['ratio']}{flag} | {r.get('load', '?')}{noise} |\n"
+                f"{r['ratio']}{flag} | {cand} | "
+                f"{r.get('load', '?')}{noise} |\n"
             )
         if errors:
             f.write("\n## Errors\n\n")
