@@ -56,6 +56,7 @@ HEADLINE = [
     "events_unique_sketch",
     "orders_scd2",
     "pipeline_curate",  # the five-rung curation ladder users actually run
+    "pipeline_dsir",  # DSIR importance resampling (r13)
     "tree_depth",
     "thread_pages",  # A10 flagship: full reference-parity page pipeline
     "thread_page_frags",  # its streamed no-ceiling arm (r12)

@@ -424,6 +424,128 @@ def test_curate_corpus_decontamination_rung(spark):
     assert out == {2}
 
 
+def test_dsir_weights_match_pure_python_twin(spark):
+    """r13 DSIR: the hashed-n-gram log-likelihood-ratio weights
+    reproduce an independent pure-Python model EXACTLY at the 9-dp
+    decimal contract (idx mapping fetched from the engine's own hash —
+    xxhash64 has no pure-Python twin here; the model math, smoothing,
+    rounding and aggregation semantics are what this pins)."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from timesearch_spark.operators.pipeline import dsir_weights
+
+    dim = 1 << 10
+    raw_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "xqj zvv kpl wmt"),
+        (3, "the dog sat on a log"),
+        (4, ""),
+        (5, "the the the cat cat"),
+    ]
+    target_rows = [(100 + i, "the cat sat on a mat and a dog %d" % i)
+                   for i in range(6)]
+    docs = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_feat"], r["logw"])
+           for r in dsir_weights(docs, target, dim=dim).collect()}
+
+    # engine-derived feature->idx maps (unigrams + adjacent pairs,
+    # 'dsir' seed namespace)
+    def feats_of(text):
+        tl = text.lower().strip().split()
+        tl = [t for t in tl if t]
+        return tl, [(tl[i], tl[i + 1]) for i in range(len(tl) - 1)]
+
+    all_rows = raw_rows + target_rows
+    toks = sorted({t for _, tx in all_rows for t in feats_of(tx)[0]})
+    pairs = sorted({p for _, tx in all_rows for p in feats_of(tx)[1]})
+    idx_of = {r["t"]: r["idx"] for r in spark.createDataFrame(
+        [(t,) for t in toks], "t string").select(
+        "t", F.pmod(F.xxhash64(F.lit("dsir"), F.col("t")), F.lit(dim))
+        .cast("int").alias("idx")).collect()}
+    idx_of_pair = {(r["a"], r["b"]): r["idx"] for r in spark.createDataFrame(
+        list(pairs), "a string, b string").select(
+        "a", "b", F.pmod(F.xxhash64(F.lit("dsir"), F.col("a"), F.col("b")),
+                         F.lit(dim)).cast("int").alias("idx")).collect()}
+
+    def doc_feats(text):
+        tl, ps = feats_of(text)
+        return [idx_of[t] for t in tl] + [idx_of_pair[p] for p in ps]
+
+    tc = Counter(i for _, tx in target_rows for i in doc_feats(tx))
+    rc = Counter(i for _, tx in raw_rows for i in doc_feats(tx))
+    t_denom = sum(tc.values()) + 1.0 * dim
+    r_denom = sum(rc.values()) + 1.0 * dim
+
+    def llr(i):
+        return (math.log((tc.get(i, 0) + 1.0) / t_denom)
+                - math.log((rc.get(i, 0) + 1.0) / r_denom))
+
+    def r9(x):
+        return Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+
+    for did, tx in raw_rows:
+        fs = doc_feats(tx)
+        cnt = Counter(fs)
+        s = sum(r9(c * llr(i)) for i, c in cnt.items())
+        n, lw = got[did]
+        assert n == len(fs), (did, n, len(fs))
+        expect = float(r9(float(s))) if fs else 0.0
+        assert abs(lw - expect) < 1e-9, (did, lw, expect)
+    assert got[4] == (0, 0.0)  # empty doc: no evidence either way
+
+    # target-like raw docs must outweigh soup
+    assert got[1][1] > got[2][1]
+    assert got[3][1] > got[2][1]
+
+
+def test_dsir_resample_is_deterministic_and_selects_target_like(spark):
+    """r13 DSIR selection: Gumbel top-k is a pure function of
+    (data, seed) — two runs identical, a different seed is a different
+    draw — and with a clean-vs-soup pool it keeps the target-like docs;
+    k < 1 raises; the registry entry runs end-to-end."""
+    import pytest
+
+    from timesearch_spark.operators.pipeline import dsir_resample
+
+    clean = ["the cat sat on the mat and it is a fine day %d" % i
+             for i in range(10)]
+    soup = ["xqj zvv kpl wmt rrq bbn qpw ooz %d" % i for i in range(10)]
+    docs = spark.createDataFrame(
+        list(enumerate(clean + soup)), "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(clean)],
+        "doc_id long, text string")
+
+    a = dsir_resample(docs, target, k=8, dim=1 << 11).collect()
+    b = dsir_resample(docs, target, k=8, dim=1 << 11).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    picked = {r["doc_id"] for r in a}
+    # clean docs are ids 0..9; at least 7 of the 8 picks must be clean
+    assert len(picked & set(range(10))) >= 7, picked
+
+    c = dsir_resample(docs, target, k=8, dim=1 << 11, seed="other")
+    assert {r["doc_id"] for r in c.collect()} != set()  # runs; fresh draw
+
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_resample(docs, target, k=0)
+    with pytest.raises(ValueError, match="hyperparameters"):
+        dsir_resample(docs, target, k=1, dim=1)
+
+    import __spark_entry__ as m
+
+    reg = m.queries()["pipeline_dsir"](spark, "/root/testdata/sf0.001")
+    rows = reg.collect()
+    assert len(rows) == 100
+    assert set(reg.columns) == {"doc_id", "n_feat", "logw", "key"}
+    keys = [r["key"] for r in rows]
+    assert keys == sorted(keys, reverse=True)  # selection order
+
+
 def test_weighted_resample_rates_and_copies(spark):
     from timesearch_spark.operators.pipeline import weighted_resample
 

@@ -1274,6 +1274,148 @@ def weighted_resample(
     )
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1 << 14,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """(id, n_feat, logw): per-document log importance weight
+    ln p_target(x) − ln p_raw(x) under hashed n-gram bag models — the
+    DSIR recipe (Data Selection via Importance Resampling, Xie et al.
+    2023, public): fit two add-α multinomials over hashed unigram +
+    word-bigram buckets, one from the TARGET distribution you want the
+    training mix to look like, one from the RAW pool itself, then score
+    every raw document by its log-likelihood ratio.  Positive logw =
+    more target-like than pool-average.
+
+    Models are BOUNDED state: bucket counts aggregate to at most
+    ``dim`` rows per corpus (one explode + hash-agg each), are
+    collected once, and the per-bucket log-ratio is computed
+    DRIVER-side with libm log (the unigram_lm determinism recipe —
+    1-ulp JVM/libm drift would leak into rounded sums) and broadcast
+    back.  Scoring is the lm_score plan: explode the document's feature
+    indices (textstats._qclf_feature_idx with the ``seed`` namespace) →
+    broadcast-join the log-ratio table → per-doc decimal(28,9) sum of
+    9-dp-rounded terms — map-side at any corpus size, exact and
+    partial-sum-order-independent.  Buckets unseen in BOTH corpora get
+    the constant smoothed ratio ln(α/(N_t+α·dim)) − ln(α/(N_r+α·dim)).
+
+    Zero-token documents keep a row with n_feat=0 and logw=0 (an empty
+    product under both models — no evidence either way)."""
+    import math
+
+    import pandas as pd
+
+    from timesearch_spark.operators.textstats import _qclf_feature_idx
+
+    if dim < 2 or alpha <= 0:
+        raise ValueError("dsir_weights: bad hyperparameters")
+    spark = docs.sparkSession
+
+    def bucket_counts(df: DataFrame) -> tuple[dict, int]:
+        rows = (
+            df.select(tokens(text_col).alias("__tok"))
+            .select(F.explode(_qclf_feature_idx("__tok", dim, seed))
+                    .alias("idx"))
+            .groupBy("idx").agg(F.count(F.lit(1)).alias("c"))
+            .collect()  # bounded by dim — broadcast-state build
+        )
+        counts = {int(r["idx"]): int(r["c"]) for r in rows}
+        return counts, sum(counts.values())
+
+    tc, tn = bucket_counts(target)
+    rc, rn = bucket_counts(docs)
+    t_denom = tn + alpha * dim
+    r_denom = rn + alpha * dim
+    seen = sorted(set(tc) | set(rc))
+    llr_of = [
+        math.log((tc.get(i, 0) + alpha) / t_denom)
+        - math.log((rc.get(i, 0) + alpha) / r_denom)
+        for i in seen
+    ]
+    default_llr = math.log(alpha / t_denom) - math.log(alpha / r_denom)
+    llr = spark.createDataFrame(pd.DataFrame({
+        "idx": pd.Series(seen, dtype="int32"),
+        "llr": pd.Series(llr_of, dtype="float64"),
+    }), "idx int, llr double")
+
+    feats = docs.select(
+        _c(id_col).alias(id_col),
+        tokens(text_col).alias("__tok"),
+    ).select(
+        id_col,
+        F.explode_outer(_qclf_feature_idx("__tok", dim, seed)).alias("idx"),
+    )
+    counts = feats.groupBy(id_col, "idx").agg(F.count("idx").alias("__c"))
+    contrib = counts.join(F.broadcast(llr), "idx", "left").select(
+        id_col,
+        "__c",
+        F.round(
+            F.col("__c").cast("double")
+            * F.coalesce("llr", F.lit(float(default_llr))),
+            9,
+        ).cast("decimal(28,9)").alias("__w"),
+    )
+    agg = contrib.groupBy(id_col).agg(
+        F.sum("__c").alias("n_feat"),
+        F.sum(F.when(F.col("__c") > 0, F.col("__w"))).alias("__lw"),
+    )
+    return agg.select(
+        id_col,
+        F.col("n_feat").cast("long").alias("n_feat"),
+        F.round(F.coalesce(F.col("__lw").cast("double"), F.lit(0.0)), 9)
+        .alias("logw"),
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1 << 14,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Top-``k`` Gumbel importance resample of ``docs`` toward the
+    ``target`` distribution (DSIR's selection step, Xie et al. 2023):
+    draw key = logw + Gumbel noise per document and keep the k largest
+    — equivalent to sampling k documents WITHOUT replacement with
+    probability ∝ p_target/p_raw, but embarrassingly parallel (no
+    sequential sampler state).
+
+    The noise is DETERMINISTIC: u = (h + 0.5) / 2⁶⁰ with h the first 15
+    hex digits of md5('{seed}:{id}') — uniform, reproducible across
+    reruns/partitionings/engines (never ``rand()``, the
+    deterministic_shuffle rule), g = −ln(−ln u).  Selection is one
+    TakeOrdered of the narrow (id, key) relation — k bounded by
+    contract, nothing corpus-sized leaves the executors.  Output:
+    (id, n_feat, logw, key), key desc = selection order."""
+    if k < 1:
+        raise ValueError("dsir_resample: k must be >= 1")
+    w = dsir_weights(docs, target, text_col, id_col, dim, alpha, seed)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"),
+                               _c(id_col).cast("string"))), 1, 15),
+            16, 10,
+        ).cast("double") + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    g = -F.log(-F.log(u))
+    key = F.round(F.col("logw") + g, 9)
+    return (
+        w.withColumn("key", key)
+        .orderBy(F.desc("key"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
 def budget_sample(
     df: DataFrame,
     token_budget: int,

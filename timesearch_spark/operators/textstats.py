@@ -566,7 +566,7 @@ def lm_score_bigram(docs: "DataFrame", uni: "DataFrame", bi: "DataFrame",
 _QCLF_SEED = "qclf"
 
 
-def _qclf_feature_idx(tok_col, dim: int):
+def _qclf_feature_idx(tok_col, dim: int, seed: str = _QCLF_SEED):
     """array<int> of hashed feature indices for one document's
     (already materialized) token array: one per token (unigram) plus
     one per ADJACENT TOKEN PAIR (word bigram, r13 — the fastText
@@ -575,7 +575,9 @@ def _qclf_feature_idx(tok_col, dim: int):
     catch), all in the same ``pmod(xxhash64) % dim`` space.  The pair
     hash feeds both tokens as separate xxhash64 arguments — no
     delimiter, no string concat, and unigram/bigram collisions are
-    ordinary hashing-trick collisions.
+    ordinary hashing-trick collisions.  ``seed`` namespaces the feature
+    space per model family (classifier vs DSIR) so their dims can
+    differ without silent index reuse.
 
     ``tok_col`` must be a materialized array column, NOT a fresh
     ``tokens(text)`` expression: interpreted HOF lambdas re-evaluate
@@ -584,7 +586,7 @@ def _qclf_feature_idx(tok_col, dim: int):
     t = _c(tok_col)
 
     def h(*cols):
-        return F.pmod(F.xxhash64(F.lit(_QCLF_SEED), *cols),
+        return F.pmod(F.xxhash64(F.lit(seed), *cols),
                       F.lit(dim)).cast("int")
 
     uni = F.transform(t, lambda x: h(x))

@@ -2554,6 +2554,24 @@ def pipeline_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("pipeline_dsir")  # rows-only (oracle window full): DSIR importance
+# resampling — hashed n-gram LLR scoring + deterministic Gumbel top-k;
+# pytest pins a pure-Python twin (exact at the 9-dp decimal contract),
+# target-likeness separation, and rerun determinism
+def pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (public recipe: Xie et
+    al. 2023): target = the even-id half of the corpus, raw pool = all
+    of it; every document scored by its hashed-n-gram log-likelihood
+    ratio (two bounded bucket models collected once, libm-log ratios
+    broadcast back, decimal-summed scoring — the lm_score shape), then
+    a deterministic Gumbel top-k picks the training subset.  One
+    explode + broadcast join + hash-agg over the pool; models and the
+    selection are the only state."""
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 2 == 0)
+    return pl.dsir_resample(docs, target, k=100, dim=1 << 12)
+
+
 # =========================================================================
 # Registry ordering: the driver emits CORRECTNESS rows for the FIRST 50
 # registered queries only.  Same-table scalar queries are consolidated
