@@ -546,6 +546,91 @@ def test_dsir_resample_is_deterministic_and_selects_target_like(spark):
     assert keys == sorted(keys, reverse=True)  # selection order
 
 
+def test_curate_corpus_dsir_rung(spark, tmp_path):
+    """r13 DSIR ladder rung: with (dsir_target, dsir_k) the one-shot
+    ladder keeps exactly k survivors, biased to the target distribution;
+    the boundary lands in metrics and its pin releases; the staged twin
+    is row-identical, commits a 'dsir' rung parquet, never refits on
+    resume (dsir_resample monkeypatched to raise), and mixing dsir-on /
+    dsir-off over one store raises both ways; half-specified params
+    raise everywhere."""
+    import pytest
+
+    from timesearch_spark.operators import pipeline as pl
+    from timesearch_spark.operators.dedup import release_pins
+    from timesearch_spark.operators.pipeline import (
+        curate_corpus, curate_corpus_staged,
+    )
+
+    clean = ("the cat sat on the mat and it is a fine day for cats to "
+             "sit %s")
+    soup = ("the xqj of zvv and kpl is wmt the rrq of bbn and qpw "
+            "is ooz %s")
+    # 6 clean + 6 heuristic-proof soup docs, all gate-surviving
+    rows = [(i, clean % i) for i in range(6)] + \
+           [(10 + i, soup % i) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100 + i, clean % "t") for i in range(8)],
+        "doc_id long, text string")
+
+    m: dict = {}
+    # neardup_threshold ~1: the template fixtures are mutual near-dups
+    # and this test exercises the DSIR rung, not near-dup removal
+    out = curate_corpus(docs, min_tokens=5, neardup_threshold=0.99,
+                        dsir_target=target, dsir_k=6, metrics=m)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert len(got) == 6
+    # selection is target-biased: at least 5 of 6 picks are clean docs
+    assert len([d for d in got if d < 10]) >= 5, got
+    assert "dsir" in m and m["dsir"].storageLevel.useMemory
+    release_pins(out)
+    assert not m["dsir"].storageLevel.useMemory
+
+    with pytest.raises(ValueError, match="dsir_target and dsir_k"):
+        curate_corpus(docs, dsir_target=target)
+    with pytest.raises(ValueError, match="dsir_target and dsir_k"):
+        curate_corpus(docs, dsir_k=3)
+
+    # staged twin: row-identical, rung committed
+    store = str(tmp_path / "store")
+    staged = curate_corpus_staged(docs, store, min_tokens=5,
+                                  neardup_threshold=0.99,
+                                  dsir_target=target, dsir_k=6)
+    assert sorted(r["doc_id"] for r in staged.collect()) == got
+    assert (tmp_path / "store" / "dsir" / "_SUCCESS").exists()
+
+    # resume never refits: a raising dsir_resample is never reached
+    orig = pl.dsir_resample
+
+    def boom(*a, **kw):
+        raise AssertionError("dsir model refit on resume")
+
+    pl.dsir_resample = boom
+    try:
+        again = curate_corpus_staged(docs, store, min_tokens=5,
+                                     neardup_threshold=0.99,
+                                     dsir_target=target, dsir_k=6)
+        assert sorted(r["doc_id"] for r in again.collect()) == got
+    finally:
+        pl.dsir_resample = orig
+
+    # mixing on/off over one store is the loud params error both ways
+    with pytest.raises(ValueError, match="different parameters"):
+        curate_corpus_staged(docs, store, min_tokens=5,
+                             neardup_threshold=0.99)
+    store2 = str(tmp_path / "store2")
+    curate_corpus_staged(docs, store2, min_tokens=5,
+                         neardup_threshold=0.99)
+    with pytest.raises(ValueError, match="different parameters"):
+        curate_corpus_staged(docs, store2, min_tokens=5,
+                             neardup_threshold=0.99,
+                             dsir_target=target, dsir_k=6)
+    with pytest.raises(ValueError, match="stop_after='dsir'"):
+        curate_corpus_staged(docs, str(tmp_path / "s3"), min_tokens=5,
+                             stop_after="dsir")
+
+
 def test_weighted_resample_rates_and_copies(spark):
     from timesearch_spark.operators.pipeline import weighted_resample
 

@@ -386,6 +386,8 @@ def cmd_curate(args):
     if any(clf_given) and not all(clf_given):
         raise SystemExit("curate: --clf-pos, --clf-neg and "
                          "--clf-min-score come together")
+    if (args.dsir_target is None) != (args.dsir_k is None):
+        raise SystemExit("curate: --dsir-target and --dsir-k come together")
     if args.stage_dir:
         # rung-checkpointed run: a killed job restarts from its last
         # committed rung; the committed rungs double as the audit
@@ -407,6 +409,9 @@ def cmd_curate(args):
             clf_pos=read_docs(args.clf_pos) if args.clf_pos else None,
             clf_neg=read_docs(args.clf_neg) if args.clf_neg else None,
             clf_min_score=args.clf_min_score,
+            dsir_target=(read_docs(args.dsir_target)
+                         if args.dsir_target else None),
+            dsir_k=args.dsir_k,
         )
         out.write.mode("overwrite").partitionBy("split").parquet(args.output)
         kept = spark.read.parquet(args.output).count()
@@ -435,6 +440,9 @@ def cmd_curate(args):
         clf_pos=read_docs(args.clf_pos) if args.clf_pos else None,
         clf_neg=read_docs(args.clf_neg) if args.clf_neg else None,
         clf_min_score=args.clf_min_score,
+        dsir_target=(read_docs(args.dsir_target)
+                     if args.dsir_target else None),
+        dsir_k=args.dsir_k,
         metrics=metrics,
     )
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
@@ -653,6 +661,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None,
                    help="with --clf-pos/--clf-neg: drop documents whose "
                         "classifier score falls below this bound")
+    p.add_argument("--dsir-target", dest="dsir_target", default=None,
+                   help="target-distribution corpus (parquet/NDJSON) for "
+                        "DSIR importance resampling (Xie et al. 2023)")
+    p.add_argument("--dsir-k", dest="dsir_k", type=int, default=None,
+                   help="with --dsir-target: keep the k most target-like "
+                        "documents (deterministic Gumbel top-k)")
     p.add_argument("--stage-dir", dest="stage_dir", default=None,
                    help="checkpoint each rung here; a killed run resumes "
                         "from its last committed rung")

@@ -647,6 +647,17 @@ def _validate_clf_params(clf_pos, clf_neg, clf_min_score, where: str):
         )
 
 
+def _validate_dsir_params(dsir_target, dsir_k, where: str):
+    """The DSIR rung's two knobs come together or not at all — a target
+    corpus without a selection size (or vice versa) cannot select."""
+    given = [dsir_target is not None, dsir_k is not None]
+    if any(given) and not all(given):
+        raise ValueError(
+            f"{where}: dsir_target and dsir_k come together — a "
+            "partially-configured DSIR rung cannot select"
+        )
+
+
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -674,6 +685,9 @@ def curate_corpus(
     clf_neg: DataFrame | None = None,
     clf_min_score: float | None = None,
     clf_dim: int = 1 << 16,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_dim: int = 1 << 14,
 ) -> DataFrame:
     """The full curation ladder a pretraining pipeline runs, as ONE
     composed plan: optional within-document duplicate-line removal
@@ -692,8 +706,13 @@ def curate_corpus(
     quality_clf_score; the weight table is broadcast state, so this is
     one more map-side pass too) → exact dedup → minhash near-dup removal
     (transitively closed) → optional benchmark decontamination
-    (``benchmark``, fraction-gated) → deterministic split.  Output: the
-    surviving docs with (lang_guess, n_ws, split).
+    (``benchmark``, fraction-gated) → optional DSIR importance
+    resampling (``dsir_target`` + ``dsir_k``: keep the k documents most
+    like the target distribution under hashed n-gram models —
+    :func:`dsir_resample`; runs LAST so the importance pool is the
+    cleaned, deduped, decontaminated survivor set and the selection is
+    never diluted by rows later rungs would drop) → deterministic
+    split.  Output: the surviving docs with (lang_guess, n_ws, split).
 
     Every rung reuses the scale-shaped operator it names — the profile's
     single explode+agg pass, fingerprint groupBy (8-byte digests, never
@@ -706,7 +725,7 @@ def curate_corpus(
     ``metrics``: pass an empty dict and each rung-boundary DataFrame is
     recorded under its name (``input``, ``gated``, ``lm_gated`` /
     ``clf_gated`` when those rungs are on, ``exact``, ``neardup``,
-    ``decontaminated``) — the
+    ``decontaminated``, ``dsir`` when selected) — the
     audit a production curation run logs.  After consuming the result (and before
     ``release_pins``), :func:`rung_counts` turns the dict into row
     counts with one cache-local job over the pinned boundaries.
@@ -716,7 +735,7 @@ def curate_corpus(
     def obs(df: DataFrame, rung: str) -> DataFrame:
         if metrics is None:
             return df
-        if rung in ("neardup", "decontaminated"):
+        if rung in ("neardup", "decontaminated", "dsir"):
             # these boundaries are not otherwise persisted (consumed
             # once by the main plan); pin them while an audit is
             # requested so rung_counts stays cache-local instead of
@@ -842,6 +861,28 @@ def curate_corpus(
             surviving.join(hits, id_col, "left_anti"), "decontaminated"
         )
 
+    _validate_dsir_params(dsir_target, dsir_k, "curate_corpus")
+    if dsir_target is not None:
+        # DSIR selection LAST (public recipe: Xie et al. 2023): the
+        # importance pool is the final survivor set.  dsir_resample
+        # collects its two dim-bounded bucket models EAGERLY (broadcast-
+        # state build, like the near-dup rung's octet probe), so the
+        # survivor boundary is pinned first — the model fit materializes
+        # the upstream ladder into cache once and the selection join
+        # reuses it.  (Already pinned when a metrics dict made obs()
+        # persist the neardup/decontaminated boundary — don't re-pin.)
+        if not surviving.storageLevel.useMemory:
+            surviving = surviving.persist()
+            rung_pins.append(surviving)
+        keep_dsir = dsir_resample(
+            surviving, dsir_target, dsir_k, text_col, id_col,
+            dim=dsir_dim,
+        ).select(id_col)
+        surviving = obs(
+            surviving.join(F.broadcast(keep_dsir), id_col, "left_semi"),
+            "dsir",
+        )
+
     out = train_val_test_split(surviving, id_col, train, val).select(
         id_col, text_col, "lang_guess", "n_ws", "split"
     )
@@ -854,7 +895,7 @@ def curate_corpus(
 #: Rung order for the staged ladder; each entry is a parquet dir under the
 #: store root whose presence (with Spark's _SUCCESS marker) means "completed".
 STAGED_RUNGS = ("input", "gated", "lm_gated", "clf_gated", "exact",
-                "neardup", "decontaminated", "final")
+                "neardup", "decontaminated", "dsir", "final")
 
 
 def _input_identity(df) -> str | None:
@@ -904,6 +945,9 @@ def curate_corpus_staged(
     clf_neg: DataFrame | None = None,
     clf_min_score: float | None = None,
     clf_dim: int = 1 << 16,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_dim: int = 1 << 14,
 ) -> DataFrame:
     """:func:`curate_corpus` with each rung boundary CHECKPOINTED to
     ``store_dir`` — the fault-tolerance contract a multi-hour corpus
@@ -975,6 +1019,12 @@ def curate_corpus_staged(
             "stop_after='clf_gated' needs clf_pos/clf_neg/clf_min_score "
             "— without them that rung does not exist"
         )
+    _validate_dsir_params(dsir_target, dsir_k, "curate_corpus_staged")
+    if stop_after == "dsir" and dsir_target is None:
+        raise ValueError(
+            "stop_after='dsir' needs dsir_target/dsir_k — without them "
+            "that rung does not exist"
+        )
     spark = docs.sparkSession
     fs = fsmod.get_fs(spark, store_dir)
     root = store_dir.rstrip("/")
@@ -1004,12 +1054,17 @@ def curate_corpus_staged(
         # same contract as the lm keys: present only when the rung is on
         params.update({"clf_min_score": clf_min_score, "clf_dim": clf_dim,
                        "has_clf_ref": True})
+    if dsir_target is not None:
+        # same contract again: keys present only when the rung is on
+        params.update({"dsir_k": dsir_k, "dsir_dim": dsir_dim,
+                       "has_dsir_target": True})
     inputs = {
         "docs": _input_identity(docs),
         "benchmark": _input_identity(benchmark),
         "lm_ref": _input_identity(lm_ref),
         "clf_pos": _input_identity(clf_pos),
         "clf_neg": _input_identity(clf_neg),
+        "dsir_target": _input_identity(dsir_target),
     }
 
     with fsmod.WriterLease.maybe(fs, root, lease_timeout_sec):
@@ -1056,7 +1111,8 @@ def curate_corpus_staged(
             active = {"docs": True, "benchmark": benchmark is not None,
                       "lm_ref": lm_ref is not None,
                       "clf_pos": clf_pos is not None,
-                      "clf_neg": clf_neg is not None}
+                      "clf_neg": clf_neg is not None,
+                      "dsir_target": dsir_target is not None}
             unverifiable = sorted(
                 k for k in inputs
                 if active[k]
@@ -1222,6 +1278,24 @@ def curate_corpus_staged(
                 ),
             )
             if stop_after == "decontaminated":
+                return cur
+
+        if dsir_target is not None:
+            def build_dsir():
+                # the two bucket models refit only when this rung must
+                # recompute — the committed rung parquet is the
+                # checkpoint, exactly like the lm rung's vocabulary and
+                # the clf rung's weights; `cur` is already a committed
+                # parquet read, so the eager model collects scan the
+                # rung, not the ladder
+                keep = dsir_resample(
+                    cur, dsir_target, dsir_k, text_col, id_col,
+                    dim=dsir_dim,
+                ).select(id_col)
+                return cur.join(F.broadcast(keep), id_col, "left_semi")
+
+            cur = stage("dsir", build_dsir)
+            if stop_after == "dsir":
                 return cur
 
         return stage(
