@@ -932,6 +932,22 @@ def test_remove_repeated_lines_within(spark):
     assert any(len(t.split("\n")) > 3 for t in fixtures)  # seam exercised
     assert any(len(t.split("\n")) <= 3 for t in fixtures)
 
+    # r14 null-safety: a NULL-text row must survive routing (ANSI mode
+    # makes size(split(NULL)) NULL, which satisfies neither branch
+    # predicate without the coalesce guard) and match the unrouted
+    # max_lines=None pass-through byte-for-byte.
+    with_null = spark.createDataFrame(
+        [(0, "a\na\nb"), (1, None), (2, "x")], "doc_id long, text string"
+    )
+    for ml in (None, 10_000, 2):
+        rows = {r["doc_id"]: (r["text"], r["n_removed_lines"])
+                for r in remove_repeated_lines_within(
+                    with_null, max_lines=ml).collect()}
+        assert set(rows) == {0, 1, 2}, f"max_lines={ml} dropped rows"
+        assert rows[0] == ("a\nb", 1)
+        assert rows[1] == (None, None)  # null text passes through
+        assert rows[2] == ("x", 0)
+
     # the registry entry runs end-to-end on the documents table
     import __spark_entry__ as m
 

@@ -1322,8 +1322,14 @@ def remove_repeated_lines_within(
 
     from pyspark.sql import Window
 
-    small = _inline(df.filter(F.size(lines) <= max_lines))
-    big_src = df.filter(F.size(lines) > max_lines)
+    # Null-safe routing: under ANSI mode F.size(split(NULL)) is NULL,
+    # which satisfies NEITHER branch predicate — a null-text row would
+    # silently vanish from the union, breaking the row-preserving
+    # contract. Coalesce to -1 so null-text docs ride the inline arm,
+    # which passes them through as null exactly like max_lines=None.
+    n_lines = F.coalesce(F.size(lines), F.lit(-1))
+    small = _inline(df.filter(n_lines <= max_lines))
+    big_src = df.filter(n_lines > max_lines)
     ex = big_src.select(
         _c(id_col).alias(id_col),
         F.posexplode(lines).alias("__i", "__ln"),
