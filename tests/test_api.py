@@ -238,6 +238,60 @@ def test_offline_reading_incremental_rerenders_only_changed(spark, tmp_path):
                             incremental=True)
 
 
+def test_offline_reading_manifest_fingerprint_version(spark, tmp_path):
+    """r14 (ADVICE): a manifest written under a different fingerprint
+    ENCODING (or a pre-versioning one with no fpv column) makes every
+    fp compare meaningless — the reader must treat ALL threads as
+    changed (one-time full re-render, logged as such) instead of
+    skipping pages on garbage comparisons; after that run the manifest
+    carries the current version and incremental behavior resumes."""
+    import shutil
+
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    p = tmp_path / "dump.jsonl"
+    objs = [_sub(0), _sub(1)] + [_com(i) for i in range(3)]
+    p.write_text("\n".join(json.dumps(o) for o in objs))
+    api.ingest_jsonfile(ar, str(p))
+
+    out = tmp_path / "threads"
+    assert api.offline_reading(ar, str(out), incremental=True) == 2
+    man = out / api.PAGE_MANIFEST
+    written = spark.read.parquet(str(man))
+    # materialize NOW: every later offline_reading swaps the manifest
+    # files out from under this lazy frame's cached listing
+    written_schema = written.schema
+    written_pd = written.toPandas()
+    assert set(written_pd.columns) == {"idstr", "fp", "fpv"}
+    assert set(written_pd["fpv"]) == {api.FP_FORMAT_VERSION}
+    assert api.offline_reading(ar, str(out), incremental=True) == 0
+
+    # simulate an OLD-format manifest: same idstr/fp rows, stale fpv.
+    # The fps are identical, but the version mismatch alone must force
+    # a full re-render (and stale-delete detection still works: drop
+    # one manifest row's thread from nothing — both pages re-render).
+    stale_pd = written_pd.copy()
+    stale_pd["fpv"] = api.FP_FORMAT_VERSION - 1
+    shutil.rmtree(man)
+    spark.createDataFrame(stale_pd, written_schema).write.parquet(str(man))
+    # the manual rewrite reuses the path — drop Spark's cached listing
+    spark.catalog.refreshByPath(str(man))
+    assert api.offline_reading(ar, str(out), incremental=True) == 2
+
+    # pre-versioning manifest (no fpv column at all) → same behavior
+    import pyspark.sql.types as T
+
+    unv_schema = T.StructType(
+        [f for f in written_schema.fields if f.name != "fpv"])
+    shutil.rmtree(man)
+    spark.createDataFrame(
+        stale_pd[["idstr", "fp"]], unv_schema
+    ).write.parquet(str(man))
+    spark.catalog.refreshByPath(str(man))
+    assert api.offline_reading(ar, str(out), incremental=True) == 2
+    # ... and the rewritten manifest restores normal incremental mode
+    assert api.offline_reading(ar, str(out), incremental=True) == 0
+
+
 def test_offline_reading_auto_routes_mega_threads(spark, tmp_path):
     """r13: the DEFAULT export auto-routes per thread — threads at or
     under max_thread_rows take the fused assembler, over-bound threads

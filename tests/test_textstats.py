@@ -332,6 +332,30 @@ def test_quality_classifier_separates_and_is_deterministic(spark):
     with pytest.raises(ValueError, match="empty training set"):
         train_quality_classifier(pos.limit(0), neg.limit(0))
 
+    # r14 (ADVICE): the trained table carries a feature-recipe version
+    # sentinel; a weights table from a DIFFERENT recipe (e.g. persisted
+    # pre-r13, before word-bigram features) must raise at score time,
+    # not hash bigram indices into unigram slots silently.
+    from pyspark.sql import functions as F
+
+    from timesearch_spark.operators.textstats import (
+        _QCLF_VERSION_IDX, QCLF_FEATURE_VERSION,
+    )
+
+    sent = W.filter(F.col("idx") == _QCLF_VERSION_IDX).collect()
+    assert [(r["idx"], r["w"]) for r in sent] == \
+        [(_QCLF_VERSION_IDX, float(QCLF_FEATURE_VERSION))]
+    unversioned = W.filter(F.col("idx") != _QCLF_VERSION_IDX)
+    with pytest.raises(ValueError, match="unversioned"):
+        quality_clf_score(test, unversioned, b, dim=1 << 12)
+    stale = unversioned.unionByName(
+        spark.createDataFrame(
+            [(_QCLF_VERSION_IDX, float(QCLF_FEATURE_VERSION - 1))],
+            unversioned.schema)
+    )
+    with pytest.raises(ValueError, match="feature\\s+recipe"):
+        quality_clf_score(test, stale, b, dim=1 << 12)
+
 
 def test_quality_classifier_catches_common_word_salad_alone(spark):
     """r13 word-bigram features: scrambled-word documents have the SAME

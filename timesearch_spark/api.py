@@ -332,6 +332,17 @@ def index(archive: Archive, out_dir: str, orderby: str = "date",
 #: output dir (leading underscore = metadata, like Spark's _SUCCESS).
 PAGE_MANIFEST = "_page_manifest"
 
+#: Fingerprint ENCODING version, stamped into every manifest row (fpv
+#: column).  Bump whenever _thread_fingerprints changes what bytes feed
+#: the hash (r13: delimited-string join → per-field xxhash64 args with
+#: null markers).  A manifest written under a different version — or a
+#: pre-versioning manifest with no fpv column — makes every fp compare
+#: meaningless, so the reader logs that a FULL re-render is expected
+#: and treats all threads as changed, instead of letting the universal
+#: mismatch masquerade as data churn.  Stale-page removal (idstr
+#: anti-join) is version-independent and still runs.
+FP_FORMAT_VERSION = 2
+
 
 def _thread_fingerprints(submissions: DataFrame,
                          comments: DataFrame) -> DataFrame:
@@ -480,14 +491,38 @@ def offline_reading(archive: Archive, out_dir: str,
         fp = _thread_fingerprints(submissions, comments).persist()
         manifest_pin = fp
         if fsh.exists(man_path):
-            old = spark.read.parquet(man_path).select(
+            old_raw = spark.read.parquet(man_path)
+            old = old_raw.select(
                 F.col("idstr").alias("__oid"), F.col("fp").alias("__ofp"))
-            changed = (
-                fp.join(old, fp["idstr"] == old["__oid"], "left")
-                .filter(F.col("__ofp").isNull()
-                        | (F.col("__ofp") != F.col("fp")))
-                .select("idstr")
+            same_fpv = (
+                "fpv" in old_raw.columns
+                and (r0 := old_raw.select("fpv").first()) is not None
+                and r0["fpv"] == FP_FORMAT_VERSION
             )
+            if same_fpv:
+                changed = (
+                    fp.join(old, fp["idstr"] == old["__oid"], "left")
+                    .filter(F.col("__ofp").isNull()
+                            | (F.col("__ofp") != F.col("fp")))
+                    .select("idstr")
+                )
+            else:
+                # Manifest written under a different fingerprint
+                # encoding: every fp compare would mismatch.  Surface
+                # WHY (a one-time full re-render after upgrade, not
+                # data churn) and re-render everything.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "offline_reading: %s was written under fingerprint "
+                    "format %s (current %s) — a one-time FULL re-render "
+                    "is expected, this is not data churn",
+                    man_path,
+                    old_raw.select("fpv").first()["fpv"]
+                    if "fpv" in old_raw.columns else "<unversioned>",
+                    FP_FORMAT_VERSION,
+                )
+                changed = fp.select("idstr")
             # threads DELETED from the archive (merge rollback,
             # re-ingest from a narrower dump): manifest rows with no
             # fingerprint.  Their pages are removed below so the
@@ -526,7 +561,8 @@ def offline_reading(archive: Archive, out_dir: str,
             if fsh.exists(page):
                 fsh.delete(page)
         staging = man_path + ".staging"
-        fp.write.mode("overwrite").parquet(staging)
+        fp.withColumn("fpv", F.lit(FP_FORMAT_VERSION)).write.mode(
+            "overwrite").parquet(staging)
         if fsh.exists(man_path):
             fsh.delete(man_path)
         fsh.rename(staging, man_path)

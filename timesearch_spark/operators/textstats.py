@@ -377,13 +377,22 @@ def lm_score(docs: "DataFrame", vocab: "DataFrame", oov_logp: float,
     # division of identical operands is bit-reproducible across engines
     # (decimal-typed division would pick up each engine's own precision/
     # scale promotion rules), which lets a DuckDB oracle twin reproduce
-    # avg_logp/ppl exactly.
+    # avg_logp exactly.  ppl is derived from the 9-dp ROUNDED avg_logp
+    # (not the raw quotient) so both engines feed exp() the identical
+    # pinned double and any residual mismatch localizes to the ppl
+    # column.  RESIDUAL RISK (documented, not eliminated): exp itself
+    # is evaluated per-engine (JVM Math.exp vs libm exp can differ by
+    # 1 ulp), so a value within 1 ulp of a .5e-6 rounding midpoint
+    # could still flip the 6-dp ppl; the sf0.1 zero-mismatch probe
+    # (tools/proto_lm_oracle.py) is the empirical gate — re-run it on
+    # data changes.
     avg = F.col("__sum").cast("double") / F.col("n_tok")
+    avg9 = F.round(avg, 9)
     return agg.select(
         id_col,
         F.col("n_tok").cast("long").alias("n_tok"),
-        F.when(F.col("n_tok") > 0, F.round(avg, 9)).alias("avg_logp"),
-        F.when(F.col("n_tok") > 0, F.round(F.exp(-avg), 6)).alias("ppl"),
+        F.when(F.col("n_tok") > 0, avg9).alias("avg_logp"),
+        F.when(F.col("n_tok") > 0, F.round(F.exp(-avg9), 6)).alias("ppl"),
     )
 
 
@@ -536,17 +545,17 @@ def lm_score_bigram(docs: "DataFrame", uni: "DataFrame", bi: "DataFrame",
         F.count("token").alias("n_tok"),
         F.sum(F.when(F.col("token").isNotNull(), F.col("__lp"))).alias("__sum"),
     )
-    # Cast the EXACT decimal sum to double, THEN divide: one IEEE-754
-    # division of identical operands is bit-reproducible across engines
-    # (decimal-typed division would pick up each engine's own precision/
-    # scale promotion rules), which lets a DuckDB oracle twin reproduce
-    # avg_logp/ppl exactly.
+    # Same determinism derivation as lm_score: avg from ONE IEEE
+    # division of the exact decimal sum, ppl = exp of the 9-dp ROUNDED
+    # avg so both engines feed exp identical doubles (residual 1-ulp
+    # exp risk documented there).
     avg = F.col("__sum").cast("double") / F.col("n_tok")
+    avg9 = F.round(avg, 9)
     return agg.select(
         id_col,
         F.col("n_tok").cast("long").alias("n_tok"),
-        F.when(F.col("n_tok") > 0, F.round(avg, 9)).alias("avg_logp"),
-        F.when(F.col("n_tok") > 0, F.round(F.exp(-avg), 6)).alias("ppl"),
+        F.when(F.col("n_tok") > 0, avg9).alias("avg_logp"),
+        F.when(F.col("n_tok") > 0, F.round(F.exp(-avg9), 6)).alias("ppl"),
     )
 
 
@@ -564,6 +573,17 @@ def lm_score_bigram(docs: "DataFrame", uni: "DataFrame", bi: "DataFrame",
 
 #: feature-hash seed tag; scoring and training must agree on it
 _QCLF_SEED = "qclf"
+
+#: Feature-RECIPE version, stamped into every trained weights table as
+#: a sentinel row (idx = _QCLF_VERSION_IDX, w = version) and checked by
+#: quality_clf_score.  Bump whenever _qclf_feature_idx changes the
+#: hashed feature space under the same (dim, seed) — r13 added word
+#: bigrams, so a pre-r13 weights table scored with the r13 feature set
+#: would silently hash bigram indices into trained unigram slots.
+#: Document indices are pmod ≥ 0, so the sentinel can never match a
+#: real feature in the scoring join.
+QCLF_FEATURE_VERSION = 2
+_QCLF_VERSION_IDX = -2
 
 
 def _qclf_feature_idx(tok_col, dim: int, seed: str = _QCLF_SEED):
@@ -757,17 +777,25 @@ def train_quality_classifier(
 
 
 def _qclf_weights_df(spark, w):
-    """(idx, w) DataFrame of the nonzero coordinates, built through
-    pandas so Arrow-enabled sessions get a LocalTableScan instead of a
-    Python-RDD scan (the model table is the only Python-origin relation
-    in the scoring plan; this keeps even that JVM-friendly)."""
+    """(idx, w) DataFrame of the nonzero coordinates plus the
+    feature-recipe sentinel row (idx = _QCLF_VERSION_IDX,
+    w = QCLF_FEATURE_VERSION — checked by quality_clf_score so a
+    weights table persisted under an older recipe errors loudly instead
+    of scoring silently wrong), built through pandas so Arrow-enabled
+    sessions get a LocalTableScan instead of a Python-RDD scan (the
+    model table is the only Python-origin relation in the scoring plan;
+    this keeps even that JVM-friendly)."""
     import numpy as np
     import pandas as pd
 
     nz = np.nonzero(w)[0]
     pdf = pd.DataFrame({
-        "idx": pd.Series(nz, dtype="int32"),
-        "w": pd.Series(w[nz], dtype="float64"),
+        "idx": pd.Series(
+            np.concatenate([np.array([_QCLF_VERSION_IDX]), nz]),
+            dtype="int32"),
+        "w": pd.Series(
+            np.concatenate([np.array([float(QCLF_FEATURE_VERSION)]), w[nz]]),
+            dtype="float64"),
     })
     return spark.createDataFrame(pdf)
 
@@ -789,7 +817,26 @@ def quality_clf_score(docs: "DataFrame", weights: "DataFrame", bias: float,
     ``n_tok`` stays the TOKEN count: a document with n tokens emits
     2n−1 features, so n = (n_features + 1) div 2 exactly.
     Zero-token documents keep a row with n_tok=0 and score =
-    sigmoid(bias)."""
+    sigmoid(bias).
+
+    The weights table must carry the :data:`QCLF_FEATURE_VERSION`
+    sentinel row its trainer stamped — a table trained under a
+    different feature recipe (or a pre-versioning one) raises, because
+    its indices would silently collide into the wrong slots."""
+    vrow = (
+        weights.filter(F.col("idx") == F.lit(_QCLF_VERSION_IDX))
+        .select("w").first()
+    )
+    ver = None if vrow is None else int(vrow["w"])
+    if ver != QCLF_FEATURE_VERSION:
+        raise ValueError(
+            "quality_clf_score: weights table was trained under feature "
+            f"recipe {ver if ver is not None else '<unversioned>'} but "
+            f"this build scores recipe {QCLF_FEATURE_VERSION} "
+            "(_qclf_feature_idx changed the hashed feature space) — "
+            "indices would collide into wrong slots and score silently "
+            "wrong; retrain with train_quality_classifier"
+        )
     tok = docs.select(
         _c(id_col).alias(id_col),
         tokens(text_col).alias("__tok"),

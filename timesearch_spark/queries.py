@@ -2419,17 +2419,24 @@ def pipeline_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN token IS NOT NULL THEN lp END) AS s
       FROM lp GROUP BY doc_id
     ),
-    fin AS (
+    avg9 AS (
+      -- ppl derives from the 9-dp ROUNDED avg_logp (not the raw
+      -- quotient) so both engines feed exp() the identical pinned
+      -- double; residual 1-ulp exp risk documented in lm_score.
       SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
              CASE WHEN n_tok > 0
                   THEN CAST(CAST(CAST(CAST(s AS DOUBLE) / n_tok AS VARCHAR)
                                  AS DECIMAL(38,9)) AS DOUBLE)
-             END AS avg_logp,
+             END AS avg_logp
+      FROM agg
+    ),
+    fin AS (
+      SELECT doc_id, n_tok, avg_logp,
              CASE WHEN n_tok > 0
-                  THEN CAST(CAST(CAST(exp(-(CAST(s AS DOUBLE) / n_tok))
+                  THEN CAST(CAST(CAST(exp(-avg_logp)
                                       AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE)
              END AS ppl
-      FROM agg
+      FROM avg9
     )
     SELECT doc_id, n_tok, avg_logp, ppl,
            CASE WHEN ppl <= 300.0 THEN 'head'

@@ -349,8 +349,12 @@ def main() -> None:
             noise = " **NOISY**" if r["noisy"] else ""
             cand = ""
             if "cand_small" in r:
+                ratio_cell = (
+                    f"({r['cand_ratio']}×)"
+                    if r.get("cand_ratio") is not None else "(n/a)"
+                )
                 cand = (f"{r['cand_small']:,} → {r['cand_big']:,} "
-                        f"({r['cand_ratio']}×)")
+                        f"{ratio_cell}")
             f.write(
                 f"| {r['query']} | {r['t_small']} | {r['t_big']} | "
                 f"{r['ratio']}{flag} | {cand} | "
