@@ -309,6 +309,7 @@ _BNLJ_BOUNDED = {
     "similarity_topk",      # broadcast 1-row query vector
     "similarity_topk_q8",   # broadcast 1-row query vector
     "similarity_neardup_brute",  # size-gated O(n²) path, brute BY DESIGN
+    "similarity_brute",     # r14 merge of the two rows above — same plans
     "pipeline_bm25",        # broadcast 1-row (N, avgdl) corpus stats
 }
 

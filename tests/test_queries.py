@@ -66,6 +66,61 @@ def test_registry_invariants():
     assert all(callable(v) for v in qs.values())
 
 
+def test_oracle_slot_source_registry():
+    """HEADROOM POLICY, r14 enforcement (VERDICT r13 #4): the window has
+    saturated twice; each fix was ad-hoc.  Now every oracled query is
+    either in the frozen pre-r13 charter or carries an explicit
+    slot-source entry naming the consolidation/demotion that freed its
+    slot — adding an oracled query without recording the decision fails
+    HERE (and at import, queries.py's paired assert)."""
+    import timesearch_spark.queries as tsq
+
+    assert set(tsq.ORACLE) == \
+        tsq.ORACLE_CHARTER | set(tsq.ORACLE_SLOT_SOURCES)
+    assert tsq.ORACLE_CHARTER.isdisjoint(tsq.ORACLE_SLOT_SOURCES)
+    # every slot-source is a real explanation, not a placeholder
+    for name, src in tsq.ORACLE_SLOT_SOURCES.items():
+        assert isinstance(src, str) and len(src) > 20, (name, src)
+        assert ("consolidation" in src or "demotion" in src
+                or "promotion" in src), (name, src)
+
+
+def test_r14_consolidations_partition_exactly(spark):
+    """r14 slot recovery: the merged oracled queries are EXACTLY their
+    demoted parents relabeled — similarity_brute rows partition into
+    similarity_topk ('topk' mode) and similarity_neardup_brute
+    ('neardup'), media_decode into media_features ('image') and
+    media_frames ('video') — so the one oracle hash-grades both parents
+    and the freed slots grade text_lm_ppl_bigram and pipeline_dsir."""
+    import timesearch_spark.queries as tsq
+
+    for parent in ("similarity_topk", "similarity_neardup_brute",
+                   "media_features", "media_frames"):
+        assert parent not in tsq.ORACLE
+    for merged in ("similarity_brute", "media_decode"):
+        assert merged in tsq.ORACLE
+
+    qs = entrymod.queries()
+    sb = qs["similarity_brute"](spark, SF_SMALL).collect()
+    topk = {("topk", r["qid"], r["vec_id"], r["cos"], r["rn"])
+            for r in qs["similarity_topk"](spark, SF_SMALL).collect()}
+    nd = {("neardup", r["a"], r["b"], r["cos"], None)
+          for r in qs["similarity_neardup_brute"](
+              spark, SF_SMALL).collect()}
+    assert {tuple(r) for r in sb} == topk | nd
+    assert topk and nd  # both arms exercised
+
+    md = qs["media_decode"](spark, SF_SMALL).collect()
+    feats = {(r["media_id"], r["kind"], None, None, r["feature_csv"],
+              r["feat_dim"])
+             for r in qs["media_features"](spark, SF_SMALL).collect()}
+    frames = {(r["media_id"], "video", r["frame_index"], r["ts_ms"],
+               r["frame_hex"], None)
+              for r in qs["media_frames"](spark, SF_SMALL).collect()}
+    assert {tuple(r) for r in md} == feats | frames
+    assert feats and frames
+
+
 def test_enrich_join_alias_demotion_is_sound():
     """r13 slot recovery: enrich_join is rows-only BY DESIGN because it
     is the SAME function object as the oracled window_latest_version —

@@ -1356,6 +1356,7 @@ def dsir_weights(
     dim: int = 1 << 14,
     alpha: float = 1.0,
     seed: str = "dsir",
+    hash_family: str = "xx64",
 ) -> DataFrame:
     """(id, n_feat, logw): per-document log importance weight
     ln p_target(x) − ln p_raw(x) under hashed n-gram bag models — the
@@ -1379,7 +1380,12 @@ def dsir_weights(
     the constant smoothed ratio ln(α/(N_t+α·dim)) − ln(α/(N_r+α·dim)).
 
     Zero-token documents keep a row with n_feat=0 and logw=0 (an empty
-    product under both models — no evidence either way)."""
+    product under both models — no evidence either way).
+
+    ``hash_family="md5"`` swaps the feature hash for the DuckDB-
+    replayable md5 family (textstats._qclf_feature_idx — the
+    dedup_minhash_lsh oracle-replay pattern); xx64 stays the
+    production default."""
     import math
 
     import pandas as pd
@@ -1393,8 +1399,9 @@ def dsir_weights(
     def bucket_counts(df: DataFrame) -> tuple[dict, int]:
         rows = (
             df.select(tokens(text_col).alias("__tok"))
-            .select(F.explode(_qclf_feature_idx("__tok", dim, seed))
-                    .alias("idx"))
+            .select(F.explode(
+                _qclf_feature_idx("__tok", dim, seed, hash_family))
+                .alias("idx"))
             .groupBy("idx").agg(F.count(F.lit(1)).alias("c"))
             .collect()  # bounded by dim — broadcast-state build
         )
@@ -1422,7 +1429,8 @@ def dsir_weights(
         tokens(text_col).alias("__tok"),
     ).select(
         id_col,
-        F.explode_outer(_qclf_feature_idx("__tok", dim, seed)).alias("idx"),
+        F.explode_outer(
+            _qclf_feature_idx("__tok", dim, seed, hash_family)).alias("idx"),
     )
     counts = feats.groupBy(id_col, "idx").agg(F.count("idx").alias("__c"))
     contrib = counts.join(F.broadcast(llr), "idx", "left").select(
@@ -1455,6 +1463,7 @@ def dsir_resample(
     dim: int = 1 << 14,
     alpha: float = 1.0,
     seed: str = "dsir",
+    hash_family: str = "xx64",
 ) -> DataFrame:
     """Top-``k`` Gumbel importance resample of ``docs`` toward the
     ``target`` distribution (DSIR's selection step, Xie et al. 2023):
@@ -1472,7 +1481,8 @@ def dsir_resample(
     (id, n_feat, logw, key), key desc = selection order."""
     if k < 1:
         raise ValueError("dsir_resample: k must be >= 1")
-    w = dsir_weights(docs, target, text_col, id_col, dim, alpha, seed)
+    w = dsir_weights(docs, target, text_col, id_col, dim, alpha, seed,
+                     hash_family)
     u = (
         F.conv(
             F.substring(

@@ -454,13 +454,26 @@ def bigram_lm(ref: "DataFrame", text_col: str = "text",
     import math
 
     denom = n_total + alpha * (v + 1)
-    uni = (
-        counts.orderBy(F.desc("count"), F.asc("token")).limit(vocab_size)
-        .select(
-            "token",
-            F.log((F.col("count") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
-        )
-    )
+    # Both logp tables are computed DRIVER-side with libm log (the
+    # unigram_lm determinism recipe — JVM Math.log can differ from C
+    # libm by 1 ulp, which after round-to-9 flips boundary values and
+    # breaks exact cross-engine reproducibility).  uni collects its
+    # bounded top-V rows outright; bi stays a distributed relation and
+    # only its DISTINCT (c12, c1) numeric pairs come to the driver
+    # (logp2 is a function of those two counts alone, so the mapping —
+    # bounded by bigram_size — broadcast-joins back in).
+    import pandas as pd
+
+    spark = ref.sparkSession
+    top = counts.orderBy(F.desc("count"), F.asc("token")) \
+        .limit(vocab_size).collect()
+    logp_of = {c: math.log((c + alpha) / denom)
+               for c in {int(r["count"]) for r in top}}
+    uni = spark.createDataFrame(pd.DataFrame({
+        "token": pd.Series([r["token"] for r in top], dtype="object"),
+        "logp": pd.Series([logp_of[int(r["count"])] for r in top],
+                          dtype="float64"),
+    }), "token string, logp double")
     oov_logp = math.log(alpha / denom)
 
     pairs = toks.select(
@@ -473,18 +486,24 @@ def bigram_lm(ref: "DataFrame", text_col: str = "text",
     ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
     bcounts = pairs.groupBy("w1", "w2").count()
     c1 = counts.select(F.col("token").alias("w1"), F.col("count").alias("c1"))
-    bi = (
+    bi_top = (
         bcounts.join(c1, "w1")
         .orderBy(F.desc("count"), F.asc("w1"), F.asc("w2"))
         .limit(bigram_size)
-        .select(
-            "w1", "w2",
-            F.log(
-                (F.col("count") + F.lit(alpha))
-                / (F.col("c1") + F.lit(alpha * (v + 1)))
-            ).alias("logp2"),
-        )
+        .select("w1", "w2", "count", "c1")
     )
+    pair_rows = bi_top.select("count", "c1").distinct().collect()
+    lp2 = spark.createDataFrame(pd.DataFrame({
+        "count": pd.Series([int(r["count"]) for r in pair_rows],
+                           dtype="int64"),
+        "c1": pd.Series([int(r["c1"]) for r in pair_rows], dtype="int64"),
+        "logp2": pd.Series(
+            [math.log((int(r["count"]) + alpha)
+                      / (int(r["c1"]) + alpha * (v + 1)))
+             for r in pair_rows], dtype="float64"),
+    }), "count long, c1 long, logp2 double")
+    bi = bi_top.join(F.broadcast(lp2), ["count", "c1"]).select(
+        "w1", "w2", "logp2")
     return uni, bi, oov_logp
 
 
@@ -586,7 +605,8 @@ QCLF_FEATURE_VERSION = 2
 _QCLF_VERSION_IDX = -2
 
 
-def _qclf_feature_idx(tok_col, dim: int, seed: str = _QCLF_SEED):
+def _qclf_feature_idx(tok_col, dim: int, seed: str = _QCLF_SEED,
+                      hash_family: str = "xx64"):
     """array<int> of hashed feature indices for one document's
     (already materialized) token array: one per token (unigram) plus
     one per ADJACENT TOKEN PAIR (word bigram, r13 — the fastText
@@ -599,15 +619,36 @@ def _qclf_feature_idx(tok_col, dim: int, seed: str = _QCLF_SEED):
     space per model family (classifier vs DSIR) so their dims can
     differ without silent index reuse.
 
+    ``hash_family="md5"`` is the ORACLE-REPLAY variant (the
+    dedup_minhash_lsh pattern): idx = first-15-hex-digits of
+    md5('{seed}:{token}') mod dim, pairs joined with a single space —
+    injective for these tokens (the tokenizer splits on whitespace, so
+    no token contains one).  DuckDB replays it exactly
+    (('0x' || substr(md5(s),1,15))::BIGINT % dim); xx64 stays the
+    production default (one 8-byte hash vs a 128-bit string hash).
+
     ``tok_col`` must be a materialized array column, NOT a fresh
     ``tokens(text)`` expression: interpreted HOF lambdas re-evaluate
     captured subtrees per element (the shingles hot-path warning), so a
     captured split() would tokenize O(tokens) times per document."""
     t = _c(tok_col)
 
-    def h(*cols):
-        return F.pmod(F.xxhash64(F.lit(seed), *cols),
-                      F.lit(dim)).cast("int")
+    if hash_family == "md5":
+        def h(*cols):
+            s = F.concat(F.lit(f"{seed}:"), cols[0]) if len(cols) == 1 \
+                else F.concat(F.lit(f"{seed}:"), cols[0], F.lit(" "),
+                              cols[1])
+            return F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+                F.lit(dim),
+            ).cast("int")
+    elif hash_family == "xx64":
+        def h(*cols):
+            return F.pmod(F.xxhash64(F.lit(seed), *cols),
+                          F.lit(dim)).cast("int")
+    else:
+        raise ValueError(
+            f"_qclf_feature_idx: unknown hash_family {hash_family!r}")
 
     uni = F.transform(t, lambda x: h(x))
     n = F.size(t)

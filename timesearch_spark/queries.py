@@ -1368,23 +1368,10 @@ def thread_page_frags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "similarity_topk",
-    """
-    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 4),
-    scored AS (
-      SELECT q.qid, e.vec_id,
-             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
-      FROM embeddings e, q
-    ), ranked AS (
-      SELECT qid, vec_id, cos,
-             CAST(ROW_NUMBER() OVER (PARTITION BY qid
-                  ORDER BY cos DESC, vec_id ASC) AS INT) AS rn
-      FROM scored)
-    SELECT qid, vec_id, ROUND(cos, 6) AS cos, rn FROM ranked WHERE rn <= 10
-    """,
-)
+@q("similarity_topk")  # rows-only since r14: graded through the merged
+# similarity_brute oracle below (same rows, relabeled — the slot freed
+# by the consolidation now grades text_lm_ppl_bigram); pytest pins the
+# partition exactly (tests/test_queries.py)
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10, BOTH plans under one oracle: qid 0 runs the
     single-query broadcast + TakeOrderedAndProject path (cosine_topk —
@@ -1415,17 +1402,10 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single.unionByName(batch).withColumn("cos", F.round("cos", 6))
 
 
-@q(
-    "similarity_neardup_brute",
-    """
-    SELECT a.vec_id AS a, b.vec_id AS b,
-           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
-                                        b.embedding::DOUBLE[]), 6) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
-                                       b.embedding::DOUBLE[]), 6) >= 0.4
-    """,
-)
+@q("similarity_neardup_brute")  # rows-only since r14: graded through
+# the merged similarity_brute oracle below (same rows, relabeled — the
+# slot freed by the consolidation now grades pipeline_dsir); pytest
+# pins the partition exactly (tests/test_queries.py)
 def similarity_neardup_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine near-dups (≥0.4) — the correctness baseline
     for the LSH scale path."""
@@ -1434,6 +1414,62 @@ def similarity_neardup_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos", F.round("cos", 6)
     )
     return pairs.filter(F.col("cos") >= 0.4)
+
+
+@q(
+    "similarity_brute",
+    # r14 consolidation (VERDICT r13 #1): similarity_topk and
+    # similarity_neardup_brute share the brute-cosine plan family, so
+    # ONE oracle grades both row groups — 'topk' rows are the exact
+    # top-10 (single-query + batch paths), 'neardup' rows the exact
+    # all-pairs ≥ 0.4 — and the two slots they burned now grade
+    # text_lm_ppl_bigram and pipeline_dsir.
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 4),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+      FROM embeddings e, q
+    ), ranked AS (
+      SELECT qid, vec_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, vec_id ASC) AS INT) AS rn
+      FROM scored)
+    SELECT 'topk' AS mode, qid AS a, vec_id AS b, ROUND(cos, 6) AS cos, rn
+    FROM ranked WHERE rn <= 10
+    UNION ALL
+    SELECT 'neardup' AS mode, a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos,
+           CAST(NULL AS INT) AS rn
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+)
+def similarity_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-cosine family under ONE oracle (r14 consolidation): the
+    exact top-10 rows of :func:`similarity_topk` (mode='topk', a=qid,
+    b=vec_id) unioned with the exact all-pairs near-dup rows of
+    :func:`similarity_neardup_brute` (mode='neardup') — literally those
+    registry functions relabeled, so the oracle graded here is the
+    oracle that graded them (partition pinned in tests/test_queries.py)."""
+    topk = similarity_topk(spark, sf_dir)
+    nd = similarity_neardup_brute(spark, sf_dir)
+    return topk.select(
+        F.lit("topk").alias("mode"),
+        F.col("qid").cast("long").alias("a"),
+        F.col("vec_id").cast("long").alias("b"),
+        "cos",
+        F.col("rn").cast("int").alias("rn"),
+    ).unionByName(nd.select(
+        F.lit("neardup").alias("mode"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "cos",
+        F.lit(None).cast("int").alias("rn"),
+    ))
 
 
 @q("similarity_neardup_blas")  # float64-matmul scores — rows-only check
@@ -1583,43 +1619,9 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_stats(mm.media_from_documents(docs))
 
 
-@q(
-    "media_features",
-    # The stub decode is closed-form (pixel (y,x) = digest byte
-    # (y*w+x)%32, gray), so the 8x8 average-pool is SQL-expressible:
-    # rebuild the pixel grid from the hex digest and aggregate the same
-    # cells.  Cell bounds replicate np.linspace(0,h,9).astype(int) =
-    # floor(i*h/8) (exact: h/8 is dyadic for h<=128).
-    """
-    WITH m AS (
-      SELECT doc_id AS media_id, 'image' AS kind, sha256(text) AS dig,
-             CAST(doc_id % 64 + 8 AS INT) AS w, CAST(doc_id % 48 + 8 AS INT) AS h
-      FROM documents
-      WHERE doc_id % 3 = 1 AND octet_length(encode(text)) BETWEEN 1 AND 67108864
-    ),
-    px AS (
-      SELECT media_id, w, h, y.y AS y, x.x AS x,
-             CAST('0x' || substr(dig, 2 * ((y.y * w + x.x) % 32) + 1, 2) AS INT) AS v
-      FROM m
-      JOIN range(0, 128) y(y) ON y.y < h
-      JOIN range(0, 128) x(x) ON x.x < w
-    ),
-    cells AS (
-      SELECT px.media_id, i.i, j.j, AVG(v) AS cellmean
-      FROM px
-      JOIN range(0, 8) i(i)
-        ON y >= (i.i * h) // 8 AND y < ((i.i + 1) * h) // 8
-      JOIN range(0, 8) j(j)
-        ON x >= (j.j * w) // 8 AND x < ((j.j + 1) * w) // 8
-      GROUP BY 1, 2, 3
-    )
-    SELECT m.media_id, m.kind,
-           (SELECT string_agg(printf('%.4f', round(cellmean, 4)), ',' ORDER BY i, j)
-            FROM cells WHERE cells.media_id = m.media_id) AS feature_csv,
-           64 AS feat_dim
-    FROM m
-    """,
-)
+@q("media_features")  # rows-only since r14: graded through the merged
+# media_decode oracle below (same rows, relabeled); partition pinned in
+# tests/test_queries.py
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + 8x8 luminance-grid features over image payloads via
     mapInPandas (Arrow binary batches); decoder is a deterministic stub
@@ -1646,26 +1648,9 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "media_frames",
-    # The stub frame payload is digest || LE-uint32(index), so the whole
-    # fan-out is closed-form: n = min(8, dur//1000 + 1) frames per video,
-    # ts = i*1000, frame hex = sha256 hex || %02x000000 (i < 8 keeps the
-    # little-endian suffix one nonzero byte).
-    """
-    WITH m AS (
-      SELECT doc_id AS media_id, sha256(text) AS dig,
-             CAST(doc_id % 10000 AS BIGINT) AS dur
-      FROM documents
-      WHERE doc_id % 3 = 0 AND octet_length(encode(text)) BETWEEN 1 AND 67108864
-    )
-    SELECT media_id, CAST(t.i AS INT) AS frame_index,
-           CAST(t.i * 1000 AS BIGINT) AS ts_ms,
-           dig || printf('%02x000000', t.i) AS frame_hex
-    FROM m JOIN range(0, 8) t(i)
-      ON t.i < LEAST(8, GREATEST(1, dur // 1000 + 1))
-    """,
-)
+@q("media_frames")  # rows-only since r14: graded through the merged
+# media_decode oracle below (same rows, relabeled); partition pinned in
+# tests/test_queries.py
 def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: 1 row → N frame rows inside mapInPandas (the
     UDTF fan-out shape a frame-level training pipeline needs).  The frame
@@ -1677,6 +1662,95 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "frame_index", "ts_ms",
         F.lower(F.hex("frame")).alias("frame_hex"),
     )
+
+
+@q(
+    "media_decode",
+    # r14 consolidation (VERDICT r13 #1): media_features and
+    # media_frames are one Arrow-decode family over the same stub
+    # decoder, so ONE oracle grades both column groups (images emit
+    # their 8x8 luminance-grid CSV as payload, videos their sampled
+    # frame hex) and the slot the second entry burned is freed.
+    #
+    # Image arm: the stub decode is closed-form (pixel (y,x) = digest
+    # byte (y*w+x)%32, gray), so the 8x8 average-pool is
+    # SQL-expressible: rebuild the pixel grid from the hex digest and
+    # aggregate the same cells.  Cell bounds replicate
+    # np.linspace(0,h,9).astype(int) = floor(i*h/8) (exact: h/8 is
+    # dyadic for h<=128).
+    # Video arm: the stub frame payload is digest || LE-uint32(index),
+    # so the fan-out is closed-form: n = min(8, dur//1000 + 1) frames
+    # per video, ts = i*1000, frame hex = sha256 hex || %02x000000.
+    """
+    WITH mi AS (
+      SELECT doc_id AS media_id, 'image' AS kind, sha256(text) AS dig,
+             CAST(doc_id % 64 + 8 AS INT) AS w, CAST(doc_id % 48 + 8 AS INT) AS h
+      FROM documents
+      WHERE doc_id % 3 = 1 AND octet_length(encode(text)) BETWEEN 1 AND 67108864
+    ),
+    px AS (
+      SELECT media_id, w, h, y.y AS y, x.x AS x,
+             CAST('0x' || substr(dig, 2 * ((y.y * w + x.x) % 32) + 1, 2) AS INT) AS v
+      FROM mi
+      JOIN range(0, 128) y(y) ON y.y < h
+      JOIN range(0, 128) x(x) ON x.x < w
+    ),
+    cells AS (
+      SELECT px.media_id, i.i, j.j, AVG(v) AS cellmean
+      FROM px
+      JOIN range(0, 8) i(i)
+        ON y >= (i.i * h) // 8 AND y < ((i.i + 1) * h) // 8
+      JOIN range(0, 8) j(j)
+        ON x >= (j.j * w) // 8 AND x < ((j.j + 1) * w) // 8
+      GROUP BY 1, 2, 3
+    ),
+    mv AS (
+      SELECT doc_id AS media_id, sha256(text) AS dig,
+             CAST(doc_id % 10000 AS BIGINT) AS dur
+      FROM documents
+      WHERE doc_id % 3 = 0 AND octet_length(encode(text)) BETWEEN 1 AND 67108864
+    )
+    SELECT mi.media_id, mi.kind,
+           CAST(NULL AS INT) AS item_index, CAST(NULL AS BIGINT) AS ts_ms,
+           (SELECT string_agg(printf('%.4f', round(cellmean, 4)), ',' ORDER BY i, j)
+            FROM cells WHERE cells.media_id = mi.media_id) AS payload,
+           CAST(64 AS INT) AS feat_dim
+    FROM mi
+    UNION ALL
+    SELECT media_id, 'video' AS kind,
+           CAST(t.i AS INT) AS item_index,
+           CAST(t.i * 1000 AS BIGINT) AS ts_ms,
+           dig || printf('%02x000000', t.i) AS payload,
+           CAST(NULL AS INT) AS feat_dim
+    FROM mv JOIN range(0, 8) t(i)
+      ON t.i < LEAST(8, GREATEST(1, dur // 1000 + 1))
+    """,
+)
+def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-decode family under ONE oracle (r14 consolidation):
+    :func:`media_features`' image rows (payload = 8x8 luminance-grid
+    %.4f-CSV, item_index/ts_ms null) unioned with
+    :func:`media_frames`' video rows (payload = frame hex, feat_dim
+    null) — literally those registry functions relabeled, so the
+    oracle graded here is the oracle that graded them (partition
+    pinned in tests/test_queries.py)."""
+    feats = media_features(spark, sf_dir)
+    frames = media_frames(spark, sf_dir)
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        F.lit(None).cast("int").alias("item_index"),
+        F.lit(None).cast("long").alias("ts_ms"),
+        F.col("feature_csv").alias("payload"),
+        F.col("feat_dim").cast("int").alias("feat_dim"),
+    ).unionByName(frames.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("frame_index").cast("int").alias("item_index"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        F.col("frame_hex").alias("payload"),
+        F.lit(None).cast("int").alias("feat_dim"),
+    ))
 
 
 _LANG_HITS_SQL = {
@@ -2467,10 +2541,97 @@ def text_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("text_lm_ppl_bigram")  # rows-only: stupid-backoff bigram LM scoring —
-# the transition-aware upgrade of text_lm_ppl (catches common-word salad
-# whose unigram ppl is excellent); same decimal-determinism contract,
-# pytest pins exactness against a pure-Python twin
+@q(
+    "text_lm_ppl_bigram",
+    # Promoted r14 (slot freed by the similarity_brute consolidation).
+    # Same cross-engine determinism recipe as text_lm_ppl — libm logs
+    # (Spark computes BOTH model tables driver-side since r14, DuckDB's
+    # ln is the same libm on the same rational inputs), shortest-repr
+    # HALF_UP 9-dp rounding via VARCHAR→DECIMAL, decimal(28,9) sums,
+    # ONE IEEE division, ppl from the pinned avg — plus the bigram
+    # specifics:
+    # - adjacent pairs via parallel unnest of t[1:n-1] and t[2:n]
+    #   (equal lengths — exact zip, zero rows for docs under 2 tokens);
+    # - scoring rows via parallel unnest of t and NULL-prepended t:
+    #   DuckDB pads the shorter list with NULL, reproducing Spark's
+    #   arrays_zip trailing (null token, t[n]) row; the agg's
+    #   count(token)/sum-if-token filters ignore it on both sides;
+    # - stupid backoff: lp = logp2 if the bigram is in the table, else
+    #   ln(0.4) + p_uni when a prev exists, else p_uni (first token);
+    #   ln(0.4) is one libm call on both engines.
+    f"""
+    WITH ref_tok AS (
+      SELECT unnest({_TOK_SQL}) AS token FROM documents WHERE doc_id % 2 = 0
+    ),
+    counts AS (SELECT token, COUNT(*) AS c FROM ref_tok GROUP BY token),
+    tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) + (LEAST(COUNT(*), 2000) + 1) AS denom,
+             CAST(LEAST(COUNT(*), 2000) + 1 AS DOUBLE) AS vp1
+      FROM counts
+    ),
+    model AS (
+      SELECT token, ln((c + 1.0) / (SELECT denom FROM tot)) AS logp
+      FROM counts ORDER BY c DESC, token ASC LIMIT 2000
+    ),
+    ref_docs AS (
+      SELECT doc_id, {_TOK_SQL} AS t FROM documents WHERE doc_id % 2 = 0
+    ),
+    ref_pairs AS (
+      SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM ref_docs
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM ref_pairs GROUP BY 1, 2),
+    bimodel AS (
+      SELECT bc.w1, bc.w2,
+             ln((c12 + 1.0) / (counts.c + (SELECT vp1 FROM tot))) AS logp2
+      FROM bc JOIN counts ON counts.token = bc.w1
+      ORDER BY c12 DESC, bc.w1 ASC, bc.w2 ASC LIMIT 20000
+    ),
+    dt AS (
+      SELECT doc_id,
+             CASE WHEN len(t) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE t END AS t
+      FROM (SELECT doc_id, {_TOK_SQL} AS t FROM documents)
+    ),
+    tok AS (
+      SELECT doc_id, unnest(t) AS token,
+             unnest(list_prepend(CAST(NULL AS VARCHAR), t)) AS prev
+      FROM dt
+    ),
+    lp AS (
+      SELECT doc_id, tok.token,
+             CAST(CAST(
+               CASE WHEN b.logp2 IS NOT NULL THEN b.logp2
+                    WHEN tok.prev IS NOT NULL THEN
+                      ln(0.4) + COALESCE(m.logp,
+                                         (SELECT ln(1.0 / denom) FROM tot))
+                    ELSE COALESCE(m.logp,
+                                  (SELECT ln(1.0 / denom) FROM tot))
+               END AS VARCHAR) AS DECIMAL(28,9)) AS lpd
+      FROM tok
+      LEFT JOIN model m ON m.token = tok.token
+      LEFT JOIN bimodel b ON b.w1 = tok.prev AND b.w2 = tok.token
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(token) AS n_tok,
+             SUM(CASE WHEN token IS NOT NULL THEN lpd END) AS s
+      FROM lp GROUP BY doc_id
+    ),
+    avg9 AS (
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             CASE WHEN n_tok > 0
+                  THEN CAST(CAST(CAST(CAST(s AS DOUBLE) / n_tok AS VARCHAR)
+                                 AS DECIMAL(38,9)) AS DOUBLE)
+             END AS avg_logp
+      FROM agg
+    )
+    SELECT doc_id, n_tok, avg_logp,
+           CASE WHEN n_tok > 0
+                THEN CAST(CAST(CAST(exp(-avg_logp)
+                                    AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE)
+           END AS ppl
+    FROM avg9
+    """,
+)
 def text_lm_ppl_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram stupid-backoff perplexity (public recipe: Brants et al.
     2007) over the same half-corpus reference as `text_lm_ppl`: one
@@ -2561,10 +2722,101 @@ def pipeline_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("pipeline_dsir")  # rows-only (oracle window full): DSIR importance
-# resampling — hashed n-gram LLR scoring + deterministic Gumbel top-k;
-# pytest pins a pure-Python twin (exact at the 9-dp decimal contract),
-# target-likeness separation, and rerun determinism
+#: md5 feature hash as inline DuckDB SQL (the Spark twin is
+#: textstats._qclf_feature_idx's md5 family): first 15 hex digits of
+#: md5('dsir:' || s) as a 60-bit int, mod the DSIR dim (4096).
+_DSIR_H = ("CAST(('0x' || substr(md5('dsir:' || {s}), 1, 15)) AS BIGINT) "
+           "% 4096")
+
+
+@q(
+    "pipeline_dsir",
+    # Promoted r14 (slot freed by the media_decode consolidation),
+    # registered through the md5 hash family so DuckDB replays the
+    # ENTIRE pipeline — hashed unigram+bigram bucket counts for both
+    # corpora, add-1 LLR per bucket, decimal(28,9)-summed scoring,
+    # md5-derived Gumbel keys, top-k — exactly the dedup_minhash_lsh
+    # oracle-replay pattern (xx64 stays production:
+    # pipeline_dsir_xx64 below, same plan shape).  Determinism recipe
+    # per column: LLRs are ln()-of-identical-rationals (Spark computes
+    # them DRIVER-side with libm log; DuckDB ln is the same libm);
+    # per-bucket contributions are 9-dp shortest-repr-rounded
+    # (VARCHAR→DECIMAL = Spark's BigDecimal.valueOf semantics) and
+    # summed as DECIMAL(28,9) (order-independent); logw/key are one
+    # IEEE add + the same rounding.  RESIDUAL RISK (same class as
+    # text_lm_ppl's exp): the Gumbel -ln(-ln(u)) is evaluated
+    # per-engine (JVM Math.log vs libm, ≤1 ulp each) — a key within
+    # 1 ulp of a .5e-9 midpoint could flip; the sf0.01/sf0.1
+    # zero-mismatch probes are the empirical gate.
+    f"""
+    WITH dtok AS (
+      SELECT doc_id, {_TOK_SQL} AS t FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             list_concat(
+               list_transform(t, x -> {_DSIR_H.format(s='x')}),
+               CASE WHEN len(t) >= 2 THEN
+                 list_transform(range(1, len(t)), i ->
+                   {_DSIR_H.format(
+                       s="t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)]")})
+               ELSE CAST([] AS BIGINT[]) END
+             ) AS idxs
+      FROM dtok
+    ),
+    ex AS (
+      SELECT doc_id,
+             unnest(CASE WHEN COALESCE(len(idxs), 0) = 0
+                         THEN [CAST(NULL AS BIGINT)] ELSE idxs END) AS idx
+      FROM feats
+    ),
+    tcnt AS (SELECT idx, COUNT(*) AS c FROM ex
+             WHERE doc_id % 2 = 0 AND idx IS NOT NULL GROUP BY idx),
+    rcnt AS (SELECT idx, COUNT(*) AS c FROM ex
+             WHERE idx IS NOT NULL GROUP BY idx),
+    den AS (
+      SELECT (SELECT COALESCE(SUM(c), 0) FROM tcnt) + 4096.0 AS td,
+             (SELECT COALESCE(SUM(c), 0) FROM rcnt) + 4096.0 AS rd
+    ),
+    llr AS (
+      SELECT COALESCE(t.idx, r.idx) AS idx,
+             ln((COALESCE(t.c, 0) + 1.0) / (SELECT td FROM den))
+             - ln((COALESCE(r.c, 0) + 1.0) / (SELECT rd FROM den)) AS llr
+      FROM tcnt t FULL JOIN rcnt r ON t.idx = r.idx
+    ),
+    dcnt AS (SELECT doc_id, idx, COUNT(idx) AS c FROM ex
+             GROUP BY doc_id, idx),
+    contrib AS (
+      SELECT doc_id, c,
+             CAST(CAST(CAST(c AS DOUBLE) * COALESCE(l.llr,
+                    ln(1.0 / (SELECT td FROM den))
+                    - ln(1.0 / (SELECT rd FROM den)))
+                  AS VARCHAR) AS DECIMAL(28,9)) AS w
+      FROM dcnt LEFT JOIN llr l USING (idx)
+    ),
+    agg AS (
+      SELECT doc_id, SUM(c) AS nf,
+             SUM(CASE WHEN c > 0 THEN w END) AS lw
+      FROM contrib GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id, CAST(nf AS BIGINT) AS n_feat,
+             CAST(CAST(CAST(COALESCE(CAST(lw AS DOUBLE), 0.0) AS VARCHAR)
+                  AS DECIMAL(38,9)) AS DOUBLE) AS logw
+      FROM agg
+    )
+    SELECT doc_id, n_feat, logw,
+           CAST(CAST(CAST(
+             logw + (-ln(-ln(
+               (CAST(CAST(('0x' || substr(md5('dsir:'
+                     || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     AS DOUBLE) + 0.5)
+               / 1152921504606846976.0)))
+           AS VARCHAR) AS DECIMAL(38,9)) AS DOUBLE) AS key
+    FROM scored
+    ORDER BY key DESC, doc_id ASC LIMIT 100
+    """,
+)
 def pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling (public recipe: Xie et
     al. 2023): target = the even-id half of the corpus, raw pool = all
@@ -2573,7 +2825,24 @@ def pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back, decimal-summed scoring — the lm_score shape), then
     a deterministic Gumbel top-k picks the training subset.  One
     explode + broadcast join + hash-agg over the pool; models and the
-    selection are the only state."""
+    selection are the only state.
+
+    ORACLE-REPLAY hash family (md5) — production users run
+    ``pipeline_dsir_xx64`` (identical plan shape, one 8-byte hash per
+    feature instead of a 128-bit string hash)."""
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 2 == 0)
+    return pl.dsir_resample(docs, target, k=100, dim=1 << 12,
+                            hash_family="md5")
+
+
+@q("pipeline_dsir_xx64")  # production hash family — rows-only; pytest
+# pins the pure-Python twin at the decimal contract, rerun determinism,
+# and selection bias (tests/test_pipeline.py); the md5 oracle twin
+# above pins the full pipeline shape externally
+def pipeline_dsir_xx64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-default DSIR entry: same resample as
+    :func:`pipeline_dsir` under the xxhash64 feature family."""
     docs = load(spark, sf_dir, "documents")
     target = docs.filter(F.col("doc_id") % 2 == 0)
     return pl.dsir_resample(docs, target, k=100, dim=1 << 12)
@@ -2602,11 +2871,63 @@ QUERIES = {
 # covers several SURVEY §2 scalar ops, each pinned by the one oracle),
 # or (b) demoting an existing oracled query to the rows-only tail WITH a
 # pytest exactness pin against an oracled or sequential twin (the
-# xxhash64-family pattern).  Silently registering a 51st oracled query
-# would evict the last one from grading — this assert plus
-# tests/test_queries.py::test_oracled_registry_exactly_fills_driver_window
-# turn that into a loud, reviewed decision.
+# xxhash64-family pattern) — AND record the decision in
+# ORACLE_SLOT_SOURCES below: every oracled query outside the frozen
+# charter must name the slot it took.  Silently registering a 51st
+# oracled query would evict the last one from grading — these asserts
+# plus tests/test_queries.py turn that into a loud, reviewed decision.
+
+#: The pre-r13 oracled set — frozen.  A query leaving it needs a
+#: demotion pin; nothing is ever added to it.
+ORACLE_CHARTER = frozenset({
+    "anti_not_exists", "count_max", "decontaminate", "dedup_cluster",
+    "dedup_exact", "dedup_ids", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "equi_join_thread", "events_windows", "filter_prefix",
+    "filter_sentinel", "filter_threshold", "filter_timerange",
+    "media_stats", "merge_anti_join", "ngram_top", "pipeline_pack",
+    "pipeline_shuffle", "pipeline_split", "point_lookup",
+    "project_case", "quota_sample", "redact_pii", "scalar_base36",
+    "scalar_datefmt", "scalar_escape", "scalar_newline",
+    "self_join_parent", "sessionize", "similarity_topk_ivf",
+    "sort_computed_key", "sort_null_marshal", "sort_score_desc",
+    "text_profile", "tree_depth", "tree_render", "tree_stats",
+    "union_tagged", "upsert_edits", "upsert_merge",
+    "window_latest_version", "window_rank_children",
+})
+
+#: Slot provenance for every post-charter oracled query: name → where
+#: its window slot came from (a consolidation or a demotion).  The
+#: import-time assert below and tests/test_queries.py fail on any
+#: oracled addition missing an entry here.
+ORACLE_SLOT_SOURCES = {
+    "text_lm_ppl":
+        "r13 demotion: enrich_join (same function object as the oracled "
+        "window_latest_version) moved to the rows-only tail",
+    "similarity_brute":
+        "r14 consolidation: similarity_topk + similarity_neardup_brute "
+        "merged under one brute-cosine oracle (both demoted to rows-only "
+        "with partition pins)",
+    "media_decode":
+        "r14 consolidation: media_features + media_frames merged under "
+        "one Arrow-decode oracle (both demoted to rows-only with "
+        "partition pins)",
+    "text_lm_ppl_bigram":
+        "r14 promotion into the slot freed by the similarity_brute "
+        "consolidation",
+    "pipeline_dsir":
+        "r14 promotion into the slot freed by the media_decode "
+        "consolidation",
+}
+
 assert max(i for i, k in enumerate(QUERIES) if k in ORACLE) <= 49, (
     "oracled set grew past the driver's 50-row CORRECTNESS window; "
     "consolidate or demote a query first (see HEADROOM POLICY above)"
+)
+assert set(ORACLE) == (ORACLE_CHARTER | set(ORACLE_SLOT_SOURCES)) and \
+    ORACLE_CHARTER.isdisjoint(ORACLE_SLOT_SOURCES), (
+    "oracled set drifted from charter + slot-source registry — any new "
+    "oracled query must record the slot it takes in ORACLE_SLOT_SOURCES "
+    "(see HEADROOM POLICY above): "
+    f"{sorted(set(ORACLE) ^ (ORACLE_CHARTER | set(ORACLE_SLOT_SOURCES)))}"
 )
