@@ -449,6 +449,80 @@ def test_offline_reading_incremental_deletes_stale_pages(spark, tmp_path):
     assert cache_mgr.isEmpty()
 
 
+def test_offline_reading_mass_rollback_deletes_distributed(
+        spark, tmp_path, monkeypatch):
+    """r14 (VERDICT r13 #2): a MASS rollback — thousands of manifest
+    rows whose threads left the archive — must not collect idstrs to
+    the driver or delete serially: the removal delta rides
+    mapInPandas + pyarrow.fs (exports.delete_thread_pages_distributed)
+    and the file set converges to a from-scratch render's; a forced
+    failure of the distributed arm warns and falls back to the driver
+    thread pool with the IDENTICAL file set."""
+    import shutil
+
+    import pandas as pd
+    import pytest
+
+    ar = api.Archive(spark, str(tmp_path / "ar"))
+    p = tmp_path / "dump.jsonl"
+    p.write_text("\n".join(json.dumps(o) for o in
+                           [_sub(0), _sub(1), _com(0)]))
+    api.ingest_jsonfile(ar, str(p))
+
+    out = tmp_path / "threads"
+    assert api.offline_reading(ar, str(out), incremental=True) == 2
+    man = out / api.PAGE_MANIFEST
+    real_pd = spark.read.parquet(str(man)).toPandas()
+    real_schema = spark.read.parquet(str(man)).schema
+
+    def plant_stale(n):
+        """n fabricated pages + matching manifest rows (threads that a
+        narrower re-ingest no longer contains)."""
+        fakes = [f"t3_zz{i:05d}" for i in range(n)]
+        for fid in fakes:
+            (out / f"{fid}.html").write_text("stale page")
+        fake_pd = pd.DataFrame({
+            "idstr": fakes,
+            "fp": [real_pd["fp"].iloc[0]] * n,
+            "fpv": [api.FP_FORMAT_VERSION] * n,
+        }).astype(real_pd.dtypes.to_dict())
+        shutil.rmtree(man)
+        spark.createDataFrame(
+            pd.concat([real_pd, fake_pd], ignore_index=True), real_schema
+        ).write.parquet(str(man))
+        spark.catalog.refreshByPath(str(man))
+        return set(fakes)
+
+    html = lambda d: {f for f in os.listdir(d) if f.endswith(".html")}  # noqa: E731
+
+    fakes = plant_stale(2000)
+    assert fakes <= {f[:-5] for f in html(out)}
+    # archive unchanged → 0 re-renders, but all 2000 stale pages and
+    # their manifest rows must go — executor-side
+    assert api.offline_reading(ar, str(out), incremental=True) == 0
+    assert html(out) == {"t3_s0.html", "t3_s1.html"}
+    rows = {r["idstr"] for r in spark.read.parquet(str(man)).collect()}
+    assert rows == {"t3_s0", "t3_s1"}
+    # byte-convergence with from-scratch
+    full = tmp_path / "full"
+    api.offline_reading(ar, str(full))
+    for f in html(full):
+        assert (out / f).read_bytes() == (full / f).read_bytes()
+
+    # forced fallback: the distributed arm raises → warn + driver pool,
+    # identical converged file set
+    from timesearch_spark.operators import exports as _exports
+
+    def boom(removed, out_dir):
+        raise RuntimeError("no executor-side store access")
+
+    monkeypatch.setattr(_exports, "delete_thread_pages_distributed", boom)
+    plant_stale(500)
+    with pytest.warns(UserWarning, match="falling back"):
+        assert api.offline_reading(ar, str(out), incremental=True) == 0
+    assert html(out) == {"t3_s0.html", "t3_s1.html"}
+
+
 def test_offline_reading_incremental_streamed_arm(spark, tmp_path):
     """incremental composes with stream=True: the delta routes through
     the fragment writer and produces the same bytes."""

@@ -476,7 +476,7 @@ def offline_reading(archive: Archive, out_dir: str,
         submissions = submissions.filter(F.col("idstr") == sid)
 
     manifest_pin = None
-    removed: list[str] = []
+    removed_df = None
     if incremental:
         from pyspark.sql import functions as F
 
@@ -527,16 +527,15 @@ def offline_reading(archive: Archive, out_dir: str,
             # re-ingest from a narrower dump): manifest rows with no
             # fingerprint.  Their pages are removed below so the
             # incremental file set converges to what a from-scratch
-            # render would produce.  Driver-side list by contract: it
-            # is the DELETION delta (idstr strings only), each file
-            # delete is one fs call wherever it is issued, and the
-            # schemed-store shim needs the driver's JVM gateway.
-            removed = [
-                r["__oid"]
-                for r in old.join(
-                    fp, old["__oid"] == fp["idstr"], "left_anti"
-                ).select("__oid").collect()
-            ]
+            # render would produce.  Kept as a DATAFRAME (r14): a mass
+            # rollback of a 1.5M-page archive is millions of idstrs —
+            # the delete pass runs executor-side through mapInPandas +
+            # pyarrow.fs (delete_thread_pages_distributed), with a
+            # driver thread-pool fallback for schemes only the JVM
+            # shim can open.
+            removed_df = old.join(
+                fp, old["__oid"] == fp["idstr"], "left_anti"
+            ).select(F.col("__oid").alias("idstr"))
         else:
             changed = fp.select("idstr")
         submissions = submissions.join(changed, "idstr", "left_semi")
@@ -556,10 +555,24 @@ def offline_reading(archive: Archive, out_dir: str,
         # fingerprints become the new manifest via staging dir +
         # delete/rename (old manifest is still being read lazily until
         # here, so never overwrite in place).
-        for idstr in removed:
-            page = os.path.join(out_dir, f"{idstr}.html")
-            if fsh.exists(page):
-                fsh.delete(page)
+        if removed_df is not None:
+            try:
+                exports.delete_thread_pages_distributed(removed_df, out_dir)
+            except Exception as exc:  # auth/IO only executors could
+                # see: fall back to the driver pool rather than dying —
+                # deletes already persisted re-converge (exists-checked)
+                import warnings
+
+                warnings.warn(
+                    "distributed stale-page delete failed "
+                    f"({type(exc).__name__}: {exc}); falling back to "
+                    "the driver thread pool",
+                    stacklevel=2,
+                )
+                exports.delete_thread_pages_driver_pool(
+                    fsh, out_dir,
+                    [r["idstr"] for r in removed_df.collect()],
+                )
         staging = man_path + ".staging"
         fp.withColumn("fpv", F.lit(FP_FORMAT_VERSION)).write.mode(
             "overwrite").parquet(staging)
