@@ -669,19 +669,25 @@ def _qclf_feature_rows(docs: "DataFrame", text_col: str, id_col: str,
     (length-normalized, so score magnitude is length-invariant), plus
     one BIAS row (idx = -1, x = 1.0) per document — the bias is just
     another weight, which keeps every doc represented (zero-token docs
-    still carry their bias row) and the gradient relation uniform."""
+    still carry their bias row) and the gradient relation uniform.
+
+    n_features is computed at TOKENIZE time (a doc with n tokens emits
+    exactly 2n−1 features, r14) and carried through the explode, not
+    recovered with a per-doc window afterwards — same value, one fewer
+    Exchange+Sort over the feature relation."""
     tok = docs.select(
         _c(id_col).alias(id_col),
         tokens(text_col).alias("__tok"),
     ).select(
         id_col,
         F.explode(_qclf_feature_idx("__tok", dim)).alias("idx"),
+        F.greatest(F.size("__tok") * 2 - 1, F.lit(0)).alias("__nf"),
     )
-    counts = tok.groupBy(id_col, "idx").agg(F.count("*").alias("__c"))
-    n_feat = F.sum("__c").over(Window.partitionBy(id_col))
+    counts = tok.groupBy(id_col, "idx").agg(
+        F.count("*").alias("__c"), F.first("__nf").alias("__nf"))
     tf = counts.select(
         id_col, "idx",
-        (F.col("__c").cast("double") / n_feat).alias("x"),
+        (F.col("__c").cast("double") / F.col("__nf")).alias("x"),
     )
     bias = docs.select(
         _c(id_col).alias(id_col),
@@ -744,15 +750,25 @@ def train_quality_classifier(
         docs.select("__ord", "y"), "__ord"
     ).select("__ord", "idx", "x", "y").persist()
     try:
-        n_rows = feats.limit(max_driver_rows + 1).count()
-        n_docs = docs.count()
-        if n_docs == 0:
-            raise ValueError("train_quality_classifier: empty training set")
-
         w = np.zeros(dim, dtype=np.float64)
         b = 0.0
-        if n_rows <= max_driver_rows:
-            pdf = feats.toPandas()
+        # ONE probe job (r14): pull up to max_driver_rows+1 feature rows
+        # directly — the row-count gate and the driver arm's data come
+        # from the same pass (the old LIMIT-count + separate toPandas
+        # paid two jobs over the feature relation), and n_docs is
+        # derivable driver-side because EVERY doc carries a bias row
+        # and ordinals are dense (row_number).  Only the distributed
+        # arm still needs a count job.
+        pdf = feats.limit(max_driver_rows + 1).toPandas()
+        if len(pdf) == 0:
+            raise ValueError("train_quality_classifier: empty training set")
+        if len(pdf) <= max_driver_rows:
+            # a LIMIT collect's row order is not contractual: sort on
+            # the unique (ord, idx) key so gradient accumulation order
+            # — and therefore the fit — is bit-deterministic regardless
+            # of partition arrival order.
+            pdf = pdf.sort_values(["__ord", "idx"], ignore_index=True)
+            n_docs = int(pdf["__ord"].max()) + 1
             ordv = pdf["__ord"].to_numpy(np.int64)
             idxv = pdf["idx"].to_numpy(np.int64)
             xv = pdf["x"].to_numpy(np.float64)
@@ -771,6 +787,8 @@ def train_quality_classifier(
                 w -= lr * (g + reg * w)
                 b -= lr * float(diff.sum())
         else:
+            del pdf  # over the gate: train relationally, never collect
+            n_docs = docs.count()
             import pandas as pd
 
             for _ in range(iters):
@@ -884,9 +902,14 @@ def quality_clf_score(docs: "DataFrame", weights: "DataFrame", bias: float,
     ).select(
         id_col,
         F.explode_outer(_qclf_feature_idx("__tok", dim)).alias("idx"),
+        # n_features at tokenize time (2n−1 exactly, r14): the per-doc
+        # window this replaced was a full Exchange+Sort over the
+        # corpus-sized counts relation — the one non-agg shuffle in the
+        # scoring plan
+        F.greatest(F.size("__tok") * 2 - 1, F.lit(0)).alias("__nf"),
     )
-    counts = tok.groupBy(id_col, "idx").agg(F.count("idx").alias("__c"))
-    n_feat = F.sum("__c").over(Window.partitionBy(id_col))
+    counts = tok.groupBy(id_col, "idx").agg(
+        F.count("idx").alias("__c"), F.first("__nf").alias("__nf"))
     contrib = (
         counts.join(F.broadcast(weights), "idx", "left")
         .select(
@@ -895,7 +918,7 @@ def quality_clf_score(docs: "DataFrame", weights: "DataFrame", bias: float,
             # try_divide, not `/`: ANSI raises DIVIDE_BY_ZERO on the 0/0
             # of a zero-token document; the contract is a null term there
             F.round(
-                F.try_divide(F.col("__c").cast("double"), n_feat)
+                F.try_divide(F.col("__c").cast("double"), F.col("__nf"))
                 * F.coalesce("w", F.lit(0.0)),
                 9,
             ).cast("decimal(28,9)").alias("__zc"),
