@@ -45,6 +45,7 @@ HEADLINE = [
     "similarity_topk",
     "similarity_topk_lsh",
     "similarity_neardup_blas",
+    "similarity_neardup_lsh",  # bucketed all-pairs scale path (r14)
     "text_profile",
     "text_lm_ppl",  # CCNet-style unigram-LM perplexity filter (r12)
     "text_lm_ppl_bigram",  # stupid-backoff bigram upgrade (r12)
@@ -59,7 +60,11 @@ HEADLINE = [
     "pipeline_dsir",  # DSIR importance resampling (r13)
     "tree_depth",
     "thread_pages",  # A10 flagship: full reference-parity page pipeline
-    "thread_page_frags",  # its streamed no-ceiling arm (r12)
+    # r14 (VERDICT r13 #3): the streamed arm is benched on its
+    # POST-ROUTING workload — one mega-thread — not the whole
+    # small-thread archive the auto-router no longer sends it
+    # (thread_page_frags stays registered for the byte-parity suite)
+    "thread_page_frags_mega",
     "media_stats",
     # skew-immune exact twins (round 8): same results as their plain
     # forms, hot-key-proof plans — benched so the scaling probe covers

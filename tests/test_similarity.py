@@ -43,6 +43,35 @@ def test_blas_finds_planted_pairs(spark):
     assert planted <= got
 
 
+def test_neardup_lsh_precision_and_planted_recall(spark):
+    """r14 (similarity_neardup_lsh registry entry): the bucketed
+    all-pairs scale arm — candidates come only from shared
+    (table, signature) buckets, then exact-cosine verification, so
+    every returned pair must be a brute pair at the same threshold
+    with the identical cosine (precision exact), and the planted
+    near-identical pairs — which share every signature in every table —
+    must all be recalled."""
+    emb = _emb(spark, dim=64)
+    brute = {(r["a"], r["b"]): r["cos"] for r in
+             sim.embedding_near_dups(emb, threshold=0.999).collect()}
+    lsh = {(r["a"], r["b"]): r["cos"] for r in
+           sim.embedding_near_dups_lsh(emb, threshold=0.999).collect()}
+    assert set(lsh) <= set(brute)
+    for k in lsh:
+        assert abs(lsh[k] - brute[k]) < 1e-9
+    planted = {(i, i + 1000) for i in range(10, 61, 10)}
+    assert planted <= set(lsh)
+
+    # the registry entry runs end-to-end on the embeddings table
+    import __spark_entry__ as m
+
+    from tests.conftest import SF_SMALL
+
+    reg = m.queries()["similarity_neardup_lsh"](spark, SF_SMALL)
+    assert set(reg.columns) == {"a", "b", "cos"}
+    assert all(r["cos"] >= 0.9 for r in reg.collect())
+
+
 def test_blas_guard_spills_to_lsh(spark):
     """Past max_broadcast_rows the BLAS path must (a) never materialize
     the full frame on the driver and (b) return LSH results instead of

@@ -588,7 +588,6 @@ def offline_reading(archive: Archive, out_dir: str,
 
     bound = (_trees.DEFAULT_MAX_THREAD_ROWS
              if max_thread_rows is None else max_thread_rows)
-    over_pin = None
     try:
         if stream:
             frags = _trees.thread_page_fragments(
@@ -596,59 +595,75 @@ def offline_reading(archive: Archive, out_dir: str,
             )
             n = exports.write_thread_docs_streamed(frags, out_dir)
         else:
-            # Per-thread auto-routing (precedent: comment_forest_auto's
-            # skew probe): one comment-count agg finds threads past the
-            # fused assembler's one-task bound.  The over-set is tiny by
-            # construction (each member has > bound comments), so the
-            # split joins broadcast it; when it is empty — the common
-            # case — the export is exactly the fused-only plan.
-            norm = F.when(
-                F.col("submission").startswith("t3_"), F.col("submission")
-            ).otherwise(F.concat(F.lit("t3_"), F.col("submission")))
-            normed = comments.withColumn("submission", norm)
-            over = (
-                normed.groupBy("submission")
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") > bound)
-                .select("submission")
+            n = _routed_page_export(
+                submissions, comments, out_dir,
+                checkpoint_dir=checkpoint_dir, bound=bound,
             )
-            over_pin = over.persist()
-            if over.limit(1).count() == 0:
-                pages = render_thread_pages(
-                    submissions, comments, checkpoint_dir=checkpoint_dir,
-                    max_thread_rows=bound,
-                )
-                # pages end '</html>' with no trailing newline (the
-                # reference writes none) — '>' is the staged arm's
-                # separator contract
-                n = exports.write_thread_docs(pages, out_dir, line_sep=">")
-            else:
-                over_subs = over.select(F.col("submission").alias("idstr"))
-                fused_pages = render_thread_pages(
-                    submissions.join(
-                        F.broadcast(over_subs), "idstr", "left_anti"),
-                    normed.join(F.broadcast(over), "submission",
-                                "left_anti"),
-                    checkpoint_dir=checkpoint_dir,
-                    max_thread_rows=bound,
-                )
-                n = exports.write_thread_docs(
-                    fused_pages, out_dir, line_sep=">")
-                frags = _trees.thread_page_fragments(
-                    submissions.join(
-                        F.broadcast(over_subs), "idstr", "left_semi"),
-                    normed.join(F.broadcast(over), "submission",
-                                "left_semi"),
-                    checkpoint_dir=checkpoint_dir,
-                )
-                n += exports.write_thread_docs_streamed(frags, out_dir)
         if incremental:
             _swap_manifest()
     finally:
         if manifest_pin is not None:
             manifest_pin.unpersist()
-        if over_pin is not None:
-            over_pin.unpersist()
+    return n
+
+
+def _routed_page_export(submissions: DataFrame, comments: DataFrame,
+                        out_dir: str, checkpoint_dir: str,
+                        bound: int) -> int:
+    """The DEFAULT page-export plan (r13 auto-routing, extracted r14 so
+    tools/bench_scaling.py can probe it end-to-end): one comment-count
+    agg finds threads past the fused assembler's one-task bound
+    (precedent: comment_forest_auto's skew probe).  The over-set is
+    tiny by construction (each member has > bound comments), so the
+    split joins broadcast it; when it is empty — the common case — the
+    export is exactly the fused-only plan."""
+    from pyspark.sql import functions as F
+
+    from timesearch_spark.operators import trees as _trees
+
+    norm = F.when(
+        F.col("submission").startswith("t3_"), F.col("submission")
+    ).otherwise(F.concat(F.lit("t3_"), F.col("submission")))
+    normed = comments.withColumn("submission", norm)
+    over = (
+        normed.groupBy("submission")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > bound)
+        .select("submission")
+    )
+    over_pin = over.persist()
+    try:
+        if over.limit(1).count() == 0:
+            pages = render_thread_pages(
+                submissions, comments, checkpoint_dir=checkpoint_dir,
+                max_thread_rows=bound,
+            )
+            # pages end '</html>' with no trailing newline (the
+            # reference writes none) — '>' is the staged arm's
+            # separator contract
+            n = exports.write_thread_docs(pages, out_dir, line_sep=">")
+        else:
+            over_subs = over.select(F.col("submission").alias("idstr"))
+            fused_pages = render_thread_pages(
+                submissions.join(
+                    F.broadcast(over_subs), "idstr", "left_anti"),
+                normed.join(F.broadcast(over), "submission",
+                            "left_anti"),
+                checkpoint_dir=checkpoint_dir,
+                max_thread_rows=bound,
+            )
+            n = exports.write_thread_docs(
+                fused_pages, out_dir, line_sep=">")
+            frags = _trees.thread_page_fragments(
+                submissions.join(
+                    F.broadcast(over_subs), "idstr", "left_semi"),
+                normed.join(F.broadcast(over), "submission",
+                            "left_semi"),
+                checkpoint_dir=checkpoint_dir,
+            )
+            n += exports.write_thread_docs_streamed(frags, out_dir)
+    finally:
+        over_pin.unpersist()
     return n
 
 

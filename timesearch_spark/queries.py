@@ -1368,6 +1368,69 @@ def thread_page_frags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("thread_page_frags_mega")  # rows-only: the streamed arm on its
+# POST-ROUTING workload (r14, VERDICT r13 #3) — since the r13
+# auto-router, production only ever sends OVER-BOUND threads to this
+# arm, so benching it on the whole small-thread archive measured a
+# configuration the code no longer chooses.  This entry is the arm's
+# actual use case: ONE mega-thread holding every lineitem comment.
+def thread_page_frags_mega(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streamed no-ceiling arm on a single mega-thread: every
+    lineitem becomes a comment of ONE submission — per-order chains
+    (l_linenumber k under k−1, TPC-H linenumbers are consecutive so
+    every parent exists) all rooted at the one head, i.e. the
+    depth-chain fixture scaled wide (sf0.1: ~600k comments in one
+    thread, ~150k chains of depth ≤ 7).  Reduced to fragment counts +
+    byte totals so the materialized result stays narrow; byte parity
+    of the arm itself is pinned in tests/test_trees.py."""
+    submissions, comments = _mega_page_inputs(spark, sf_dir)
+    frags = tr.thread_page_fragments(submissions, comments)
+    return frags.groupBy("submission").agg(
+        F.count("*").alias("n_frags"),
+        F.sum(F.octet_length("pre") + F.octet_length("post"))
+        .alias("frag_bytes"),
+    )
+
+
+def _mega_page_inputs(spark: SparkSession, sf_dir: str):
+    """(submissions, comments) for ONE over-bound mega thread: every
+    lineitem becomes a comment of a single submission — per-order
+    chains rooted at the one head.  Shared by `thread_page_frags_mega`
+    and the routed-export scaling probe (tools/bench_scaling.py)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = F.col("l_orderkey").cast("string")
+    # per-order rank, not l_linenumber: the synthetic generator draws
+    # linenumbers without consecutiveness, and a chain parent must
+    # EXIST or the walk drops the subtree as an orphan.  One
+    # partitioned (never global) window over the fixture.
+    rk = F.row_number().over(
+        Window.partitionBy("l_orderkey").orderBy("l_linenumber"))
+    comments = (
+        li.withColumn("__rk", rk)
+        .select(
+            F.concat(F.lit("t1_"), o, F.lit("_"),
+                     F.col("__rk").cast("string")).alias("idstr"),
+            F.when(F.col("__rk") == 1, F.lit("t3_mega")).otherwise(
+                F.concat(F.lit("t1_"), o, F.lit("_"),
+                         (F.col("__rk") - 1).cast("string"))).alias("parent"),
+            F.lit("t3_mega").alias("submission"),
+            F.col("__rk").cast("long").alias("created"),
+            F.col("l_extendedprice").cast("long").alias("score"),
+        )
+        .withColumn("body", F.concat(F.lit("body of *"), F.col("idstr"),
+                                     F.lit("*")))
+        .withColumn("author", F.concat(F.lit("u"),
+                                       (F.col("created") % 7).cast("string")))
+        .withColumn("subreddit", F.lit("t"))
+    )
+    submissions = spark.createDataFrame(
+        [("t3_mega", "u0", "mega thread", None, "status *M*", 1, 9, "t")],
+        "idstr string, author string, title string, url string, "
+        "selftext string, score long, created long, subreddit string",
+    )
+    return submissions, comments
+
+
 @q("similarity_topk")  # rows-only since r14: graded through the merged
 # similarity_brute oracle below (same rows, relabeled — the slot freed
 # by the consolidation now grades text_lm_ppl_bigram); pytest pins the
@@ -1484,12 +1547,48 @@ def similarity_neardup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("similarity_topk_lsh")  # LSH probe structure — rows-only check
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via random-hyperplane LSH (8 bits × 8 tables), exact
-    verify on candidates.  Pytest asserts recall vs the brute-force path."""
+    """ANN top-10 via random-hyperplane LSH (6 bits × 16 tables,
+    Hamming-1 multiprobe — the operator defaults), exact verify on
+    candidates.  Pytest asserts recall vs the brute-force path."""
     emb = load(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     out = sim.cosine_topk_lsh(emb, qv, k=10)
     return out.withColumn("cos", F.round("cos", 6))
+
+
+def _emb_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies of every 10th vector (+1e-3 per
+    component → cosine ≈ 1): the synthetic embeddings have no pair
+    above cosine 0.52, so near-dup queries get deterministic planted
+    positives — the `_docs_with_mutations` pattern for vectors.  Shared
+    by `similarity_neardup_lsh` and its scaling candidate counter."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(1e-3))
+        .alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
+@q("similarity_neardup_lsh")  # bucketed all-pairs scale path — rows-only
+# (recall + pair-precision pinned in tests/test_similarity.py); benched
+# with a bucket-candidate counter so a future wall drift is attributable
+# to collision growth vs load (the dedup-family pattern, r14)
+def similarity_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups AT SCALE: self-join per (table, signature)
+    bucket — the shuffle key is the signature, never the cross product —
+    then exact-cosine verification (similarity.embedding_near_dups_lsh,
+    12 bits × 6 tables) over embeddings ∪ planted near-identical copies
+    (known cosine≈1 pairs).  This is the arm a 100 TB corpus takes
+    where similarity_neardup_brute/_blas are the bounded correctness
+    baselines."""
+    u = _emb_with_planted(spark, sf_dir)
+    return sim.embedding_near_dups_lsh(u, threshold=0.9).withColumn(
+        "cos", F.round("cos", 6))
 
 
 @q("window_rank_salted")  # exact twin of window_rank_children — rows-only

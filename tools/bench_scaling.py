@@ -61,6 +61,31 @@ def _sink_thread_docs_streamed(spark, sf_dir, out_dir):
         thread_page_fragments(subs, comments), out_dir)
 
 
+def _sink_thread_docs_routed(spark, sf_dir, out_dir):
+    """r14 (VERDICT r13 #7): the DEFAULT export path end-to-end — the
+    auto-router's probe agg + broadcast split joins + fused arm over
+    the small-thread archive + streamed arm over the over-bound
+    threads, writing every page file.  Mixed fixture: the _page_inputs
+    archive plus ONE mega thread; the bound is forced under the mega
+    thread's size AT EVERY PROBED SF (sf0.001's mega ≈ 6k comments) so
+    the router actually splits — at the production 2M-row bound the
+    mega fixture would ride the fused arm and the router's split joins
+    would go unmeasured."""
+    from timesearch_spark.api import _routed_page_export
+    from timesearch_spark.fs import derive_checkpoint_dir
+    from timesearch_spark.queries import _mega_page_inputs, _page_inputs
+
+    subs, comments = _page_inputs(spark, sf_dir)
+    msubs, mcomments = _mega_page_inputs(spark, sf_dir)
+    _routed_page_export(
+        subs.unionByName(msubs),
+        comments.unionByName(mcomments, allowMissingColumns=False),
+        out_dir,
+        checkpoint_dir=derive_checkpoint_dir(out_dir),
+        bound=5_000,
+    )
+
+
 #: sinks probed end-to-end (files written to a temp dir, timing includes
 #: the write, cleanup excluded) — the bench headliners reduce these
 #: pipelines to narrow aggregates, so without these rows neither
@@ -68,6 +93,7 @@ def _sink_thread_docs_streamed(spark, sf_dir, out_dir):
 SINK_PROBES = {
     "sink_breakdown_streamed": _sink_breakdown_streamed,
     "sink_thread_docs_streamed": _sink_thread_docs_streamed,
+    "sink_thread_docs_routed": _sink_thread_docs_routed,
 }
 
 
@@ -127,6 +153,54 @@ def _cand_simhash(spark, sf_dir):
         ex.groupBy("chunk", "val").agg(F.count("*").alias("c")))
 
 
+def _cand_similarity_topk_lsh(spark, sf_dir):
+    """Candidate VECTORS the query's multiprobe admits (the exact set
+    cosine_topk_lsh verifies): corpus rows whose signature is within
+    Hamming-1 of the query's in any table — the operator's defaults
+    (64 dims, 6 bits × 16 tables, seed 42), same as the registry
+    entry."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from timesearch_spark.operators import similarity as sim
+    from timesearch_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    planes = sim.hyperplanes(64, 6, 16, 42)
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        sim.as_double("embedding").alias("q")).first()
+    qsig = sim.pack_signatures(
+        np.array([list(qrow["q"])], dtype=np.float64), planes)[0]
+    sigs = sim.with_signatures(emb, planes, "vec_id", "embedding")
+    match = F.lit(False)
+    for t in range(16):
+        match = match | (
+            F.bit_count(F.col(f"sig{t}").bitwiseXOR(F.lit(int(qsig[t])))) <= 1
+        )
+    return int(sigs.filter(match).count())
+
+
+def _cand_similarity_neardup_lsh(spark, sf_dir):
+    """Σ c·(c−1)/2 over (table, signature) buckets at the registry
+    entry's parameters (64 dims, 12 bits × 6 tables, planted-copy
+    input) — the pairs the bucket self-join generates before cosine
+    verification."""
+    from pyspark.sql import functions as F
+
+    from timesearch_spark.operators import similarity as sim
+    from timesearch_spark.queries import _emb_with_planted
+
+    emb = _emb_with_planted(spark, sf_dir)
+    planes = sim.hyperplanes(64, 12, 6, 42)
+    sigs = sim.with_signatures(emb, planes, "vec_id", "embedding")
+    ex = sigs.select(F.explode(F.array(*[
+        F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("sig"))
+        for t in range(6)
+    ])).alias("ts")).select(F.col("ts.t").alias("t"),
+                            F.col("ts.sig").alias("sig"))
+    return _pairs_fanout(ex.groupBy("t", "sig").agg(F.count("*").alias("c")))
+
+
 #: per-query candidate-pair counters (same parameters as the registry
 #: query each names); counted once per probe at BOTH scale factors so a
 #: future wall-clock drift is attributable to candidate growth vs load
@@ -136,6 +210,10 @@ CANDIDATE_COUNTERS = {
     "dedup_minhash_lsh": _cand_minhash("md5", 32, 8, " zzq wwx vvy"),
     "dedup_minhash_xx64": _cand_minhash("xxhash64", 64, 16, " zzq wwx vvy"),
     "dedup_simhash_xx64": _cand_simhash,
+    # r14 (VERDICT r13 #6): the embedding-LSH probes get the same
+    # diagnosable-drift columns the dedup family's paid off with
+    "similarity_topk_lsh": _cand_similarity_topk_lsh,
+    "similarity_neardup_lsh": _cand_similarity_neardup_lsh,
 }
 
 
