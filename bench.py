@@ -57,7 +57,8 @@ HEADLINE = [
     "events_unique_sketch",
     "orders_scd2",
     "pipeline_curate",  # the five-rung curation ladder users actually run
-    "pipeline_dsir",  # DSIR importance resampling (r13)
+    "pipeline_dsir",  # DSIR md5 oracle-replay family (r14; the dedup_minhash_lsh pattern)
+    "pipeline_dsir_xx64",  # DSIR production hash family (r13 plan shape)
     "tree_depth",
     "thread_pages",  # A10 flagship: full reference-parity page pipeline
     # r14 (VERDICT r13 #3): the streamed arm is benched on its

@@ -457,11 +457,10 @@ def bigram_lm(ref: "DataFrame", text_col: str = "text",
     # Both logp tables are computed DRIVER-side with libm log (the
     # unigram_lm determinism recipe — JVM Math.log can differ from C
     # libm by 1 ulp, which after round-to-9 flips boundary values and
-    # breaks exact cross-engine reproducibility).  uni collects its
-    # bounded top-V rows outright; bi stays a distributed relation and
-    # only its DISTINCT (c12, c1) numeric pairs come to the driver
-    # (logp2 is a function of those two counts alone, so the mapping —
-    # bounded by bigram_size — broadcast-joins back in).
+    # breaks exact cross-engine reproducibility).  Both are bounded
+    # broadcast state by contract (vocab_size / bigram_size rows), so
+    # each is collected outright in one job and rebuilt as a local
+    # Arrow relation — the scoring plan scans them as LocalTableScan.
     import pandas as pd
 
     spark = ref.sparkSession
@@ -486,24 +485,27 @@ def bigram_lm(ref: "DataFrame", text_col: str = "text",
     ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
     bcounts = pairs.groupBy("w1", "w2").count()
     c1 = counts.select(F.col("token").alias("w1"), F.col("count").alias("c1"))
-    bi_top = (
+    bi_pdf = (
         bcounts.join(c1, "w1")
         .orderBy(F.desc("count"), F.asc("w1"), F.asc("w2"))
         .limit(bigram_size)
         .select("w1", "w2", "count", "c1")
+        .toPandas()  # bounded broadcast state by contract, like the
+        # top-V vocab above (bigram_size rows) — one Arrow-batched job;
+        # a distinct-pairs collect + join-back was two passes over the
+        # bigram relation, and row-at-a-time collect() pays py4j Row
+        # deserialization per bigram
     )
-    pair_rows = bi_top.select("count", "c1").distinct().collect()
-    lp2 = spark.createDataFrame(pd.DataFrame({
-        "count": pd.Series([int(r["count"]) for r in pair_rows],
-                           dtype="int64"),
-        "c1": pd.Series([int(r["c1"]) for r in pair_rows], dtype="int64"),
+    denom2 = alpha * (v + 1)
+    bi = spark.createDataFrame(pd.DataFrame({
+        "w1": bi_pdf["w1"].astype("object"),
+        "w2": bi_pdf["w2"].astype("object"),
         "logp2": pd.Series(
-            [math.log((int(r["count"]) + alpha)
-                      / (int(r["c1"]) + alpha * (v + 1)))
-             for r in pair_rows], dtype="float64"),
-    }), "count long, c1 long, logp2 double")
-    bi = bi_top.join(F.broadcast(lp2), ["count", "c1"]).select(
-        "w1", "w2", "logp2")
+            [math.log((c + alpha) / (cc + denom2))
+             for c, cc in zip(bi_pdf["count"].astype("int64"),
+                              bi_pdf["c1"].astype("int64"))],
+            dtype="float64"),
+    }), "w1 string, w2 string, logp2 double")
     return uni, bi, oov_logp
 
 

@@ -118,10 +118,36 @@ def mutate_text(col, copy_idx: int):
     return F.array_join(mut, " ")
 
 
+def mutate_embedding(col, copy_idx: int, dim: int, dtype: str):
+    """Per-copy deterministic sign-flip rotation (a diagonal orthogonal
+    transform, r14): within-copy geometry is preserved EXACTLY — every
+    pair (s∘u, s∘v) has the same inner product and norms as (u, v),
+    and negation is exact in IEEE floats — while cross-copy cosine
+    cos(v, s∘v) = Σ sⱼvⱼ²/|v|² collapses toward 0 (~half the
+    components flip).  Without this, embeddings replicated VERBATIM
+    give every vector K−1 identical cross-copy twins at cosine 1.0 and
+    every all-pairs-over-threshold output (similarity_neardup_*) grows
+    quadratically in K — the same replication artifact mutate_text
+    exists to prevent for the text family.  Copy 0 is the identity."""
+    if copy_idx == 0:
+        return col
+    import random
+
+    rng = random.Random(copy_idx)
+    signs = [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+    return F.zip_with(
+        col, F.array(*[F.lit(s) for s in signs]), lambda a, b: a * b
+    ).cast(dtype)
+
+
 def replicate_table(
     spark: SparkSession, src: str, table: str, k: int, offsets: dict[str, int]
 ) -> DataFrame:
     df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
+    emb_dim = None
+    if table == "embeddings":
+        row = df.select("embedding").first()
+        emb_dim = len(row["embedding"]) if row else 0
     copies = []
     for i in range(k):
         c = df
@@ -136,6 +162,12 @@ def replicate_table(
                 c = c.withColumn(
                     "n_chars", F.length(F.coalesce("text", F.lit(""))).cast("long")
                 )
+        if table == "embeddings" and emb_dim:
+            c = c.withColumn(
+                "embedding",
+                mutate_embedding(F.col("embedding"), i, emb_dim,
+                                 dict(df.dtypes)["embedding"]),
+            )
         copies.append(c)
     out = copies[0]
     for c in copies[1:]:
