@@ -76,13 +76,37 @@ def test_oracle_slot_source_registry():
     import timesearch_spark.queries as tsq
 
     assert set(tsq.ORACLE) == \
-        tsq.ORACLE_CHARTER | set(tsq.ORACLE_SLOT_SOURCES)
+        (tsq.ORACLE_CHARTER - set(tsq.ORACLE_DEMOTED)) \
+        | set(tsq.ORACLE_SLOT_SOURCES)
     assert tsq.ORACLE_CHARTER.isdisjoint(tsq.ORACLE_SLOT_SOURCES)
-    # every slot-source is a real explanation, not a placeholder
-    for name, src in tsq.ORACLE_SLOT_SOURCES.items():
+    assert set(tsq.ORACLE_DEMOTED) <= tsq.ORACLE_CHARTER
+    # every slot-source / demotion note is a real explanation
+    for name, src in {**tsq.ORACLE_SLOT_SOURCES,
+                      **tsq.ORACLE_DEMOTED}.items():
         assert isinstance(src, str) and len(src) > 20, (name, src)
         assert ("consolidation" in src or "demotion" in src
-                or "promotion" in src), (name, src)
+                or "promotion" in src or "rollup" in src), (name, src)
+
+
+def test_tree_stats_is_rollup_of_oracled_tree_depth(spark):
+    """r14 demotion pin: tree_stats' rows are exactly the per-thread
+    rollup (count, max depth, phantom count) of the oracled tree_depth
+    relation — which since r14 hash-checks the phantom column too, so
+    the demoted query's entire input is still externally graded."""
+    from pyspark.sql import functions as F
+
+    qs = entrymod.queries()
+    depth = qs["tree_depth"](spark, SF_SMALL)
+    assert set(depth.columns) == {"submission", "idstr", "depth", "phantom"}
+    rolled = {
+        tuple(r) for r in depth.groupBy("submission").agg(
+            F.count("*").alias("n_nodes"),
+            F.max("depth").alias("max_depth"),
+            F.sum(F.col("phantom").cast("long")).alias("n_phantom"),
+        ).collect()
+    }
+    stats = {tuple(r) for r in qs["tree_stats"](spark, SF_SMALL).collect()}
+    assert stats == rolled and stats
 
 
 def test_r14_consolidations_partition_exactly(spark):

@@ -62,6 +62,23 @@ def test_neardup_lsh_precision_and_planted_recall(spark):
     planted = {(i, i + 1000) for i in range(10, 61, 10)}
     assert planted <= set(lsh)
 
+    # bits="auto" (the scale mode the registry entry runs): same
+    # precision/recall contract — near-identical pairs collide in every
+    # table at ANY signature width, and verification keeps precision
+    # exact — with (bits, tables) derived from the density rule
+    auto = {(r["a"], r["b"]): r["cos"] for r in
+            sim.embedding_near_dups_lsh(
+                emb, threshold=0.999, bits="auto").collect()}
+    assert set(auto) <= set(brute)
+    assert planted <= set(auto)
+    # the derivation: constant occupancy, recall-pinned tables,
+    # monotone in n
+    b1, t1 = sim.neardup_lsh_params(100_000, 0.9)
+    b2, t2 = sim.neardup_lsh_params(100_000_000, 0.9)
+    assert b2 > b1 >= 12 and t2 >= t1 >= 2
+    assert b2 - b1 == 10  # 1000x corpus = +log2(1000) bits
+    assert sim.neardup_lsh_params(2_000, 0.9)[0] == 12  # small-n floor
+
     # the registry entry runs end-to-end on the embeddings table
     import __spark_entry__ as m
 

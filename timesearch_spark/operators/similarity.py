@@ -763,13 +763,41 @@ def _col_pair(name):
     return F.col(name) if isinstance(name, str) else name
 
 
+def neardup_lsh_params(
+    n: int,
+    threshold: float,
+    occupancy: float = 4.0,
+    target_recall: float = 0.9,
+    min_bits: int = 12,
+) -> tuple[int, int]:
+    """(bits, tables) for :func:`embedding_near_dups_lsh` at corpus
+    size ``n`` — the hyperplane-LSH density rule: per-bucket occupancy
+    n/2^bits must stay CONSTANT or the bucket self-join's candidate
+    fanout grows quadratically with corpus (the r14 scaling probe
+    measured 84× candidates at 10× rows with fixed 12-bit signatures),
+    so bits = log2(n/occupancy); recall is then restored by scaling
+    tables — per-table collision for a true pair at cos=threshold is
+    p = (1-θ/π)^bits, and tables = ln(1-target_recall)/ln(1-p) keeps
+    overall recall ≥ target.  Shared by the operator's ``bits="auto"``
+    mode and the scaling probe's candidate counter so both always
+    agree."""
+    import math
+
+    bits = max(min_bits, math.ceil(math.log2(max(n, 2) / occupancy)))
+    p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_table = min(max(p_bit ** bits, 1e-12), 1.0 - 1e-12)
+    tables = min(64, max(2, math.ceil(
+        math.log(1.0 - target_recall) / math.log1p(-p_table))))
+    return bits, tables
+
+
 def embedding_near_dups_lsh(
     emb: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits: int = 12,
+    bits: int | str = 12,
     tables: int = 6,
     seed: int = 42,
 ) -> DataFrame:
@@ -779,7 +807,16 @@ def embedding_near_dups_lsh(
 
     High-cosine pairs collide in ≥1 table with probability
     1-(1-(1-θ/π)^bits)^tables; candidates are verified so precision is
-    exact, recall is the tunable."""
+    exact, recall is the tunable.
+
+    ``bits="auto"`` (the scale path) derives (bits, tables) from the
+    corpus size via :func:`neardup_lsh_params` — one count job — so
+    per-bucket density stays constant as the corpus grows instead of
+    the fixed-width buckets saturating (candidate fanout quadratic in
+    corpus); the explicit ``tables`` argument is ignored in auto mode
+    because recall at ``threshold`` pins it."""
+    if bits == "auto":
+        bits, tables = neardup_lsh_params(emb.count(), threshold)
     planes = hyperplanes(dim, bits, tables, seed)
     sigs = with_signatures(emb, planes, id_col, vec_col).select(
         F.col(id_col),

@@ -1193,25 +1193,24 @@ def _tree_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "tree_depth",
-    _TREE_CTE + "SELECT CAST(o AS VARCHAR) AS submission, idstr, depth FROM nodes",
+    # phantom included since r14: tree_stats is a pure rollup of this
+    # relation (count / max depth / phantom count per thread), so hash-
+    # checking (submission, idstr, depth, phantom) here checks the
+    # rollup's full input and frees tree_stats' window slot.
+    _TREE_CTE + "SELECT CAST(o AS VARCHAR) AS submission, idstr, depth, "
+                "phantom FROM nodes",
 )
 def tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: per-node depth from the applyInPandas forest walk, checked
     against a recursive-CTE oracle (phantom parents sit at depth 0)."""
     forest = tr.comment_forest(_tree_comments(spark, sf_dir))
-    return forest.select("submission", "idstr", "depth")
+    return forest.select("submission", "idstr", "depth", "phantom")
 
 
-@q(
-    "tree_stats",
-    _TREE_CTE + """
-    SELECT CAST(o AS VARCHAR) AS submission,
-           COUNT(*) AS n_nodes,
-           MAX(depth) AS max_depth,
-           CAST(SUM(CASE WHEN phantom THEN 1 ELSE 0 END) AS BIGINT) AS n_phantom
-    FROM nodes GROUP BY 1
-    """,
-)
+@q("tree_stats")  # rows-only since r14: a pure rollup of the oracled
+# tree_depth relation (which now hash-checks the phantom column too) —
+# derivability pinned in tests/test_queries.py; the freed slot grades
+# dedup_intra_lines
 def tree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 rollup: thread size / max depth / phantom count per submission."""
     forest = tr.comment_forest(_tree_comments(spark, sf_dir))
@@ -1581,14 +1580,17 @@ def _emb_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dups AT SCALE: self-join per (table, signature)
     bucket — the shuffle key is the signature, never the cross product —
-    then exact-cosine verification (similarity.embedding_near_dups_lsh,
-    12 bits × 6 tables) over embeddings ∪ planted near-identical copies
-    (known cosine≈1 pairs).  This is the arm a 100 TB corpus takes
-    where similarity_neardup_brute/_blas are the bounded correctness
-    baselines."""
+    then exact-cosine verification (similarity.embedding_near_dups_lsh)
+    over embeddings ∪ planted near-identical copies (known cosine≈1
+    pairs).  ``bits="auto"`` scales signature width with corpus size
+    (the LSH density rule — the r14 probe caught fixed 12-bit buckets
+    at 84× candidate fanout for 10× rows) and re-derives the table
+    count for ≥0.9 recall at the threshold.  This is the arm a 100 TB
+    corpus takes where similarity_neardup_brute/_blas are the bounded
+    correctness baselines."""
     u = _emb_with_planted(spark, sf_dir)
-    return sim.embedding_near_dups_lsh(u, threshold=0.9).withColumn(
-        "cos", F.round("cos", 6))
+    return sim.embedding_near_dups_lsh(u, threshold=0.9, bits="auto") \
+        .withColumn("cos", F.round("cos", 6))
 
 
 @q("window_rank_salted")  # exact twin of window_rank_children — rows-only
@@ -2468,7 +2470,35 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dedup_intra_lines")  # within-doc repeated-line rewrite — rows-only + pytest
+@q(
+    "dedup_intra_lines",
+    # Promoted r14 (slot freed by the tree_stats demotion).  The twin
+    # mirrors the inline arm exactly: keep line i iff it is
+    # whitespace-trim-empty or its FIRST occurrence index equals i
+    # (DuckDB lambdas are 1-based, list_position returns the first
+    # 1-based hit — Spark's array_position(lines, x) == i+1 with the
+    # 0-based filter index is the same predicate); trim strips spaces
+    # only in both engines, so tab-only lines are "non-blank" and
+    # dedupe like any other line.  NULL text flows through as NULL on
+    # both sides (the r14 null-safe routing).
+    """
+    WITH ls AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, lines,
+             list_filter(lines,
+                         (x, i) -> trim(x) = '' OR
+                                   list_position(lines, x) = i) AS kl
+      FROM ls
+    )
+    SELECT doc_id,
+           CAST(octet_length(encode(array_to_string(kl, chr(10))))
+                AS INT) AS text_bytes,
+           CAST(len(lines) - len(kl) AS INT) AS n_removed_lines
+    FROM kept
+    """,
+)
 def dedup_intra_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repeated-line removal
     (dedup.remove_repeated_lines_within): the Gopher-family repetition
@@ -2995,6 +3025,17 @@ ORACLE_CHARTER = frozenset({
     "window_latest_version", "window_rank_children",
 })
 
+#: Charter queries DEMOTED to the rows-only tail: name → the demotion's
+#: exactness story (each must carry a pytest pin).  The charter set
+#: itself stays frozen; membership of the live oracled set is
+#: charter − demoted + slot-sourced additions.
+ORACLE_DEMOTED = {
+    "tree_stats":
+        "r14: pure rollup of the oracled tree_depth relation (which now "
+        "hash-checks the phantom column too); derivability pinned in "
+        "tests/test_queries.py — the slot grades dedup_intra_lines",
+}
+
 #: Slot provenance for every post-charter oracled query: name → where
 #: its window slot came from (a consolidation or a demotion).  The
 #: import-time assert below and tests/test_queries.py fail on any
@@ -3017,16 +3058,21 @@ ORACLE_SLOT_SOURCES = {
     "pipeline_dsir":
         "r14 promotion into the slot freed by the media_decode "
         "consolidation",
+    "dedup_intra_lines":
+        "r14 promotion into the slot freed by the tree_stats demotion",
 }
 
 assert max(i for i, k in enumerate(QUERIES) if k in ORACLE) <= 49, (
     "oracled set grew past the driver's 50-row CORRECTNESS window; "
     "consolidate or demote a query first (see HEADROOM POLICY above)"
 )
-assert set(ORACLE) == (ORACLE_CHARTER | set(ORACLE_SLOT_SOURCES)) and \
-    ORACLE_CHARTER.isdisjoint(ORACLE_SLOT_SOURCES), (
-    "oracled set drifted from charter + slot-source registry — any new "
-    "oracled query must record the slot it takes in ORACLE_SLOT_SOURCES "
-    "(see HEADROOM POLICY above): "
-    f"{sorted(set(ORACLE) ^ (ORACLE_CHARTER | set(ORACLE_SLOT_SOURCES)))}"
+assert set(ORACLE) == \
+    ((ORACLE_CHARTER - set(ORACLE_DEMOTED)) | set(ORACLE_SLOT_SOURCES)) \
+    and ORACLE_CHARTER.isdisjoint(ORACLE_SLOT_SOURCES) \
+    and set(ORACLE_DEMOTED) <= ORACLE_CHARTER, (
+    "oracled set drifted from charter − demotions + slot-source "
+    "registry — any oracled addition must record its slot in "
+    "ORACLE_SLOT_SOURCES and any charter demotion its pin in "
+    "ORACLE_DEMOTED (see HEADROOM POLICY above): "
+    f"{sorted(set(ORACLE) ^ ((ORACLE_CHARTER - set(ORACLE_DEMOTED)) | set(ORACLE_SLOT_SOURCES)))}"
 )

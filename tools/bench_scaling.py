@@ -182,20 +182,21 @@ def _cand_similarity_topk_lsh(spark, sf_dir):
 
 def _cand_similarity_neardup_lsh(spark, sf_dir):
     """Σ c·(c−1)/2 over (table, signature) buckets at the registry
-    entry's parameters (64 dims, 12 bits × 6 tables, planted-copy
-    input) — the pairs the bucket self-join generates before cosine
-    verification."""
+    entry's parameters (64 dims, bits="auto" via neardup_lsh_params,
+    planted-copy input) — the pairs the bucket self-join generates
+    before cosine verification."""
     from pyspark.sql import functions as F
 
     from timesearch_spark.operators import similarity as sim
     from timesearch_spark.queries import _emb_with_planted
 
     emb = _emb_with_planted(spark, sf_dir)
-    planes = sim.hyperplanes(64, 12, 6, 42)
+    bits, tables = sim.neardup_lsh_params(emb.count(), 0.9)
+    planes = sim.hyperplanes(64, bits, tables, 42)
     sigs = sim.with_signatures(emb, planes, "vec_id", "embedding")
     ex = sigs.select(F.explode(F.array(*[
         F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("sig"))
-        for t in range(6)
+        for t in range(tables)
     ])).alias("ts")).select(F.col("ts.t").alias("t"),
                             F.col("ts.sig").alias("sig"))
     return _pairs_fanout(ex.groupBy("t", "sig").agg(F.count("*").alias("c")))
