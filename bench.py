@@ -47,6 +47,7 @@ HEADLINE = [
     "similarity_neardup_blas",
     "similarity_neardup_lsh",  # bucketed all-pairs scale path (r14)
     "text_profile",
+    "text_html_extract",  # HTML→text ingestion stage (r14)
     "text_lm_ppl",  # CCNet-style unigram-LM perplexity filter (r12)
     "text_lm_ppl_bigram",  # stupid-backoff bigram upgrade (r12)
     "text_quality_clf",  # trained hashed-linear quality filter (r12)

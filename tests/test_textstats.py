@@ -503,3 +503,103 @@ def test_quality_clf_score_matches_decimal_twin(spark):
     plan = quality_clf_score(df, W, b, dim=dim) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_html_to_text_extraction(spark):
+    """r14 html_to_text (web-corpus ingestion stage): script/style/
+    comment subtrees drop wholesale, block boundaries become newlines
+    BEFORE tags strip (no word fusion), remaining tags strip, entities
+    unescape AFTER stripping (escaped markup stays literal), whitespace
+    canonicalizes, NULL flows through; the full_entities Arrow arm
+    agrees on the named subset and extends it; and the whole JVM chain
+    is reproduced cell-for-cell by a DuckDB regexp twin (RE2 vs Java
+    regex on the same patterns)."""
+    import duckdb
+
+    from timesearch_spark.operators.textstats import html_to_text
+
+    fixtures = [
+        # script/style/comment content must vanish even with < > inside
+        ("<script>if(a<b && c>d){x('</div>')}</script>keep", "keep"),
+        ("<style>p{color:red}</style>body", "body"),
+        ("a<!-- hidden <b>bold</b> -->z", "az"),
+        # block boundaries prevent word fusion; inline tags don't break
+        ("<p>one</p><p>two</p>", "one\ntwo"),
+        ("<h1>Title</h1><div>body <b>bold</b> text</div>", "Title\nbody bold text"),
+        ("line<br>break<hr>rule", "line\nbreak\nrule"),
+        # adjacent terminators (</li></ul>) leave a paragraph break
+        ("<ul><li>a</li><li>b</li></ul>c", "a\nb\n\nc"),
+        # entities unescape AFTER stripping: escaped markup stays text
+        ("&lt;script&gt;alert(1)&lt;/script&gt;", "<script>alert(1)</script>"),
+        ("Tom &amp; Jerry&nbsp;&quot;cat&#39;s&quot;", "Tom & Jerry \"cat's\""),
+        # double-escape stays single-unescaped (&amp; handled last)
+        ("&amp;lt;", "&lt;"),
+        # whitespace canon: tabs/space runs, spaces around newlines, 3+
+        ("  a\t\tb  \n   c\n\n\n\nd  ", "a b\nc\n\nd"),
+        # attributes stripped with the tag
+        ('<a href="http://x.y?q=1&amp;r=2" title="hi">link</a>', "link"),
+        ("plain text untouched", "plain text untouched"),
+        ("", ""),
+        (None, None),
+    ]
+    docs = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(fixtures)], "i long, html string")
+    got = {r["i"]: r["t"]
+           for r in docs.select("i", html_to_text("html").alias("t")).collect()}
+    for i, (h, want) in enumerate(fixtures):
+        assert got[i] == want, (h, got[i], want)
+
+    # full_entities (Arrow html.unescape): agrees on the named subset,
+    # extends to exotic entities the JVM path passes through
+    extra = spark.createDataFrame(
+        [(0, "&copy; 2020 &mdash; caf&eacute;"), (1, "Tom &amp; J&nbsp;x")],
+        "i long, html string")
+    full = {r["i"]: r["t"] for r in extra.select(
+        "i", html_to_text("html", full_entities=True).alias("t")).collect()}
+    assert full[0] == "© 2020 — café"
+    assert full[1] == "Tom & J x"
+
+    # DuckDB twin: the same pipeline as RE2 regexp_replace chain —
+    # cell-identical on every fixture (the exactness pin that would
+    # back a future oracle promotion)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE h(i BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO h VALUES (?, ?)",
+                    [(i, f[0]) for i, f in enumerate(fixtures)])
+    twin = dict(con.execute(r"""
+      WITH s AS (
+        SELECT i, regexp_replace(regexp_replace(regexp_replace(html,
+                 '<script\b.*?</script\s*>', '', 'gis'),
+                 '<style\b.*?</style\s*>', '', 'gis'),
+                 '<!--.*?-->', '', 'gs') AS x FROM h),
+      b AS (
+        SELECT i, regexp_replace(regexp_replace(x,
+                 '<br\s*/?>|<hr\s*/?>|</p\s*>|</div\s*>|</li\s*>|</tr\s*>|</h[1-6]\s*>|</blockquote\s*>|</pre\s*>|</section\s*>|</article\s*>|</title\s*>|</ul\s*>|</ol\s*>|</table\s*>',
+                 chr(10), 'gi'), '<[^>]*>', '', 'g') AS x FROM s),
+      e AS (
+        SELECT i, replace(replace(replace(replace(replace(replace(x,
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS x
+        FROM b),
+      w AS (
+        SELECT i, trim(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(x,
+                 '[ \t\r\f\x0b]+', ' ', 'g'),
+                 ' *\n *', chr(10), 'g'),
+                 '\n{3,}', chr(10) || chr(10), 'g'),
+                 '^\n+|\n+$', '', 'g')) AS x FROM e)
+      SELECT i, x FROM w
+    """).fetchall())
+    for i, (h, want) in enumerate(fixtures):
+        assert twin[i] == got[i], (h, twin[i], got[i])
+
+    # registry entry: roundtrip over the documents table — the escaped
+    # original text must come back out of the synthetic page
+    import __spark_entry__ as m
+
+    from tests.conftest import SF_SMALL
+
+    reg = m.queries()["text_html_extract"](spark, SF_SMALL)
+    assert set(reg.columns) == {"doc_id", "text_bytes", "roundtrip_ok"}
+    rows = reg.collect()
+    assert rows and all(r["roundtrip_ok"] for r in rows)

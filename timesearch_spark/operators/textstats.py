@@ -937,3 +937,71 @@ def quality_clf_score(docs: "DataFrame", weights: "DataFrame", bias: float,
         .cast("long").alias("n_tok"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9).alias("score"),
     )
+
+
+# --- HTML → text extraction (web-corpus ingestion stage) ----------------------
+#
+# The stage every web-scale training pipeline runs BEFORE quality
+# filtering (public recipe: the regex-expressible core of
+# jusText / trafilatura-class extractors — CCNet and RefinedWeb both
+# start from an HTML-to-text pass).  The reference has nothing like it
+# (it archives Reddit markdown); pure training-pipeline extension.
+
+#: block-level boundaries that must become newlines BEFORE tags are
+#: stripped, or words from adjacent blocks fuse ("…end.Next heading…")
+_HTML_BLOCK_RE = (
+    r"(?i)<br\s*/?>|<hr\s*/?>|</p\s*>|</div\s*>|</li\s*>|</tr\s*>"
+    r"|</h[1-6]\s*>|</blockquote\s*>|</pre\s*>|</section\s*>"
+    r"|</article\s*>|</title\s*>|</ul\s*>|</ol\s*>|</table\s*>"
+)
+
+
+def html_to_text(col, full_entities: bool = False) -> Column:
+    """Markup → training text, the whole pipeline as JVM regexps (one
+    whole-stage-codegen map pass, zero Python on the default path):
+
+    1. non-content subtrees drop WHOLESALE — ``<script>…</script>``,
+       ``<style>…</style>``, ``<!-- comments -->`` (dotall +
+       case-insensitive; their text is code, not prose);
+    2. block-level boundaries become newlines (``_HTML_BLOCK_RE``)
+       before any tag is stripped;
+    3. every remaining tag ``<…>`` is stripped.  Regex, not a DOM: a
+       literal ``>`` inside a quoted attribute truncates that one tag —
+       the documented limitation of every regex extractor (jusText's
+       preprocessing has the same blind spot);
+    4. entities unescape AFTER stripping, so ``&lt;script&gt;`` in the
+       source stays literal text and can never become markup: the five
+       named entities + ``&nbsp;``→space JVM-side;
+       ``full_entities=True`` swaps in the Arrow ``html.unescape`` UDF
+       (the exact-parity slow path, same contract as
+       functions.html_unescape_full);
+    5. whitespace canonicalizes: space/tab runs → one space, spaces
+       around newlines trimmed, 3+ newlines → one blank line, ends
+       trimmed.
+
+    NULL flows through as NULL.  Scale shape: map-only — no shuffle, no
+    state; at 100 TB this is scan-bound like any projection."""
+    c = _c(col)
+    # 1. non-content subtrees (reluctant spans, dotall)
+    c = F.regexp_replace(c, r"(?is)<script\b.*?</script\s*>", "")
+    c = F.regexp_replace(c, r"(?is)<style\b.*?</style\s*>", "")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", "")
+    # 2. block boundaries → newline; 3. strip remaining tags
+    c = F.regexp_replace(c, _HTML_BLOCK_RE, "\n")
+    c = F.regexp_replace(c, r"<[^>]*>", "")
+    # 4. entities (after stripping; &amp; LAST or double-unescape)
+    if full_entities:
+        from timesearch_spark import functions as tsf
+
+        c = F.regexp_replace(c, r"&nbsp;", " ")
+        c = tsf.html_unescape_full(c)
+    else:
+        for pat, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                         ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
+            c = F.regexp_replace(c, pat, rep)
+    # 5. whitespace canon (trim() strips spaces only — edge newlines
+    # need the explicit anchor strip)
+    c = F.regexp_replace(c, r"[ \t\r\f\x0b]+", " ")
+    c = F.regexp_replace(c, r" *\n *", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return F.trim(F.regexp_replace(c, r"^\n+|\n+$", ""))

@@ -2777,6 +2777,54 @@ def text_lm_ppl_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("text_html_extract")  # HTML→text ingestion stage — rows-only; the
+# JVM regexp chain is pinned cell-for-cell against a DuckDB RE2 twin
+# and adversarial fixtures in tests/test_textstats.py
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-corpus extraction stage (public recipe: the
+    regex-expressible core of jusText/trafilatura-class extractors —
+    CCNet/RefinedWeb-class pipelines all start from HTML-to-text):
+    every document is wrapped in a deterministic page template (head
+    with script/style, nav boilerplate, heading, entity-escaped body,
+    footer) and textstats.html_to_text extracts it back — one
+    whole-stage-codegen map pass, zero Python, zero shuffle.
+
+    ``roundtrip_ok`` is the self-check: the extracted text must contain
+    the whitespace-canonicalized original body (escape → embed →
+    extract → unescape is the identity on content)."""
+    from timesearch_spark.operators import textstats as ts
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    esc = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")),
+        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    page = F.concat(
+        F.lit("<html><head><title>t</title><style>p{color:red}</style>"
+              "<script>if(a<b && c>d){go('</div>')}</script></head>"
+              "<body><nav><ul><li>Home</li><li>About</li></ul></nav>"
+              "<h1>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), esc,
+        F.lit("</p><div>footer&nbsp;&amp; fine print</div></body></html>"),
+    )
+    canon = F.trim(F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            r"[ \t\r\f\x0b]+", " "), r" *\n *", "\n"), r"\n{3,}", "\n\n"),
+        r"^\n+|\n+$", ""))
+    out = docs.select(
+        "doc_id",
+        canon.alias("__canon"),
+        ts.html_to_text(page).alias("__x"),
+    )
+    return out.select(
+        "doc_id",
+        F.octet_length("__x").alias("text_bytes"),
+        ((F.col("__canon") == "") | F.contains("__x", F.col("__canon")))
+        .alias("roundtrip_ok"),
+    )
+
+
 @q("text_quality_clf")  # rows-only: fastText-style hashed linear quality
 # classifier — the third standard curation filter (heuristic gate + LM
 # ppl + trained classifier); bounded driver-arm training, map-side
