@@ -1281,3 +1281,60 @@ def test_curate_line_dedup_rung(spark, tmp_path):
 
     with pytest.raises(ValueError, match="line_dedup"):
         curate_corpus_staged(docs, store, min_tokens=5)
+
+
+def test_curate_corpus_html_rung(spark, tmp_path):
+    """r14 HTML rung: with html=True the ladder extracts markup FIRST,
+    so the whole run over wrapped pages is row-identical to the same
+    ladder over the pre-extracted text; the staged form checkpoints the
+    extraction in its input rung, records the param, and refuses to mix
+    html-on and html-off runs over one store (both directions)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from timesearch_spark.operators.pipeline import (
+        curate_corpus, curate_corpus_staged,
+    )
+    from timesearch_spark.operators.textstats import html_to_text
+
+    base = [
+        (1, "the cat sat on the mat and it is a fine day for cats"),
+        (2, "the dog sat on the log and it is a fine day for dogs"),
+        (3, "xqj zvv kpl wmt rrq bbn qpw ooz vvz"),  # fails the gate
+        (4, "the cat sat on the mat and it is a fine day for cats"),  # dup of 1
+    ]
+    plain = spark.createDataFrame(base, "doc_id long, text string")
+    page = F.concat(
+        F.lit("<html><head><script>drop<this/></script></head><body>"
+              "<nav><ul><li>Home</li></ul></nav><p>"),
+        F.regexp_replace("text", "&", "&amp;"),
+        F.lit("</p></body></html>"),
+    )
+    wrapped = plain.select("doc_id", page.alias("text"))
+
+    def rows(df):
+        return sorted(map(tuple, df.select(
+            "doc_id", "lang_guess", "n_ws", "split").collect()))
+
+    # html=True over markup — the extraction feeds every later rung.
+    # The nav boilerplate ("Home") survives inside the text, so compare
+    # against the ladder over the EXTRACTED text, the exact contract.
+    extracted = wrapped.select(
+        "doc_id", html_to_text("text").alias("text"))
+    got = rows(curate_corpus(wrapped, html=True))
+    want = rows(curate_corpus(extracted))
+    assert got == want and got  # survivors identical, non-empty
+
+    # staged: html rung checkpoints in 'input', run is row-identical,
+    # and the manifest pins the param both ways
+    store = str(tmp_path / "store")
+    staged = rows(curate_corpus_staged(wrapped, store, html=True))
+    assert staged == got
+    inp = spark.read.parquet(store + "/input")
+    assert "<p>" not in (inp.filter("doc_id = 1").first()["text"] or "")
+    with pytest.raises(ValueError, match="different parameters"):
+        curate_corpus_staged(wrapped, store)  # html-off over html-on store
+    store2 = str(tmp_path / "store2")
+    curate_corpus_staged(plain, store2)
+    with pytest.raises(ValueError, match="different parameters"):
+        curate_corpus_staged(plain, store2, html=True)

@@ -538,14 +538,15 @@ def rung_counts(metrics: dict) -> dict[str, int]:
 # is structural, not a discipline of keeping two copies in sync.
 
 def _rung_surgery(docs, text_col, id_col, paragraph_max_df, span_n,
-                  span_stride, line_dedup=False):
-    """Optional text surgery (within-document duplicate lines FIRST —
-    finest grain, pure map — then boilerplate paragraphs, then repeated
-    spans), BEFORE the profile: quality signals and dedup fingerprints
-    must see the text that would actually train.  Returns (df, pins):
-    the span rung persists its tokenize/window sub-plans and
-    ``.drop()`` discards the ``_pinned`` attribute, so the handles are
-    captured here for the caller's release contract."""
+                  span_stride, line_dedup=False, html=False):
+    """Optional text surgery (HTML→text extraction FIRST when the
+    corpus is raw markup — the web-pipeline ingestion stage, pure map —
+    then within-document duplicate lines, then boilerplate paragraphs,
+    then repeated spans), BEFORE the profile: quality signals and dedup
+    fingerprints must see the text that would actually train.  Returns
+    (df, pins): the span rung persists its tokenize/window sub-plans
+    and ``.drop()`` discards the ``_pinned`` attribute, so the handles
+    are captured here for the caller's release contract."""
     from timesearch_spark.operators.dedup import (
         remove_repeated_lines_within,
         remove_repeated_paragraphs,
@@ -553,6 +554,10 @@ def _rung_surgery(docs, text_col, id_col, paragraph_max_df, span_n,
     )
 
     pins: list = []
+    if html:
+        from timesearch_spark.operators.textstats import html_to_text
+
+        docs = docs.withColumn(text_col, html_to_text(text_col))
     if line_dedup:
         docs = remove_repeated_lines_within(
             docs, text_col, id_col
@@ -671,6 +676,7 @@ def curate_corpus(
     span_n: int | None = None,
     span_stride: int | None = None,
     line_dedup: bool = False,
+    html: bool = False,
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_min_frac: float | None = 0.1,
@@ -690,7 +696,10 @@ def curate_corpus(
     dsir_dim: int = 1 << 14,
 ) -> DataFrame:
     """The full curation ladder a pretraining pipeline runs, as ONE
-    composed plan: optional within-document duplicate-line removal
+    composed plan: optional HTML→text extraction (``html`` — the raw
+    web-corpus ingestion stage, textstats.html_to_text, pure map; runs
+    before everything so every later signal sees prose, not markup) →
+    optional within-document duplicate-line removal
     (``line_dedup`` — the finest-grain surgery, pure map) → optional
     paragraph-boilerplate removal
     (``paragraph_max_df``) → optional repeated-span removal
@@ -748,7 +757,7 @@ def curate_corpus(
 
     docs, span_pins = _rung_surgery(
         docs, text_col, id_col, paragraph_max_df, span_n, span_stride,
-        line_dedup=line_dedup,
+        line_dedup=line_dedup, html=html,
     )
     docs = obs(docs, "input")
     keep_quality = _rung_quality_keep(
@@ -930,6 +939,7 @@ def curate_corpus_staged(
     span_n: int | None = None,
     span_stride: int | None = None,
     line_dedup: bool = False,
+    html: bool = False,
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_min_frac: float | None = 0.1,
@@ -1044,6 +1054,11 @@ def curate_corpus_staged(
         # present only when ON, like the lm/clf keys below: pre-r12
         # manifests (no line_dedup key) stay resumable by default runs
         params["line_dedup"] = True
+    if html:
+        # same contract: present only when the extraction rung is on,
+        # so pre-r14 manifests stay resumable by html-off runs while
+        # mixing html-on and html-off over one store errors loudly
+        params["html"] = True
     if lm_ref is not None:
         # only present when the rung is ON: a pre-r12 manifest (no lm
         # keys) stays resumable by an lm-off run, while mixing lm-on
@@ -1159,12 +1174,13 @@ def curate_corpus_staged(
         def build_input():
             d, pins = _rung_surgery(
                 docs, text_col, id_col, paragraph_max_df, span_n,
-                span_stride, line_dedup=line_dedup,
+                span_stride, line_dedup=line_dedup, html=html,
             )
             surgery_pins.extend(pins)
             return d
 
-        if paragraph_max_df is not None or span_n is not None or line_dedup:
+        if paragraph_max_df is not None or span_n is not None \
+                or line_dedup or html:
             cur = stage("input", build_input)
             for p in surgery_pins:
                 p.unpersist()
