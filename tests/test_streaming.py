@@ -768,6 +768,197 @@ def test_writer_lease_break_restores_unreadable_tombstone(
     assert not _os.path.exists(lease_path)
 
 
+def test_writer_lease_break_election_serializes_breakers(spark, tmp_path):
+    """r15: breaking is gated on a create-if-absent marker — while one
+    breaker holds `_writer.lease.break`, another waiter's _try_break is
+    a no-op returning False (sleep-and-re-poll), so two breakers can
+    never interleave on the lock itself."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from timesearch_spark.fs import WriterLease, get_fs
+
+    path = str(tmp_path / "lease_election")
+    _os.makedirs(path, exist_ok=True)
+    fs = get_fs(spark, path)
+    stale = {"owner": "crashed", "acquired_at": 1.0, "ttl_sec": 1.0}
+    lease_path = _os.path.join(path, "_writer.lease")
+    with open(lease_path, "w") as f:
+        f.write(_json.dumps(stale))
+    # a live elected breaker's marker (fresh timestamp)
+    marker = lease_path + ".break"
+    with open(marker, "w") as f:
+        f.write(_json.dumps({"owner": "other-breaker", "at": _time.time()}))
+    lz = WriterLease(fs, path)
+    assert lz._try_break(stale) is False  # lost the election: back off
+    assert _json.loads(open(lease_path).read()) == stale  # lock untouched
+    assert _os.path.exists(marker)  # the live marker was NOT cleared
+
+
+def test_writer_lease_break_clears_stale_marker(spark, tmp_path):
+    """r15: a marker left by a breaker that crashed mid-break expires
+    after _BREAK_TTL_SEC and is cleared by the next waiter, so breaking
+    cannot stall forever behind a ghost election."""
+    import json as _json
+    import os as _os
+
+    from timesearch_spark.fs import WriterLease, get_fs
+
+    path = str(tmp_path / "lease_stale_marker")
+    _os.makedirs(path, exist_ok=True)
+    fs = get_fs(spark, path)
+    stale = {"owner": "crashed", "acquired_at": 1.0, "ttl_sec": 1.0}
+    lease_path = _os.path.join(path, "_writer.lease")
+    with open(lease_path, "w") as f:
+        f.write(_json.dumps(stale))
+    marker = lease_path + ".break"
+    with open(marker, "w") as f:
+        f.write(_json.dumps({"owner": "ghost", "at": 1.0}))  # ancient
+    lz = WriterLease(fs, path)
+    assert lz._try_break(stale) is False  # this call only clears the ghost
+    assert not _os.path.exists(marker)
+    assert lz._try_break(stale) is True  # next poll wins the election
+    assert not _os.path.exists(lease_path)  # and really breaks
+    assert [e for e in _os.listdir(path) if e.startswith("_writer")] == []
+
+
+def test_writer_lease_break_r14_interleaving_never_renames_live(
+    spark, tmp_path
+):
+    """r15 regression pin for the exact r14 race, deterministically: A
+    judged the OLD lease expired; before A breaks, B completed a full
+    break + re-acquire (lock now holds B's LIVE lease).  A's _try_break
+    must not issue ANY rename — the lock file never vanishes from under
+    B and no zombie can be resurrected after B releases."""
+    import json as _json
+    import os as _os
+
+    from timesearch_spark.fs import WriterLease, get_fs
+
+    path = str(tmp_path / "lease_r14")
+    _os.makedirs(path, exist_ok=True)
+    fs = get_fs(spark, path)
+    stale = {"owner": "crashed", "acquired_at": 1.0, "ttl_sec": 1.0}
+    live = WriterLease(fs, path).acquire()  # B's fresh live lease
+
+    renames: list[tuple] = []
+    real_rename = type(fs).rename
+
+    def spying_rename(self, src, dst):
+        renames.append((src, dst))
+        return real_rename(self, src, dst)
+
+    import unittest.mock as _mock
+
+    with _mock.patch.object(type(fs), "rename", spying_rename):
+        a = WriterLease(fs, path)
+        assert a._try_break(stale) is True  # elected, but guard #2 bails
+    assert renames == []  # the live lock was never renamed
+    held = _json.loads(fs.read_text(live.path))
+    assert held["owner"] == live.owner
+    live.release()  # B's release sees its own lock, removes it cleanly
+    assert [e for e in _os.listdir(path) if e.startswith("_writer")] == []
+
+
+def test_writer_lease_break_window_restore_by_create(spark, tmp_path):
+    """r15 guard #3, forced deterministically: the lock mutates to a
+    LIVE lease inside the re-read→rename window (simulated by patching
+    the re-read to return the stale judgment while the file really
+    holds the live body).  The breaker grabs the live lease, fails the
+    tombstone verify, and must restore the exact bytes via
+    create_exclusive — lock intact, no leftovers."""
+    import json as _json
+    import os as _os
+    import time as _time
+    import unittest.mock as _mock
+
+    from timesearch_spark.fs import WriterLease, get_fs
+
+    path = str(tmp_path / "lease_window")
+    _os.makedirs(path, exist_ok=True)
+    fs = get_fs(spark, path)
+    stale = {"owner": "crashed", "acquired_at": 1.0, "ttl_sec": 1.0}
+    live_raw = _json.dumps(
+        {"owner": "fresh-holder", "acquired_at": _time.time(),
+         "ttl_sec": 600.0}
+    )
+    lease_path = _os.path.join(path, "_writer.lease")
+    with open(lease_path, "w") as f:
+        f.write(live_raw)  # the file already holds the LIVE body
+
+    real_read = type(fs).read_text
+
+    def window_read(self, p):
+        # the breaker's re-read of the LOCK sees the stale judgment
+        # (the mutation lands just after); tombstone reads are real
+        if p.endswith("_writer.lease"):
+            return _json.dumps(stale)
+        return real_read(self, p)
+
+    with _mock.patch.object(type(fs), "read_text", window_read):
+        WriterLease(fs, path)._try_break(stale)
+    assert open(lease_path).read() == live_raw  # byte-exact restore
+    leftovers = [
+        e for e in _os.listdir(path)
+        if e.startswith("_writer") and e != "_writer.lease"
+    ]
+    assert leftovers == []
+
+
+def test_writer_lease_break_window_restore_never_clobbers_fresh_lock(
+    spark, tmp_path
+):
+    """r15 guard #3's second half: if a THIRD writer creates a fresh
+    lock while the breaker holds the mistaken tombstone, the restore
+    (create-if-absent, not rename-replace) must leave that fresh lock
+    intact and drop the tombstone — the old rename-back design clobbered
+    it."""
+    import json as _json
+    import os as _os
+    import time as _time
+    import unittest.mock as _mock
+
+    from timesearch_spark.fs import WriterLease, get_fs
+
+    path = str(tmp_path / "lease_noclobber")
+    _os.makedirs(path, exist_ok=True)
+    fs = get_fs(spark, path)
+    stale = {"owner": "crashed", "acquired_at": 1.0, "ttl_sec": 1.0}
+    live_raw = _json.dumps(
+        {"owner": "grabbed-holder", "acquired_at": _time.time(),
+         "ttl_sec": 600.0}
+    )
+    fresh_raw = _json.dumps(
+        {"owner": "third-writer", "acquired_at": _time.time(),
+         "ttl_sec": 600.0}
+    )
+    lease_path = _os.path.join(path, "_writer.lease")
+    with open(lease_path, "w") as f:
+        f.write(live_raw)
+
+    real_read = type(fs).read_text
+
+    def window_read(self, p):
+        if p.endswith("_writer.lease"):
+            return _json.dumps(stale)  # stale re-read, as above
+        # tombstone read: the moment the breaker inspects its grab, the
+        # third writer's fresh lock lands — the worst restore timing
+        if not _os.path.exists(lease_path):
+            with open(lease_path, "w") as f:
+                f.write(fresh_raw)
+        return real_read(self, p)
+
+    with _mock.patch.object(type(fs), "read_text", window_read):
+        WriterLease(fs, path)._try_break(stale)
+    assert open(lease_path).read() == fresh_raw  # fresh lock survived
+    leftovers = [
+        e for e in _os.listdir(path)
+        if e.startswith("_writer") and e != "_writer.lease"
+    ]
+    assert leftovers == []
+
+
 def test_writer_lease_acquired_at_reflects_acquisition_not_wait_start(
     spark, tmp_path
 ):

@@ -383,26 +383,48 @@ class WriterLease:
     loser of the create polls until the holder releases (bounded by
     ``timeout_sec``), then acquires and proceeds against the winner's
     committed state.  A lease older than its ``ttl_sec`` is presumed
-    crashed and broken by the next waiter.  Breaking is
-    rename-to-unique, not delete+create: each breaker renames the lock
-    to a tombstone name only it knows, so of N waiters observing the
-    same expired lease exactly ONE rename succeeds (the source vanishes
-    for the rest) — the losers just re-contend on the now-absent lock
-    and every writer eventually commits.  The winner verifies the
-    tombstone's content is the expired lease it judged (a concurrent
-    breaker may have already broken + re-acquired between our read and
-    our rename — POSIX rename replaces, so we could have grabbed a
-    LIVE lease); a stolen live lease is renamed straight back.  The
-    restore itself has a third-party window (a writer that created a
-    fresh lock while we held the tombstone would be clobbered by the
-    rename-back) — that residual, plus object stores whose
-    rename is copy+delete, is why the stores KEEP their version CAS as
-    the correctness backstop; the lease exists so the CAS never fires
-    between live cooperating writers.
+    crashed and broken by the next waiter.  Breaking (r15 design) is a
+    three-guard sequence that can no longer rename a LIVE lease away
+    from its holder (the r14 break/steal race):
+
+    1. **Breaker election** — the breaker first ``create_exclusive``-s a
+       ``_writer.lease.break`` marker; of N waiters holding the same
+       stale expiry judgment exactly ONE proceeds, the rest re-contend.
+       A marker left by a crashed breaker expires after
+       ``_BREAK_TTL_SEC`` and is deleted by the next waiter.
+    2. **Re-read before rename** — the elected breaker re-reads the lock
+       and renames ONLY if the body still equals the judged expired
+       lease (owner AND acquired_at).  A lease that was broken and
+       re-acquired (by anyone) since the judgment has a different body
+       and is left untouched — this is what closes the r14 race, where
+       the loser of a double break renamed the winner's fresh live lock
+       out from under it (holder-visible lock vanish + zombie
+       resurrection after its release).
+    3. **Restore by create-if-absent** — if the tombstone verify still
+       fails (the lock changed inside the re-read→rename
+       microsecond window), the grabbed bytes are restored with
+       ``create_exclusive``, never rename-replace, so a fresh live lock
+       written meanwhile is not clobbered; if a fresh lock beat the
+       restore, the tombstone is dropped — exclusion for that pair is
+       already ceded to the version CAS.
+
+    The residual after all three guards (a break + fresh acquire + that
+    holder's release all inside one re-read→rename window), plus object
+    stores whose rename is copy+delete, is why the stores KEEP their
+    version CAS as the correctness backstop; the lease exists so the CAS
+    never fires between live cooperating writers.
 
     On S3-style object stores ``create_exclusive`` is advisory (see
     HadoopFS.create_exclusive) — same story: liveness optimization
     above, CAS below."""
+
+    # A break is a handful of control-plane FS ops; a marker older than
+    # this belongs to a crashed breaker and may be cleared by a waiter.
+    # Generous (vs the ~ms happy path) because a loaded host can stall
+    # the elected breaker mid-sequence — clearing a LIVE breaker's
+    # marker re-opens the double-break window guard #2 then has to
+    # catch.
+    _BREAK_TTL_SEC = 30.0
 
     def __init__(
         self,
@@ -454,9 +476,11 @@ class WriterLease:
                 held = json.loads(self._fs.read_text(self.path))
                 age = time.time() - float(held.get("acquired_at", 0))
                 if age > float(held.get("ttl_sec", self.ttl_sec)):
-                    # holder presumed crashed: break and re-contend
-                    self._try_break(held)
-                    recontend = True
+                    # holder presumed crashed: break and re-contend.
+                    # Only the ELECTED breaker skips the poll sleep (the
+                    # lock is likely gone for it); election losers sleep
+                    # so they don't busy-spin while the winner works.
+                    recontend = self._try_break(held)
             except (ValueError, KeyError, TypeError):
                 pass  # unreadable lock: treat as held, keep waiting
             except Exception as exc:
@@ -483,46 +507,94 @@ class WriterLease:
             if not recontend:
                 time.sleep(self.poll_sec)
 
-    def _try_break(self, expired: dict) -> None:
-        """Break an expired lease via rename-to-unique (class docstring):
-        rename the lock to a tombstone only we know, verify the
-        tombstone really holds the ``expired`` body we judged, delete
-        it.  Of N concurrent breakers exactly one rename succeeds; the
-        rest raise (source already gone) and simply re-contend.  A
-        tombstone that turns out to be someone else's LIVE lease (they
-        broke + re-acquired inside our read→rename window) is renamed
-        straight back — we stole it for microseconds, they never
-        notice."""
-        tomb = f"{self.path}.breaking.{uuid.uuid4().hex}"
-        try:
-            self._fs.rename(self.path, tomb)
-        except Exception:
-            return  # lost the break race (or holder released): re-contend
-        try:
-            grabbed = json.loads(self._fs.read_text(tomb))
-        except Exception:
-            grabbed = None
-        # Delete ONLY a tombstone positively identified as the lease we
-        # judged expired — same owner AND same acquired_at (owner alone
-        # would break a lease the same holder instance RE-acquired,
-        # fresh and live, inside our read→rename window; ADVICE r9).
-        # Everything else — unreadable, ownerless, different lease —
-        # restores: a wrongly-restored expired lease is just judged
-        # expired again next poll, while a wrongly-deleted live lease
-        # silently costs its holder mutual exclusion.
-        is_judged_lease = (
-            grabbed is not None
-            and grabbed.get("owner") is not None
-            and grabbed.get("owner") == expired.get("owner")
-            and grabbed.get("acquired_at") == expired.get("acquired_at")
+    def _same_lease(self, body: dict | None, judged: dict) -> bool:
+        """True iff ``body`` is positively the lease we judged expired —
+        same owner AND same acquired_at (owner alone would match a lease
+        the same holder instance RE-acquired, fresh and live; ADVICE
+        r9)."""
+        return (
+            body is not None
+            and body.get("owner") is not None
+            and body.get("owner") == judged.get("owner")
+            and body.get("acquired_at") == judged.get("acquired_at")
         )
-        if not is_judged_lease:
+
+    def _try_break(self, expired: dict) -> bool:
+        """Break an expired lease under the three guards in the class
+        docstring: elect a single breaker (create-if-absent marker),
+        re-read the lock and rename ONLY if it still holds the judged
+        ``expired`` body, verify the tombstone, and restore any
+        still-mismatching grab via ``create_exclusive`` (never
+        rename-replace).  Returns True when we were the elected breaker
+        (caller may re-contend immediately), False when we lost the
+        election or found the lock already changed (caller should
+        sleep)."""
+        marker = self.path + ".break"
+        if not self._fs.create_exclusive(
+            marker, json.dumps({"owner": self.owner, "at": time.time()})
+        ):
+            # Lost the election.  Clear a marker whose breaker crashed
+            # mid-break so breaking can't stall forever; an unreadable
+            # marker just waits out its TTL via the lease deadline.
             try:
-                self._fs.rename(tomb, self.path)
+                m = json.loads(self._fs.read_text(marker))
+                if time.time() - float(m.get("at", 0)) > self._BREAK_TTL_SEC:
+                    self._fs.delete(marker)
             except Exception:
-                self._fs.delete(tomb)  # restore lost its own race
-            return
-        self._fs.delete(tomb)
+                pass
+            return False
+        try:
+            # Guard #2: the judgment was made at poll time — an eternity
+            # ago in interleaving terms.  Only rename if the lock STILL
+            # holds the judged expired body; a lease broken and
+            # re-acquired since (live) has a different body and must not
+            # be touched (the r14 steal).
+            try:
+                if not self._same_lease(
+                    json.loads(self._fs.read_text(self.path)), expired
+                ):
+                    return True
+            except Exception:
+                return True  # gone or unreadable: nothing provable to break
+            tomb = f"{self.path}.breaking.{uuid.uuid4().hex}"
+            try:
+                self._fs.rename(self.path, tomb)
+            except Exception:
+                return True  # holder released in the window: re-contend
+            try:
+                tomb_raw: str | None = self._fs.read_text(tomb)
+                grabbed = json.loads(tomb_raw)
+            except Exception:
+                tomb_raw, grabbed = None, None
+            if self._same_lease(grabbed, expired):
+                self._fs.delete(tomb)
+                return True
+            # Guard #3: the lock changed inside the re-read→rename
+            # window and we grabbed something that is not the judged
+            # lease.  Restore the exact bytes with create-if-absent so a
+            # fresh live lock written meanwhile is never clobbered; if
+            # one beat us, drop the tombstone — exclusion for that pair
+            # is already the version CAS's problem (class docstring).
+            if tomb_raw is not None:
+                self._fs.create_exclusive(self.path, tomb_raw)
+                self._fs.delete(tomb)
+            else:
+                # Unreadable grab: bytes unknown, so create_exclusive
+                # can't reproduce them — rename back only while no fresh
+                # lock exists (exists+rename, not rename-replace).
+                try:
+                    if self._fs.exists(self.path):
+                        self._fs.delete(tomb)
+                    else:
+                        self._fs.rename(tomb, self.path)
+                except Exception:
+                    self._fs.delete(tomb)
+            return True
+        finally:
+            try:
+                self._fs.delete(marker)
+            except Exception:
+                pass  # leaked marker self-clears via _BREAK_TTL_SEC
 
     def release(self) -> None:
         """Delete the lock ONLY if a verifiably different owner holds it
