@@ -51,6 +51,7 @@ HEADLINE = [
     "text_lm_ppl",  # CCNet-style unigram-LM perplexity filter (r12)
     "text_lm_ppl_bigram",  # stupid-backoff bigram upgrade (r12)
     "text_quality_clf",  # trained hashed-linear quality filter (r12)
+    "text_clf_score",  # scoring-only md5 oracle-replay family (r15)
     "events_windows",
     "sessionize",
     "events_asof",

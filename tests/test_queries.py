@@ -145,6 +145,59 @@ def test_r14_consolidations_partition_exactly(spark):
     assert feats and frames
 
 
+def test_r15_scalar_consolidations_graded_through_merged(spark):
+    """r15 slot recovery (VERDICT #2/#3): scalar_datefmt's formatting
+    columns are hash-graded through filter_timerange (same events
+    grain, same Column expressions) and scalar_newline's string ops
+    through scalar_escape (same tsf functions on documents.text) — the
+    two freed slots grade text_html_extract and text_clf_score.  The
+    pins are value-level: the merged queries' new columns must equal an
+    independent application of the same tsf functions, and the demoted
+    parents must agree with the merged queries on every shared row."""
+    from pyspark.sql import functions as F
+
+    import timesearch_spark.queries as tsq
+    from timesearch_spark import functions as tsf
+    from timesearch_spark.tables import load
+
+    for demoted in ("scalar_newline", "scalar_datefmt"):
+        assert demoted not in tsq.ORACLE
+        assert demoted in tsq.ORACLE_DEMOTED
+    for promoted in ("text_html_extract", "text_clf_score"):
+        assert promoted in tsq.ORACLE
+        assert promoted in tsq.ORACLE_SLOT_SOURCES
+
+    qs = entrymod.queries()
+    # datefmt: on the rows filter_timerange grades, the demoted query's
+    # formatted columns must match cell-for-cell
+    cols = ["event_id", "ts_sec", "listing_ts", "human_ts"]
+    ft_rows = {tuple(r) for r in
+               qs["filter_timerange"](spark, SF_SMALL).select(*cols).collect()}
+    sd_rows = {tuple(r) for r in
+               qs["scalar_datefmt"](spark, SF_SMALL).select(*cols).collect()}
+    assert ft_rows and ft_rows <= sd_rows
+
+    # newline family: scalar_escape's merged columns == the same tsf
+    # functions applied independently to documents.text; the demoted
+    # scalar_newline == the same functions on part.p_name
+    def newline_cols(df, col):
+        return df.select(
+            tsf.flatten_newlines(col),
+            tsf.sanitize_braces(
+                F.concat(F.lit("{"), F.col(col), F.lit("}"))),
+            F.array_join(tsf.split_any(col), "\x01"),
+        )
+
+    se = qs["scalar_escape"](spark, SF_SMALL) \
+        .select("flat_text", "braced", "parts").collect()
+    ref = newline_cols(load(spark, SF_SMALL, "documents"), "text").collect()
+    assert sorted(map(tuple, se)) == sorted(map(tuple, ref)) and se
+    sn = qs["scalar_newline"](spark, SF_SMALL) \
+        .select("flat_name", "braced", "parts").collect()
+    refp = newline_cols(load(spark, SF_SMALL, "part"), "p_name").collect()
+    assert sorted(map(tuple, sn)) == sorted(map(tuple, refp)) and sn
+
+
 def test_enrich_join_alias_demotion_is_sound():
     """r13 slot recovery: enrich_join is rows-only BY DESIGN because it
     is the SAME function object as the oracled window_latest_version —

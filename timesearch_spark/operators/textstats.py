@@ -863,8 +863,9 @@ def _qclf_weights_df(spark, w):
 
 def quality_clf_score(docs: "DataFrame", weights: "DataFrame", bias: float,
                       text_col: str = "text", id_col: str = "doc_id",
-                      dim: int = 1 << 16) -> "DataFrame":
-    """(id, n_tok, score): P(quality) under the trained model —
+                      dim: int = 1 << 16,
+                      hash_family: str = "xx64") -> "DataFrame":
+    """(id, n_tok, z, score): P(quality) under the trained model —
     sigmoid(bias + Σ tf(f)·w[hash(f) % dim]) over the
     :func:`_qclf_feature_idx` feature set (unigrams + word bigrams,
     r13; tf normalizes by the document's total feature count).
@@ -874,11 +875,21 @@ def quality_clf_score(docs: "DataFrame", weights: "DataFrame", bias: float,
     the lm_score plan, map-side at any corpus size.  Per-term
     contributions are rounded to 9 decimals and summed as
     decimal(28,9) (the lm_score determinism recipe), so equal inputs
-    score identically run to run regardless of partitioning.
-    ``n_tok`` stays the TOKEN count: a document with n tokens emits
-    2n−1 features, so n = (n_features + 1) div 2 exactly.
-    Zero-token documents keep a row with n_tok=0 and score =
-    sigmoid(bias).
+    score identically run to run regardless of partitioning.  ``z`` is
+    the PINNED pre-sigmoid logit — the exact decimal sum plus bias,
+    rounded to 9 dp — and ``score`` derives from that pinned z (r15,
+    the avg_logp→ppl pattern) so both engines of a cross-engine replay
+    feed exp() the identical double; the residual 1-ulp exp risk is
+    absorbed by score's 6-dp rounding (margin quantified in
+    tools/ulp_margin.py).  ``n_tok`` stays the TOKEN count: a document
+    with n tokens emits 2n−1 features, so n = (n_features + 1) div 2
+    exactly.  Zero-token documents keep a row with n_tok=0 and score =
+    sigmoid(round(bias, 9)).
+
+    ``hash_family`` picks the feature hash (see
+    :func:`_qclf_feature_idx`): "xx64" is the production default;
+    "md5" is the ORACLE-REPLAY variant a DuckDB twin can reproduce
+    digit-for-digit (the dedup_minhash_lsh pattern).
 
     The weights table must carry the :data:`QCLF_FEATURE_VERSION`
     sentinel row its trainer stamped — a table trained under a
@@ -903,7 +914,9 @@ def quality_clf_score(docs: "DataFrame", weights: "DataFrame", bias: float,
         tokens(text_col).alias("__tok"),
     ).select(
         id_col,
-        F.explode_outer(_qclf_feature_idx("__tok", dim)).alias("idx"),
+        F.explode_outer(
+            _qclf_feature_idx("__tok", dim, hash_family=hash_family)
+        ).alias("idx"),
         # n_features at tokenize time (2n−1 exactly, r14): the per-doc
         # window this replaced was a full Exchange+Sort over the
         # corpus-sized counts relation — the one non-agg shuffle in the
@@ -930,12 +943,20 @@ def quality_clf_score(docs: "DataFrame", weights: "DataFrame", bias: float,
         F.sum("__c").alias("__nf"),
         F.sum("__zc").alias("__z"),
     )
-    z = F.coalesce(F.col("__z").cast("double"), F.lit(0.0)) + F.lit(float(bias))
+    # score derives from the PINNED 9-dp z (not the raw sum+bias): both
+    # engines of a cross-engine replay feed exp() the identical double,
+    # and 6-dp score rounding absorbs exp's residual ulp disagreement
+    z9 = F.round(
+        F.coalesce(F.col("__z").cast("double"), F.lit(0.0))
+        + F.lit(float(bias)),
+        9,
+    )
     return agg.select(
         id_col,
         F.floor((F.col("__nf") + F.lit(1)) / F.lit(2))
         .cast("long").alias("n_tok"),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9).alias("score"),
+        z9.alias("z"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z9)), 6).alias("score"),
     )
 
 

@@ -135,26 +135,38 @@ def filter_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "filter_timerange",
     """
-    SELECT event_id, epoch_ns(ts) // 1000000000 AS ts_sec, event_type
+    SELECT event_id, epoch_ns(ts) // 1000000000 AS ts_sec, event_type,
+           STRFTIME(ts, '%Y %b %d') AS listing_ts,
+           STRFTIME(ts, '%b %d %Y %H:%M:%S') AS human_ts
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
       AND ts <  TIMESTAMP '2024-01-05 00:00:00'
     """,
 )
 def filter_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B3: half-open [lower, upper) time-range (pushshift.py:114-117).
-    The bound literals are built for the table's actual ts encoding
-    (tables.event_ts_bound) so the predicate is foldable and reaches the
-    parquet scan — INT64 nano comparisons or timestamp comparisons, both
-    row-group-prunable by Catalyst."""
+    """B3 (+ H6/H7/H18, r15 consolidation): half-open [lower, upper)
+    time-range (pushshift.py:114-117), projecting — since r15 — the
+    scalar_datefmt family over the selected rows: the listing
+    '%Y %b %d' and human '%b %d %Y %H:%M:%S' strftime formats
+    (common.py:94-97, index.py:17) of the int-truncated epoch seconds
+    (pushshift.py:81).  Same table, same grain, same Column expressions
+    as the demoted scalar_datefmt (function-identity pinned in pytest);
+    the consolidation freed its oracle slot for text_clf_score
+    (HEADROOM POLICY).  The bound literals are built for the table's
+    actual ts encoding (tables.event_ts_bound) so the predicate is
+    foldable and reaches the parquet scan — INT64 nano comparisons or
+    timestamp comparisons, both row-group-prunable by Catalyst."""
     ev = load(spark, sf_dir, "events")
     dt = ts_dtype(ev)
     lo = event_ts_bound(1704240000, dt)  # 2024-01-03 00:00:00 UTC
     hi = event_ts_bound(1704412800, dt)  # 2024-01-05 00:00:00 UTC
+    ts_sec = event_ts_sec("ts", dt)
     return ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).select(
         "event_id",
-        event_ts_sec("ts", dt).alias("ts_sec"),
+        ts_sec.alias("ts_sec"),
         "event_type",
+        tsf.listing_time(ts_sec).alias("listing_ts"),
+        tsf.human_time(ts_sec).alias("human_ts"),
     )
 
 
@@ -704,44 +716,57 @@ def scalar_base36(spark: SparkSession, sf_dir: str) -> DataFrame:
                REPLACE(REPLACE(text, '<', '&lt;'), '>', '&rt;'),
                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
                '&amp;', '&') AS unescaped,
-           LENGTH(text) AS textlen
+           LENGTH(text) AS textlen,
+           REPLACE(text, CHR(10), ' ') AS flat_text,
+           REPLACE(REPLACE('{' || text || '}', '{', '{{'), '}', '}}')
+             AS braced,
+           ARRAY_TO_STRING(
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '[+ ,]'),
+                         x -> x <> ''), chr(1)) AS parts
     FROM documents
     """,
 )
 def scalar_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H4 + H3 + H8: HTML escape with the reference's '&rt;' typo
-    (offline_reading.py:285-290), then the entity unescape
-    (pushshift.py:72-73) applied on top, plus textlen = len(body)
-    (tsdb.py:424,485).  '&lt;' round-trips to '<'; the '&rt;' typo
-    survives unescaping by design (it isn't an entity), so
-    ``unescaped`` differs from ``text`` exactly where the reference's
-    own render-then-unescape would."""
+    """H4 + H3 + H8 (+ H10/H15/H12, r15 consolidation): HTML escape
+    with the reference's '&rt;' typo (offline_reading.py:285-290), the
+    entity unescape (pushshift.py:72-73) applied on top, textlen =
+    len(body) (tsdb.py:424,485) — plus, since r15, the scalar_newline
+    family on the SAME text column: newline→space (index.py:159), brace
+    sanitize for str.format templates (offline_reading.py:293-296,
+    exercised on a brace-wrapped text so the doubling is visible) and
+    the multi-delimiter split on '+', ' ', ',' (common.py:135-140),
+    \\x01-joined because the driver's canonicalizer can't hash list
+    cells.  One map-only pass; the consolidation freed scalar_newline's
+    oracle slot for text_html_extract (HEADROOM POLICY).  '&lt;'
+    round-trips to '<'; the '&rt;' typo survives unescaping by design
+    (it isn't an entity), so ``unescaped`` differs from ``text``
+    exactly where the reference's own render-then-unescape would."""
     d = load(spark, sf_dir, "documents")
     esc = tsf.html_escape_ref("text")
+    wrapped = F.concat(F.lit("{"), F.col("text"), F.lit("}"))
     return d.select(
         "doc_id",
         esc.alias("escaped"),
         tsf.html_unescape_basic(esc).alias("unescaped"),
         F.length("text").cast("long").alias("textlen"),
+        tsf.flatten_newlines("text").alias("flat_text"),
+        tsf.sanitize_braces(wrapped).alias("braced"),
+        F.array_join(tsf.split_any("text"), "\x01").alias("parts"),
     )
 
 
-@q(
-    "scalar_datefmt",
-    """
-    SELECT event_id,
-           STRFTIME(ts, '%Y %b %d') AS listing_ts,
-           STRFTIME(ts, '%b %d %Y %H:%M:%S') AS human_ts,
-           epoch_ns(ts) // 1000000000 AS ts_sec
-    FROM events
-    """,
-)
+@q("scalar_datefmt")  # DEMOTED r15 (rows-only): its formatting columns
+# are graded through filter_timerange, which since r15 projects the
+# SAME tsf.listing_time/human_time/event_ts_sec expressions over the
+# selected events — function identity pinned in tests/test_queries.py
 def scalar_datefmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H6/H7 + H18: strftime '%b %d %Y %H:%M:%S' and '%Y %b %d'
     (common.py:94-97, index.py:17), plus the int-seconds truncation of
     sub-second timestamps (int(created_utc), pushshift.py:81) — here
-    true-floor nano→second division (tables.py event_ts_sec), checked
-    against the oracle's integer epoch_ns // 1e9 (no EPOCH double)."""
+    true-floor nano→second division (tables.py event_ts_sec).  Demoted
+    from the oracle window r15: the identical Column expressions are
+    hash-graded inside filter_timerange (whole-corpus coverage stays
+    here, rows-only)."""
     ev = load(spark, sf_dir, "events")
     ts_sec = event_ts_sec("ts", ts_dtype(ev))
     return ev.select(
@@ -752,24 +777,18 @@ def scalar_datefmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "scalar_newline",
-    """
-    SELECT p_partkey, REPLACE(p_name, CHR(10), ' ') AS flat_name,
-           REPLACE(REPLACE('{' || p_name || '}', '{', '{{'), '}', '}}')
-             AS braced,
-           ARRAY_TO_STRING(
-             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(p_name, '[+ ,]'),
-                         x -> x <> ''), chr(1)) AS parts
-    FROM part
-    """,
-)
+@q("scalar_newline")  # DEMOTED r15 (rows-only): the same
+# flatten_newlines/sanitize_braces/split_any Column expressions are
+# hash-graded inside scalar_escape (documents.text) since r15 —
+# function identity pinned in tests/test_queries.py; this entry keeps
+# the part.p_name coverage rows-only
 def scalar_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H10 + H15 + H12: newline→space in titles (index.py:159), brace
     sanitizing for str.format templates (offline_reading.py:293-296,
     exercised on a brace-wrapped name so the doubling is visible), and
     the multi-delimiter split on '+', ' ', ',' (common.py:135-140) —
-    all map-only string ops over the same column.
+    all map-only string ops over the same column.  Demoted from the
+    oracle window r15 (see the consolidation note on scalar_escape).
 
     split_any produces array<string>; the registered query serializes it
     with a \\x01 joiner because the driver's canonicalizer can't hash
@@ -1589,7 +1608,12 @@ def similarity_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus takes where similarity_neardup_brute/_blas are the bounded
     correctness baselines."""
     u = _emb_with_planted(spark, sf_dir)
-    return sim.embedding_near_dups_lsh(u, threshold=0.9, bits="auto") \
+    # precomputed n (ADVICE r14): two column-pruned parquet counts are
+    # far cheaper than bits="auto" re-evaluating the union+transform
+    # plan once for its own count and again for the join
+    base = load(spark, sf_dir, "embeddings")
+    n = base.count() + base.filter(F.col("vec_id") % 10 == 0).count()
+    return sim.embedding_near_dups_lsh(u, threshold=0.9, bits="auto", n=n) \
         .withColumn("cos", F.round("cos", 6))
 
 
@@ -2777,9 +2801,64 @@ def text_lm_ppl_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("text_html_extract")  # HTML→text ingestion stage — rows-only; the
-# JVM regexp chain is pinned cell-for-cell against a DuckDB RE2 twin
-# and adversarial fixtures in tests/test_textstats.py
+@q(
+    "text_html_extract",
+    # ORACLED r15 (slot from the scalar_newline→scalar_escape
+    # consolidation): the DuckDB twin replays the full 5-stage regexp
+    # chain — RE2 vs Java regex on deliberately RE2-compatible patterns
+    # (no backrefs, no lookaround; the per-fixture parity suite in
+    # tests/test_textstats.py pins the same equivalence cell-for-cell).
+    # Replacement newlines are spelled chr(10): DuckDB's replacement
+    # string treats backslash escapes differently from Java's.
+    r"""
+    WITH src AS (
+      SELECT doc_id,
+             '<html><head><title>t</title><style>p{color:red}</style>'
+             || '<script>if(a<b && c>d){go(''</div>'')}</script></head>'
+             || '<body><nav><ul><li>Home</li><li>About</li></ul></nav>'
+             || '<h1>doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+             || replace(replace(replace(COALESCE(text, ''),
+                  '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+             || '</p><div>footer&nbsp;&amp; fine print</div></body></html>'
+               AS page,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(COALESCE(text, ''),
+                 '[ \t\r\f\x0b]+', ' ', 'g'),
+                 ' *\n *', chr(10), 'g'),
+                 '\n{3,}', chr(10) || chr(10), 'g'),
+                 '^\n+|\n+$', '', 'g')) AS canon
+      FROM documents),
+    s AS (
+      SELECT doc_id, canon, regexp_replace(regexp_replace(regexp_replace(
+               page,
+               '<script\b.*?</script\s*>', '', 'gis'),
+               '<style\b.*?</style\s*>', '', 'gis'),
+               '<!--.*?-->', '', 'gs') AS x
+      FROM src),
+    b AS (
+      SELECT doc_id, canon, regexp_replace(regexp_replace(x,
+               '<br\s*/?>|<hr\s*/?>|</p\s*>|</div\s*>|</li\s*>|</tr\s*>|</h[1-6]\s*>|</blockquote\s*>|</pre\s*>|</section\s*>|</article\s*>|</title\s*>|</ul\s*>|</ol\s*>|</table\s*>',
+               chr(10), 'gi'), '<[^>]*>', '', 'g') AS x
+      FROM s),
+    e AS (
+      SELECT doc_id, canon, replace(replace(replace(replace(replace(
+               replace(x, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS x
+      FROM b),
+    w AS (
+      SELECT doc_id, canon, trim(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(x,
+               '[ \t\r\f\x0b]+', ' ', 'g'),
+               ' *\n *', chr(10), 'g'),
+               '\n{3,}', chr(10) || chr(10), 'g'),
+               '^\n+|\n+$', '', 'g')) AS x
+      FROM e)
+    SELECT doc_id, x AS extracted,
+           CAST(strlen(x) AS BIGINT) AS text_bytes,
+           (canon = '' OR strpos(x, canon) > 0) AS roundtrip_ok
+    FROM w
+    """,
+)
 def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The web-corpus extraction stage (public recipe: the
     regex-expressible core of jusText/trafilatura-class extractors —
@@ -2791,7 +2870,9 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``roundtrip_ok`` is the self-check: the extracted text must contain
     the whitespace-canonicalized original body (escape → embed →
-    extract → unescape is the identity on content)."""
+    extract → unescape is the identity on content).  Since r15 the
+    EXTRACTED TEXT itself is a graded column (hash-compared against the
+    DuckDB RE2 replay above), not just its byte length."""
     from timesearch_spark.operators import textstats as ts
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2819,7 +2900,8 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id",
-        F.octet_length("__x").alias("text_bytes"),
+        F.col("__x").alias("extracted"),
+        F.octet_length("__x").cast("long").alias("text_bytes"),
         ((F.col("__canon") == "") | F.contains("__x", F.col("__canon")))
         .alias("roundtrip_ok"),
     )
@@ -2856,6 +2938,119 @@ def text_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg = pos.select(F.reverse("text").alias("text"))
     W, b = train_quality_classifier(pos, neg, dim=1 << 14, iters=100)
     return quality_clf_score(docs, W, b, dim=1 << 14)
+
+
+#: DuckDB mirror of _qclf_feature_idx's md5 oracle family: idx =
+#: first-15-hex-digits of md5('qclf:' || s) mod dim (s = token, or the
+#: space-joined adjacent pair) — injective for whitespace-split tokens.
+_QCLF_H = "CAST(('0x' || substr(md5('qclf:' || {s}), 1, 15)) AS BIGINT) % 16384"
+
+
+@q(
+    "text_clf_score",
+    # ORACLED r15 (slot from the scalar_datefmt→filter_timerange
+    # consolidation): the classifier's SCORING path under a full DuckDB
+    # replay — hashed unigram+bigram features (md5 oracle family, the
+    # pipeline_dsir pattern), tf = count/n_features, broadcast weight
+    # join against a FIXED closed-form weight table both engines
+    # generate from range(dim), 9-dp shortest-repr per-term rounding,
+    # DECIMAL(28,9) order-independent sum, and score derived from the
+    # PINNED 9-dp z (the avg_logp→ppl recipe; exp's residual ulp risk
+    # absorbed by 6-dp score rounding, margin in tools/ulp_margin.py).
+    # TRAINING is deliberately outside the oracle: GD float evolution
+    # is arm/partitioning-sensitive by design and stays pytest-pinned
+    # (text_quality_clf, bit-deterministic refit) — what 100 TB scoring
+    # runs is THIS plan.
+    f"""
+    WITH dtok AS (
+      SELECT doc_id, {_TOK_SQL} AS t FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             list_concat(
+               list_transform(t, x -> {_QCLF_H.format(s='x')}),
+               CASE WHEN len(t) >= 2 THEN
+                 list_transform(range(1, len(t)), i ->
+                   {_QCLF_H.format(
+                       s="t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)]")})
+               ELSE CAST([] AS BIGINT[]) END
+             ) AS idxs
+      FROM dtok
+    ),
+    ex AS (
+      SELECT doc_id, COALESCE(len(idxs), 0) AS nf,
+             unnest(CASE WHEN COALESCE(len(idxs), 0) = 0
+                         THEN [CAST(NULL AS BIGINT)] ELSE idxs END) AS idx
+      FROM feats
+    ),
+    wt AS (
+      SELECT CAST(range AS INT) AS idx,
+             CAST((range * 1103515245 + 12345) % 2001 - 1000 AS DOUBLE)
+               / 1000.0 AS w
+      FROM range(16384)
+    ),
+    dcnt AS (
+      SELECT doc_id, idx, COUNT(idx) AS c, MAX(nf) AS nf
+      FROM ex GROUP BY doc_id, idx
+    ),
+    contrib AS (
+      SELECT doc_id, c,
+             CAST(CAST(
+               CASE WHEN nf > 0
+                    THEN (CAST(c AS DOUBLE) / nf) * COALESCE(w, 0.0) END
+               AS VARCHAR) AS DECIMAL(28,9)) AS zc
+      FROM dcnt LEFT JOIN wt USING (idx)
+    ),
+    agg AS (
+      SELECT doc_id, SUM(c) AS nf, SUM(zc) AS z
+      FROM contrib GROUP BY doc_id
+    ),
+    fin AS (
+      SELECT doc_id, CAST((nf + 1) // 2 AS BIGINT) AS n_tok,
+             CAST(CAST(CAST(COALESCE(CAST(z AS DOUBLE), 0.0) - 0.25
+                            AS VARCHAR) AS DECIMAL(38,9)) AS DOUBLE) AS z9
+      FROM agg
+    )
+    SELECT doc_id, n_tok, z9 AS z,
+           CAST(CAST(CAST(1.0 / (1.0 + exp(-z9)) AS VARCHAR)
+                     AS DECIMAL(38,6)) AS DOUBLE) AS score
+    FROM fin
+    """,
+)
+def text_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality classifier's 100 TB path — map-side scoring
+    (textstats.quality_clf_score) — promoted under a DuckDB oracle
+    (r15, VERDICT #3): explode hashed unigram+bigram features →
+    broadcast weight join → decimal(28,9) 9-dp sums → sigmoid of the
+    pinned 9-dp logit.  The weight table is a FIXED closed-form LCG
+    ramp over the full feature space (w(idx) = ((idx·1103515245 +
+    12345) mod 2001 − 1000)/1000 ∈ [−1, 1]), generated identically by
+    spark.range and DuckDB range() — every feature hits a real weight,
+    so the whole join+sum+sigmoid plan is hash-graded end to end.
+    Training stays pytest-pinned in text_quality_clf (the GD fit is
+    arm-sensitive float evolution by design; scoring is the
+    deterministic contract)."""
+    from timesearch_spark.operators.textstats import (
+        _QCLF_VERSION_IDX, QCLF_FEATURE_VERSION, quality_clf_score,
+    )
+
+    dim = 1 << 14
+    docs = load(spark, sf_dir, "documents")
+    W = spark.range(dim).select(
+        F.col("id").cast("int").alias("idx"),
+        (
+            (F.pmod(F.col("id") * F.lit(1103515245) + F.lit(12345),
+                    F.lit(2001)) - F.lit(1000)).cast("double")
+            / F.lit(1000.0)
+        ).alias("w"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(_QCLF_VERSION_IDX).cast("int").alias("idx"),
+            F.lit(float(QCLF_FEATURE_VERSION)).alias("w"),
+        )
+    )
+    return quality_clf_score(docs, W, bias=-0.25, dim=dim,
+                             hash_family="md5")
 
 
 @q("pipeline_curate")  # end-to-end curation ladder — rows-only + pytest
@@ -3082,6 +3277,18 @@ ORACLE_DEMOTED = {
         "r14: pure rollup of the oracled tree_depth relation (which now "
         "hash-checks the phantom column too); derivability pinned in "
         "tests/test_queries.py — the slot grades dedup_intra_lines",
+    "scalar_newline":
+        "r15 consolidation: its flatten_newlines/sanitize_braces/"
+        "split_any Column expressions are hash-graded inside the oracled "
+        "scalar_escape "
+        "(documents.text) — function identity pinned in "
+        "tests/test_queries.py; the slot grades text_html_extract",
+    "scalar_datefmt":
+        "r15 consolidation: its listing_time/human_time/event_ts_sec "
+        "expressions are hash-graded inside the oracled filter_timerange "
+        "(same events "
+        "grain) — function identity pinned in tests/test_queries.py; "
+        "the slot grades text_clf_score",
 }
 
 #: Slot provenance for every post-charter oracled query: name → where
@@ -3108,6 +3315,12 @@ ORACLE_SLOT_SOURCES = {
         "consolidation",
     "dedup_intra_lines":
         "r14 promotion into the slot freed by the tree_stats demotion",
+    "text_html_extract":
+        "r15 promotion into the slot freed by the scalar_newline "
+        "demotion (its ops consolidated into scalar_escape)",
+    "text_clf_score":
+        "r15 promotion into the slot freed by the scalar_datefmt "
+        "demotion (its ops consolidated into filter_timerange)",
 }
 
 assert max(i for i, k in enumerate(QUERIES) if k in ORACLE) <= 49, (

@@ -7,7 +7,9 @@ engines evaluate independently (JVM Math.exp/log vs C libm — documented
 - ``text_lm_ppl`` / ``text_lm_ppl_bigram``: ppl = round(exp(-avg9), 6),
   where avg9 is the cross-engine-pinned 9-dp mean log-prob;
 - ``pipeline_dsir``: key = round(logw + -ln(-ln(u)), 9), where logw is
-  pinned and u is the md5-derived Gumbel uniform.
+  pinned and u is the md5-derived Gumbel uniform;
+- ``text_clf_score`` (r15): score = round(sigmoid(z9), 6), where z9 is
+  the cross-engine-pinned 9-dp logit.
 
 A hash mismatch needs the function value to sit within ~1 ulp of a
 rounding midpoint (.5·10⁻⁶ / .5·10⁻⁹).  This probe measures, for every
@@ -49,12 +51,17 @@ def midpoint_margin_ulps(x: float, scale: float) -> float:
     return d / math.ulp(x)
 
 
-def main() -> None:
+def margins(sf_dir: str) -> dict[str, list[float]]:
+    """name → sorted midpoint margins (ulps) for every transcendental
+    oracle, recomputed from the registered oracle SQL at ``sf_dir``.
+    Importable so tests/test_ulp_margins.py can pin a floor (VERDICT
+    r14 #6) — a data/seed change that collapses a margin fails CI
+    before the driver sees a hash flip."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF}/{t}.parquet')"
+            f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     import timesearch_spark.queries as Q
 
@@ -83,6 +90,19 @@ def main() -> None:
             midpoint_margin_ulps(r[li] + -math.log(-math.log(u)), 1e-9))
     out["pipeline_dsir"] = sorted(margins)
 
+    # --- clf scoring: score = round(1/(1+exp(-z9)), 6) ----------------
+    rows = con.execute(Q.ORACLE["text_clf_score"]).fetchall()
+    cols = [d[0] for d in con.description]
+    zi = cols.index("z")
+    out["text_clf_score"] = sorted(
+        midpoint_margin_ulps(1.0 / (1.0 + math.exp(-r[zi])), 1e-6)
+        for r in rows if r[zi] is not None
+    )
+    return out
+
+
+def main() -> None:
+    out = margins(SF)
     worst = float("inf")
     for name, ms in out.items():
         lo = ms[:3]
