@@ -89,6 +89,44 @@ def test_neardup_lsh_precision_and_planted_recall(spark):
     assert all(r["cos"] >= 0.9 for r in reg.collect())
 
 
+def test_neardup_lsh_candidate_gate_and_auto_tables_guard(spark):
+    """r15 (VERDICT #4 + ADVICE r14): the recall-pinned LSH candidate
+    floor grows ~n^1.22, so an over-bound corpus must fail LOUDLY with
+    a remediation message before any job runs — and an explicit tables
+    argument alongside bits='auto' must raise instead of being silently
+    ignored (recall at the threshold pins the table count)."""
+    import pytest
+
+    emb = _emb(spark, dim=8)
+
+    # explicit tables + auto bits: loud, not silent
+    with pytest.raises(ValueError, match="derived from corpus size"):
+        sim.embedding_near_dups_lsh(emb, bits="auto", tables=8)
+
+    # the analytic volume the gate uses: uniform-occupancy pair count
+    est = sim.expected_lsh_candidates(1_000_000, bits=12, tables=6)
+    m = 1_000_000 / 4096
+    assert abs(est - 6 * 4096 * m * (m - 1) / 2) < 1e-6
+
+    # over-bound corpus (n passed, no count job needed): actionable error
+    with pytest.raises(ValueError, match="max_candidates"):
+        sim.embedding_near_dups_lsh(
+            emb, bits="auto", n=500_000_000, max_candidates=100_000_000)
+    # same n with the gate raised/disabled: parameter derivation proceeds
+    # (plan construction only — not executed)
+    sim.embedding_near_dups_lsh(
+        emb, bits="auto", n=500_000_000, max_candidates=None)
+
+    # in-bounds auto mode with precomputed n returns the same pairs as
+    # counting (the registry entry's double-scan fix)
+    n_real = emb.count()
+    a = {(r["a"], r["b"]) for r in sim.embedding_near_dups_lsh(
+        emb, threshold=0.999, dim=8, bits="auto").collect()}
+    b = {(r["a"], r["b"]) for r in sim.embedding_near_dups_lsh(
+        emb, threshold=0.999, dim=8, bits="auto", n=n_real).collect()}
+    assert a == b and a
+
+
 def test_blas_guard_spills_to_lsh(spark):
     """Past max_broadcast_rows the BLAS path must (a) never materialize
     the full frame on the driver and (b) return LSH results instead of

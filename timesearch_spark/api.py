@@ -513,13 +513,17 @@ def offline_reading(archive: Archive, out_dir: str,
                 # data churn) and re-render everything.
                 import logging
 
+                # reuse the walrus-bound r0 (don't re-run the first()
+                # job), and guard the empty-manifest case: an fpv
+                # COLUMN with zero ROWS gives r0 is None (ADVICE r14)
                 logging.getLogger(__name__).warning(
                     "offline_reading: %s was written under fingerprint "
                     "format %s (current %s) — a one-time FULL re-render "
                     "is expected, this is not data churn",
                     man_path,
-                    old_raw.select("fpv").first()["fpv"]
-                    if "fpv" in old_raw.columns else "<unversioned>",
+                    r0["fpv"]
+                    if "fpv" in old_raw.columns and r0 is not None
+                    else "<unversioned>",
                     FP_FORMAT_VERSION,
                 )
                 changed = fp.select("idstr")

@@ -768,9 +768,12 @@ def delete_thread_pages_distributed(removed: DataFrame, out_dir: str) -> int:
     the archive): only ``idstr`` strings ship to tasks, each task opens
     the store through ``_open_fs`` and deletes ``<idstr>.html``.  A
     delete that races a retry (file already gone) re-checks existence
-    and treats NotFound as success, so repeated runs converge; any
-    other failure propagates to the caller, which falls back to the
-    driver thread pool (:func:`delete_thread_pages_driver_pool`).
+    and treats NotFound as success, so repeated runs converge; a
+    TRANSIENT per-file failure is retried executor-side (3 attempts,
+    short backoff, ADVICE r14) so one flaky delete can't abort the job
+    and demote a multi-million-row delta to the caller's driver-pool
+    fallback; a file that still fails after the retries propagates to
+    the caller (:func:`delete_thread_pages_driver_pool`).
 
     Scale contract (r14, VERDICT r13 #3): the delta stays a DataFrame
     end-to-end — a mass rollback of a 1.5M-page archive never collects
@@ -789,18 +792,27 @@ def delete_thread_pages_distributed(removed: DataFrame, out_dir: str) -> int:
 
         fss, out_path = _open_fs(out_uri)
         n = 0
+        import time as _time
+
         for pdf in batches:
             for idstr in pdf["idstr"]:
                 rel = f"{out_path.rstrip('/')}/{idstr}.html"
-                try:
-                    fss.delete_file(rel)
-                    n += 1
-                except Exception:
-                    # missing-ok (idempotent re-run / retried task);
-                    # anything still present is a real IO failure
-                    if fss.get_file_info([rel])[0].type != \
-                            pafs.FileType.NotFound:
-                        raise
+                for attempt in range(3):
+                    try:
+                        fss.delete_file(rel)
+                        n += 1
+                        break
+                    except Exception:
+                        # missing-ok (idempotent re-run / retried
+                        # task); anything still present is an IO
+                        # failure — retry it here rather than abort
+                        # the whole job over one flaky file
+                        if fss.get_file_info([rel])[0].type == \
+                                pafs.FileType.NotFound:
+                            break
+                        if attempt == 2:
+                            raise
+                        _time.sleep(0.2 * (attempt + 1))
         yield pd.DataFrame({"n": [n]})
 
     spark = removed.sparkSession

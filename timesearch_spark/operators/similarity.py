@@ -791,6 +791,17 @@ def neardup_lsh_params(
     return bits, tables
 
 
+def expected_lsh_candidates(n: int, bits: int, tables: int) -> float:
+    """Analytic candidate-pair volume for the bucket self-join under a
+    uniform-occupancy model: 2^bits buckets of m = n/2^bits vectors each
+    give m·(m−1)/2 pairs per bucket per table.  Under the density rule
+    (occupancy pinned) this still grows ~n^1.22 through the
+    recall-pinned table count (SCALING_r14) — which is exactly what the
+    ``max_candidates`` gate makes loud."""
+    m = n / float(1 << bits)
+    return tables * (1 << bits) * m * max(m - 1.0, 0.0) / 2.0
+
+
 def embedding_near_dups_lsh(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -798,8 +809,10 @@ def embedding_near_dups_lsh(
     vec_col: str = "embedding",
     dim: int = 64,
     bits: int | str = 12,
-    tables: int = 6,
+    tables: int | None = None,
     seed: int = 42,
+    n: int | None = None,
+    max_candidates: int | None = 100_000_000,
 ) -> DataFrame:
     """Near-dup pairs at scale: self-join per (table, signature) bucket —
     only same-bucket pairs are generated (the shuffle is on the signature,
@@ -807,16 +820,51 @@ def embedding_near_dups_lsh(
 
     High-cosine pairs collide in ≥1 table with probability
     1-(1-(1-θ/π)^bits)^tables; candidates are verified so precision is
-    exact, recall is the tunable.
+    exact, recall is the tunable.  ``tables`` defaults to 6 with integer
+    ``bits``.
 
     ``bits="auto"`` (the scale path) derives (bits, tables) from the
-    corpus size via :func:`neardup_lsh_params` — one count job — so
-    per-bucket density stays constant as the corpus grows instead of
-    the fixed-width buckets saturating (candidate fanout quadratic in
-    corpus); the explicit ``tables`` argument is ignored in auto mode
-    because recall at ``threshold`` pins it."""
+    corpus size via :func:`neardup_lsh_params` so per-bucket density
+    stays constant as the corpus grows instead of the fixed-width
+    buckets saturating (candidate fanout quadratic in corpus).  An
+    explicit ``tables`` alongside ``bits="auto"`` RAISES (r15, ADVICE
+    r14: recall at ``threshold`` pins the table count — silently
+    ignoring the argument hid that); pass precomputed ``n`` to skip the
+    count job (ADVICE r14: without it an expensive input plan is
+    evaluated once for the count and again for the join).
+
+    ``max_candidates`` (r15, VERDICT #4): whenever ``n`` is known (auto
+    mode counts; fixed mode only if the caller passes ``n``), the
+    analytic candidate volume (:func:`expected_lsh_candidates`) is
+    checked against this bound BEFORE any job runs — the recall-pinned
+    hyperplane-LSH floor grows ~n^1.22 (SCALING_r14: ~280× candidates
+    at 100× corpus), and crossing it should be an actionable error, not
+    a surprise bill.  ``None`` disables the gate."""
     if bits == "auto":
-        bits, tables = neardup_lsh_params(emb.count(), threshold)
+        if tables is not None:
+            raise ValueError(
+                "embedding_near_dups_lsh: tables is derived from corpus "
+                "size in bits='auto' mode (recall at threshold pins it) "
+                "— drop the explicit tables argument or pass integer "
+                "bits"
+            )
+        if n is None:
+            n = emb.count()
+        bits, tables = neardup_lsh_params(n, threshold)
+    elif tables is None:
+        tables = 6
+    if n is not None and max_candidates is not None:
+        est = expected_lsh_candidates(n, bits, tables)
+        if est > max_candidates:
+            raise ValueError(
+                "embedding_near_dups_lsh: estimated candidate pairs "
+                f"~{est:.2e} for n={n} (bits={bits}, tables={tables}) "
+                f"exceed max_candidates={max_candidates:.0e} — the "
+                "recall-pinned LSH candidate floor grows ~n^1.22 "
+                "(SCALING_r14); raise threshold, switch to the IVF "
+                "family (cosine_topk_ivf / embedding_dedup_clusters), "
+                "or raise max_candidates explicitly to accept the cost"
+            )
     planes = hyperplanes(dim, bits, tables, seed)
     sigs = with_signatures(emb, planes, id_col, vec_col).select(
         F.col(id_col),
