@@ -28,6 +28,8 @@ mega-thread from stalling a task slot.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -389,7 +391,22 @@ def comment_forest_big(
         F.lit(1).alias("hops"),
         *pl,
     )
-    state = ckpt(state)
+    # r15 (guide §2.5): the state inherits the sibling-rank window's
+    # (submission, parent) partitioning, and every direct child of a
+    # mega-thread's root shares that ONE key — on the sf0.1 mega
+    # fixture a single partition held 147k of 600k rows, and that
+    # straggler rode EVERY downstream scan: each round's anc-side read,
+    # each ckpt, and the final consumer (the page pipeline's Python
+    # render serialized on it).  Hash-repartition on the unique row key
+    # (deterministic, retry-safe) with an EXPLICIT width so AQE cannot
+    # coalesce the spread away; width follows the session's configured
+    # parallelism (conf-driven on a cluster), not a local constant.
+    width = max(
+        comments.sparkSession.sparkContext.defaultParallelism,
+        int(comments.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200")),
+    )
+    state = ckpt(state.repartition(width, "submission", "idstr"))
 
     # Only the advancing FRONTIER is ever re-materialized: done rows
     # stay in the checkpointed piece that produced them (typically the
@@ -400,6 +417,27 @@ def comment_forest_big(
     done_parts = [state.filter(F.col("anc") == F.col("__root"))]
     todo = state.filter(F.col("anc") != F.col("__root"))
     rounds = max(1, (int(max_depth) - 1).bit_length() + 1)
+    # r15 (guide §3.1/§2.4): the frontier shrinks geometrically (a node
+    # at depth d resolves in ceil(log2 d) rounds, so past round 1 the
+    # unresolved tail is a sliver of the forest) while the anc-lookup
+    # side stays forest-sized — the shuffle-join rounds paid two full
+    # Exchanges of every walked node PER ROUND just to advance that
+    # sliver.  Once the frontier's exact count is known (the
+    # convergence probe is a full count on the checkpointed piece —
+    # same cached scan limit(1) paid), a small-enough frontier takes
+    # the broadcast path: broadcast its distinct (submission, anc)
+    # keys, left-semi prune the forest-sized anc relation map-side
+    # (≤ one surviving anc row per key), then broadcast the pruned
+    # ancs back into the advance join — the round runs with ZERO
+    # shuffle exchanges.  The gate is a row count, not a local-mode
+    # constant: 1M narrow key rows is tens of MB broadcast on any
+    # cluster, and at 100 TB the later rounds still qualify because
+    # geometric shrink is scale-free.  Round 0 (frontier size unknown,
+    # typically forest-sized) always takes the shuffle path.
+    bcast_rows = int(
+        os.environ.get("SPARK_GRAFT_WALK_BCAST_ROWS", "1000000")
+    )
+    n_todo: int | None = None
     for _ in range(rounds):
         # convergence probe runs AFTER each advance (r13): probing
         # before it cost one extra job per walk — the common shallow
@@ -414,6 +452,18 @@ def comment_forest_big(
             F.col("path").alias("__apath"),
             F.col("hops").alias("__ahops"),
         )
+        if n_todo is not None and n_todo <= bcast_rows:
+            keys = todo.select(
+                F.col("submission").alias("__qsub"),
+                F.col("anc").alias("__qanc"),
+            ).dropDuplicates(["__qsub", "__qanc"])
+            anc_state = anc_state.join(
+                F.broadcast(keys),
+                (anc_state["__asub"] == keys["__qsub"])
+                & (anc_state["__aid"] == keys["__qanc"]),
+                "left_semi",
+            )
+            anc_state = F.broadcast(anc_state)
         advanced = (
             todo.join(
                 anc_state,
@@ -440,7 +490,8 @@ def comment_forest_big(
         advanced = ckpt(advanced)
         done_parts.append(advanced.filter(F.col("anc") == F.col("__root")))
         todo = advanced.filter(F.col("anc") != F.col("__root"))
-        if todo.limit(1).count() == 0:
+        n_todo = todo.count()
+        if n_todo == 0:
             break
 
     resolved = reduce(lambda a, b: a.unionByName(b), done_parts)
@@ -1060,7 +1111,28 @@ def thread_page_fragments(
 
     frag_schema = ("submission string, okey string, depth int, "
                    "pre string, post string")
-    comment_frags = joined.mapInPandas(render_fragments, frag_schema)
+    # r15 (guide §2.5): the walk's output inherits its partitioning
+    # from per-(submission, anc) joins and per-(submission, parent)
+    # windows — and a mega thread's direct children of the root all
+    # share ONE such key, so one partition holds the entire top level
+    # (147k of 600k rows on the sf0.1 mega fixture) and the Python
+    # block render serializes on that straggler.  Hash-repartition on
+    # the unique row key right before the Arrow boundary: deterministic
+    # (retry-safe, no rand()), explicit partition count so AQE cannot
+    # coalesce the sub-GB local case back into the straggler it fixes.
+    # Width scales with the session's configured parallelism, not a
+    # constant; the extra exchange moves pre-render fields once and
+    # buys a full-width render stage (measured 3.6 s → ~1.2 s at
+    # sf0.1-mega; the rendered pre/post fragments, several times
+    # fatter, were never shuffled before and still are not).
+    sess = joined.sparkSession
+    width = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    comment_frags = joined.repartition(
+        width, "submission", "idstr"
+    ).mapInPandas(render_fragments, frag_schema)
 
     head_frags = submissions.select(
         F.col("idstr").alias("submission"),
