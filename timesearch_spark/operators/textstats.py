@@ -308,10 +308,18 @@ def unigram_lm(ref: "DataFrame", text_col: str = "text",
     model is deterministic for a fixed (corpus, vocab_size)."""
     import math
 
+    # r15 (guide §1.2/§5): the totals row and the top-V collect are two
+    # jobs over the SAME count relation — unpersisted, each re-ran the
+    # full reference tokenize+explode+hash-agg.  Persist the aggregated
+    # (token, count) rows across the two bounded jobs: the relation is
+    # distinct-vocabulary-sized (far below corpus size, disk-spillable
+    # at web scale), and the persist replaces an entire second pass
+    # over the reference corpus.  Values are untouched — same counts,
+    # same top-V, same libm logs (the oracle recipe).
     counts = (
         ref.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token").count()
-    )
+    ).persist()
     tot = counts.agg(
         F.sum("count").alias("n"), F.count("*").alias("distinct")
     ).first()
@@ -330,6 +338,7 @@ def unigram_lm(ref: "DataFrame", text_col: str = "text",
     # reproducibility.  One libm `log` per DISTINCT count, not per
     # token — logp is a function of count only.
     top = vocab_counts.collect()
+    counts.unpersist()
     logp_of = {c: math.log((c + alpha) / denom)
                for c in {int(r["count"]) for r in top}}
     # through pandas, not a row list: Arrow-enabled sessions then scan
@@ -442,10 +451,15 @@ def bigram_lm(ref: "DataFrame", text_col: str = "text",
     model's behavior is the floor, never the whole story."""
     toks = ref.select(tokens(text_col).alias("__t"))
     # unigram counts feed both the top-V vocabulary and the c1 context
-    # denominators, so derive everything from ONE tokenized relation
+    # denominators, so derive everything from ONE tokenized relation.
+    # r15 (guide §1.2/§5): persist the aggregated (token, count) rows —
+    # the totals job, the top-V collect and the c1 broadcast below are
+    # THREE bounded consumers, and unpersisted each re-ran the full
+    # reference tokenize+explode+agg; the relation is vocabulary-sized,
+    # the saved passes are corpus-sized.  Values untouched.
     counts = (
         toks.select(F.explode("__t").alias("token")).groupBy("token").count()
-    )
+    ).persist()
     tot = counts.agg(
         F.sum("count").alias("n"), F.count("*").alias("distinct")
     ).first()
@@ -496,6 +510,7 @@ def bigram_lm(ref: "DataFrame", text_col: str = "text",
         # bigram relation, and row-at-a-time collect() pays py4j Row
         # deserialization per bigram
     )
+    counts.unpersist()
     denom2 = alpha * (v + 1)
     bi = spark.createDataFrame(pd.DataFrame({
         "w1": bi_pdf["w1"].astype("object"),
