@@ -98,6 +98,23 @@ def _walk_one_thread(
                 stack.append((k, depth + 1))
 
 
+def _python_stage_width(df: DataFrame) -> int:
+    """Explicit partition count for a repartition feeding a Python
+    (Arrow) stage.  r15, guide §2.5/§4: a keyed ``repartition(col)``
+    WITHOUT a count is AQE-coalescible, and AQE targets shuffle BYTES
+    (64 MB advisory) — correct for JVM relational stages, wrong before
+    a per-row Python render whose cost is CPU per row, not bytes: at
+    sf0.1 the page assembler's entire 600k-row input coalesced to ONE
+    partition and the whole render ran on one core.  An explicit count
+    pins the width; the value follows the session's configured
+    parallelism (cluster-scale via conf), never a local constant."""
+    sess = df.sparkSession
+    return max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+
+
 def comment_forest(comments: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Preorder walk of every submission's comment tree.
 
@@ -114,10 +131,8 @@ def comment_forest(comments: DataFrame, num_partitions: int | None = None) -> Da
     single shuffle."""
     cols = ["idstr", "parent", "submission", "created", "score"]
     df = comments.select(*cols)
-    parted = (
-        df.repartition(num_partitions, "submission")
-        if num_partitions
-        else df.repartition("submission")
+    parted = df.repartition(
+        num_partitions or _python_stage_width(df), "submission"
     ).sortWithinPartitions("submission", "created")
 
     out_cols = ["submission", "idstr", "parent", "depth", "position", "phantom"]
@@ -401,12 +416,8 @@ def comment_forest_big(
     # (deterministic, retry-safe) with an EXPLICIT width so AQE cannot
     # coalesce the spread away; width follows the session's configured
     # parallelism (conf-driven on a cluster), not a local constant.
-    width = max(
-        comments.sparkSession.sparkContext.defaultParallelism,
-        int(comments.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions", "200")),
-    )
-    state = ckpt(state.repartition(width, "submission", "idstr"))
+    state = ckpt(state.repartition(
+        _python_stage_width(comments), "submission", "idstr"))
 
     # Only the advancing FRONTIER is ever re-materialized: done rows
     # stay in the checkpointed piece that produced them (typically the
@@ -819,10 +830,10 @@ def assemble_thread_pages(comments: DataFrame,
     cols = ["submission", "idstr", "parent", "created", "score",
             "author", "body", "subreddit"]
     df = comments.select(*cols)
-    parted = (
-        df.repartition(num_partitions, "submission")
-        if num_partitions
-        else df.repartition("submission")
+    # explicit width (r15): see _python_stage_width — the unpinned form
+    # AQE-coalesced this whole render's input to ONE partition at sf0.1
+    parted = df.repartition(
+        num_partitions or _python_stage_width(df), "submission"
     ).sortWithinPartitions("submission", "created")
 
     def render_pages(batches):
@@ -1013,8 +1024,18 @@ def render_thread_pages(
         F.coalesce(F.col("doc"), F.lit("")),  # zero-comment: children = ''
         F.lit(PAGE_FOOTER),
     )
+    # r15 (guide §3.1): MapInPandas output carries no usable size
+    # estimate, so the planner judged the RENDERED PAGES side tiny and
+    # broadcast it (88 MiB at sf0.1 — and unbounded with the corpus:
+    # at archive scale this collects every rendered page through the
+    # driver and dies on the 8 GB broadcast cap), leaving the join
+    # output with the submissions scan's partitioning (ONE partition
+    # locally) for all downstream work.  Force the sort-merge join:
+    # the fat side crosses the network exactly once, keyed, at any
+    # scale, and the join output is partition-parallel.
     return (
-        submissions.join(docs, submissions["idstr"] == docs["submission"],
+        submissions.join(docs.hint("merge"),
+                         submissions["idstr"] == docs["submission"],
                          "left")
         .select(F.col("idstr").alias("submission"), page.alias("doc"))
     )
@@ -1125,13 +1146,8 @@ def thread_page_fragments(
     # buys a full-width render stage (measured 3.6 s → ~1.2 s at
     # sf0.1-mega; the rendered pre/post fragments, several times
     # fatter, were never shuffled before and still are not).
-    sess = joined.sparkSession
-    width = max(
-        sess.sparkContext.defaultParallelism,
-        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
-    )
     comment_frags = joined.repartition(
-        width, "submission", "idstr"
+        _python_stage_width(joined), "submission", "idstr"
     ).mapInPandas(render_fragments, frag_schema)
 
     head_frags = submissions.select(
