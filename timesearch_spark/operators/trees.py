@@ -444,11 +444,17 @@ def comment_forest_big(
     # constant: 1M narrow key rows is tens of MB broadcast on any
     # cluster, and at 100 TB the later rounds still qualify because
     # geometric shrink is scale-free.  Round 0 (frontier size unknown,
-    # typically forest-sized) always takes the shuffle path.
+    # typically forest-sized) always takes the shuffle path, and the
+    # prune only engages once the frontier has ALSO shrunk to a
+    # quarter of its first observed size: below the session's
+    # auto-broadcast threshold AQE already broadcasts the whole anc
+    # side for free, so pruning a still-forest-sized frontier would
+    # add collect/broadcast jobs without removing an exchange.
     bcast_rows = int(
         os.environ.get("SPARK_GRAFT_WALK_BCAST_ROWS", "1000000")
     )
     n_todo: int | None = None
+    n_first: int | None = None
     for _ in range(rounds):
         # convergence probe runs AFTER each advance (r13): probing
         # before it cost one extra job per walk — the common shallow
@@ -463,7 +469,8 @@ def comment_forest_big(
             F.col("path").alias("__apath"),
             F.col("hops").alias("__ahops"),
         )
-        if n_todo is not None and n_todo <= bcast_rows:
+        if (n_todo is not None and n_todo <= bcast_rows
+                and n_first is not None and n_todo * 4 <= n_first):
             keys = todo.select(
                 F.col("submission").alias("__qsub"),
                 F.col("anc").alias("__qanc"),
@@ -502,6 +509,8 @@ def comment_forest_big(
         done_parts.append(advanced.filter(F.col("anc") == F.col("__root")))
         todo = advanced.filter(F.col("anc") != F.col("__root"))
         n_todo = todo.count()
+        if n_first is None:
+            n_first = n_todo
         if n_todo == 0:
             break
 
