@@ -4,16 +4,18 @@ Reference semantics (breakdown.py:8-42 in /root/reference/timesearch_modules):
 for every grouping key that appears in *either* fact table, emit the count
 of rows in each table, with missing counters zero-filled
 (``setdefault(..., 0)``, breakdown.py:38-41).  The reference streams both
-tables through a Python dict; here it is two hash aggregates + one
-full-outer join + coalesce — Catalyst does partial (map-side) aggregation
-automatically, so the shuffle carries one row per distinct key per side,
-not one row per input row.
+tables through a Python dict; here it is ONE hash aggregate over the
+tagged union of both tables (r15 — the earlier two-aggregate +
+null-safe full-outer-join form paid two extra Exchanges plus the join
+sorts, because Spark wraps null-safe join keys and neither aggregate's
+partitioning satisfied the join) — Catalyst does partial (map-side)
+aggregation automatically, so the one shuffle carries a row per
+distinct key per side per map partition, not one row per input row.
 
-Scale notes (100 TB): the pre-join aggregates shrink each side to
-|distinct keys| rows, so the outer join's shuffle is tiny relative to the
-scan.  Author keys are Zipf-skewed in the wild but the skew is consumed by
-the *aggregate* (map-side partials), not the join; AQE skew-join handles
-any residue.
+Scale notes (100 TB): the single aggregate shrinks the union to
+|distinct keys| rows.  Author keys are Zipf-skewed in the wild but the
+skew is consumed by the *aggregate* (map-side partials); no join
+remains on this path.
 """
 
 from __future__ import annotations
@@ -36,29 +38,36 @@ def breakdown(
     (total is D4, breakdown.py:63-66).
     """
     key_name = key_name or key
-    lc = left.groupBy(F.col(key).alias(key_name)).agg(F.count("*").alias(left_name))
-    rc = right.groupBy(F.col(key).alias(key_name)).agg(
-        F.count("*").alias(f"__r_{right_name}")
+    # ONE aggregation over the tagged union, not two aggregates + a
+    # full-outer join (r15, guide §2.4): the join had to be null-SAFE
+    # (a NULL grouping key — deleted authors — groups on each side, and
+    # plain USING can't equate NULL=NULL), and Spark wraps null-safe
+    # equi-join keys, so neither side's aggregate partitioning
+    # satisfied the join's required distribution — the flagship paid
+    # TWO extra Exchanges plus both SortMergeJoin sorts just to stitch
+    # the halves back together (5 shuffles total).  groupBy is
+    # null-safe by definition (NULL is one group), so per-side counts
+    # as summed indicators over the union compute the identical
+    # zero-filled rows — missing side sums to 0 exactly where the old
+    # coalesce zero-filled — in ONE exchange that map-side partial
+    # aggregation collapses to a row per distinct key per side per
+    # partition, same as the old agg exchanges carried.
+    tagged = left.select(
+        F.col(key).alias(key_name),
+        F.lit(1).alias("__l"),
+        F.lit(0).alias("__r"),
+    ).unionByName(
+        right.select(
+            F.col(key).alias(key_name),
+            F.lit(0).alias("__l"),
+            F.lit(1).alias("__r"),
+        )
     )
-    # null-SAFE join key: a NULL grouping key (deleted authors) groups on
-    # each side but a plain USING join can't equate NULL=NULL — the group
-    # would split into two half-counted rows and the JSON export's dict
-    # would keep only one (the reference's dict setdefault merges them)
     out = (
-        lc.join(
-            rc,
-            lc[key_name].eqNullSafe(rc[key_name]),
-            "full_outer",
-        )
-        .select(
-            F.coalesce(lc[key_name], rc[key_name]).alias(key_name),
-            F.col(left_name),
-            F.col(f"__r_{right_name}").alias(right_name),
-        )
-        .select(
-            F.col(key_name),
-            F.coalesce(F.col(left_name), F.lit(0)).alias(left_name),
-            F.coalesce(F.col(right_name), F.lit(0)).alias(right_name),
+        tagged.groupBy(key_name)
+        .agg(
+            F.sum("__l").cast("long").alias(left_name),
+            F.sum("__r").cast("long").alias(right_name),
         )
         .withColumn("total_posts", (F.col(left_name) + F.col(right_name)).cast("long"))
     )
