@@ -184,6 +184,7 @@ def comment_forest_big(
     drop_orphan_subtrees: bool = False,
     emit_path: bool = False,
     payload: tuple[str, ...] = (),
+    spread_state: bool | None = None,
 ) -> DataFrame:
     """:func:`comment_forest` for threads too large for one task.
 
@@ -416,8 +417,18 @@ def comment_forest_big(
     # (deterministic, retry-safe) with an EXPLICIT width so AQE cannot
     # coalesce the spread away; width follows the session's configured
     # parallelism (conf-driven on a cluster), not a local constant.
-    state = ckpt(state.repartition(
-        _python_stage_width(comments), "submission", "idstr"))
+    # ``spread_state=None`` resolves to the workloads that HAVE the hot
+    # family by construction — the page arm (only over-bound threads
+    # are routed here since r13) — while skew-free direct callers (the
+    # parity twins walk ~150k small families) skip the extra exchange;
+    # comment_forest_auto passes True explicitly because its probe
+    # just PROVED a dominant thread exists.
+    if spread_state is None:
+        spread_state = page_order or bool(payload)
+    if spread_state:
+        state = state.repartition(
+            _python_stage_width(comments), "submission", "idstr")
+    state = ckpt(state)
 
     # Only the advancing FRONTIER is ever re-materialized: done rows
     # stay in the checkpointed piece that produced them (typically the
@@ -589,6 +600,9 @@ def comment_forest_auto(
         comments.filter(F.col("submission").isin(hot)),
         max_depth=max_depth,
         checkpoint_dir=checkpoint_dir,
+        # the probe just proved a dominant thread exists — spread the
+        # walk state off its hot family's window partition (r15)
+        spread_state=True,
     )
     return small.unionByName(big)
 
