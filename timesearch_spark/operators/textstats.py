@@ -792,15 +792,28 @@ def train_quality_classifier(
             # y per ordinal (rows repeat it; take any occurrence)
             yv = np.zeros(n_docs, dtype=np.float64)
             yv[ordv] = pdf["y"].to_numpy(np.float64)
-            is_bias = idxv < 0
+            # r15: the bias mask and the masked index/value arrays are
+            # loop-invariant — hoist them; and accumulate with
+            # np.bincount(weights=...) instead of np.add.at.  Both are
+            # sequential in-input-order float64 `+=` loops (bincount:
+            # out[list[i]] += weights[i] for i ascending; ufunc.at is
+            # the unbuffered equivalent), so the fit stays
+            # BIT-IDENTICAL — verified by capturing the (idx, w, b)
+            # output before/after at two SFs with
+            # tools/capture_clf_weights.py — while bincount's tight C
+            # loop replaces ufunc.at's per-element dispatch.
+            nb = idxv >= 0  # non-bias feature rows
+            ordv_nb = ordv[nb]
+            idxv_nb = idxv[nb]
+            xv_nb = xv[nb]
             for _ in range(iters):
-                z = np.zeros(n_docs, dtype=np.float64)
-                np.add.at(z, ordv[~is_bias], xv[~is_bias] * w[idxv[~is_bias]])
+                z = np.bincount(
+                    ordv_nb, weights=xv_nb * w[idxv_nb], minlength=n_docs)
                 z += b  # every doc has exactly one bias row with x=1
                 p = 1.0 / (1.0 + np.exp(-z))
                 diff = (p - yv) / n_docs
-                g = np.zeros(dim, dtype=np.float64)
-                np.add.at(g, idxv[~is_bias], xv[~is_bias] * diff[ordv[~is_bias]])
+                g = np.bincount(
+                    idxv_nb, weights=xv_nb * diff[ordv_nb], minlength=dim)
                 w -= lr * (g + reg * w)
                 b -= lr * float(diff.sum())
         else:
