@@ -306,16 +306,21 @@ def comment_forest_big(
     from timesearch_spark.fs import checkpointer
 
     ckpt = checkpointer(comments.sparkSession, checkpoint_dir)
-    if payload:
-        # Page path (fat payload rows): `base` feeds both `known` and
-        # `normed`, so an expensive upstream (the page pipeline's
-        # comment synthesis/normalization) would execute twice inside
-        # the state materialization.  Checkpoint it once — measured
-        # -25% on thread_page_frags at sf0.1.  The analytics path keeps
-        # the r11/r12 plan shape (identity-pinned in tests), where the
-        # double-scan is a cheap parquet re-read and an extra
-        # materialization would be pure cost.
-        base = ckpt(base)
+    # `base` feeds three subtrees of the state materialization: the
+    # `known` distinct (the normalize join's build side), the phantom
+    # branch's normalize join, and the nodes branch (whose own copy of
+    # the join Catalyst eliminates — `known` is distinct on exactly the
+    # join key, so the left-outer adds nothing once __kid is dropped).
+    # Checkpoint it once so the input is READ ONCE instead of once per
+    # subtree.  r13 measured -25% on thread_page_frags for the fat page
+    # path; r15 event-log profiling showed the "cheap parquet re-read"
+    # assumption was wrong for the analytics path too — each extra
+    # pass re-ran the scan+id-synthesis projection (~1 s per pass at
+    # sf0.1, two avoidable passes ≈ a third of tree_depth_dist's
+    # wall).  At scale the trade is the same one the state ckpt
+    # already makes: one narrow materialization replaces two full
+    # source scans (guide §1.2 — don't compute things twice).
+    base = ckpt(base)
     known = base.select(
         F.col("submission").alias("__ksub"), F.col("idstr").alias("__kid")
     ).distinct()
