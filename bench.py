@@ -131,17 +131,42 @@ def main() -> None:
     sleep_budget = float(os.environ.get("SPARK_GRAFT_LOAD_BUDGET", "480"))
     slept = 0.0
 
-    def triple(name: str) -> tuple[list, list, float]:
+    def steal_ticks() -> int | None:
+        # r16 (VERDICT r15 item 8): this host's inflation episodes are
+        # CPU steal, which loadavg does NOT predict (r15 measured 5-14%
+        # steal at loadavg < 2 with ±2× wall swings on byte-identical
+        # plans).  Record steal per sample so a PERF comparison can
+        # separate host inflation from code.  Additive only: every
+        # pre-existing field keeps its meaning.
+        try:
+            with open("/proc/stat") as fh:
+                return int(fh.readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            return None
+
+    def triple(name: str) -> tuple[list, list, float, list]:
         # 1-min loadavg AT each sample: a regression claim read off a
         # sample taken at loadavg 8 on this shared host is mush (r8's
         # cold-run comparison) — the reader needs per-sample evidence,
         # not the global before/after pair
         start_load = round(os.getloadavg()[0], 2)
-        samples, lds = [], []
+        samples, lds, steals = [], [], []
+        ncpu = os.cpu_count() or 1
         for _ in range(3):
             lds.append(round(os.getloadavg()[0], 2))
-            samples.append(round(run(name), 3))
-        return samples, lds, start_load
+            s0 = steal_ticks()
+            dt = run(name)
+            s1 = steal_ticks()
+            samples.append(round(dt, 3))
+            if s0 is None or s1 is None:
+                steals.append(None)
+            else:
+                # steal during the run as % of this process's whole-host
+                # tick budget (ticks are 10 ms each)
+                steals.append(
+                    round((s1 - s0) / 100.0 / max(dt, 0.01) / ncpu * 100, 1)
+                )
+        return samples, lds, start_load, steals
 
     # best-of-3 per query: later runs reuse the codegen cache, so the
     # number reflects the steady-state distributed plan (what scales to the
@@ -154,6 +179,7 @@ def main() -> None:
     raw: dict[str, object] = {}
     loads: dict[str, list] = {}
     start_loads: dict[str, float] = {}
+    steals_all: dict[str, list] = {}
     noisy: list[str] = []
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -161,9 +187,9 @@ def main() -> None:
             try:
                 best = None
                 for attempt in range(retries + 1):
-                    samples, lds, l0 = triple(name)
+                    samples, lds, l0, stls = triple(name)
                     if best is None or l0 < best[2]:
-                        best = (samples, lds, l0)
+                        best = (samples, lds, l0, stls)
                     if l0 <= load_gate:
                         break
                     if attempt < retries and slept + cooloff <= sleep_budget:
@@ -177,10 +203,11 @@ def main() -> None:
                         slept += cooloff
                     else:
                         break
-                samples, lds, l0 = best
+                samples, lds, l0, stls = best
                 raw[name] = samples
                 loads[name] = lds
                 start_loads[name] = l0
+                steals_all[name] = stls
                 if l0 > load_gate:
                     noisy.append(name)
                 times[name] = min(samples)
@@ -199,6 +226,7 @@ def main() -> None:
         "runs": raw,
         "load": loads,
         "start_load": start_loads,
+        "steal_pct": steals_all,
         "gate": {
             "load_gate": load_gate,
             "retries": retries,
@@ -219,11 +247,31 @@ def main() -> None:
         pass  # read-only checkout: the stdout detail line still carries it
     print(json.dumps({"detail": detail}))
 
-    summary = compact_summary(times, sf, errors, noisy)
+    # compact steal aggregate for the one-line summary: the steal % of
+    # each query's BEST (= reported) sample, summarized med/max — enough
+    # for a reader to tell "quiet run" from "inflated run" without the
+    # sidecar; per-query detail stays in BENCH_DETAIL.json.
+    best_steals = []
+    for name, samples in raw.items():
+        if isinstance(samples, list) and name in steals_all:
+            stls = steals_all[name]
+            i = samples.index(min(samples))
+            if i < len(stls) and stls[i] is not None:
+                best_steals.append(stls[i])
+    steal_summary = None
+    if best_steals:
+        best_steals.sort()
+        steal_summary = {
+            "med": best_steals[len(best_steals) // 2],
+            "max": best_steals[-1],
+        }
+
+    summary = compact_summary(times, sf, errors, noisy, steal_summary)
     print(summary)
 
 
-def compact_summary(times: dict, sf, errors: dict, noisy=()) -> str:
+def compact_summary(times: dict, sf, errors: dict, noisy=(),
+                    steal=None) -> str:
     """The one line the driver parses. Kept deliberately small: per-query
     bests only, errors truncated hard, never-quiet queries named (so a
     reader can discount their numbers), and a guard that drops the
@@ -237,6 +285,8 @@ def compact_summary(times: dict, sf, errors: dict, noisy=()) -> str:
         "sf": sf,
         "errors": {k: v[:80] for k, v in errors.items()},
     }
+    if steal:
+        payload["steal"] = steal
     if noisy:
         payload["noisy"] = sorted(noisy)
     line = json.dumps(payload)

@@ -320,25 +320,30 @@ def unigram_lm(ref: "DataFrame", text_col: str = "text",
         ref.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token").count()
     ).persist()
-    tot = counts.agg(
-        F.sum("count").alias("n"), F.count("*").alias("distinct")
-    ).first()
-    n_total = int(tot["n"] or 0)
-    vocab_counts = (
-        counts.orderBy(F.desc("count"), F.asc("token")).limit(vocab_size)
-    )
-    v = min(int(tot["distinct"] or 0), vocab_size)
-    denom = n_total + alpha * (v + 1)
-    # The logp values are computed DRIVER-side (libm log over the
-    # collected top-V counts) rather than with F.log: the vocab is
-    # bounded broadcast state by contract (vocab_size rows — the same
-    # collect category as the IVF seed build), and JVM Math.log differs
-    # from C libm by 1 ulp on some inputs, which after round-to-9 can
-    # flip a boundary token and break exact cross-engine (DuckDB oracle)
-    # reproducibility.  One libm `log` per DISTINCT count, not per
-    # token — logp is a function of count only.
-    top = vocab_counts.collect()
-    counts.unpersist()
+    try:
+        tot = counts.agg(
+            F.sum("count").alias("n"), F.count("*").alias("distinct")
+        ).first()
+        n_total = int(tot["n"] or 0)
+        vocab_counts = (
+            counts.orderBy(F.desc("count"), F.asc("token")).limit(vocab_size)
+        )
+        v = min(int(tot["distinct"] or 0), vocab_size)
+        denom = n_total + alpha * (v + 1)
+        # The logp values are computed DRIVER-side (libm log over the
+        # collected top-V counts) rather than with F.log: the vocab is
+        # bounded broadcast state by contract (vocab_size rows — the same
+        # collect category as the IVF seed build), and JVM Math.log differs
+        # from C libm by 1 ulp on some inputs, which after round-to-9 can
+        # flip a boundary token and break exact cross-engine (DuckDB oracle)
+        # reproducibility.  One libm `log` per DISTINCT count, not per
+        # token — logp is a function of count only.
+        top = vocab_counts.collect()
+    finally:
+        # unpersist on the error path too (ADVICE r15): a raising
+        # consumer would otherwise leak the vocabulary-sized cache
+        # entry for the session lifetime
+        counts.unpersist()
     logp_of = {c: math.log((c + alpha) / denom)
                for c in {int(r["count"]) for r in top}}
     # through pandas, not a row list: Arrow-enabled sessions then scan
@@ -460,57 +465,63 @@ def bigram_lm(ref: "DataFrame", text_col: str = "text",
     counts = (
         toks.select(F.explode("__t").alias("token")).groupBy("token").count()
     ).persist()
-    tot = counts.agg(
-        F.sum("count").alias("n"), F.count("*").alias("distinct")
-    ).first()
-    n_total = int(tot["n"] or 0)
-    v = min(int(tot["distinct"] or 0), vocab_size)
-    import math
+    try:
+        tot = counts.agg(
+            F.sum("count").alias("n"), F.count("*").alias("distinct")
+        ).first()
+        n_total = int(tot["n"] or 0)
+        v = min(int(tot["distinct"] or 0), vocab_size)
+        import math
 
-    denom = n_total + alpha * (v + 1)
-    # Both logp tables are computed DRIVER-side with libm log (the
-    # unigram_lm determinism recipe — JVM Math.log can differ from C
-    # libm by 1 ulp, which after round-to-9 flips boundary values and
-    # breaks exact cross-engine reproducibility).  Both are bounded
-    # broadcast state by contract (vocab_size / bigram_size rows), so
-    # each is collected outright in one job and rebuilt as a local
-    # Arrow relation — the scoring plan scans them as LocalTableScan.
-    import pandas as pd
+        denom = n_total + alpha * (v + 1)
+        # Both logp tables are computed DRIVER-side with libm log (the
+        # unigram_lm determinism recipe — JVM Math.log can differ from C
+        # libm by 1 ulp, which after round-to-9 flips boundary values and
+        # breaks exact cross-engine reproducibility).  Both are bounded
+        # broadcast state by contract (vocab_size / bigram_size rows), so
+        # each is collected outright in one job and rebuilt as a local
+        # Arrow relation — the scoring plan scans them as LocalTableScan.
+        import pandas as pd
 
-    spark = ref.sparkSession
-    top = counts.orderBy(F.desc("count"), F.asc("token")) \
-        .limit(vocab_size).collect()
-    logp_of = {c: math.log((c + alpha) / denom)
-               for c in {int(r["count"]) for r in top}}
-    uni = spark.createDataFrame(pd.DataFrame({
-        "token": pd.Series([r["token"] for r in top], dtype="object"),
-        "logp": pd.Series([logp_of[int(r["count"])] for r in top],
-                          dtype="float64"),
-    }), "token string, logp double")
-    oov_logp = math.log(alpha / denom)
+        spark = ref.sparkSession
+        top = counts.orderBy(F.desc("count"), F.asc("token")) \
+            .limit(vocab_size).collect()
+        logp_of = {c: math.log((c + alpha) / denom)
+                   for c in {int(r["count"]) for r in top}}
+        uni = spark.createDataFrame(pd.DataFrame({
+            "token": pd.Series([r["token"] for r in top], dtype="object"),
+            "logp": pd.Series([logp_of[int(r["count"])] for r in top],
+                              dtype="float64"),
+        }), "token string, logp double")
+        oov_logp = math.log(alpha / denom)
 
-    pairs = toks.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice("__t", 1, F.greatest(F.size("__t") - 1, F.lit(0))),
-                F.slice("__t", 2, F.greatest(F.size("__t") - 1, F.lit(0))),
-            )
-        ).alias("p")
-    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
-    bcounts = pairs.groupBy("w1", "w2").count()
-    c1 = counts.select(F.col("token").alias("w1"), F.col("count").alias("c1"))
-    bi_pdf = (
-        bcounts.join(c1, "w1")
-        .orderBy(F.desc("count"), F.asc("w1"), F.asc("w2"))
-        .limit(bigram_size)
-        .select("w1", "w2", "count", "c1")
-        .toPandas()  # bounded broadcast state by contract, like the
-        # top-V vocab above (bigram_size rows) — one Arrow-batched job;
-        # a distinct-pairs collect + join-back was two passes over the
-        # bigram relation, and row-at-a-time collect() pays py4j Row
-        # deserialization per bigram
-    )
-    counts.unpersist()
+        pairs = toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__t", 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                    F.slice("__t", 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                )
+            ).alias("p")
+        ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        bcounts = pairs.groupBy("w1", "w2").count()
+        c1 = counts.select(
+            F.col("token").alias("w1"), F.col("count").alias("c1"))
+        bi_pdf = (
+            bcounts.join(c1, "w1")
+            .orderBy(F.desc("count"), F.asc("w1"), F.asc("w2"))
+            .limit(bigram_size)
+            .select("w1", "w2", "count", "c1")
+            .toPandas()  # bounded broadcast state by contract, like the
+            # top-V vocab above (bigram_size rows) — one Arrow-batched
+            # job; a distinct-pairs collect + join-back was two passes
+            # over the bigram relation, and row-at-a-time collect() pays
+            # py4j Row deserialization per bigram
+        )
+    finally:
+        # unpersist on the error path too (ADVICE r15): a raising
+        # consumer (top-V collect or the bigram toPandas) would
+        # otherwise leak the cache entry for the session lifetime
+        counts.unpersist()
     denom2 = alpha * (v + 1)
     bi = spark.createDataFrame(pd.DataFrame({
         "w1": bi_pdf["w1"].astype("object"),

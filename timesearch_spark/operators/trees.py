@@ -109,10 +109,13 @@ def _python_stage_width(df: DataFrame) -> int:
     pins the width; the value follows the session's configured
     parallelism (cluster-scale via conf), never a local constant."""
     sess = df.sparkSession
-    return max(
-        sess.sparkContext.defaultParallelism,
-        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
-    )
+    try:
+        # 'auto' (Databricks) and other non-numeric values fall back to
+        # the session's parallelism (ADVICE r15)
+        parts = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        parts = 0
+    return max(sess.sparkContext.defaultParallelism, parts)
 
 
 def comment_forest(comments: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -469,9 +472,22 @@ def comment_forest_big(
     bcast_rows = int(
         os.environ.get("SPARK_GRAFT_WALK_BCAST_ROWS", "1000000")
     )
+    # r16 (ADVICE r15, medium): the row gate alone misjudges DEEP
+    # forests — each pruned anc row carries __apath, which grows 8
+    # chars per resolved hop, so a 1M-row frontier whose ancs sit
+    # 2^round hops deep broadcasts ~8·2^round bytes/row of path alone
+    # (multi-GB against the 8 GB broadcast cap — the same rows-vs-bytes
+    # misjudgment the render_thread_pages fix closed).  Gate ALSO on
+    # estimated bytes: rows × (fixed row width + 8 × the round's max
+    # resolvable hop count).  256 MB default: comfortably inside any
+    # executor profile while still letting every geometric-shrink tail
+    # round qualify (the frontier shrinks faster than the path grows).
+    bcast_bytes = int(
+        os.environ.get("SPARK_GRAFT_WALK_BCAST_BYTES", str(256 << 20))
+    )
     n_todo: int | None = None
     n_first: int | None = None
-    for _ in range(rounds):
+    for rnd in range(rounds):
         # convergence probe runs AFTER each advance (r13): probing
         # before it cost one extra job per walk — the common shallow
         # forest paid probe+advance+probe where advance+probe suffices,
@@ -485,7 +501,15 @@ def comment_forest_big(
             F.col("path").alias("__apath"),
             F.col("hops").alias("__ahops"),
         )
+        # ancs resolved so far carry hops ≤ 2^rnd, i.e. ≤ 8·2^rnd path
+        # chars; ~96 bytes covers the five id-ish string fields plus
+        # UnsafeRow overhead.  min() keeps the estimate finite for the
+        # default 64k max_depth.
+        est_bytes = (
+            (n_todo or 0) * (96 + 8 * min(2 ** rnd, int(max_depth)))
+        )
         if (n_todo is not None and n_todo <= bcast_rows
+                and est_bytes <= bcast_bytes
                 and n_first is not None and n_todo * 4 <= n_first):
             keys = todo.select(
                 F.col("submission").alias("__qsub"),
