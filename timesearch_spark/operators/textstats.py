@@ -777,6 +777,7 @@ def train_quality_classifier(
     feats = _qclf_feature_rows(docs, "__text", "__ord", dim).join(
         docs.select("__ord", "y"), "__ord"
     ).select("__ord", "idx", "x", "y").persist()
+    feats_d = None  # distributed-arm re-cache, set over the gate
     try:
         w = np.zeros(dim, dtype=np.float64)
         b = 0.0
@@ -832,6 +833,27 @@ def train_quality_classifier(
             n_docs = docs.count()
             import pandas as pd
 
+            # r16 (guide §2.4): every GD iteration groups by __ord, joins
+            # scored back to feats on __ord, then groups by idx — with the
+            # cache unpartitioned that is 4 Exchanges over the feature
+            # relation PER ITERATION (groupBy(__ord,y), both join sides,
+            # groupBy(idx)).  Re-cache the features hash-partitioned and
+            # sorted by __ord once: the per-__ord aggregate then needs no
+            # exchange (hash(__ord) satisfies clustering on (__ord, y)),
+            # the join's feats side needs no exchange and no sort (cached
+            # order rides through the broadcast weights join), and scored
+            # inherits hash(__ord) from its aggregate — leaving ONE
+            # exchange per iteration, the unavoidable idx aggregation.
+            # Driver-arm plans are untouched (this cache exists only over
+            # the gate), and the fit tolerance is unchanged: gradient
+            # float-sum order already varies across partitionings by
+            # documented contract.
+            feats_d = (
+                feats.repartition("__ord")
+                .sortWithinPartitions("__ord")
+                .persist()
+            )
+            feats_loop = feats_d
             for _ in range(iters):
                 # current weights + the bias at its idx=-1 slot, via
                 # pandas for the Arrow fast path (see _qclf_weights_df)
@@ -844,7 +866,7 @@ def train_quality_classifier(
                         dtype="float64"),
                 }))
                 scored = (
-                    feats.join(F.broadcast(wdf), "idx", "left")
+                    feats_loop.join(F.broadcast(wdf), "idx", "left")
                     .groupBy("__ord", "y")
                     .agg(F.sum(F.col("x") * F.coalesce("w", F.lit(0.0)))
                          .alias("z"))
@@ -855,7 +877,7 @@ def train_quality_classifier(
                     )
                 )
                 g_rows = (
-                    feats.join(scored, "__ord")
+                    feats_loop.join(scored, "__ord")
                     .groupBy("idx")
                     .agg((F.sum(F.col("x") * F.col("__d")) / F.lit(n_docs))
                          .alias("g"))
@@ -871,6 +893,8 @@ def train_quality_classifier(
                 w -= lr * (g + reg * w)
                 b -= lr * gb
     finally:
+        if feats_d is not None:
+            feats_d.unpersist()
         feats.unpersist()
     weights = _qclf_weights_df(spark, w)
     return weights, float(b)
