@@ -329,51 +329,54 @@ def comment_forest_big(
     ).distinct()
     # Normalize parents (offline_reading.py:357-366): t3_* -> thread
     # root; known comment id -> itself; unknown id -> phantom parent.
-    normed = (
-        base.join(
-            known,
-            (base["submission"] == known["__ksub"])
-            & (base["parent"] == known["__kid"]),
-            "left",
-        )
-        .select(
-            "submission",
-            "idstr",
-            F.when(F.col("parent").startswith("t3_"), F.col("__root"))
-            .otherwise(F.col("parent"))
-            .alias("parent"),
-            "__score",
-            "__root",
-            (
-                F.col("__kid").isNull()
-                & ~F.col("parent").startswith("t3_")
-            ).alias("__parent_missing"),
-            *(["__created"] if page_order else []),
-            *pl,
-        )
-    )
-    phantoms = (
-        normed.filter("__parent_missing")
-        .select("submission", F.col("parent").alias("idstr"), "__root")
+    #
+    # r16 (guide §2.2 — shuffle fewer bytes): the per-row "is the parent
+    # known?" LEFT join only ever fed the phantom derivation (Catalyst
+    # already eliminated it from the nodes branch, since `known` is
+    # distinct on exactly the join key and the flag was dropped there),
+    # but it still shuffled one forest-sized row per NODE into the join
+    # just to distinct the missing parents afterwards.  Derive phantoms
+    # the set-sized way instead: non-root parent ids → map-side-combined
+    # DISTINCT (top-level comments drop out before the shuffle — the
+    # bulk of any forum-shaped forest) → LEFT ANTI against the known
+    # ids.  Same missing-parent set, one narrow (submission, parent)
+    # exchange instead of a forest-row exchange, and the nodes branch
+    # becomes a pure projection of the checkpointed base.
+    parents = (
+        base.filter(~F.col("parent").startswith("t3_"))
+        .select("submission", "parent")
         .distinct()
-        .select(
-            "submission",
-            "idstr",
-            F.col("__root").alias("parent"),
-            F.lit(0.0).alias("__score"),
-            "__root",
-            F.lit(True).alias("phantom"),
-            *([F.lit(None).cast(dict(normed.dtypes)["__created"])
-               .alias("__created")] if page_order else []),
-            *[F.lit(None).cast(dict(normed.dtypes)[a]).alias(a)
-              for a in pl],
-        )
     )
-    nodes = (
-        normed.drop("__parent_missing")
-        .withColumn("phantom", F.lit(False))
-        .unionByName(phantoms)
+    missing = parents.join(
+        known,
+        (parents["submission"] == known["__ksub"])
+        & (parents["parent"] == known["__kid"]),
+        "left_anti",
     )
+    phantoms = missing.select(
+        "submission",
+        F.col("parent").alias("idstr"),
+        root.alias("parent"),
+        F.lit(0.0).alias("__score"),
+        root.alias("__root"),
+        F.lit(True).alias("phantom"),
+        *([F.lit(None).cast(dict(base.dtypes)["__created"])
+           .alias("__created")] if page_order else []),
+        *[F.lit(None).cast(dict(base.dtypes)[a]).alias(a)
+          for a in pl],
+    )
+    nodes = base.select(
+        "submission",
+        "idstr",
+        F.when(F.col("parent").startswith("t3_"), F.col("__root"))
+        .otherwise(F.col("parent"))
+        .alias("parent"),
+        "__score",
+        "__root",
+        F.lit(False).alias("phantom"),
+        *(["__created"] if page_order else []),
+        *pl,
+    ).unionByName(phantoms)
 
     # Sibling visit order as a fixed-width sortable segment (width 8 =
     # up to 100M children per parent before overflow).
