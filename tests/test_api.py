@@ -8,6 +8,8 @@ import os
 from timesearch_spark import api
 
 
+import pytest
+
 def _fetcher(items):
     def fetch(after, before, limit):
         page = [d for d in items if d["created_utc"] >= after]
@@ -39,6 +41,7 @@ def _com(i, **kw):
     return d
 
 
+@pytest.mark.slow
 def test_get_submissions_backfill_and_resume(spark, tmp_path):
     ar = api.Archive(spark, str(tmp_path / "ar"))
     n = api.get_submissions(ar, _fetcher([_sub(i) for i in range(5)]), lower=0,
@@ -168,6 +171,7 @@ def test_offline_reading_writes_thread_files(spark, tmp_path):
     assert doc.count('<div class="comment"') == 3
 
 
+@pytest.mark.slow
 def test_offline_reading_incremental_rerenders_only_changed(spark, tmp_path):
     """incremental=True: first run renders everything and seeds the
     fingerprint manifest; an unchanged re-run renders NOTHING; after a
@@ -238,6 +242,7 @@ def test_offline_reading_incremental_rerenders_only_changed(spark, tmp_path):
                             incremental=True)
 
 
+@pytest.mark.slow
 def test_offline_reading_manifest_fingerprint_version(spark, tmp_path):
     """r14 (ADVICE): a manifest written under a different fingerprint
     ENCODING (or a pre-versioning one with no fpv column) makes every
@@ -292,6 +297,7 @@ def test_offline_reading_manifest_fingerprint_version(spark, tmp_path):
     assert api.offline_reading(ar, str(out), incremental=True) == 0
 
 
+@pytest.mark.slow
 def test_offline_reading_auto_routes_mega_threads(spark, tmp_path):
     """r13: the DEFAULT export auto-routes per thread — threads at or
     under max_thread_rows take the fused assembler, over-bound threads
@@ -374,6 +380,7 @@ def test_offline_reading_auto_routes_mega_threads(spark, tmp_path):
     assert calls2 == {"fused": 3, "streamed": 0}
 
 
+@pytest.mark.slow
 def test_offline_reading_incremental_deletes_stale_pages(spark, tmp_path):
     """r13: a thread DELETED from the archive loses its page and its
     manifest row on the next incremental run, so the incremental file
@@ -449,6 +456,7 @@ def test_offline_reading_incremental_deletes_stale_pages(spark, tmp_path):
     assert cache_mgr.isEmpty()
 
 
+@pytest.mark.slow
 def test_offline_reading_mass_rollback_deletes_distributed(
         spark, tmp_path, monkeypatch):
     """r14 (VERDICT r13 #2): a MASS rollback — thousands of manifest
@@ -523,6 +531,7 @@ def test_offline_reading_mass_rollback_deletes_distributed(
     assert html(out) == {"t3_s0.html", "t3_s1.html"}
 
 
+@pytest.mark.slow
 def test_offline_reading_incremental_streamed_arm(spark, tmp_path):
     """incremental composes with stream=True: the delta routes through
     the fragment writer and produces the same bytes."""
@@ -548,6 +557,7 @@ def test_offline_reading_incremental_streamed_arm(spark, tmp_path):
         (full / "t3_s0.html").read_bytes()
 
 
+@pytest.mark.slow
 def test_offline_reading_auto_derives_durable_checkpoint(spark, tmp_path,
                                                          monkeypatch):
     """r9 verdict item 4: a scheme:// archive auto-routes the mega-thread
@@ -607,6 +617,7 @@ def test_thread_html_sink_never_iterates_on_driver(spark, tmp_path, monkeypatch)
     assert "<div>x</div>\n<div>y</div>" in open(os.path.join(out, "t3_a.html")).read()
 
 
+@pytest.mark.slow
 def test_get_comments_augmented_aware_resume(spark, tmp_path):
     """The reference's specific-then-general scenario (get_comments.py:40-58):
 

@@ -496,6 +496,7 @@ def test_ingest_corpus_subcommand(spark, tmp_path, capsys):
     assert out["docs"] == 2  # exact dup dropped
 
 
+@pytest.mark.slow
 def test_curate_subcommand(spark, tmp_path, capsys):
     docs = [
         {"doc_id": 1, "source": "w", "lang": "en",
@@ -514,6 +515,7 @@ def test_curate_subcommand(spark, tmp_path, capsys):
     assert kept[0]["doc_id"] == 1 and kept[0]["split"] in ("train", "val", "test")
 
 
+@pytest.mark.slow
 def test_curate_subcommand_lm_flags(spark, tmp_path, capsys):
     """--lm-ref/--lm-ppl-max run the perplexity rung end-to-end from
     the CLI (heuristic-proof soup dropped, lm_gated in the rung audit),
@@ -643,6 +645,7 @@ def test_supplement_source_enriches_and_flag_disables(spark, tmp_path, capsys):
     assert ar2.submissions.snapshot().first()["score"] == 5
 
 
+@pytest.mark.slow
 def test_full_reference_workflow_chained(spark, tmp_path, capsys):
     """The reference's end-to-end loop (timesearch.py:22-60) as ONE
     chain against a single fresh archive: ingest_jsonfile seeds it, then
@@ -713,6 +716,7 @@ def test_curate_subcommand_span_flags(spark, tmp_path, capsys):
     assert shared not in texts[2]  # duplicate occurrence stripped
 
 
+@pytest.mark.slow
 def test_full_workflow_on_file_scheme_root(spark, tmp_path, capsys):
     """The chained reference workflow against a file:// archive root:
     every store (MERGE stores, pointers) and every driver-side sink
@@ -742,6 +746,7 @@ def test_full_workflow_on_file_scheme_root(spark, tmp_path, capsys):
     assert len(threads) >= 1
 
 
+@pytest.mark.slow
 def test_curate_subcommand_staged(spark, tmp_path, capsys):
     """--stage-dir checkpoints every rung; a second invocation resumes
     (all rungs committed, same output) and reports the rung audit from
@@ -777,6 +782,7 @@ def test_curate_subcommand_staged(spark, tmp_path, capsys):
     assert os.path.getmtime(os.path.join(stage, "final", "_SUCCESS")) == before
 
 
+@pytest.mark.slow
 def test_curate_subcommand_clf_flags(spark, tmp_path, capsys):
     """r12: --clf-pos/--clf-neg/--clf-min-score run the trained-
     classifier gate end-to-end (heuristic-proof soup dropped, clf_gated

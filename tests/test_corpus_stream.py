@@ -7,6 +7,8 @@ import json
 from timesearch_spark.streaming.corpus import CorpusStore
 
 
+import pytest
+
 def _doc(i, text, source="web"):
     return {"doc_id": i, "source": source, "lang": "en", "text": text}
 
@@ -90,6 +92,7 @@ def test_ingest_batch_neardup_gate(spark, tmp_path):
     assert store.ingest_batch(b2)["new"] == 0
 
 
+@pytest.mark.slow
 def test_vacuum_drops_superseded_index_versions(spark, tmp_path):
     import os
 

@@ -14,6 +14,8 @@ from timesearch_spark.operators import dedup as dd
 OFFSET = 1_000_000
 
 
+import pytest
+
 def _docs(spark):
     base = [
         (i, f"alpha bravo charlie delta echo foxtrot golf hotel india juliet "
@@ -799,6 +801,7 @@ def test_repeated_paragraphs_fuzz_vs_reference(spark):
     assert any(exp[i] != (t or "") for i, t in rows)
 
 
+@pytest.mark.slow
 def test_connected_components_durable_checkpoint_identical(spark, tmp_path):
     """Round 9: checkpoint_dir routes the hash-min loop's per-round
     truncation through a RELIABLE checkpoint (file:// here) instead of

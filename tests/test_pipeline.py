@@ -698,6 +698,7 @@ def test_curate_span_rung_composes(spark):
     assert spam not in out[2]      # duplicate occurrence stripped
 
 
+@pytest.mark.slow
 def test_curate_span_rung_pins_propagate(spark):
     """The span rung's persisted sub-plans must survive the
     .drop("n_removed_tokens") and ride the result's _pinned list, so one
@@ -726,6 +727,7 @@ def test_curate_span_rung_pins_propagate(spark):
     assert all(not p.storageLevel.useMemory for p in pins)
 
 
+@pytest.mark.slow
 def test_cluster_balanced_sample(spark):
     """Per-cluster quotas hold exactly, assignment is centroid-nearest,
     and the sample is deterministic across runs (md5 order, no rand)."""
@@ -776,6 +778,7 @@ _LADDER_ROWS = [
 ]
 
 
+@pytest.mark.slow
 def test_curate_staged_scheme_store_uses_durable_checkpoint(spark, tmp_path):
     """r9 verdict item 4: a scheme:// stage store means cluster storage,
     so the neardup rung's hash-min loop must checkpoint DURABLY into a
@@ -809,6 +812,7 @@ def test_curate_staged_scheme_store_uses_durable_checkpoint(spark, tmp_path):
     assert ck_local.is_dir() and any(ck_local.rglob("part-*"))
 
 
+@pytest.mark.slow
 def test_curate_staged_parity_and_resume(spark, tmp_path, monkeypatch):
     """The staged ladder returns row-identical output to the one-shot
     ladder; a second call resumes from the committed final rung without
@@ -853,6 +857,7 @@ def test_curate_staged_parity_and_resume(spark, tmp_path, monkeypatch):
         curate_corpus_staged(docs, store, min_tokens=6, neardup_threshold=0.5)
 
 
+@pytest.mark.slow
 def test_curate_staged_input_identity_pinned(spark, tmp_path):
     """ADVICE r8: the manifest pins the INPUT identity, not just the
     parameters — resuming the same store against different parquet
@@ -908,6 +913,7 @@ def test_curate_staged_input_identity_pinned(spark, tmp_path):
                              benchmark=spark.read.parquet(src_b))
 
 
+@pytest.mark.slow
 def test_curate_staged_crash_resume(spark, tmp_path, monkeypatch):
     """A run killed after the exact rung (stop_after crash injection)
     resumes: completed rungs are read back (the gate is never
@@ -946,6 +952,7 @@ def test_curate_staged_crash_resume(spark, tmp_path, monkeypatch):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_curate_staged_input_rung_only_when_surgery(spark, tmp_path):
     """The input rung is committed only when paragraph/span surgery is
     configured — otherwise it would be a byte-identical copy of the
@@ -992,6 +999,7 @@ def test_curate_staged_benchmark_identity_pinned(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_curate_staged_lm_rung(spark, tmp_path, monkeypatch):
     """r12: the CCNet-style perplexity rung is CHECKPOINTABLE — staged
     output with lm_ref/lm_ppl_max is row-identical to the one-shot
@@ -1111,6 +1119,7 @@ def test_curate_corpus_clf_rung(spark):
         curate_corpus(docs, clf_min_score=0.5)
 
 
+@pytest.mark.slow
 def test_curate_staged_clf_rung(spark, tmp_path, monkeypatch):
     """r12: the classifier rung is CHECKPOINTABLE — staged output
     row-identical to one-shot, the clf_gated rung committed (resume
@@ -1174,6 +1183,7 @@ def test_curate_staged_clf_rung(spark, tmp_path, monkeypatch):
                              stop_after="clf_gated")
 
 
+@pytest.mark.slow
 def test_curate_staged_lm_and_clf_rungs_compose(spark, tmp_path):
     """r12: BOTH optional quality rungs on in one staged run — the full
     8-rung ladder commits lm_gated then clf_gated in order, output is

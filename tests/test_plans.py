@@ -8,6 +8,7 @@ map-side partial aggregation, and codegen coverage.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 import __spark_entry__ as entrymod
 from timesearch_spark import plans
@@ -284,19 +285,28 @@ def test_batch_topk_is_one_linear_job(spark):
                 tables._FILE_META[f] = v
 
 
-def test_no_row_at_a_time_python_in_any_query(spark):
+@pytest.fixture(scope="module")
+def all_query_plans(spark):
+    """name -> formatted plan for every registered query, built ONCE:
+    the two engine-wide plan invariants below each used to construct
+    all ~50 query plans themselves (some constructions run eager
+    model-build jobs), doubling ~70 s of pure construction."""
+    import timesearch_spark.queries as tsq
+
+    return {
+        name: plans.formatted_plan(fn(spark, SF_SMALL))
+        for name, fn in tsq.QUERIES.items()
+    }
+
+
+def test_no_row_at_a_time_python_in_any_query(all_query_plans):
     """Engine-wide invariant: every Python surface in every registered
     query is Arrow-batched (ArrowEvalPython / MapInPandas /
     FlatMapGroupsInPandas) — a row-at-a-time BatchEvalPython stage in
     any plan is the exact anti-pattern the engine bans.  Plan
     construction only; nothing executes."""
-    import timesearch_spark.queries as tsq
-
-    offenders = []
-    for name, fn in tsq.QUERIES.items():
-        plan = plans.formatted_plan(fn(spark, SF_SMALL))
-        if "BatchEvalPython" in plan:
-            offenders.append(name)
+    offenders = [name for name, plan in all_query_plans.items()
+                 if "BatchEvalPython" in plan]
     assert offenders == []
 
 
@@ -314,17 +324,14 @@ _BNLJ_BOUNDED = {
 }
 
 
-def test_no_unbounded_cross_join_in_any_query(spark):
+def test_no_unbounded_cross_join_in_any_query(all_query_plans):
     """Engine-wide invariant: no registered query's plan contains a
     CartesianProduct, and BroadcastNestedLoopJoin appears only in the
     documented bounded-broadcast set above.  A new query tripping this
     either needs a join key (bucketed/blocked form) or an explicit
     entry here with the boundedness argument."""
-    import timesearch_spark.queries as tsq
-
     offenders = []
-    for name, fn in tsq.QUERIES.items():
-        plan = plans.formatted_plan(fn(spark, SF_SMALL))
+    for name, plan in all_query_plans.items():
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
         if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_BOUNDED:

@@ -25,6 +25,8 @@ def _drop_dir(tmp_path, name, batches):
 
 
 def _run_update(spark, df, sink, tmp_path):
+    import time
+
     q = (
         df.writeStream.format("memory")
         .queryName(sink)
@@ -33,7 +35,23 @@ def _run_update(spark, df, sink, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow queries normally self-terminate — but a stateful
+    # operator holding processing-time timers (scan_state's settled
+    # timeout) spins empty "cleaning up state" batches forever waiting
+    # for the 30-min timer, which used to burn the full 120 s wait AND
+    # leak a live query into the rest of the suite.  A completed batch
+    # that read ZERO rows means the source is drained (data batches are
+    # committed), so stop explicitly at that point.
+    deadline = time.time() + 120
+    while q.isActive and time.time() < deadline:
+        if q.awaitTermination(1):
+            break
+        lp = q.lastProgress
+        if lp is not None and lp.get("numInputRows", 0) == 0:
+            break
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(30)
     return spark.sql(f"SELECT * FROM {sink}")
 
 

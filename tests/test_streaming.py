@@ -15,6 +15,8 @@ COMMENT_COLS = (
 )
 
 
+import pytest
+
 def _store(spark, tmp_path, name="c"):
     return ParquetMergeStore(
         spark, str(tmp_path / name), schema=COMMENTS, key="idstr", text_col="body"
@@ -69,6 +71,7 @@ def test_store_resume_lower_bound_overlap(spark, tmp_path):
     assert store.resume_lower_bound() == 899
 
 
+@pytest.mark.slow
 def test_livestream_end_to_end(spark, tmp_path):
     drop = tmp_path / "drop"
     drop.mkdir()
@@ -136,6 +139,7 @@ def test_livestream_end_to_end(spark, tmp_path):
     assert edits[0]["replaced_at"] == 150  # obj.edited wins (tsdb.py:374-377)
 
 
+@pytest.mark.slow
 def test_store_merge_touches_only_batch_buckets(spark, tmp_path):
     """A micro-batch rewrites ONLY the bucket partitions its keys hash
     into; every other bucket keeps serving its old directory (the
@@ -173,6 +177,7 @@ def test_store_merge_touches_only_batch_buckets(spark, tmp_path):
     assert store.vacuum() == []
 
 
+@pytest.mark.slow
 def test_store_merge_nondeterministic_batch(spark, tmp_path):
     """A batch whose rows differ per evaluation (rand()-based filter)
     must merge without losing rows: merge() pins the batch with a
@@ -234,6 +239,7 @@ def test_schema_version_gate_and_upgrade(spark, tmp_path):
     assert store.snapshot().count() == 1
 
 
+@pytest.mark.slow
 def test_legacy_flat_layout_migration(spark, tmp_path):
     """A GENUINE pre-bucket store: flat parquet under snapshot/v=1 and a
     LATEST pointer with no 'buckets' key.  It must (a) trip the open
@@ -417,6 +423,7 @@ def test_union_of_n_sources_single_query(spark, tmp_path):
     assert {r["subreddit"] for r in snap} == set(entities.keys())
 
 
+@pytest.mark.slow
 def test_edits_replay_is_idempotent_and_uncommitted_invisible(spark, tmp_path):
     """Crash between the edits write and the manifest commit: the
     orphaned edits version is invisible to edits(), and the replayed
@@ -469,6 +476,7 @@ def test_merge_preserves_partial_schema_version_and_gates(spark, tmp_path):
         assert "NEWER" in str(e)
 
 
+@pytest.mark.slow
 def test_upgrade_skips_rewrite_for_layout_only_steps(spark, tmp_path):
     """A bucketed v2 store (the interrupted-upgrade state) upgrades to
     v3 with a pointer bump only — no second full-corpus rewrite."""
@@ -489,6 +497,7 @@ def test_upgrade_skips_rewrite_for_layout_only_steps(spark, tmp_path):
     assert store.snapshot().count() == 1
 
 
+@pytest.mark.slow
 def test_concurrent_merge_loses_cleanly(spark, tmp_path, monkeypatch):
     """Two writers racing the same store: the slower merge must abort
     with ConcurrentWriteError BEFORE touching the faster writer's
@@ -535,6 +544,7 @@ def test_concurrent_merge_loses_cleanly(spark, tmp_path, monkeypatch):
     ]
 
 
+@pytest.mark.slow
 def test_writer_lease_serializes_concurrent_merges(spark, tmp_path):
     """VERDICT r6 item 7: with lease_timeout_sec set, two well-behaved
     writers SERIALIZE — both eventually commit, nobody aborts with
@@ -587,6 +597,7 @@ def test_writer_lease_serializes_concurrent_merges(spark, tmp_path):
     assert res.stats["inserted"] == 1
 
 
+@pytest.mark.slow
 def test_writer_lease_times_out_against_live_holder(spark, tmp_path):
     from timesearch_spark.fs import LeaseTimeout, WriterLease, get_fs
     import pytest as _pytest
@@ -608,6 +619,7 @@ def test_writer_lease_times_out_against_live_holder(spark, tmp_path):
     ).stats["inserted"] == 1
 
 
+@pytest.mark.slow
 def test_writer_lease_breaks_stale_holder(spark, tmp_path):
     """A lease whose TTL expired (crashed writer) is broken by the next
     waiter instead of blocking it forever."""

@@ -12,6 +12,8 @@ from timesearch_spark.operators import textstats as tx
 from timesearch_spark.operators.dedup import tokens
 
 
+import pytest
+
 def _one(spark, text, col):
     return spark.createDataFrame([(text,)], "text string").select(
         col.alias("v")
@@ -158,6 +160,7 @@ def test_unigram_lm_matches_pure_python_twin(spark):
         assert abs(row["ppl"] - round(math.exp(-avg), 6)) < 1e-6
 
 
+@pytest.mark.slow
 def test_lm_score_separates_clean_from_garbage_and_buckets(spark):
     """The filter's reason to exist: reference-like text scores lower
     perplexity than token soup; zero-token docs keep a row (n_tok=0,
@@ -268,6 +271,7 @@ def test_bigram_lm_matches_pure_python_twin(spark):
         assert abs(row["ppl"] - round(math.exp(-avg), 6)) < 1e-6
 
 
+@pytest.mark.slow
 def test_bigram_lm_catches_common_word_salad(spark):
     """The case the unigram filter is BLIND to: salad built from the
     corpus's most common words has excellent unigram ppl but absurd
@@ -357,6 +361,7 @@ def test_quality_classifier_separates_and_is_deterministic(spark):
         quality_clf_score(test, stale, b, dim=1 << 12)
 
 
+@pytest.mark.slow
 def test_quality_classifier_catches_common_word_salad_alone(spark):
     """r13 word-bigram features: scrambled-word documents have the SAME
     unigram bag as their clean sources, so a unigram-only hashed bag

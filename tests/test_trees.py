@@ -14,6 +14,8 @@ from timesearch_spark.operators.trees import (
 COLS = "idstr string, parent string, submission string, created long, score long"
 
 
+import pytest
+
 def _forest(spark, rows):
     return comment_forest(spark.createDataFrame(rows, COLS))
 
@@ -130,6 +132,7 @@ def test_big_walk_matches_sequential_goldens(spark):
     assert seq == big and len(seq) == len(rows) + 1  # +1 phantom
 
 
+@pytest.mark.slow
 def test_big_walk_drops_cycles_like_sequential(spark):
     """Parent cycles are unreachable from the root: the reference's
     root-anchored walk never emits them, and neither arm here does."""
@@ -144,6 +147,7 @@ def test_big_walk_drops_cycles_like_sequential(spark):
     assert [t[1] for t in seq] == ["t1_a"]
 
 
+@pytest.mark.slow
 def test_big_walk_randomized_forest(spark):
     """Fuzz mirror: random forests (phantoms, ties, nulls, deep chains)
     agree between the one-task walk and the distributed walk."""
@@ -169,6 +173,7 @@ def test_big_walk_randomized_forest(spark):
     assert seq == big
 
 
+@pytest.mark.slow
 def test_auto_routes_hot_thread_and_matches(spark):
     """Fixture from the round brief: one thread ~100x the p99 size.  The
     probe must route it to the distributed walk, and the union must equal
@@ -227,6 +232,7 @@ def test_auto_split_does_not_silently_drop_null_submissions(spark):
         ).collect()                           # split: must stay loud
 
 
+@pytest.mark.slow
 def test_big_walk_durable_checkpoint_identical(spark, tmp_path):
     """Round 9: checkpoint_dir switches the pointer-doubling walk's
     lineage truncation from localCheckpoint to a RELIABLE checkpoint
@@ -410,6 +416,7 @@ def test_thread_pages_byte_parity_with_reference_semantics(spark, tmp_path):
     assert got2.endswith("</html>")
 
 
+@pytest.mark.slow
 def test_thread_pages_scheme_arm_byte_identical(spark, tmp_path):
     """The staged scheme:// sink must emit byte-identical pages to the
     local arm — including the no-trailing-newline tail, which rides the
@@ -439,6 +446,7 @@ def test_thread_pages_scheme_arm_byte_identical(spark, tmp_path):
     assert a == b and a.endswith(b"</html>")
 
 
+@pytest.mark.slow
 def test_offline_reading_stream_arm_byte_identical(spark, tmp_path):
     """api.offline_reading(stream=True) — the no-ceiling arm end to end
     — must write the same file SET (zero-comment submissions included,
@@ -492,6 +500,7 @@ def test_offline_reading_stream_arm_byte_identical(spark, tmp_path):
         assert b"ORPHANMARK" not in (fused / "t3_s1.html").read_bytes()
 
 
+@pytest.mark.slow
 def test_thread_pages_fuzz_random_forests(spark, tmp_path):
     """Randomized assembly check: 12 seeded threads with deep chains,
     wide fans, multiple roots, MISSING parents (orphan subtrees dropped,
@@ -582,6 +591,7 @@ def test_thread_pages_fuzz_random_forests(spark, tmp_path):
         assert got == doc, f"{sid}: streamed arm diverges from fused"
 
 
+@pytest.mark.slow
 def test_thread_pages_mixed_case_equal_score_tiebreak(spark, tmp_path):
     """Sibling order at EQUAL scores follows the reference's two stable
     sorts — listnodes pre-sorts children by id.lower() ascending
@@ -664,6 +674,7 @@ def test_thread_pages_size_guard_fails_loud(spark):
     assert ok["doc"] == default["doc"]  # bound never changes the bytes
 
 
+@pytest.mark.slow
 def test_thread_pages_streamed_deep_chain(spark, tmp_path):
     """O(depth) claims, pinned at depth 1200: the walk's pointer
     doubling resolves a 1200-deep chain in O(log depth) rounds, the
@@ -700,6 +711,7 @@ def test_thread_pages_streamed_deep_chain(spark, tmp_path):
     assert got.count('<div class="comment"') == depth
 
 
+@pytest.mark.slow
 def test_thread_pages_streamed_writes_past_fused_bound(spark, tmp_path):
     """The guard's own escape hatch: a thread the fused arm REFUSES
     (past max_thread_rows) streams through write_thread_docs_streamed —
