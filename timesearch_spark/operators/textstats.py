@@ -180,7 +180,27 @@ def text_profile_table(df, text_col: str = "text", id_col: str = "doc_id"):
     from timesearch_spark.tables import spread
 
     d = spread(df)
+    if not isinstance(text_col, str):
+        # the expr-string fast path below needs a column NAME; callers
+        # passing a Column get it projected under an internal one
+        d = d.withColumn("__prof_text", text_col)
+        text_col = "__prof_text"
     langs = sorted(STOPWORDS)
+
+    # r16 (guide §4 — the JVM boundary is for ROWS, but the DRIVER pays
+    # it per Column op too): the Column-method form of this builder made
+    # ~4,300 py4j round trips per construction (~1.2 s of driver wall
+    # before any job, measured with a send_command counter), and the
+    # bench pays that on every entry that embeds the profile (the
+    # curate ladder's quality rung, text_profile, the clf gates).
+    # Build the big expressions as SQL STRINGS instead — one py4j call
+    # parses each whole expression JVM-side.  Every string mirrors the
+    # previous Column tree function-for-function (same tokenizer regex,
+    # same CASE/NULL semantics, same round/try_divide), so the resolved
+    # plan — and the hash-oracled output — is unchanged.
+    T = f"`{text_col}`"
+    I = f"`{id_col}`"
+    tok = rf"filter(split(lower(trim({T})), '\\s+'), x -> x != '')"
 
     # ONE explode feeds both the token stats and the bigram stats:
     # each document emits its tokens tagged 't' and its bigrams tagged
@@ -193,86 +213,74 @@ def text_profile_table(df, text_col: str = "text", id_col: str = "doc_id"):
     # map-side partially combined before the only wide shuffle — and a
     # per-id rollup with conditional aggs.  One join back to the scalar
     # map stage instead of r3's two.
-    t = tokens(text_col)
-    n_t = F.size(t)
+    #
     # slice() rejects negative lengths, and unlike the filter-guarded r3
     # form this single-pass build evaluates for EVERY row — clamp so
     # zero/one-token (empty or whitespace-only) documents yield an empty
     # bigram array instead of crashing the stage.
-    bg_len = F.greatest(n_t - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(t, 1, bg_len),
-        F.slice(t, 2, bg_len),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    tagged = d.select(
-        _c(id_col).alias(id_col),
-        F.explode(
-            F.concat(
-                F.transform(t, lambda x: F.struct(F.lit("t").alias("k"), x.alias("g"))),
-                F.transform(
-                    bigrams, lambda x: F.struct(F.lit("g").alias("k"), x.alias("g"))
-                ),
-            )
-        ).alias("e"),
-    ).select(id_col, F.col("e.k").alias("__k"), F.col("e.g").alias("__g"))
-    is_tok = F.col("__k") == "t"
+    bg_len = f"greatest(size({tok}) - 1, 0)"
+    tagged = d.selectExpr(
+        f"{I} AS {I}",
+        f"""explode(concat(
+            transform({tok}, x -> struct('t' AS k, x AS g)),
+            transform(
+                zip_with(slice({tok}, 1, {bg_len}), slice({tok}, 2, {bg_len}),
+                         (a, b) -> concat_ws(' ', a, b)),
+                x -> struct('g' AS k, x AS g))
+        )) AS e""",
+    ).selectExpr(f"{I}", "e.k AS __k", "e.g AS __g")
     counts = tagged.groupBy(id_col, "__k", "__g").agg(F.count("*").alias("__c"))
+
+    def _sql_in(words):
+        return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
     tstats = counts.groupBy(id_col).agg(
-        F.sum(F.when(is_tok, F.col("__c"))).alias("n_ws"),
+        F.expr("sum(CASE WHEN __k = 't' THEN __c END)").alias("n_ws"),
         *[
-            F.sum(
-                F.when(is_tok & F.col("__g").isin(*STOPWORDS[lang]), F.col("__c"))
-                .otherwise(F.lit(0))
+            F.expr(
+                f"sum(CASE WHEN __k = 't' AND __g IN ({_sql_in(STOPWORDS[lang])}) "
+                "THEN __c ELSE 0 END)"
             ).alias(f"__h_{lang}")
             for lang in langs
         ],
-        F.round(
-            F.max(F.when(~is_tok, F.col("__c"))).cast("double")
-            / F.sum(F.when(~is_tok, F.col("__c"))).cast("double"),
-            6,
+        F.expr(
+            "round(CAST(max(CASE WHEN NOT (__k = 't') THEN __c END) AS DOUBLE)"
+            " / CAST(sum(CASE WHEN NOT (__k = 't') THEN __c END) AS DOUBLE), 6)"
         ).alias("top_bigram_frac"),
     )
 
-    lines = F.filter(
-        F.split(_c(text_col), "\n"), lambda x: F.trim(x) != ""
-    )
-    dup_line = F.when(
-        F.size(lines) > 0,
-        F.round(
-            1.0
-            - F.size(F.array_distinct(lines)).cast("double")
-            / F.size(lines).cast("double"),
-            6,
-        ),
-    )
-
-    scal = d.select(
-        _c(id_col).alias(id_col),
-        token_count_bpe(text_col).alias("n_bpe"),
-        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
-        fingerprint_md5(text_col).alias("fp"),
-        dup_line.alias("dup_line_frac"),
+    lines = rf"filter(split({T}, '\n'), x -> trim(x) != '')"
+    bpe_sql = BPE_REGEX.replace("\\", "\\\\").replace("'", "''")
+    scal = d.selectExpr(
+        f"{I} AS {I}",
+        rf"CAST(size(regexp_extract_all({T}, "
+        rf"'{bpe_sql}', 0)) AS BIGINT) AS n_bpe",
+        rf"round(CASE WHEN length({T}) > 0 THEN "
+        rf"CAST(length({T}) - length(regexp_replace({T}, '[^A-Za-z0-9\\s]', ''))"
+        rf" AS DOUBLE) / CAST(length({T}) AS DOUBLE) END, 6) AS punct_ratio",
+        rf"md5(regexp_replace(lower(trim({T})), '\\s+', ' ')) AS fp",
+        f"CASE WHEN size({lines}) > 0 THEN "
+        f"round(1.0D - CAST(size(array_distinct({lines})) AS DOUBLE)"
+        f" / CAST(size({lines}) AS DOUBLE), 6) END AS dup_line_frac",
     )
     prof = scal.join(tstats, id_col, "left")
-    hits = {lang: F.coalesce(F.col(f"__h_{lang}"), F.lit(0)) for lang in langs}
-    n_ws = F.coalesce(F.col("n_ws"), F.lit(0))
-    best = F.greatest(*hits.values())
-    lang_expr = F.when(best == 0, F.lit("und"))
-    for lang in langs:  # ties: first language in code order wins
-        lang_expr = lang_expr.when(hits[lang] == best, F.lit(lang))
-    return prof.select(
-        id_col,
-        n_ws.alias("n_ws"),
+    hits = {lang: f"coalesce(__h_{lang}, 0)" for lang in langs}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    lang_expr = f"CASE WHEN {best} = 0 THEN 'und' " + " ".join(
+        # ties: first language in code order wins
+        f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return prof.selectExpr(
+        f"{I}",
+        "coalesce(n_ws, 0) AS n_ws",
         "n_bpe",
-        hits["en"].alias("sw_hits"),
+        f"{hits['en']} AS sw_hits",
         "punct_ratio",
-        F.round(
-            # try_divide, not `/`: ANSI mode raises DIVIDE_BY_ZERO on the
-            # 0/0 of a zero-token document; the contract is NULL there
-            F.try_divide(hits["en"].cast("double"), n_ws.cast("double")), 6
-        ).alias("stopword_ratio"),
-        lang_expr.alias("lang_guess"),
+        # try_divide, not `/`: ANSI mode raises DIVIDE_BY_ZERO on the
+        # 0/0 of a zero-token document; the contract is NULL there
+        f"round(try_divide(CAST({hits['en']} AS DOUBLE), "
+        "CAST(coalesce(n_ws, 0) AS DOUBLE)), 6) AS stopword_ratio",
+        f"{lang_expr} AS lang_guess",
         "fp",
         "dup_line_frac",
         "top_bigram_frac",
