@@ -250,8 +250,12 @@ def minhash_signature_table(
     exploded = _shingle_rows(df, text_col, id_col, shingle_k).select(
         id_col, F.xxhash64("__s").alias("__h")
     )
+    # r16 (guide §4, driver side): the 64-column agg list built through
+    # Column methods cost ~6 py4j round trips per column per build —
+    # parse each whole aggregate as ONE expr string instead (same
+    # IntegerType seed literal, verified hash-identical).
     aggs = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"mh{i}")
+        F.expr(f"min(xxhash64(__h, {i})) AS mh{i}")
         for i in range(num_hashes)
     ]
     return exploded.groupBy(id_col).agg(*aggs)
@@ -1642,17 +1646,19 @@ def band_buckets_from_sig_table(
             f"num_hashes={num_hashes}"
         )
     rows = num_hashes // bands
-    sig = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
-    per_band = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.aggregate(
-            F.slice(sig, b * rows + 1, rows),
-            b.cast("long"),
-            lambda acc, x: F.xxhash64(acc, x),
-        ),
+    # one parsed expression instead of a num_hashes-wide Column build
+    # (r16, guide §4 driver side — py4j round trips per Column op); the
+    # SQL mirrors the previous tree exactly: same band seed cast, same
+    # left fold
+    sig = "array(" + ", ".join(f"mh{i}" for i in range(num_hashes)) + ")"
+    per_band = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> aggregate(slice({sig}, b * {rows} + 1, {rows}), "
+        "CAST(b AS BIGINT), (acc, x) -> xxhash64(acc, x)))"
     )
-    return sig_tbl.select(
-        _c(id_col).alias(id_col), F.posexplode(per_band).alias("band", "bucket")
+    return sig_tbl.selectExpr(
+        f"`{id_col}`",
+        f"posexplode({per_band}) AS (band, bucket)",
     )
 
 
@@ -1686,9 +1692,10 @@ def minhash_index(
     buckets = band_buckets_from_sig_table(
         sig_tbl, id_col, num_hashes, bands
     ).select("band", "bucket", F.col(id_col).alias("keeper"))
-    sigs = sig_tbl.select(
-        F.col(id_col).alias("keeper"),
-        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
+    sigs = sig_tbl.selectExpr(
+        f"`{id_col}` AS keeper",
+        "array(" + ", ".join(f"mh{i}" for i in range(num_hashes))
+        + ") AS sig",
     )
     buckets._pinned = [sig_tbl]
     sigs._pinned = [sig_tbl]
@@ -1737,23 +1744,21 @@ def incremental_minhash_dedup(
     b_buckets = band_buckets_from_sig_table(
         sig_tbl, id_col, num_hashes, bands
     ).select("band", "bucket", F.col(id_col).alias("__bid"))
-    b_sigs = sig_tbl.select(
-        F.col(id_col).alias("__bid"),
-        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("__bsig"),
+    b_sigs = sig_tbl.selectExpr(
+        f"`{id_col}` AS __bid",
+        "array(" + ", ".join(f"mh{i}" for i in range(num_hashes))
+        + ") AS __bsig",
     )
     cand = (
         b_buckets.join(index_buckets, on=["band", "bucket"])
         .select("__bid", "keeper")
         .dropDuplicates(["__bid", "keeper"])
     )
-    est = F.aggregate(
-        F.zip_with(
-            F.col("__bsig"), F.col("sig"),
-            lambda a, b: F.when(a == b, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("double") / num_hashes
+    est = F.expr(
+        "CAST(aggregate(zip_with(__bsig, sig, "
+        "(a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END), 0, "
+        f"(acc, x) -> acc + x) AS DOUBLE) / {num_hashes}"
+    )
     verified = (
         cand.join(b_sigs, on="__bid")
         .join(index_sigs, on="keeper")
