@@ -370,6 +370,106 @@ def test_upsert_later_wins_within_batch(spark):
     assert r["body"] == "live" and r["score"] == 2
 
 
+def test_upsert_tagged_union_matches_join_twin(spark):
+    """Equivalence proof for the r16 tagged-union merge rewrite: a
+    test-local replica of the ORIGINAL full-outer-join upsert (the
+    pre-r16 implementation, verbatim) must produce the same snapshot
+    AND the same edit-capture rows as the operator, on a fixture that
+    exercises every rule: plain update, no-change, null-never-clobbers,
+    deletion masking, vandalism masking, insert-only, old-only, and
+    edited-timestamp capture.  Pins the merge semantics to the join
+    formulation forever, whatever the physical plan does."""
+    from pyspark.sql import functions as F
+
+    from timesearch_spark.operators.upsert import (
+        COMMENT_MUTABLE, _is_deleted, _latest_per_key, upsert_snapshot,
+    )
+
+    def join_twin(snapshot, batch, key="idstr", text_col="body",
+                  author_col="author", edited_ts_col="edited",
+                  observed_at=None):
+        mutable = COMMENT_MUTABLE
+        cols = snapshot.columns
+        batch = _latest_per_key(batch, key, None)
+        old = snapshot.alias("old")
+        new = batch.alias("new")
+        joined = old.join(
+            new, on=F.col(f"old.{key}") == F.col(f"new.{key}"),
+            how="full_outer")
+        okey, nkey = F.col(f"old.{key}"), F.col(f"new.{key}")
+        matched = okey.isNotNull() & nkey.isNotNull()
+        deleted = _is_deleted(
+            F.col(f"new.{author_col}"), F.col(f"new.{text_col}"))
+        out_cols = []
+        for c in cols:
+            oc = F.col(f"old.{c}")
+            nc = F.col(f"new.{c}") if c in batch.columns else F.lit(None)
+            if c == key:
+                expr = F.coalesce(oc, nc)
+            elif c == text_col and c in mutable:
+                expr = F.when(matched & deleted, oc).otherwise(
+                    F.when(matched, F.coalesce(nc, oc))
+                    .otherwise(F.coalesce(oc, nc)))
+            elif c in mutable:
+                expr = F.when(matched, F.coalesce(nc, oc)).otherwise(
+                    F.coalesce(oc, nc))
+            else:
+                expr = F.coalesce(oc, nc)
+            out_cols.append(expr.alias(c))
+        new_snapshot = joined.select(*out_cols)
+        replaced_at = F.lit(observed_at).cast("long")
+        if edited_ts_col and edited_ts_col in batch.columns:
+            replaced_at = F.coalesce(
+                F.col(f"new.{edited_ts_col}").cast("long"), replaced_at)
+        text_changed = (
+            matched & ~deleted & F.col(f"new.{text_col}").isNotNull()
+            & (F.col(f"old.{text_col}").isNull()
+               | (F.col(f"old.{text_col}") != F.col(f"new.{text_col}"))))
+        edits = joined.filter(text_changed).select(
+            okey.alias(key),
+            F.col(f"old.{text_col}").alias(f"previous_{text_col}"),
+            replaced_at.alias("replaced_at"))
+        return new_snapshot, edits
+
+    snap = _comments(spark, [
+        ("t1_upd", "alice", "old text", 5, 10),      # plain update
+        ("t1_same", "bob", "same", 1, 11),           # no change
+        ("t1_null", "carol", "keep", 2, 12),         # null never clobbers
+        ("t1_del", "dave", "precious", 3, 13),       # deletion mask
+        ("t1_van", "eve", "precious2", 4, 14),       # vandalism mask
+        ("t1_oldonly", "fred", "untouched", 6, 15),  # no batch row
+        ("t1_nulltext", "gina", None, 7, 16),        # old text NULL + new
+    ])
+    batch = spark.createDataFrame(
+        [
+            ("t1_upd", "alice", "new text", 9, 10, 777),
+            ("t1_same", "bob", "same", 1, 11, None),
+            ("t1_null", None, None, None, 12, None),
+            ("t1_del", None, "[removed]", 3, 13, None),
+            ("t1_van", "eve", "x pastebin.com/64GuVi2F y", 4, 14, None),
+            ("t1_new", "hank", "fresh", 8, 20, None),   # insert
+            ("t1_nulltext", "gina", "now set", 7, 16, None),
+        ],
+        "idstr string, author string, body string, score long, "
+        "created long, edited long",
+    )
+    got = upsert_snapshot(snap, batch, key="idstr", text_col="body",
+                          observed_at=99)
+    want_snap, want_edits = join_twin(snap, batch, observed_at=99)
+    assert sorted(map(tuple, got.snapshot.collect())) == \
+        sorted(map(tuple, want_snap.collect()))
+    assert sorted(map(tuple, got.edits.collect())) == \
+        sorted(map(tuple, want_edits.collect()))
+    # the edit rows themselves: changed text captured with the batch's
+    # edited timestamp, observation time when absent
+    edits = {r["idstr"]: r for r in got.edits.collect()}
+    assert set(edits) == {"t1_upd", "t1_nulltext"}
+    assert edits["t1_upd"]["previous_body"] == "old text"
+    assert edits["t1_upd"]["replaced_at"] == 777
+    assert edits["t1_nulltext"]["previous_body"] is None
+    assert edits["t1_nulltext"]["replaced_at"] == 99
+
+
 def test_salted_topk_matches_plain_window(spark):
     """operators.skew.topk_per_group must return EXACTLY the rows of the
     single-window row_number form, for any salt assignment — here on the
