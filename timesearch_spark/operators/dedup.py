@@ -238,6 +238,7 @@ def minhash_signature_table(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    tok_col: str | None = None,
 ) -> DataFrame:
     """(id, mh0..mh{n-1}): explode distinct shingles, hash each once, then
     one codegen'd hash-aggregate with num_hashes MIN columns.
@@ -247,7 +248,8 @@ def minhash_signature_table(
     with map-side partial aggregation — every doc's shingles sit in one
     input row, so partial agg collapses them to a single row per doc
     before any shuffle."""
-    exploded = _shingle_rows(df, text_col, id_col, shingle_k).select(
+    exploded = _shingle_rows(df, text_col, id_col, shingle_k,
+                             tok_col=tok_col).select(
         id_col, F.xxhash64("__s").alias("__h")
     )
     # r16 (guide §4, driver side): the 64-column agg list built through
@@ -271,15 +273,16 @@ def minhash_band_buckets(
     hash_family: str = "xxhash64",
     tok_col: str | None = None,
 ) -> DataFrame:
-    """(id, band, bucket) LSH banding table in long-relation form: explode
-    (id, perm, hash) rows, MIN-aggregate per (id, perm), hash each band's
-    ``rows`` mins (perm-ordered) into its bucket key.  Same collision
-    semantics as hashing the wide signature row; the narrow keys keep
-    every expression tiny (fast Catalyst analysis — the wide 64-column
-    form re-spent seconds per run in the optimizer) and every stage a
-    codegen'd partial-agg.  ``spread`` parallelizes under-split input
-    (single-row-group files) before the num_hashes× explode; it is a
-    no-op when the scan already splits.
+    """(id, band, bucket) LSH banding table.  The xxhash64 family (the
+    production default) derives it from the wide signature aggregate —
+    one shingle explode into a num_hashes-column MIN agg, then the
+    per-band fold (:func:`band_buckets_from_sig_table`); the md5 family
+    keeps the long-relation form: explode (id, perm, hash) rows,
+    MIN-aggregate per (id, perm), hash each band's ``rows`` mins
+    (perm-ordered) into its bucket key.  Same collision semantics
+    either way.  ``spread`` parallelizes under-split input
+    (single-row-group files) before the explode; it is a no-op when the
+    scan already splits.
 
     ``hash_family`` picks the permutation hashes.  ``"xxhash64"``
     (default) is the production path: one string hash per shingle, then
@@ -303,15 +306,29 @@ def minhash_band_buckets(
             f"num_hashes={num_hashes}"
         )
     rows = num_hashes // bands
-    seq = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    if hash_family == "xxhash64":
+        # r16 (guide §2.2): the long-relation form exploded num_hashes
+        # permutation rows per DISTINCT SHINGLE — ~64× the shingle
+        # relation through Generate, partial-agg and shuffle — purely
+        # to keep per-expression analysis cheap.  With the signature
+        # aggregate now built as parsed SQL strings, the wide form's
+        # construction cost is gone, and ONE explode of the shingles
+        # into a 64-column MIN aggregate plus the per-band fold is
+        # measurably faster (0.98 vs 1.24 s at sf0.1) with
+        # byte-identical (id, band, bucket) output — the same
+        # derivation the incremental index has always used
+        # (band_buckets_from_sig_table, bucket parity test-pinned).
+        return band_buckets_from_sig_table(
+            minhash_signature_table(
+                df, text_col, id_col, num_hashes, shingle_k,
+                tok_col=tok_col,
+            ),
+            id_col, num_hashes, bands,
+        )
     base = _shingle_rows(df, text_col, id_col, shingle_k, tok_col=tok_col)
-    # Two explode shapes, chosen by what the explode would duplicate:
-    # the xx64 path pre-hashes the shingle to ONE long, explodes the
-    # permutation index against it, and re-hashes in a top-level
-    # projection — everything stays in whole-stage codegen and the
-    # Generate only copies 8-byte longs (measurably faster than
-    # evaluating the hash as an interpreted transform() lambda).  The
-    # md5 path derives FOUR permutation keys per digest — perm i is the
+    # The md5 (oracle-replay) family keeps the long-relation shape: it
+    # takes string MINs per permutation, which have no wide-aggregate
+    # twin.  It derives FOUR permutation keys per digest — perm i is the
     # 8-hex-char slice k = i%4 of md5("{i//4}:{shingle}") — md5's bits
     # are independent, so the slices act as independent permutations
     # while paying a quarter of the digest calls; the digests are built
@@ -342,12 +359,6 @@ def minhash_band_buckets(
                 F.substring(F.col("d"), F.col("k") * 8 + 1, F.lit(8)).alias("ph"),
             )
         )
-    elif hash_family == "xxhash64":
-        perms = (
-            base.select(id_col, F.xxhash64("__s").alias("__h"))
-            .select(id_col, "__h", F.explode(seq).alias("i"))
-            .select(id_col, "i", F.xxhash64("__h", F.col("i")).alias("ph"))
-        )
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     mins = perms.groupBy(id_col, "i").agg(F.min("ph").alias("mh"))
@@ -355,20 +366,13 @@ def minhash_band_buckets(
     grouped = banded.groupBy(id_col, "band").agg(
         F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("arr")
     )
-    if hash_family == "md5":
-        bucket = F.md5(
-            F.concat(
-                F.col("band").cast("string"),
-                F.lit("|"),
-                F.array_join(F.transform("arr", lambda x: x["mh"]), "|"),
-            )
+    bucket = F.md5(
+        F.concat(
+            F.col("band").cast("string"),
+            F.lit("|"),
+            F.array_join(F.transform("arr", lambda x: x["mh"]), "|"),
         )
-    else:
-        bucket = F.aggregate(
-            F.transform("arr", lambda x: x["mh"]),
-            F.col("band").cast("long"),
-            lambda acc, x: F.xxhash64(acc, x),
-        )
+    )
     return grouped.select(id_col, "band", bucket.alias("bucket"))
 
 
