@@ -362,9 +362,15 @@ def comment_forest_big(
         F.lit(True).alias("phantom"),
         *([F.lit(None).cast(dict(base.dtypes)["__created"])
            .alias("__created")] if page_order else []),
-        *[F.lit(None).cast(dict(base.dtypes)[a]).alias(a)
-          for a in pl],
     )
+    # r16 (guide §8/§2.3): the payload does NOT ride the sibling-rank
+    # window.  `nodes` stays NARROW — the window's (submission, parent)
+    # exchange and its sort move only the ranking fields — and the
+    # payload is re-attached below by ONE equi-join on the unique
+    # (submission, idstr) row key, the exchange the spread already paid.
+    # Before, payload bytes (the page arm ships body text here) crossed
+    # TWO full exchanges (window + spread) and one sort just to come
+    # along for the rank; now they cross exactly one exchange, unsorted.
     nodes = base.select(
         "submission",
         "idstr",
@@ -375,7 +381,6 @@ def comment_forest_big(
         "__root",
         F.lit(False).alias("phantom"),
         *(["__created"] if page_order else []),
-        *pl,
     ).unionByName(phantoms)
 
     # Sibling visit order as a fixed-width sortable segment (width 8 =
@@ -416,7 +421,6 @@ def comment_forest_big(
         F.col("parent").alias("anc"),
         seg.alias("path"),
         F.lit(1).alias("hops"),
-        *pl,
     )
     # r15 (guide §2.5): the state inherits the sibling-rank window's
     # (submission, parent) partitioning, and every direct child of a
@@ -436,7 +440,24 @@ def comment_forest_big(
     # just PROVED a dominant thread exists.
     if spread_state is None:
         spread_state = page_order or bool(payload)
-    if spread_state:
+    if pl:
+        # Payload re-attach (see the `nodes` note): one left equi-join
+        # on the unique (submission, idstr) row key — phantoms have no
+        # base row and get typed nulls, exactly the literals they
+        # carried before.  Both sides are repartitioned to the spread
+        # width explicitly so the join reuses those exchanges (guide
+        # §2.4) and AQE cannot coalesce the pinned width away; the
+        # narrow rank side is hinted as the hash-join BUILD side so the
+        # payload side STREAMS — a sort-merge join would re-sort the
+        # payload bytes, re-spending what skipping the window saved.
+        pay = base.select("submission", "idstr", *pl)
+        if spread_state:
+            width = _python_stage_width(comments)
+            state = state.repartition(width, "submission", "idstr")
+            pay = pay.repartition(width, "submission", "idstr")
+        state = state.hint("shuffle_hash").join(
+            pay, ["submission", "idstr"], "left")
+    elif spread_state:
         state = state.repartition(
             _python_stage_width(comments), "submission", "idstr")
     state = ckpt(state)
